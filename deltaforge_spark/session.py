@@ -1,0 +1,59 @@
+"""SparkSession construction tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same conf set is
+what we would ship as ``spark-defaults`` on a real cluster (AQE on,
+shuffle partitions sized to cores, Arrow enabled for the Python hops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf we can safely (re)apply at runtime on someone else's session.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
+    # rejects by default; read as raw nanos (long) and convert explicitly
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "deltaforge_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    ``spark.sql.shuffle.partitions`` is sized to the core count rather
+    than the 200 default: on a cluster you want 2-3x total cores (AQE
+    coalesces the excess); tiny-partition storms hurt at both scales.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Defensively apply runtime-settable conf on an externally-owned
+    session (the correctness driver builds its own); UTC timezone keeps
+    timestamp collection deterministic vs the DuckDB oracle."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf may be static on some builds — best effort
+            pass
+    return spark

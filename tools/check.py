@@ -1,0 +1,110 @@
+"""Local driver-sim: run every queries() entry against its oracle_sql()
+via DuckDB and compare row count + column names + order-insensitive
+values — a stricter local version of the driver's CORRECTNESS gate.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, Decimal):
+        return f"{v:f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def row_key(row, cols_order):
+    return tuple(norm(row[i]) for i in cols_order)
+
+
+def compare(name, spark_df, sql, con) -> list[str]:
+    errs = []
+    sdf = spark_df
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    if sorted(scols) != sorted(dcols):
+        errs.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
+        return errs
+    if len(srows) != len(drows):
+        errs.append(f"row count differ: spark={len(srows)} duck={len(drows)}")
+    s_order = [scols.index(c) for c in sorted(scols)]
+    d_order = [dcols.index(c) for c in sorted(dcols)]
+    sset = sorted(row_key(r, s_order) for r in srows)
+    dset = sorted(row_key(r, d_order) for r in drows)
+    if sset != dset:
+        diffs = [(a, b) for a, b in zip(sset, dset) if a != b]
+        errs.append(f"values differ ({len(diffs)} mismatched rows of {len(sset)})")
+        for a, b in diffs[:3]:
+            errs.append(f"  spark={a}")
+            errs.append(f"  duck ={b}")
+    return errs
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from deltaforge_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  ~ {name}: no oracle (rows-only) → {n} rows")
+            except Exception as e:
+                print(f"  ✗ {name}: EXCEPTION {e}")
+                failed.append(name)
+            continue
+        try:
+            errs = compare(name, fn(spark, sf_dir), oracles[name], con)
+        except Exception as e:
+            errs = [f"EXCEPTION {type(e).__name__}: {e}"]
+        if errs:
+            failed.append(name)
+            print(f"  ✗ {name}")
+            for e in errs:
+                print(f"      {e}")
+        else:
+            print(f"  ✓ {name}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,19 @@ from deltaforge_spark.operators import (
     apply_filter,
     flatten_events,
 )
+from deltaforge_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from deltaforge_spark.operators.multimodal import (
+    decode_image_meta,
+    sample_frames,
+    with_binary_payload,
+)
+from deltaforge_spark.operators.similarity import brute_force_topk
+from deltaforge_spark.operators.textanalysis import analyze_documents
 
 SF1K = "/root/testdata/sf0.001"
 
@@ -178,6 +191,305 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------ LLM-data operators
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-content groups with surviving id + dup count."""
+    _prep(spark)
+    return exact_dedup(read_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over word 3-shingles)."""
+    _prep(spark)
+    return minhash_signatures(
+        read_table(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", num_hashes=8
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints via per-bit token votes."""
+    _prep(spark)
+    return simhash(read_table(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", bits=16)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (inverted-index join, threshold 0.5)."""
+    _prep(spark)
+    return shingle_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        threshold=0.5,
+    )
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, language-ID, quality score, rolling fingerprint."""
+    _prep(spark)
+    return analyze_documents(read_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 3."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata via mapInPandas (stub decode)."""
+    _prep(spark)
+    docs = with_binary_payload(read_table(spark, sf_dir, "documents"))
+    return decode_image_meta(docs)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out inside mapInPandas (64-byte frames)."""
+    _prep(spark)
+    docs = with_binary_payload(read_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every=64)
+
+
+# ------------------------------------------------ relational layer
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, broadcast dims, decimal revenue."""
+    _prep(spark)
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            # o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+            # cast to instant is value-preserving
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "revenue",
+        )
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 5-way join through region/nation (broadcast dims)."""
+    _prep(spark)
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the event stream."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("ts div 1000000 div 3600000").alias("hour_bucket"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("decimal(38,4)").alias("sum_value"),
+        )
+    )
+
+
+def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value (window row_number)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_sess = F.when(
+        F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+# ------------------------------------------------ CDC delivery surface
+def q_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox transform: outbox-table inserts → routed domain events."""
+    _prep(spark)
+    from deltaforge_spark.operators import OutboxSpec, outbox_transform
+
+    orders = read_table(spark, sf_dir, "orders")
+    outbox_rows = orders.select(
+        F.lit("order").alias("aggregate_type"),
+        F.col("o_orderkey").cast("string").alias("aggregate_id"),
+        F.col("o_orderstatus").alias("event_type"),
+        F.concat(F.lit('{"k":'), F.col("o_orderkey").cast("string"), F.lit("}")).alias("payload"),
+        F.lit(None).cast("string").alias("topic"),
+    )
+    events = snapshot_events(
+        outbox_rows, db="appdb", table="outbox",
+        event_id=F.col("aggregate_id"),
+    ).withColumn("op", F.lit("c"))
+    out = outbox_transform(
+        events,
+        OutboxSpec(topic_template="events-${after.aggregate_type}", default_topic="events-fallback"),
+    )
+    return out.select(
+        "event_id",
+        F.col("routing.topic").alias("topic"),
+        F.col("routing.key").alias("key"),
+        F.col("aggregate_type"),
+        F.col("outbox_event_type"),
+        F.col("after").alias("payload"),
+        F.element_at(F.col("routing.headers"), "df-event-type").alias("hdr_event_type"),
+    )
+
+
+def q_routing_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing templates: strict topic + lenient key resolution."""
+    _prep(spark)
+    from deltaforge_spark.operators import with_routing
+
+    df = with_routing(
+        change_feed(spark, sf_dir),
+        topic_template="df-${source.table}-${op}",
+        key_template="${after.user_id}",
+    )
+    return df.select(
+        "event_id",
+        F.col("routing.topic").alias("topic"),
+        F.col("routing.key").alias("key"),
+    )
+
+
+def q_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic idempotency keys {tenant}|{db.table}|{tx}|{event}."""
+    _prep(spark)
+    from deltaforge_spark.envelope import idempotency_key
+
+    df = change_feed(spark, sf_dir)
+    return df.select("event_id", idempotency_key().alias("idem_key"))
+
+
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudEvents envelope → JSON → extracted fields (round-trip)."""
+    _prep(spark)
+    from deltaforge_spark.operators import envelope_cloudevents
+
+    df = envelope_cloudevents(change_feed(spark, sf_dir))
+    return df.select(
+        F.get_json_object("value", "$.id").alias("ce_id"),
+        F.get_json_object("value", "$.type").alias("ce_type"),
+        F.get_json_object("value", "$.subject").alias("ce_subject"),
+        F.get_json_object("value", "$.time").alias("ce_time"),
+        F.get_json_object("value", "$.data.op").alias("ce_op"),
+    )
+
+
+def q_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-upsert semantics: latest version per PK, deletes drop
+    the row (ReplacingMergeTree(_version, _deleted) materialization)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    df = change_feed(spark, sf_dir)
+    pk = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_version").desc(), F.col("event_id").cast("long").desc()
+    )
+    state = (
+        df.select(
+            pk.alias("user_id"),
+            F.col("ts_ms").alias("_version"),
+            (F.col("op") == "d").cast("int").alias("_deleted"),
+            F.col("after.value").alias("value"),
+            F.col("event_id"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_deleted") == 0))
+    )
+    return state.select("user_id", "value", F.col("_version").alias("version_ms"))
+
+
+def q_lake_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-lake hive partitioning plan: table/year/month/day from ts_ms."""
+    _prep(spark)
+    df = change_feed(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    return (
+        df.select(
+            F.col("source.table").alias("table"),
+            F.year(ts).alias("year"),
+            F.month(ts).alias("month"),
+            F.dayofmonth(ts).alias("day"),
+        )
+        .groupBy("table", "year", "month", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_schema_sensing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema sensing: structural fingerprint of JSON payload shapes."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    shape = F.md5(F.concat_ws(",", F.json_object_keys(F.col("props"))))
+    return ev.select(shape.alias("shape_fingerprint")).groupBy("shape_fingerprint").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_orders": q_snapshot_orders,
     "cdc_changefeed": q_changefeed,
@@ -186,7 +498,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_filter_tables": q_filter_tables,
     "cdc_flatten": q_flatten,
     "q1_pricing_summary": q1_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_analysis": q_text_analysis,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_frames": q_multimodal_frames,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "events_windowed": q_events_windowed,
+    "events_topn": q_events_topn,
+    "events_sessionization": q_events_sessionization,
+    "cdc_outbox": q_outbox,
+    "cdc_routing_templates": q_routing_templates,
+    "cdc_idempotency": q_idempotency,
+    "cdc_envelope_roundtrip": q_envelope_roundtrip,
+    "cdc_upsert_materialize": q_upsert_materialize,
+    "cdc_lake_partitions": q_lake_partitions,
+    "cdc_schema_sensing": q_schema_sensing,
 }
+
+# shared SQL fragments for the document oracles
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [] END)) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_H48 = "CAST(('0x' || substr(md5('s{seed}:' || {col}), 1, 12)) AS BIGINT)"
 
 
 CHANGEFEED_SQL = """
@@ -200,6 +544,7 @@ CHANGEFEED_SQL = """
            event_type,
            value,
            props,
+           user_id,
            CAST(user_id AS VARCHAR) || ':' || CAST(CAST(floor(event_id / 10) AS BIGINT) AS VARCHAR) AS tx_id,
            CAST(row_number() OVER w AS BIGINT) AS tx_order,
            row_number() OVER w = count(*) OVER (PARTITION BY CAST(floor(event_id / 10) AS BIGINT), user_id) AS tx_end
@@ -208,8 +553,265 @@ CHANGEFEED_SQL = """
 """
 
 
+def _minhash_oracle() -> str:
+    mins = ",\n                   ".join(
+        f"min({_H48.format(seed=j, col='shingle')}) AS mh{j}" for j in range(8)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, {_H48.format(seed=0, col='tok')} AS h FROM toks),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    """
+
+
+_TOKENS_SQL = "string_split_regex(trim(text), ' +')"
+
+
+def _marker_hits_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+def _text_analysis_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import (
+        BPE_RE,
+        LANG_MARKERS,
+        RH_BASE,
+        RH_MOD,
+        STOPWORDS,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n              ".join(
+        f"{_marker_hits_sql(LANG_MARKERS[lang])} AS hits_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+              len({_TOKENS_SQL}) AS n_tokens_ws,
+              len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens_bpe,
+              {hit_cols},
+              {_marker_hits_sql(STOPWORDS)} AS stop_hits,
+              length(text) AS n_chars,
+              len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+              list_reduce(
+                [CAST(0 AS BIGINT)] ||
+                list_transform({_TOKENS_SQL},
+                               t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)),
+                (acc, h) -> (acc * {RH_BASE} + h) % {RH_MOD}) AS fingerprint
+          FROM documents
+        ), s AS (
+          SELECT *, {best} AS best,
+                 n_chars / greatest(n_tokens_ws, 1) AS mean_wlen,
+                 stop_hits / greatest(n_tokens_ws, 1) AS stop_ratio,
+                 n_punct / greatest(n_chars, 1) AS punct_ratio
+          FROM c
+        )
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+               {lang_case} AS lang_pred,
+               round(0.25 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (1.0 - punct_ratio), 6) AS quality,
+               fingerprint
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": """
+            SELECT md5(coalesce(text, '')) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(16),
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+        """,
+        "text_analysis": _text_analysis_oracle(),
+        "similarity_bruteforce": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+                SELECT query_id, e.vec_id AS match_id,
+                       round(list_dot_product(qv, v) /
+                             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                             6) AS cosine_sim
+                FROM e, q WHERE e.vec_id != q.query_id
+            ),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, match_id) AS INT) AS rank
+                  FROM scored)
+            SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 2048 + 1 AS INT) AS width,
+                   CAST(CAST(('0x' || substr(sha256(text), 9, 8)) AS BIGINT) % 2048 + 1 AS INT) AS height,
+                   'FAKE' AS format
+            FROM documents
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   epoch_ms(o_orderdate) AS o_orderdate_ms,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)))
+                        AS DECIMAL(38,8)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)))
+                        AS DECIMAL(38,8)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "events_windowed": """
+            SELECT (epoch_ns(ts) // 1000000) // 3600000 AS hour_bucket,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_topn": """
+            SELECT user_id, event_id, value, rnk FROM (
+                SELECT user_id, event_id, value,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS INT) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
+        """,
+        "events_sessionization": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_id FROM events
+            ), flagged AS (
+                SELECT user_id, ts_ms, event_id,
+                       CASE WHEN ts_ms - lag(ts_ms) OVER
+                            (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+            ), s AS (
+                SELECT user_id, ts_ms,
+                       CAST(sum(new_sess) OVER
+                            (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts_ms) AS session_start_ms,
+                   max(ts_ms) - min(ts_ms) AS duration_ms
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "cdc_outbox": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS event_id,
+                   'events-order' AS topic,
+                   CAST(o_orderkey AS VARCHAR) AS key,
+                   'order' AS aggregate_type,
+                   o_orderstatus AS outbox_event_type,
+                   '{"k":' || CAST(o_orderkey AS VARCHAR) || '}' AS payload,
+                   o_orderstatus AS hdr_event_type
+            FROM orders
+        """,
+        "cdc_routing_templates": f"""
+            SELECT event_id,
+                   'df-events-' || op AS topic,
+                   CASE WHEN op = 'd' THEN ''
+                        ELSE CAST(user_id AS VARCHAR) END AS key
+            FROM ({CHANGEFEED_SQL})
+        """,
+        "cdc_idempotency": f"""
+            SELECT event_id,
+                   concat_ws('|', '', 'testdb.events', tx_id, event_id) AS idem_key
+            FROM ({CHANGEFEED_SQL})
+        """,
+        "cdc_envelope_roundtrip": f"""
+            SELECT event_id AS ce_id,
+                   'com.deltaforge.cdc.' ||
+                       CASE op WHEN 'c' THEN 'created' WHEN 'u' THEN 'updated'
+                               WHEN 'd' THEN 'deleted' WHEN 'r' THEN 'snapshot'
+                               ELSE 'truncated' END AS ce_type,
+                   'testdb.events' AS ce_subject,
+                   strftime(make_timestamp(ts_ms // 1000 * 1000000), '%Y-%m-%dT%H:%M:%S')
+                       || '.' || lpad(CAST(ts_ms % 1000 AS VARCHAR), 3, '0') || 'Z' AS ce_time,
+                   op AS ce_op
+            FROM ({CHANGEFEED_SQL})
+        """,
+        "cdc_upsert_materialize": f"""
+            SELECT user_id, value, version_ms FROM (
+                SELECT user_id, after_value AS value, ts_ms AS version_ms,
+                       (op = 'd') AS _deleted,
+                       row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, CAST(event_id AS BIGINT) DESC) AS rn
+                FROM ({CHANGEFEED_SQL})
+            ) WHERE rn = 1 AND NOT _deleted
+        """,
+        "cdc_lake_partitions": f"""
+            SELECT 'events' AS "table",
+                   CAST(year(make_timestamp(ts_ms * 1000)) AS INT) AS year,
+                   CAST(month(make_timestamp(ts_ms * 1000)) AS INT) AS month,
+                   CAST(day(make_timestamp(ts_ms * 1000)) AS INT) AS day,
+                   count(*) AS n_events
+            FROM ({CHANGEFEED_SQL})
+            GROUP BY 1, 2, 3, 4
+        """,
+        "cdc_schema_sensing": """
+            SELECT md5(array_to_string(json_keys(props), ',')) AS shape_fingerprint,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1
+        """,
+        "multimodal_frames": """
+            WITH f AS (SELECT doc_id, text,
+                              unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fi
+                       FROM documents)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   sha256(substr(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_sha256
+            FROM f
+        """,
         "snapshot_orders": """
             SELECT 'r' AS op,
                    CAST(o_orderkey AS VARCHAR) AS event_id,

@@ -50,13 +50,17 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of ``text`` (whitespace tokens)."""
+    """Distinct word n-grams of ``text`` (whitespace tokens). Documents
+    with fewer than n tokens yield an empty array (guard needed because
+    Spark's ``sequence(1, 0)`` counts *down* instead of being empty)."""
     toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def _hash_shingle(shingle: Column, seed: int) -> Column:

@@ -47,7 +47,8 @@ def _flatten_fields(
             )
         elif isinstance(f.dataType, T.ArrayType) and list_policy == "index":
             for i in range(index_limit):
-                out.append((f"{name}{sep}{i}", F.col(col_path).getItem(i)))
+                # F.get is null-safe out of range (getItem throws under ANSI)
+                out.append((f"{name}{sep}{i}", F.get(F.col(col_path), i)))
         else:
             out.append((name, F.col(col_path)))
     return out

@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The Spark-side plumbing is real and tested: schema contracts, binary
+columns, ``mapInPandas`` batch iteration, deterministic partitioning.
+The actual media decode is STUBBED (the container has no image/audio
+libs): ``decode_image_meta`` ships a deterministic fake decoder driven
+by the content hash, and the place where Pillow/libav would slot in is
+marked. At 100 TB the pattern matters more than the decoder:
+
+- binaries stay opaque in parquet (no JVM<->Python conversion until the
+  UDF boundary, Arrow-batched there);
+- metadata extraction is a mapInPandas projection — embarrassingly
+  parallel, no shuffle;
+- frame/window sampling fans out rows inside the UDF iterator without
+  materializing whole partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for a real image decode.
+
+    REAL IMPLEMENTATION (requires Pillow, absent in this container):
+        from PIL import Image; im = Image.open(io.BytesIO(payload))
+        return im.width, im.height, im.format
+    The fake derives dims from the content hash so tests and oracles
+    can reproduce it: width = 1 + h[0:4]%2048, height = 1 + h[4:8]%2048.
+    """
+    h = hashlib.sha256(payload).digest()
+    width = 1 + int.from_bytes(h[0:4], "big") % 2048
+    height = 1 + int.from_bytes(h[4:8], "big") % 2048
+    return width, height, "FAKE"
+
+
+def with_binary_payload(df: DataFrame, *, src_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (tests reuse document text as
+    the 'media' bytes; production reads real blobs)."""
+    return df.withColumn(out_col, F.encode(F.col(src_col), "UTF-8"))
+
+
+def decode_image_meta(df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Extract typed metadata from a binary media column via
+    mapInPandas (Arrow batches; decode stub marked above)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, fmt = _fake_decode(b)
+                out.append((int(doc_id), len(b), hashlib.sha256(b).hexdigest(), w, h, fmt))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "sha256", "width", "height", "format"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", every: int = 64
+) -> DataFrame:
+    """Frame-sampling pattern: 1→N fan-out inside the UDF iterator.
+
+    REAL IMPLEMENTATION would demux video and hash every Nth frame;
+    the stub slices the payload into ``every``-byte 'frames'. The
+    Spark-side contract (row explosion inside mapInPandas, stable
+    output schema) is the part under test.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i, off in enumerate(range(0, len(b), every)):
+                    rows.append(
+                        (int(doc_id), i, hashlib.sha256(b[off : off + every]).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha256"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, FRAME_SCHEMA)

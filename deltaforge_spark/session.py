@@ -20,6 +20,9 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # externally-owned sessions default to 200 shuffle partitions — far too
+    # many for local test scale; AQE coalesces upward when needed
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

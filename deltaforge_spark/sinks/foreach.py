@@ -1,0 +1,131 @@
+"""foreachBatch fan-out: one frozen batch → N sinks, per-sink outcomes,
+commit-policy gate, per-sink offsets.
+
+Re-expresses the reference's coordinator delivery path (reference:
+crates/runner/src/coordinator.rs:881-1156 — concurrent fan-out over a
+frozen ``Arc<[Event]>``, commit policy all/required/quorum gating the
+checkpoint, per-sink checkpoint keys with MIN-resume;
+pipeline_manager.rs:31-107).
+
+Spark mapping:
+- frozen shared batch   → ``batch_df.persist()`` (cache once, write N times)
+- per-sink outcome      → each writer runs in try/except, outcomes collected
+- commit policy         → raising from foreachBatch fails the micro-batch,
+                          forcing replay from the last checkpoint — the
+                          exact at-least-once contract the reference
+                          documents (guarantees.md:134-195); sinks dedup
+                          downstream on the idempotency key
+- per-sink checkpoints  → OffsetStore table (sink, batch_id, status);
+                          on restart, resume = MIN(committed) across sinks
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    write: Callable[[DataFrame], None]
+    required: bool = True
+    # per-sink event filter (reference sinks/src/filter.rs)
+    filter: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class CommitPolicy:
+    """all | required (default) | quorum{n} — coordinator.rs:124-135."""
+
+    kind: str = "required"
+    quorum: int = 0
+
+    def satisfied(self, outcomes: dict[str, bool], specs: list[SinkSpec]) -> bool:
+        if self.kind == "all":
+            return all(outcomes.values())
+        if self.kind == "quorum":
+            return sum(outcomes.values()) >= self.quorum
+        # required: every required sink must succeed
+        return all(outcomes[s.name] for s in specs if s.required)
+
+
+class OffsetStore:
+    """Per-sink commit bookkeeping (reference per-sink checkpoint keys
+    ``{source}::sink::{sink_id}``, pipeline_manager.rs:31-107).
+
+    A tiny JSON file per pipeline: {sink: last_committed_batch_id}.
+    Restart resume point = MIN across sinks, so an uncommitted sink
+    forces replay of its missed batches (sinks dedup on idempotency
+    key). On a cluster this would be a Delta table; the contract —
+    atomic per-sink upsert + MIN on read — is the same.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict[str, int]:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {}
+
+    def commit(self, sink: str, batch_id: int) -> None:
+        state = self._load()
+        state[sink] = max(int(state.get(sink, -1)), int(batch_id))
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+    def committed(self, sink: str) -> int:
+        return int(self._load().get(sink, -1))
+
+    def resume_point(self, sinks: list[str]) -> int:
+        """MIN across sinks: replay everything any sink hasn't seen."""
+        state = self._load()
+        return min((int(state.get(s, -1)) for s in sinks), default=-1)
+
+
+def fan_out_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sinks: list[SinkSpec],
+    *,
+    policy: CommitPolicy | None = None,
+    offsets: OffsetStore | None = None,
+) -> dict[str, bool]:
+    """Deliver one batch to every sink; commit offsets for successes;
+    raise if the commit policy is unmet (fails the micro-batch → replay).
+    """
+    policy = policy or CommitPolicy()
+    batch_df.persist()
+    try:
+        outcomes: dict[str, bool] = {}
+        errors: dict[str, Exception] = {}
+        for spec in sinks:
+            df = spec.filter(batch_df) if spec.filter else batch_df
+            try:
+                spec.write(df)
+                outcomes[spec.name] = True
+            except Exception as e:  # per-sink isolation: one sink failing
+                outcomes[spec.name] = False  # must not poison the others
+                errors[spec.name] = e
+        if offsets is not None:
+            for name, ok in outcomes.items():
+                if ok:
+                    offsets.commit(name, batch_id)
+        if not policy.satisfied(outcomes, sinks):
+            failed = [n for n, ok in outcomes.items() if not ok]
+            raise RuntimeError(
+                f"commit policy {policy.kind} unmet for batch {batch_id}: "
+                f"failed sinks {failed}: "
+                + "; ".join(f"{n}: {e}" for n, e in errors.items())
+            )
+        return outcomes
+    finally:
+        batch_df.unpersist()

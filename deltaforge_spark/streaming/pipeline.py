@@ -1,0 +1,99 @@
+"""Structured Streaming orchestration.
+
+The reference's runtime loop (reference: crates/runner/src/
+coordinator.rs:558-717 — accumulate → process → fan out → commit) maps
+onto Structured Streaming directly:
+
+- batch accumulation (max_events/max_bytes/max_ms, config
+  lib.rs:287-297)        → trigger interval + maxOffsetsPerTrigger /
+                            maxFilesPerTrigger
+- bounded-channel backpressure (guarantees.md:300-313)
+                         → micro-batch pull model (native)
+- processor chain        → DataFrame transforms (same functions as batch)
+- concurrent sink fan-out + commit policy + per-sink offsets
+                         → ``foreachBatch(fan_out_batch)``
+- checkpoint/resume      → checkpointLocation (+ OffsetStore MIN-resume)
+- duplicate suppression  → dropDuplicatesWithinWatermark(event_id)
+- pause/resume/stop REST → StreamingQuery.stop() / restart from checkpoint
+
+Event-time operators the reference explicitly lacks (guarantees.md:380)
+are exposed natively: ``withWatermark`` + windowed aggs, and
+``session_window`` for sessionization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.foreach import CommitPolicy, OffsetStore, SinkSpec, fan_out_batch
+
+
+def dedup_events(df: DataFrame, *, watermark_col: str = "event_time", delay: str = "10 minutes") -> DataFrame:
+    """At-least-once → effectively-once within the watermark horizon:
+    drop duplicate event_ids (replays land inside the delay window).
+    State is bounded by the watermark — safe at 100 TB/day volumes,
+    unlike an unbounded dropDuplicates."""
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+@dataclass
+class StreamingPipeline:
+    """pipeline = source → transforms → N sinks (reference PipelineSpec,
+    deltaforge-config/src/lib.rs:93-140)."""
+
+    name: str
+    source: Callable[[SparkSession], DataFrame]
+    transforms: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+    sinks: list[SinkSpec] = field(default_factory=list)
+    policy: CommitPolicy = field(default_factory=CommitPolicy)
+    checkpoint_dir: str = ""
+    offsets_path: str = ""
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        df = self.source(spark)
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+    def start(self, spark: SparkSession, *, trigger_available_now: bool = False, processing_time: str | None = None):
+        df = self.build(spark)
+        offsets = OffsetStore(self.offsets_path) if self.offsets_path else None
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # per-sink offset skip: a sink that already committed this
+            # batch (pre-crash) is not re-written on replay
+            active = [
+                s
+                for s in self.sinks
+                if offsets is None or offsets.committed(s.name) < batch_id
+            ]
+            if not active:
+                return
+            fan_out_batch(batch_df, batch_id, active, policy=self.policy, offsets=offsets)
+
+        writer = df.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+def file_change_source(path: str, schema, *, max_files_per_trigger: int = 10):
+    """A file-backed change-event stream (the test/CI stand-in for the
+    Kafka/Debezium front; reference boundary per SURVEY.md §7.2)."""
+
+    def make(spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path)
+        )
+
+    return make

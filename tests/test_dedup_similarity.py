@@ -1,0 +1,114 @@
+"""Dedup + similarity operator properties."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from deltaforge_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from deltaforge_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),  # exact dup
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy cat today"),  # near dup
+    Row(doc_id=4, text="completely different words about spark and data engines"),
+    Row(doc_id=5, text="ab"),  # < 3 tokens -> no shingles
+]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame(DOCS)
+    out = df.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[5] == []
+    assert "the quick brown" in by_id[1]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(DOCS)
+    out = exact_dedup(df, ["text"], "doc_id")
+    groups = {r["keep_id"]: r["n_dupes"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1,2 identical; keep min id
+    assert groups[3] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(DOCS)
+    sig = minhash_signatures(df, text_col="text", id_col="doc_id", num_hashes=8)
+    rows = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+    assert 5 not in rows  # no shingles -> no signature
+
+
+def test_minhash_lsh_finds_dup_pair(spark):
+    df = spark.createDataFrame(DOCS)
+    sig = minhash_signatures(df, text_col="text", id_col="doc_id", num_hashes=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sig, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (4, 1) not in pairs
+
+
+def test_simhash_near_dup_hamming(spark):
+    df = spark.createDataFrame(DOCS)
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df, text_col="text", id_col="doc_id", bits=16).collect()}
+    assert fp[1] == fp[2]
+    pairs = spark.createDataFrame([Row(a=fp[1], b=fp[3]), Row(a=fp[1], b=fp[4])])
+    d = pairs.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0]["d"], d[1]["d"]
+    assert near < far  # near-dup closer in hamming space
+
+
+def test_shingle_jaccard_exact_values(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = shingle_jaccard_pairs(df, text_col="text", id_col="doc_id", threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # docs 1 & 3 differ in word 9 of 10: 2 of 8 shingles change -> 6/10
+    assert abs(got[(1, 3)] - 0.6) < 1e-9
+
+
+def _emb_rows():
+    # 4-dim embeddings: 1 and 2 parallel, 3 orthogonal-ish, 4 opposite
+    return [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[2.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=5, embedding=[0.9, 0.1, 0.0, 0.0]),
+    ]
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(_emb_rows())
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, q, k=2).collect()
+    assert [r["match_id"] for r in out] == [2, 5]
+    assert out[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    # synthetic embeddings are near-uniform random => neighbors are weakly
+    # clustered; 1 plane (2 buckets) gives deterministic recall 6/15 here
+    approx = lsh_topk(emb, q, k=5, num_planes=1, dims=64).collect()
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["match_id"]) for r in approx}
+    assert len(approx_set & exact_set) >= 3
+    approx_scores = {(r["query_id"], r["match_id"]): r["cosine_sim"] for r in approx}
+    exact_scores = {(r["query_id"], r["match_id"]): r["cosine_sim"] for r in exact}
+    for k_, v in approx_scores.items():
+        if k_ in exact_scores:
+            assert abs(v - exact_scores[k_]) < 1e-9

@@ -1,0 +1,80 @@
+"""Text analysis + multimodal plumbing."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from deltaforge_spark.operators.multimodal import (
+    decode_image_meta,
+    sample_frames,
+    with_binary_payload,
+)
+from deltaforge_spark.operators.textanalysis import (
+    analyze_documents,
+    bpe_token_count,
+    language_id,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(t="hello world 123 foo-bar")])
+    row = df.select(
+        whitespace_token_count(F.col("t")).alias("ws"),
+        bpe_token_count(F.col("t")).alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 4
+    # hello|world|123|foo|-|bar
+    assert row["bpe"] == 6
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, t="the cat and the dog of a house"),
+            Row(doc_id=2, t="el perro y la casa de que y"),
+            Row(doc_id=3, t="xyz qqq zzz"),
+        ]
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", language_id(F.col("t")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([Row(a="alpha beta gamma", b="gamma beta alpha")])
+    row = df.select(
+        rolling_fingerprint(F.col("a")).alias("fa"),
+        rolling_fingerprint(F.col("b")).alias("fb"),
+    ).collect()[0]
+    assert row["fa"] != row["fb"]  # order matters (rolling, not bag hash)
+
+
+def test_analyze_documents_schema(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_documents(docs)
+    assert out.columns == ["doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred", "quality", "fingerprint"]
+    rows = out.limit(5).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_image_meta_matches_python(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello multimodal world")])
+    out = decode_image_meta(with_binary_payload(df)).collect()[0]
+    b = b"hello multimodal world"
+    h = hashlib.sha256(b).digest()
+    assert out["n_bytes"] == len(b)
+    assert out["sha256"] == hashlib.sha256(b).hexdigest()
+    assert out["width"] == 1 + int.from_bytes(h[0:4], "big") % 2048
+    assert out["height"] == 1 + int.from_bytes(h[4:8], "big") % 2048
+
+
+def test_frame_fanout(spark):
+    text = "x" * 150  # 3 frames at every=64
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    frames = sample_frames(with_binary_payload(df), every=64).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert frames[0]["frame_sha256"] == hashlib.sha256(b"x" * 64).hexdigest()

@@ -424,17 +424,30 @@ def q_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CloudEvents envelope → JSON → extracted fields (round-trip)."""
+    """CloudEvents envelope → JSON → parsed back (round-trip). One
+    from_json parse (not N get_json_object calls — each re-parses)."""
     _prep(spark)
+    from pyspark.sql import types as T
+
     from deltaforge_spark.operators import envelope_cloudevents
 
     df = envelope_cloudevents(change_feed(spark, sf_dir))
-    return df.select(
-        F.get_json_object("value", "$.id").alias("ce_id"),
-        F.get_json_object("value", "$.type").alias("ce_type"),
-        F.get_json_object("value", "$.subject").alias("ce_subject"),
-        F.get_json_object("value", "$.time").alias("ce_time"),
-        F.get_json_object("value", "$.data.op").alias("ce_op"),
+    ce_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("time", T.StringType()),
+            T.StructField("data", T.StructType([T.StructField("op", T.StringType())])),
+        ]
+    )
+    parsed = df.select(F.from_json("value", ce_schema).alias("ce"))
+    return parsed.select(
+        F.col("ce.id").alias("ce_id"),
+        F.col("ce.type").alias("ce_type"),
+        F.col("ce.subject").alias("ce_subject"),
+        F.col("ce.time").alias("ce_time"),
+        F.col("ce.data.op").alias("ce_op"),
     )
 
 
@@ -490,6 +503,115 @@ def q_schema_sensing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot → CDC handoff: initial load unioned with the change
+    stream; overlap resolved per event_id with stream-wins priority
+    (reference mysql/mod.rs:122-182 snapshot handoff + consumer-side
+    dedup guidance, guarantees.md:385)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    snap = snapshot_events(
+        ev.filter(F.col("event_id") < 500),  # partial snapshot before stream start
+        table="events",
+        event_id=F.col("event_id").cast("string"),
+    ).select("op", "event_id")
+    stream = (
+        change_feed(spark, sf_dir)
+        .filter(F.col("source.sequence") >= 300)  # stream starts mid-history
+        .select("op", "event_id")
+    )
+    both = snap.unionByName(stream)
+    w = Window.partitionBy("event_id").orderBy(F.when(F.col("op") == "r", 1).otherwise(0))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs from minhash signatures (the scale
+    path for near-dup at 100 TB: shuffle only (band, bucket) keys)."""
+    _prep(spark)
+    from deltaforge_spark.operators.dedup import minhash_lsh_pairs
+
+    sig = minhash_signatures(
+        read_table(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", num_hashes=8
+    )
+    return minhash_lsh_pairs(sig, num_hashes=8, bands=4)
+
+
+def q_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-UDF hook (reference JS processor contract,
+    processors/src/js.rs:82-96): arbitrary per-batch Python over Arrow
+    batches via mapInPandas — here a normalize+derive transform."""
+    _prep(spark)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = change_feed(spark, sf_dir).select(
+        "event_id", F.col("after.event_type").alias("event_type"), F.col("after.value").alias("value")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("event_type_uc", T.StringType()),
+            T.StructField("value_bucket", T.LongType()),
+        ]
+    )
+
+    def process_batch(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "event_type_uc": pdf["event_type"].str.upper(),
+                    "value_bucket": (pdf["value"] // 10).astype("Int64"),
+                }
+            )
+            yield out[out["event_type_uc"].notna()]
+
+    return df.mapInPandas(process_batch, out_schema)
+
+
+def q_envelope_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native envelope serialize → parse-back (one from_json)."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.operators import envelope_native
+
+    df = envelope_native(change_feed(spark, sf_dir))
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("event_id", T.StringType()),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [T.StructField("db", T.StringType()), T.StructField("table", T.StringType())]
+                ),
+            ),
+            T.StructField(
+                "after", T.StructType([T.StructField("value", T.DoubleType())])
+            ),
+        ]
+    )
+    p = df.select(F.from_json("value", schema).alias("e"))
+    return p.select(
+        F.col("e.op").alias("op"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        F.col("e.event_id").alias("event_id"),
+        F.concat_ws(".", F.col("e.source.db"), F.col("e.source.table")).alias("src"),
+        F.col("e.after.value").alias("after_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_orders": q_snapshot_orders,
     "cdc_changefeed": q_changefeed,
@@ -518,6 +640,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_upsert_materialize": q_upsert_materialize,
     "cdc_lake_partitions": q_lake_partitions,
     "cdc_schema_sensing": q_schema_sensing,
+    "cdc_snapshot_handoff": q_snapshot_handoff,
+    "dedup_minhash_lsh": q_minhash_lsh_pairs,
+    "cdc_python_udf": q_python_udf,
+    "cdc_envelope_native": q_envelope_native,
 }
 
 # shared SQL fragments for the document oracles
@@ -632,8 +758,53 @@ def _text_analysis_oracle() -> str:
     """
 
 
+def _minhash_lsh_oracle() -> str:
+    bands = []
+    for b in range(4):
+        m0, m1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(CAST({m0} AS VARCHAR) || ':' || CAST({m1} AS VARCHAR)) AS bucket FROM sig"
+        )
+    union = " UNION ALL ".join(bands)
+    return f"""
+        WITH sig AS ({_minhash_oracle()}),
+        buckets AS ({union})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_snapshot_handoff": f"""
+            WITH snap AS (
+                SELECT 'r' AS op, CAST(event_id AS VARCHAR) AS event_id
+                FROM events WHERE event_id < 500
+            ), stream AS (
+                SELECT op, event_id FROM ({CHANGEFEED_SQL})
+                WHERE CAST(event_id AS BIGINT) >= 300
+            ), unioned AS (
+                SELECT * FROM snap UNION ALL SELECT * FROM stream
+            ), d AS (
+                SELECT op, row_number() OVER (PARTITION BY event_id
+                    ORDER BY CASE WHEN op = 'r' THEN 1 ELSE 0 END) AS rn
+                FROM unioned
+            )
+            SELECT op, count(*) AS n FROM d WHERE rn = 1 GROUP BY op
+        """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "cdc_python_udf": f"""
+            SELECT event_id,
+                   upper(event_type) AS event_type_uc,
+                   CAST(floor(value / 10) AS BIGINT) AS value_bucket
+            FROM ({CHANGEFEED_SQL})
+            WHERE op != 'd'
+        """,
+        "cdc_envelope_native": f"""
+            SELECT op, ts_ms, event_id, 'testdb.events' AS src, after_value
+            FROM ({CHANGEFEED_SQL})
+        """,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS content_hash,
                    min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -26,6 +26,13 @@ RUNTIME_CONF = {
 }
 
 
+def _scratch_dir() -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = os.path.join(base, "deltaforge-spark-local")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def get_spark(app_name: str = "deltaforge_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a tuned local session.
 
@@ -38,9 +45,14 @@ def get_spark(app_name: str = "deltaforge_spark", cpus: int | None = None) -> Sp
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # shuffle/spill scratch on tmpfs: the container's disk is shared
+        # with other tenants and shuffle-merge IO stalls for minutes under
+        # their load; RAM-backed local dirs take disk out of the hot path
+        # (on a real cluster this is NVMe-backed local dirs instead)
+        .config("spark.local.dir", _scratch_dir())
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     for k, v in RUNTIME_CONF.items():

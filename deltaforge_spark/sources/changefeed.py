@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..envelope import finish_envelope, source_col
-from .snapshot import row_type_of
+from .snapshot import read_table, row_type_of
 
 
 def change_feed(
@@ -36,7 +36,7 @@ def change_feed(
     table: str = "events",
     pipeline: str = "cdc",
 ) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
 
     op = (
         F.when(F.col("event_type") == "signup", F.lit("c"))

@@ -13,14 +13,50 @@ Catalyst keeps column pruning / predicate pushdown through it.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..envelope import finish_envelope, source_col
 
 
+def _staged_path(sf_dir: str, name: str) -> str:
+    """Lazily stage a read-only testdata file onto tmpfs. The container
+    disk stalls for minutes under other tenants' IO; the tables are tens
+    of MB and immutable, so a RAM copy makes reads deterministic."""
+    src = f"{sf_dir}/{name}.parquet"
+    if not os.path.isdir("/dev/shm") or not src.startswith("/root/testdata/"):
+        return src
+    dst = f"/dev/shm/deltaforge-testdata{src[len('/root/testdata'):]}"
+    if not os.path.exists(dst):
+        try:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            tmp = dst + ".tmp"
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)
+        except OSError:
+            return src
+    return dst
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table, fanning out if the file is a single
+    row group.
+
+    The driver's parquet files have ONE row group each, so Spark gets a
+    single scan split and every map-side operator (partial aggregation,
+    hashing, JSON work) runs on one core. On a production lake there are
+    thousands of splits and this is a non-issue; locally we insert one
+    cheap round-robin shuffle (<= tens of MB) to spread compute across
+    all cores. Filters/pruning still push to the scan — Catalyst moves
+    them through Repartition."""
+    df = spark.read.parquet(_staged_path(sf_dir, name))
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 def snapshot_events(

@@ -612,6 +612,83 @@ def q_envelope_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_type_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source type-mapping edge rules: decimal-as-string wire format,
+    unsigned-bigint-as-string, base64 wrap/unwrap round-trip
+    (reference arrow_types.rs:425-480, mysql_object.rs:33-46)."""
+    _prep(spark)
+    from deltaforge_spark.functions import base64_wrap
+    from deltaforge_spark.functions.typerules import (
+        base64_unwrap,
+        decimal_wire_string,
+        parse_wire_decimal,
+        unsigned_bigint_column,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    wire = decimal_wire_string(F.col("value"), 2)
+    wrapped = base64_wrap(F.encode(F.col("event_type"), "UTF-8"))
+    return ev.select(
+        F.col("event_id"),
+        wire.alias("value_wire"),
+        parse_wire_decimal(wire, 18, 2).cast("string").alias("value_decimal"),
+        unsigned_bigint_column(F.col("user_id")).alias("user_id_str"),
+        wrapped.alias("b64_wrapped"),
+        F.decode(base64_unwrap(wrapped), "UTF-8").alias("b64_roundtrip"),
+    )
+
+
+def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction atomicity bookkeeping: per-tx event counts, exactly
+    one tx_end marker, max total_order == count (reference batch
+    splitting never divides a tx: coordinator.rs:87-110)."""
+    _prep(spark)
+    df = change_feed(spark, sf_dir)
+    return df.groupBy(F.col("transaction.id").alias("tx_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("tx_end").cast("int")).alias("n_tx_end"),
+        F.max("transaction.total_order").alias("max_order"),
+    )
+
+
+def q_changelog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse changelog-mode projection: source columns + meta
+    `_op/_version/_deleted/_source_ts`; deletes take the before-image
+    (reference clickhouse/project.rs:1-67, version.rs:25)."""
+    _prep(spark)
+    df = change_feed(spark, sf_dir)
+    img = lambda c: F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))  # noqa: E731
+    return df.select(
+        img("event_id").alias("event_id"),
+        img("user_id").alias("user_id"),
+        img("value").alias("value"),
+        F.col("op").alias("_op"),
+        F.col("ts_ms").alias("_version"),
+        (F.col("op") == "d").cast("int").alias("_deleted"),
+        F.col("ts_ms").alias("_source_ts"),
+    )
+
+
+def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ split: strict routing templates null out for rows missing the
+    field; failures divert instead of failing the batch (reference
+    dlq.rs:23-330; routing strict mode)."""
+    _prep(spark)
+    from deltaforge_spark.operators import with_routing
+    from deltaforge_spark.sinks.dlq import strict_routing_dlq
+
+    routed = with_routing(
+        change_feed(spark, sf_dir), topic_template="t-${after.event_type}"
+    )
+    ok, bad = strict_routing_dlq(routed)
+    return (
+        ok.select(F.lit("delivered").alias("bucket"))
+        .unionByName(bad.select(F.lit("dlq").alias("bucket")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_orders": q_snapshot_orders,
     "cdc_changefeed": q_changefeed,
@@ -644,6 +721,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
     "cdc_python_udf": q_python_udf,
     "cdc_envelope_native": q_envelope_native,
+    "type_rules": q_type_rules,
+    "cdc_tx_boundaries": q_tx_boundaries,
+    "cdc_changelog_projection": q_changelog_projection,
+    "cdc_dlq_split": q_dlq_split,
 }
 
 # shared SQL fragments for the document oracles
@@ -794,6 +875,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, count(*) AS n FROM d WHERE rn = 1 GROUP BY op
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "type_rules": """
+            SELECT event_id,
+                   CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value_wire,
+                   CAST(CAST(CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS DECIMAL(18,2)) AS VARCHAR) AS value_decimal,
+                   CAST(CAST(user_id AS DECIMAL(20,0)) AS VARCHAR) AS user_id_str,
+                   '{"_base64": "' || base64(encode(event_type)) || '"}' AS b64_wrapped,
+                   event_type AS b64_roundtrip
+            FROM events
+        """,
+        "cdc_tx_boundaries": f"""
+            SELECT tx_id, count(*) AS n_events,
+                   sum(CAST(tx_end AS INT)) AS n_tx_end,
+                   max(tx_order) AS max_order
+            FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "cdc_changelog_projection": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   user_id,
+                   CASE WHEN op = 'd' THEN before_value ELSE after_value END AS value,
+                   op AS _op,
+                   ts_ms AS _version,
+                   CAST(op = 'd' AS INT) AS _deleted,
+                   ts_ms AS _source_ts
+            FROM ({CHANGEFEED_SQL})
+        """,
+        "cdc_dlq_split": f"""
+            SELECT CASE WHEN op = 'd' THEN 'dlq' ELSE 'delivered' END AS bucket,
+                   count(*) AS n
+            FROM ({CHANGEFEED_SQL}) GROUP BY 1
+        """,
         "cdc_python_udf": f"""
             SELECT event_id,
                    upper(event_type) AS event_type_uc,

@@ -39,6 +39,28 @@ def cdc_pipeline(spark, sf_dir):
     return df.select("value", "event_id", "op")
 
 
+XL_FACTOR = 50
+
+
+def cdc_pipeline_xl(spark, sf_dir):
+    """Steady-state throughput probe: the same processor chain over the
+    events table replicated x50 (5M events at sf0.1). The small table
+    measures fixed cost (scheduling, codegen); this measures the
+    per-event rate a long-running stream actually sustains — the number
+    comparable to the reference's 1-10M-row backlog drain
+    (BASELINE.md: backlog-drain methodology)."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators import FilterSpec, apply_filter, envelope_native
+    from deltaforge_spark.sources import change_feed
+
+    df = change_feed(spark, sf_dir)
+    rep = df.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(XL_FACTOR)))).drop("_r")
+    rep = apply_filter(rep, FilterSpec(ops=["c", "u", "d"], fields=[{"field": "value", "op": "gte", "value": 1}]))
+    rep = envelope_native(rep)
+    return rep.select("value", "event_id", "op")
+
+
 HEADLINE = [
     "cdc_changefeed",
     "cdc_filter_fields",
@@ -128,6 +150,10 @@ def main():
                 break
     ev_per_sec = n_events / timings["cdc_pipeline"] if timings["cdc_pipeline"] > 0 else 0.0
 
+    # steady-state events/s on the replicated feed (one timed run)
+    timed("cdc_pipeline_xl", lambda: cdc_pipeline_xl(spark, sf_dir))
+    ev_per_sec_xl = n_events * XL_FACTOR / timings["cdc_pipeline_xl"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -138,6 +164,7 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "events_per_sec": round(ev_per_sec),
+                "events_per_sec_steady": round(ev_per_sec_xl),
                 "n_events": n_events,
             }
         )

@@ -76,6 +76,7 @@ ENVELOPE_COLS = [
     "schema_sequence",
     "transaction",
     "tx_end",
+    "ddl",
     "synthetic",
     "routing",
 ]
@@ -121,6 +122,7 @@ def finish_envelope(df: DataFrame) -> DataFrame:
         "schema_sequence": F.lit(None).cast("long"),
         "transaction": null_transaction(),
         "tx_end": F.lit(None).cast("boolean"),
+        "ddl": F.lit(None).cast("string"),
         "synthetic": F.lit(None).cast("string"),
         "routing": null_routing(),
     }

@@ -32,7 +32,7 @@ _OP_NAME = {
 def _event_struct(df: DataFrame) -> Column:
     cols = [c for c in ("before", "after", "source", "op", "ts_ms", "event_id",
                         "tenant_id", "schema_version", "schema_sequence",
-                        "transaction", "tx_end", "synthetic") if c in df.columns]
+                        "transaction", "tx_end", "ddl", "synthetic") if c in df.columns]
     return F.struct(*[F.col(c) for c in cols])
 
 

@@ -99,6 +99,7 @@ def outbox_transform(df: DataFrame, spec: OutboxSpec | None = None) -> DataFrame
         F.col("schema_sequence"),
         F.col("transaction"),
         F.col("tx_end"),
+        F.col("ddl"),
         F.col("synthetic"),
         F.struct(
             topic.alias("topic"),

@@ -52,6 +52,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cheap round-robin shuffle (<= tens of MB) to spread compute across
     all cores. Filters/pruning still push to the scan — Catalyst moves
     them through Repartition."""
+    try:
+        # driver testdata uses TIMESTAMP(NANOS); set the read conf here so
+        # library callers don't need to know (idempotent, runtime-settable)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(_staged_path(sf_dir, name))
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):

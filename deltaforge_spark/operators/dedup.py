@@ -196,3 +196,84 @@ def simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Exact embedding near-duplicate edge list: all pairs (a < b) with
+    cosine similarity >= threshold. This is the verification baseline —
+    O(n²) by construction, used at audit scale and as the oracle for the
+    LSH-blocked variant below.
+    """
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.40,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table random-hyperplane
+    LSH. A pair collides in one table's bucket with prob
+    (1 - angle/pi)^num_planes; ``num_tables`` independent plane sets are
+    unioned so recall is 1 - (1 - p)^L — the same band/table trade-off
+    as MinHash LSH. Candidates are verified with the exact cosine (no
+    false positives), and only (table, signature) keys are shuffled —
+    the n² product never materializes. At 0.40 cosine with 4 planes x 8
+    tables expected recall is ~0.75; push num_tables up for more.
+    """
+    from .similarity import cosine, hyperplane_signature
+
+    s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # one (table, signature) key per table, exploded: a single shuffle on
+    # the composite key covers all tables
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature(
+                    F.col("_v"), num_planes=num_planes, dims=dims, seed=t * 7919
+                ).alias("sig"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    keyed = s.select("_id", "_v", F.explode(sigs).alias("_k"))
+    a = keyed.select(F.col("_id").alias("a_id"), F.col("_v").alias("_va"), "_k")
+    b = keyed.select(F.col("_id").alias("b_id"), F.col("_v").alias("_vb"), "_k")
+    return (
+        a.join(b, "_k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

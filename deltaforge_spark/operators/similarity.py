@@ -80,23 +80,122 @@ def brute_force_topk(
 # ------------------------------------------------------- LSH-bucketed ANN
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic ±1 hyperplane component from md5(plane:dim)."""
-    h = F.conv(F.substring(F.md5(F.lit(f"p{plane}:d{dim}")), 1, 2), 16, 10).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_vector(plane: int, dims: int) -> list[float]:
+    """Deterministic ±1 hyperplane: component i is the parity of the
+    first byte of md5("p{plane}:d{i}") — identical to what a SQL engine
+    computes with md5()/conv(), so signatures are engine-reproducible
+    without RNG state."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"p{plane}:d{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for i in range(dims)
+    ]
 
 
-def hyperplane_signature(vec: Column, *, num_planes: int, dims: int) -> Column:
-    """Bit-signature: bit_j = 1 if dot(vec, plane_j) > 0. Planes are
-    ±1-component vectors derived from md5 — reproducible, no RNG state."""
+def hyperplane_signature(vec: Column, *, num_planes: int, dims: int, seed: int = 0) -> Column:
+    """Bit-signature: bit_j = 1 if dot(vec, plane_j) > 0. ``seed``
+    offsets the plane family so multi-table LSH gets independent hash
+    tables from the same deterministic generator.
+
+    Plane components are baked in as array *literals* and each dot
+    product is a single ``zip_with``+``aggregate`` expression — constant
+    plan size per plane. (Unrolling dims into per-element expressions
+    instead creates num_planes x dims tree nodes, which stalls Catalyst
+    already at ~2k terms.)"""
     sig = F.lit(0).cast("long")
     for j in range(num_planes):
-        d = None
-        for i in range(dims):
-            term = F.element_at(vec, i + 1).cast("double") * _plane_component(j, i)
-            d = term if d is None else d + term
+        plane = F.lit(_plane_vector(seed + j, dims))
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells by
+    cosine. Centroids are broadcast — assignment is a map-only pass over
+    the corpus (|corpus| x n_cells multiplies, no shuffle), which is the
+    property that makes IVF the scale path: the expensive all-pairs
+    product is replaced by per-cell candidate joins."""
+    c = centroids.select(F.col("cell_id"), F.col("_centroid"))
+    scored = df.join(F.broadcast(c)).withColumn(
+        "_cell_score", cosine(F.col(vec_col), F.col("_centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cell_score").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("_cell_rank", F.row_number().over(w))
+        .filter(F.col("_cell_rank") <= nprobe)
+        .drop("_centroid", "_cell_score", "_cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbours.
+
+    Inverted-file index: partition the corpus into ``n_cells`` Voronoi
+    cells around centroid vectors; a query only scans the ``nprobe``
+    cells nearest to it. Centroids here are the ``n_cells`` lowest-id
+    corpus vectors — deterministic and engine-reproducible (the DuckDB
+    oracle recomputes the identical index); production would plug
+    k-means centroids into the same ``ivf_assign`` without changing the
+    dataflow.
+
+    Scale shape (100 TB): centroid table is tiny → broadcast; corpus is
+    scanned once for assignment (map-only), shuffled once on ``cell_id``
+    for the candidate join; per-query work drops from |corpus| to
+    ~|corpus| * nprobe / n_cells. Recall tunes with nprobe.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_centroid"))
+    )
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cvec")),
+        cents, vec_col="_cvec", id_col="match_id", nprobe=1,
+    )
+    q = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        cents, vec_col="_qvec", id_col="query_id", nprobe=nprobe,
+    )
+    scored = c.join(F.broadcast(q), "cell_id").filter(
+        F.col("match_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_sim", "rank")
+    )
 
 
 def lsh_topk(

@@ -364,6 +364,37 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: left-semi join orders↔lineitem (the semi
+    join never materializes lineitem columns — only the key shuffles)."""
+    _prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    qualifying = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join: customers with no order above
+    300k, per market segment (broadcast the filtered orders keys)."""
+    _prep(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation over the event stream."""
     _prep(spark)
@@ -764,6 +795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "cdc_tx_assemble": q_tx_assemble,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "customers_without_big_orders": q_anti_join_customers,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frames": q_multimodal_frames,
     "q3_shipping_priority": q3_shipping_priority,
@@ -953,6 +986,22 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
                    bool_or(tx_end) AS complete
             FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "customers_without_big_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY c_mktsegment
         """,
         "q6_forecast_revenue": """
             SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the 100-TB checklist, enforced.
+
+These tests pin the *plan*, not the rows: filters must reach the
+parquet scan, scans must prune columns, small dims must broadcast,
+semi/anti joins must stay semi/anti, and the CDC hot path must stay
+JVM-side (no Python eval operators). A regression here is a silent
+10-100x at cluster scale long before any correctness test notices.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    p = plan_str(entry.queries()["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters:" in p
+    # all three predicate families reach the parquet reader
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            f"{fn}({col}" in p for fn in ("GreaterThan", "LessThan", "GreaterThanOrEqual", "LessThanOrEqual")
+        ), f"no pushed range filter on {col}:\n{p}"
+
+
+def test_q6_scan_prunes_columns(spark, sf_dir):
+    p = plan_str(entry.queries()["q6_forecast_revenue"](spark, sf_dir))
+    # ReadSchema must not include unused wide columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    line = read_schema[0]
+    assert "l_extendedprice" in line and "l_discount" in line
+    for unused in ("l_returnflag", "l_partkey", "l_suppkey"):
+        assert unused not in line, f"scan reads unused column {unused}: {line}"
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    p = plan_str(entry.queries()["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    p4 = plan_str(entry.queries()["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in p4
+    pa = plan_str(entry.queries()["customers_without_big_orders"](spark, sf_dir))
+    assert "LeftAnti" in pa
+    assert "BroadcastHashJoin" in pa  # filtered big-order keys are tiny
+
+
+def test_cdc_envelope_path_stays_jvm_side(spark, sf_dir):
+    from deltaforge_spark.operators import FilterSpec, apply_filter, envelope_native
+    from deltaforge_spark.sources import change_feed
+
+    df = envelope_native(
+        apply_filter(change_feed(spark, sf_dir), FilterSpec(ops=["c", "u", "d"]))
+    )
+    p = plan_str(df)
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py_op not in p, f"Python operator {py_op} in the CDC hot path"
+    # (WholeStageCodegen spans only appear in executed AQE plans; the
+    # no-Python assertion above is the load-bearing one.)
+
+
+def test_snapshot_scan_prunes_columns(spark, sf_dir):
+    """The envelope struct projection must not defeat column pruning:
+    snapshot_orders touches 3 of orders' 6 columns and the parquet scan
+    must read exactly those."""
+    df = entry.queries()["snapshot_orders"](spark, sf_dir)
+    p = plan_str(df)
+    line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "o_orderkey" in line and "o_totalprice" in line
+    for unused in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
+        assert unused not in line, f"scan reads unused column {unused}: {line}"

@@ -64,46 +64,56 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
-    """Fold incoming event batches into the per-tx counters; emit when
-    the tx_end marker has been seen (or on state timeout)."""
-    (tx_id,) = key
-    if state.hasTimedOut:
-        n, c, u, d, mn, mx, _ = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [[tx_id, n, c, u, d, mn, mx, False]], columns=[f.name for f in OUT_SCHEMA]
-        )
-        return
-
-    n, c, u, d, mn, mx, seen_end = (
-        state.get if state.exists else (0, 0, 0, 0, None, None, False)
-    )
-    for pdf in pdfs:
-        n += len(pdf)
-        ops = pdf["op"].value_counts()
-        c += int(ops.get("c", 0))
-        u += int(ops.get("u", 0))
-        d += int(ops.get("d", 0))
-        lo, hi = int(pdf["ts_ms"].min()), int(pdf["ts_ms"].max())
-        mn = lo if mn is None else min(mn, lo)
-        mx = hi if mx is None else max(mx, hi)
-        seen_end = bool(seen_end or pdf["tx_end"].any())
-
-    if seen_end:
-        if state.exists:
+def _make_assemble(timeout_ms: int):
+    def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
+        """Fold incoming event batches into the per-tx counters; emit
+        when the tx_end marker has been seen (or on state timeout)."""
+        (tx_id,) = key
+        if state.hasTimedOut:
+            n, c, u, d, mn, mx, _ = state.get
             state.remove()
-        yield pd.DataFrame(
-            [[tx_id, n, c, u, d, mn, mx, True]], columns=[f.name for f in OUT_SCHEMA]
+            yield pd.DataFrame(
+                [[tx_id, n, c, u, d, mn, mx, False]], columns=[f.name for f in OUT_SCHEMA]
+            )
+            return
+
+        n, c, u, d, mn, mx, seen_end = (
+            state.get if state.exists else (0, 0, 0, 0, None, None, False)
         )
-    else:
-        state.update((n, c, u, d, mn, mx, seen_end))
-        state.setTimeoutDuration(60_000)
+        for pdf in pdfs:
+            n += len(pdf)
+            ops = pdf["op"].value_counts()
+            c += int(ops.get("c", 0))
+            u += int(ops.get("u", 0))
+            d += int(ops.get("d", 0))
+            lo, hi = int(pdf["ts_ms"].min()), int(pdf["ts_ms"].max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+            seen_end = bool(seen_end or pdf["tx_end"].any())
+
+        if seen_end:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                [[tx_id, n, c, u, d, mn, mx, True]], columns=[f.name for f in OUT_SCHEMA]
+            )
+        else:
+            state.update((n, c, u, d, mn, mx, seen_end))
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
+
+    return _assemble
 
 
-def assemble_transactions(events: DataFrame) -> DataFrame:
+def assemble_transactions(events: DataFrame, *, timeout_ms: int = 60_000) -> DataFrame:
     """Streaming: change-event stream → one row per completed source
-    transaction (``applyInPandasWithState`` keyed on transaction.id)."""
+    transaction (``applyInPandasWithState`` keyed on transaction.id).
+
+    ``timeout_ms`` bounds how long an abandoned (never-terminated)
+    transaction holds state before being evicted as ``complete=false``;
+    pass 0 to disable eviction (state then lives until its ``tx_end``
+    arrives — only safe when the source guarantees transaction
+    termination, e.g. replayed bounded feeds)."""
     flat = events.select(
         F.col("transaction.id").alias("tx_id"),
         F.col("op"),
@@ -111,11 +121,11 @@ def assemble_transactions(events: DataFrame) -> DataFrame:
         F.col("tx_end"),
     )
     return flat.groupBy("tx_id").applyInPandasWithState(
-        _assemble,
+        _make_assemble(timeout_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="ProcessingTimeTimeout" if timeout_ms > 0 else "NoTimeout",
     )
 
 

@@ -101,16 +101,20 @@ def test_tx_assembly_stream_matches_batch(spark, sf_dir, tmp_path):
         .select(F.struct(F.col("tx_id").alias("id")).alias("transaction"),
                 "op", "ts_ms", "tx_end")
     )
-    out = assemble_transactions(stream)
+    import shutil
+
+    out = assemble_transactions(stream, timeout_ms=0)  # bounded replay feed
+    ckpt = f"/dev/shm/deltaforge-test-ckpt-b-{os.getpid()}"
     q = (
         out.writeStream.format("memory")
         .queryName("tx_asm")
         .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
+    shutil.rmtree(ckpt, ignore_errors=True)
     got = {
         r.tx_id: (r.n_events, r.n_creates, r.n_updates, r.n_deletes,
                   r.first_ts_ms, r.last_ts_ms)
@@ -127,3 +131,123 @@ def test_tx_assembly_stream_matches_batch(spark, sf_dir, tmp_path):
     assert all(
         r.complete for r in spark.sql("SELECT * FROM tx_asm").collect()
     )
+
+
+def test_tx_assembly_state_survives_restart(spark, sf_dir, tmp_path):
+    """Recovery semantics (reference chaos crash_recovery analog): stop
+    the stream mid-feed, deliver the rest, restart from the same
+    checkpoint — open-transaction state must be restored so txs that
+    straddle the outage still emit exactly once, with full counts."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = change_feed(spark, sf_dir)
+    flat = feed.select(
+        F.col("transaction.id").alias("tx_id"), "op", "ts_ms", "tx_end",
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    pdf = flat.orderBy("eid").drop("eid").toPandas()
+    src, out = (str(tmp_path / d) for d in ("in", "out"))
+    # checkpoint + state store on tmpfs: the shared container disk makes
+    # per-batch state commits pathologically slow; a real deployment puts
+    # checkpoints on fast durable storage
+    ckpt = f"/dev/shm/deltaforge-test-ckpt-{os.getpid()}"
+    os.makedirs(src)
+    half = len(pdf) // 2
+    base = _time.time() - 1000
+
+    def write_chunk(i, lo, hi):
+        p = f"{src}/chunk_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[lo:hi]), p)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(F.struct(F.col("tx_id").alias("id")).alias("transaction"),
+                    "op", "ts_ms", "tx_end")
+        )
+        q = (
+            assemble_transactions(stream, timeout_ms=0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_chunk(0, 0, half)
+    run_once()          # first half; open txs parked in the state store
+    write_chunk(1, half, len(pdf))
+    run_once()          # restart: state restored, rest of the feed lands
+
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    got_df = spark.read.parquet(out)
+    got = {
+        r.tx_id: (r.n_events, r.n_creates, r.n_updates, r.n_deletes)
+        for r in got_df.collect()
+    }
+    assert len(got) == got_df.count(), "a transaction emitted twice"
+    expected = {
+        r.tx_id: (r.n_events, r.n_creates, r.n_updates, r.n_deletes)
+        for r in assembled_transactions_batch(feed).filter(F.col("complete")).collect()
+    }
+    assert got == expected
+
+
+def test_tx_assembly_timeout_evicts_abandoned(spark, tmp_path):
+    """An abandoned transaction (source died before tx_end) must not
+    leak state forever: the processing-time timeout evicts it with
+    complete=false."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = pd.DataFrame(
+        [
+            {"tx_id": "t1", "op": "c", "ts_ms": 1000, "tx_end": False},
+            {"tx_id": "t1", "op": "u", "ts_ms": 2000, "tx_end": True},
+            {"tx_id": "t2", "op": "c", "ts_ms": 1500, "tx_end": False},  # abandoned
+        ]
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(rows), f"{src}/chunk.parquet")
+    ckpt = f"/dev/shm/deltaforge-test-ckpt-t-{os.getpid()}"
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(F.struct(F.col("tx_id").alias("id")).alias("transaction"),
+                "op", "ts_ms", "tx_end")
+    )
+    q = (
+        assemble_transactions(stream, timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("tx_evict")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    got = {r.tx_id: r for r in spark.sql("SELECT * FROM tx_evict").collect()}
+    assert got["t1"].complete and got["t1"].n_events == 2
+    assert not got["t2"].complete and got["t2"].n_events == 1

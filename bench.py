@@ -88,6 +88,8 @@ HEADLINE = [
     "similarity_bruteforce",
     "similarity_ivf",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "customers_without_big_orders",
     "multimodal_image_meta",
 ]
 

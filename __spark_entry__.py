@@ -177,13 +177,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            # final aggregates rendered as fixed-scale strings so the
+            # driver's value hash canonicalizes identically across engines
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("string").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("string").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
                     "decimal(38,8)"
                 )
-            ).cast("decimal(38,8)").alias("sum_disc_price"),
+            ).cast("decimal(38,8)").cast("string").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -304,6 +306,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(38,8)"))
             .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue")
         )
         .select(
@@ -334,6 +337,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(38,8)"))
             .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -358,6 +362,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)"))
             .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -408,7 +413,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("v").cast("decimal(38,4)").alias("sum_value"),
+            F.sum("v").cast("decimal(38,4)").cast("string").alias("sum_value"),
         )
     )
 
@@ -1004,9 +1009,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q6_forecast_revenue": """
-            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+            SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                                  CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8)))
-                        AS DECIMAL(38,8)) AS revenue,
+                        AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
@@ -1014,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_tx_boundaries": f"""
             SELECT tx_id, count(*) AS n_events,
-                   sum(CAST(tx_end AS INT)) AS n_tx_end,
+                   CAST(sum(CAST(tx_end AS INT)) AS BIGINT) AS n_tx_end,
                    max(tx_order) AS max_order
             FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
         """,
@@ -1134,9 +1139,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": """
             SELECT l_orderkey,
                    epoch_ms(o_orderdate) AS o_orderdate_ms,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)))
-                        AS DECIMAL(38,8)) AS revenue
+                        AS DECIMAL(38,8)) AS VARCHAR) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1147,9 +1152,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)))
-                        AS DECIMAL(38,8)) AS revenue,
+                        AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1163,7 +1168,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_ns(ts) // 1000000) // 3600000 AS hour_bucket,
                    event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1303,11 +1308,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)))
-                        AS DECIMAL(38,8)) AS sum_disc_price,
+                        AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -22,11 +22,28 @@ from pyspark.sql import functions as F
 
 
 def uuid7(ts_ms: Column | None = None) -> Column:
-    """Time-ordered unique id. The reference uses UUIDv7 for ordering +
-    uniqueness (lib.rs:26-67); we keep the property with
-    ``<ts_ms hex>-<uuid4>`` — sortable prefix, collision-safe suffix."""
+    """RFC 9562 UUIDv7 as pure column algebra (reference lib.rs:26-67):
+    48-bit unix-ms timestamp, version nibble ``7``, 12 random bits,
+    variant ``10`` (nibble 8..b), 62 random bits. Sortable by creation
+    time; random bits harvested from ``md5(uuid())``."""
     ts = ts_ms if ts_ms is not None else F.unix_millis(F.current_timestamp())
-    return F.concat_ws("-", F.lpad(F.hex(ts), 12, "0"), F.expr("uuid()"))
+    ts_hex = F.lower(F.lpad(F.hex(ts), 12, "0"))
+    h = F.md5(F.expr("uuid()"))  # 32 random hex chars per row
+    var_nib = F.lower(
+        F.hex((F.conv(F.substring(h, 20, 1), 16, 10).cast("int") % 4) + 8)
+    )
+    return F.concat(
+        F.substring(ts_hex, 1, 8),
+        F.lit("-"),
+        F.substring(ts_hex, 9, 4),
+        F.lit("-7"),
+        F.substring(h, 1, 3),
+        F.lit("-"),
+        var_nib,
+        F.substring(h, 4, 3),
+        F.lit("-"),
+        F.substring(h, 7, 12),
+    )
 
 
 def base64_wrap(c: Column) -> Column:

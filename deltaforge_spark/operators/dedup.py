@@ -38,7 +38,14 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     Scale: shuffles only (hash, id) — the md5 is computed map-side and
     the groupBy does partial aggregation before the exchange.
     """
-    content = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    # Single column: NULL coalesced to '' (matches the md5(coalesce(text,
+    # '')) oracle). Multi-column: to_json(struct(...)) makes column
+    # boundaries unambiguous and encodes NULL distinctly from '' --
+    # DuckDB reproduces it as md5(to_json(struct_pack(...))).
+    if len(cols) == 1:
+        content = F.coalesce(F.col(cols[0]).cast("string"), F.lit(""))
+    else:
+        content = F.to_json(F.struct(*[F.col(c) for c in cols]))
     return (
         df.select(F.md5(content).alias("content_hash"), F.col(id_col).cast("long").alias("_id"))
         .groupBy("content_hash")

@@ -107,8 +107,11 @@ def _compile_field_pred(df: DataFrame, spec: dict) -> Column:
     if op == "regex":
         return c.rlike(value)
     if op == "changed":
-        # create/delete pass unconditionally (filter.rs:181-188)
-        b, a = F.col(f"before.{path}"), F.col(f"after.{path}")
+        # create/delete pass unconditionally (filter.rs:181-188).
+        # Strip an explicit before./after. root so a caller passing
+        # "after.x" doesn't resolve to "before.after.x".
+        root = path.split(".", 1)[1] if path.split(".", 1)[0] in ("before", "after") and "." in path else path
+        b, a = F.col(f"before.{root}"), F.col(f"after.{root}")
         differs = ~(b.eqNullSafe(a))
         return F.when(F.col("op").isin("c", "d", "r", "t"), F.lit(True)).otherwise(differs)
     raise ValueError(f"unknown filter op {op!r}")

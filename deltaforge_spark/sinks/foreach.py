@@ -98,16 +98,27 @@ def fan_out_batch(
     *,
     policy: CommitPolicy | None = None,
     offsets: OffsetStore | None = None,
+    already_committed: set[str] | None = None,
 ) -> dict[str, bool]:
     """Deliver one batch to every sink; commit offsets for successes;
     raise if the commit policy is unmet (fails the micro-batch → replay).
+
+    ``already_committed`` names sinks that committed this batch before a
+    crash: they are not re-written on replay but still count as
+    successes, so a quorum reached cumulatively across crash/replay
+    stays satisfiable (reference evaluates the policy over the full
+    sink set, coordinator.rs:1043-1056).
     """
     policy = policy or CommitPolicy()
+    skip = already_committed or set()
     batch_df.persist()
     try:
         outcomes: dict[str, bool] = {}
         errors: dict[str, Exception] = {}
         for spec in sinks:
+            if spec.name in skip:
+                outcomes[spec.name] = True
+                continue
             df = spec.filter(batch_df) if spec.filter else batch_df
             try:
                 spec.write(df)
@@ -117,7 +128,7 @@ def fan_out_batch(
                 errors[spec.name] = e
         if offsets is not None:
             for name, ok in outcomes.items():
-                if ok:
+                if ok and name not in skip:
                     offsets.commit(name, batch_id)
         if not policy.satisfied(outcomes, sinks):
             failed = [n for n, ok in outcomes.items() if not ok]

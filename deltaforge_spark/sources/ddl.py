@@ -87,16 +87,16 @@ def refresh_registry_on_ddl(batch_df: DataFrame, registry, live_schemas: dict) -
     """foreachBatch step: for each table named by a DDL row in this
     batch, re-register its (live) schema — the reference's targeted
     schema-cache reload. Returns the refreshed table names."""
-    tables = [
-        r["table"]
+    pairs = [
+        (r["db"], r["table"])
         for r in batch_df.filter(F.col("ddl").isNotNull())
         .select(F.col("source.table").alias("table"), F.col("source.db").alias("db"))
         .distinct()
         .collect()
     ]
     refreshed = []
-    for t in tables:
+    for db, t in pairs:
         if t in live_schemas:
-            registry.register("testdb", t, live_schemas[t])
+            registry.register(db, t, live_schemas[t])
             refreshed.append(t)
     return refreshed

@@ -65,15 +65,24 @@ class StreamingPipeline:
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             # per-sink offset skip: a sink that already committed this
-            # batch (pre-crash) is not re-written on replay
-            active = [
-                s
+            # batch (pre-crash) is not re-written on replay, but still
+            # counts toward the commit policy (quorum reached across a
+            # crash/replay boundary must stay satisfiable)
+            committed = {
+                s.name
                 for s in self.sinks
-                if offsets is None or offsets.committed(s.name) < batch_id
-            ]
-            if not active:
+                if offsets is not None and offsets.committed(s.name) >= batch_id
+            }
+            if len(committed) == len(self.sinks):
                 return
-            fan_out_batch(batch_df, batch_id, active, policy=self.policy, offsets=offsets)
+            fan_out_batch(
+                batch_df,
+                batch_id,
+                self.sinks,
+                policy=self.policy,
+                offsets=offsets,
+                already_committed=committed,
+            )
 
         writer = df.writeStream.foreachBatch(handle).option(
             "checkpointLocation", self.checkpoint_dir

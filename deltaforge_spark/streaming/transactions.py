@@ -142,6 +142,8 @@ def assembled_transactions_batch(events: DataFrame) -> DataFrame:
             F.count_if(F.col("op") == "d").alias("n_deletes"),
             F.min("ts_ms").alias("first_ts_ms"),
             F.max("ts_ms").alias("last_ts_ms"),
-            F.bool_or("tx_end").alias("complete"),
+            # coalesce: bool_or over all-NULL is NULL, but the streaming
+            # twin emits complete=false for a never-terminated tx
+            F.coalesce(F.bool_or("tx_end"), F.lit(False)).alias("complete"),
         )
     )

@@ -254,14 +254,23 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup edge list (exact verification baseline;
-    the LSH-blocked scale variant is tested for recall against this)."""
-    from deltaforge_spark.operators.dedup import embedding_neardup_pairs
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table hyperplane LSH — the
+    100-TB scale path: candidates collide on (table, signature) keys
+    (shuffle on a small composite key, never the n² product) and only
+    candidates get the exact cosine verify. The deterministic md5-derived
+    planes make the DuckDB oracle reproduce identical signatures; the
+    exact O(n²) pair join remains the recall baseline in
+    tests/test_dedup_similarity.py."""
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
 
     _prep(spark)
-    return embedding_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.40
+    return embedding_neardup_lsh(
+        read_table(spark, sf_dir, "embeddings"),
+        threshold=0.40,
+        num_planes=4,
+        num_tables=8,
+        dims=64,
     )
 
 
@@ -797,7 +806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
-    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "cdc_tx_assemble": q_tx_assemble,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -825,6 +834,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
 }
+
+def _lsh_embedding_oracle_sql(
+    *, num_planes: int = 4, num_tables: int = 8, dims: int = 64, threshold: float = 0.40
+) -> str:
+    """DuckDB twin of embedding_neardup_lsh: the hyperplanes are
+    deterministic (md5-derived ±1 components, operators/similarity.py
+    _plane_vector), so we bake the identical plane literals into the SQL
+    and recompute signatures engine-side — same buckets, same candidate
+    set, same exact-cosine verify."""
+    from deltaforge_spark.operators.similarity import _plane_vector
+
+    per_table = []
+    for t in range(num_tables):
+        bits = []
+        for j in range(num_planes):
+            plane = _plane_vector(t * 7919 + j, dims)
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS t, {' + '.join(bits)} AS sig FROM e"
+        )
+    sigs = "\n      UNION ALL ".join(per_table)
+    return f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        sigs AS ({sigs}),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT a_id, b_id, cosine_sim FROM (
+            SELECT p.a_id, p.b_id,
+                   round(list_dot_product(ea.v, eb.v) /
+                         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                         6) AS cosine_sim
+            FROM pairs p
+            JOIN e ea ON ea.vec_id = p.a_id
+            JOIN e eb ON eb.vec_id = p.b_id)
+        WHERE cosine_sim >= {threshold}
+    """
+
 
 # shared SQL fragments for the document oracles
 _SHINGLES_SQL = """
@@ -1116,17 +1169,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
         """,
-        "dedup_embedding": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings)
-            SELECT a_id, b_id, cosine_sim FROM (
-                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                       round(list_dot_product(a.v, b.v) /
-                             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                             6) AS cosine_sim
-                FROM e a, e b WHERE a.vec_id < b.vec_id)
-            WHERE cosine_sim >= 0.40
-        """,
+        "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "multimodal_image_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -2,8 +2,22 @@ from .files import write_lake
 from .dlq import split_dlq, write_dlq
 from .foreach import CommitPolicy, SinkSpec, fan_out_batch, OffsetStore
 from .kafka import kafka_payload
+from .kafka_eos import (
+    FileTransactionalBroker,
+    ProducerFencedError,
+    SinkFatalError,
+    SinkRetryableError,
+    file_broker_producer_factory,
+    write_kafka_eos,
+)
 
 __all__ = [
+    "FileTransactionalBroker",
+    "ProducerFencedError",
+    "SinkFatalError",
+    "SinkRetryableError",
+    "file_broker_producer_factory",
+    "write_kafka_eos",
     "write_lake",
     "split_dlq",
     "write_dlq",

@@ -1,0 +1,326 @@
+"""Exactly-once Kafka delivery: transactional producer per partition.
+
+Re-expresses the reference's exactly-once tier (reference:
+crates/sinks/src/kafka.rs:191-356 — stable ``transactional.id`` =
+``deltaforge-{pipeline}-{sink}`` so the broker fences zombie producers
+from a previous incarnation; init_transactions with retry/backoff at
+startup; :679-800 — begin_transaction per batch, enqueue-all,
+commit_transaction on success / abort_transaction on delivery failure,
+fatal (pipeline-stopping) classification for fenced producers;
+guarantees.md exactly-once section).
+
+Spark mapping: delivery is partition-parallel, so the transactional id
+is ``deltaforge-{pipeline}-{sink}-p{partition_id}`` — one stable id per
+(pipeline, sink, partition). Partition ids are stable across micro-batch
+replays, so broker fencing retains its meaning: a restarted executor
+re-running partition *p* bumps the epoch for that id and the broker
+rejects the zombie's in-flight transaction. Each micro-batch is one
+transaction per partition; a replayed batch whose previous attempt died
+mid-transaction finds the old transaction aborted by its own
+init/fencing — consumers with ``isolation.level=read_committed`` never
+observe a partial batch (the reference's contract).
+
+The transport is injected (same pattern as clients.py — no broker in
+this container): ``producer_factory(transactional_id)`` returns an
+object with ``init_transactions() / begin_transaction() /
+send(topic, key, value, headers) / commit_transaction() /
+abort_transaction()`` raising ``ProducerFencedError`` when fenced.
+``confluent_producer_factory`` adapts confluent-kafka when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kafka import kafka_payload
+
+
+class ProducerFencedError(Exception):
+    """A newer producer with the same transactional.id registered: this
+    producer's epoch is stale (kafka.rs treats this as fatal)."""
+
+
+class SinkFatalError(Exception):
+    """Unrecoverable: retrying is pointless, the pipeline must stop
+    (reference SinkError::Fatal, kafka.rs:686-691)."""
+
+
+class SinkRetryableError(Exception):
+    """Transient delivery failure: transaction aborted, micro-batch
+    should replay (reference SinkError::Backpressure / Connect)."""
+
+
+def transactional_id(pipeline: str, sink_id: str, partition_id: int) -> str:
+    """Stable across restarts per (pipeline, sink, partition) —
+    kafka.rs:213 txn_id plus the Spark partition dimension."""
+    return f"deltaforge-{pipeline}-{sink_id}-p{partition_id}"
+
+
+def _deliver_partition(rows, producer) -> int:
+    """One transaction for one partition of one micro-batch, with the
+    reference's error classification (kafka.rs:679-800)."""
+    try:
+        producer.begin_transaction()
+    except ProducerFencedError as e:
+        raise SinkFatalError(f"begin_transaction fatal: {e}") from e
+    except Exception as e:
+        raise SinkRetryableError(f"begin_transaction failed: {e}") from e
+
+    def _abort(cause: Exception) -> None:
+        try:
+            producer.abort_transaction()
+        except ProducerFencedError as e:
+            raise SinkFatalError(f"producer fenced during delivery: {cause}") from e
+        except Exception:
+            pass  # abort best-effort; the epoch bump will clean up
+
+    n = 0
+    try:
+        for row in rows:
+            producer.send(row["topic"], row["key"], row["value"], row["headers_json"])
+            n += 1
+    except ProducerFencedError as e:
+        raise SinkFatalError(f"producer fenced during delivery: {e}") from e
+    except Exception as e:
+        _abort(e)
+        raise SinkRetryableError(f"kafka batch error: {e}") from e
+
+    try:
+        producer.commit_transaction()
+    except ProducerFencedError as e:
+        raise SinkFatalError(f"commit_transaction fatal: {e}") from e
+    except Exception as e:
+        _abort(e)
+        raise SinkRetryableError(f"commit_transaction failed: {e}") from e
+    return n
+
+
+def write_kafka_eos(
+    df: DataFrame,
+    producer_factory: Callable[[str], object],
+    *,
+    pipeline: str,
+    sink_id: str,
+    default_topic: str | None = None,
+) -> None:
+    """Exactly-once write: the envelope DataFrame is projected to Kafka
+    shape (topic/key/value/headers cascade, kafka.py) and each partition
+    delivers inside ONE broker transaction.
+
+    Scale shape: partition-parallel producers, one connection + one
+    transaction per partition per micro-batch — no driver funnel, no
+    per-row transaction overhead; the commit round-trip amortizes over
+    the whole partition (the reference measures ~7-11% overhead vs
+    at-least-once for exactly this structure).
+    """
+    payload = kafka_payload(df, default_topic=default_topic).select(
+        "topic",
+        "key",
+        "value",
+        F.to_json("headers").alias("headers_json"),
+        F.spark_partition_id().alias("_pid"),
+    )
+
+    def run(rows) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        txn_id = transactional_id(pipeline, sink_id, first["_pid"])
+        producer = producer_factory(txn_id)
+        producer.init_transactions()
+        import itertools
+
+        _deliver_partition(itertools.chain([first], it), producer)
+
+    payload.foreachPartition(run)
+
+
+def confluent_producer_factory(bootstrap: str, **overrides):
+    """Adapter over confluent-kafka (gated: not in this container),
+    configured with the reference's transactional producer settings
+    (kafka.rs:195-232: lz4, 5ms linger, 60s transaction timeout,
+    idempotence, acks=all, unbounded retries)."""
+
+    def factory(txn_id: str):
+        from confluent_kafka import KafkaException, Producer  # gated import
+
+        conf = {
+            "bootstrap.servers": bootstrap,
+            "transactional.id": txn_id,
+            "enable.idempotence": True,
+            "acks": "all",
+            "compression.type": "lz4",
+            "linger.ms": 5,
+            "transaction.timeout.ms": 60000,
+            "message.timeout.ms": 30000,
+            "request.timeout.ms": 15000,
+            "retry.backoff.ms": 100,
+            **overrides,
+        }
+        p = Producer(conf)
+
+        def _wrap(e):
+            if getattr(e.args[0], "fatal", lambda: False)():
+                return ProducerFencedError(str(e))
+            return e
+
+        class _P:
+            def init_transactions(self):
+                try:
+                    p.init_transactions()
+                except KafkaException as e:
+                    raise _wrap(e) from e
+
+            def begin_transaction(self):
+                try:
+                    p.begin_transaction()
+                except KafkaException as e:
+                    raise _wrap(e) from e
+
+            def send(self, topic, key, value, headers_json):
+                headers = json.loads(headers_json) if headers_json else None
+                p.produce(topic, key=key, value=value, headers=headers)
+
+            def commit_transaction(self):
+                try:
+                    p.flush(30)
+                    p.commit_transaction(30)
+                except KafkaException as e:
+                    raise _wrap(e) from e
+
+            def abort_transaction(self):
+                try:
+                    p.abort_transaction(10)
+                except KafkaException as e:
+                    raise _wrap(e) from e
+
+        return _P()
+
+    return factory
+
+
+# --------------------------------------------------------------- test double
+
+
+class FileTransactionalBroker:
+    """Brokerless stand-in reproducing the transactional visibility +
+    fencing contract on the filesystem (python workers are separate
+    processes, so state must cross the process boundary):
+
+    - per-transactional.id epoch file; ``init_transactions`` bumps it and
+      the producer pins the bumped value — any later call from a producer
+      holding an older epoch raises ``ProducerFencedError`` (the broker's
+      zombie fencing).
+    - sends buffer in the producer; ``commit_transaction`` makes them
+      visible atomically (tmp + rename into the committed log);
+      ``abort_transaction`` discards them. ``read_committed`` therefore
+      sees all-or-nothing per transaction — the read_committed isolation
+      the reference's consumers rely on.
+    """
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+
+    def _epoch_path(self, txn_id: str) -> str:
+        safe = txn_id.replace("/", "_")
+        return os.path.join(self.state_dir, "epoch", safe)
+
+    def current_epoch(self, txn_id: str) -> int:
+        try:
+            with open(self._epoch_path(txn_id)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def producer(self, txn_id: str):
+        return _FileTxnProducer(self, txn_id)
+
+    def read_committed(self) -> list[dict]:
+        import glob
+
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.state_dir, "log", "*.ndjson"))):
+            with open(p) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+        return out
+
+    def committed_transactions(self) -> int:
+        import glob
+
+        return len(glob.glob(os.path.join(self.state_dir, "log", "*.ndjson")))
+
+
+class _FileTxnProducer:
+    def __init__(self, broker: FileTransactionalBroker, txn_id: str):
+        self.broker = broker
+        self.txn_id = txn_id
+        self.epoch: int | None = None
+        self.buffer: list[dict] | None = None
+
+    def _check_fenced(self) -> None:
+        if self.epoch is None:
+            raise RuntimeError("init_transactions not called")
+        if self.broker.current_epoch(self.txn_id) != self.epoch:
+            raise ProducerFencedError(
+                f"{self.txn_id}: epoch {self.epoch} fenced by newer producer"
+            )
+
+    def init_transactions(self) -> None:
+        path = self.broker._epoch_path(self.txn_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        nxt = self.broker.current_epoch(self.txn_id) + 1
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, path)
+        self.epoch = nxt
+
+    def begin_transaction(self) -> None:
+        self._check_fenced()
+        self.buffer = []
+
+    def send(self, topic, key, value, headers_json) -> None:
+        assert self.buffer is not None, "begin_transaction not called"
+        self.buffer.append(
+            {
+                "topic": topic,
+                "key": key,
+                "value": value,
+                "headers": headers_json,
+                "txn_id": self.txn_id,
+                "epoch": self.epoch,
+            }
+        )
+
+    def commit_transaction(self) -> None:
+        self._check_fenced()
+        assert self.buffer is not None
+        log_dir = os.path.join(self.broker.state_dir, "log")
+        os.makedirs(log_dir, exist_ok=True)
+        tmp = os.path.join(log_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            for m in self.buffer:
+                f.write(json.dumps(m) + "\n")
+        os.replace(tmp, os.path.join(log_dir, f"{uuid.uuid4().hex}.ndjson"))
+        self.buffer = None
+
+    def abort_transaction(self) -> None:
+        self._check_fenced()
+        self.buffer = None
+
+
+def file_broker_producer_factory(state_dir: str):
+    """Picklable factory for use inside foreachPartition workers."""
+
+    def factory(txn_id: str):
+        return FileTransactionalBroker(state_dir).producer(txn_id)
+
+    return factory

@@ -1,0 +1,265 @@
+"""ClickHouse sink: auto-DDL generation, changelog/upsert projection,
+partition-local writer with insert dedup tokens.
+
+Re-expresses the reference's ClickHouse sink (reference:
+crates/sinks/src/clickhouse/ddl.rs:6-67 — ``CREATE TABLE IF NOT
+EXISTS`` with user columns + meta ``_op/_version/_deleted/_source_ts``,
+engine per mode: upsert → ``ReplacingMergeTree(_version, _deleted)
+ORDER BY (pk…)``, changelog → ``MergeTree ORDER BY (pk…, _version)``,
+empty pk → ``tuple()``; types.rs:34-105 source-type → ClickHouse type
+mapping; version.rs:11-37 — monotonic UInt64 ``_version`` from the PG
+LSN (``X/Y`` hex pair → ``(X<<32)|Y``) falling back to ``ts_ms``;
+sink.rs:81-91 auto-create-once + batched insert with a deduplication
+token).
+
+Spark mapping:
+- the type mapping starts from the envelope's *Spark* schema (the
+  source-DDL → engine-type step already happened in
+  functions/typerules.py, e.g. unsigned bigint → string), so
+  ``map_spark_type`` mirrors types.rs over Spark types.
+- DDL generation is driver-side control plane (one statement per
+  pipeline, sink.rs table_ensured semantics).
+- the insert is partition-parallel through an injected transport (no
+  ClickHouse server in this container — same pattern as clients.py):
+  one connection per partition, rows serialized as JSONEachRow lines
+  (a real transport would speak RowBinary; the wire format is the
+  transport's concern, the batching/dedup-token contract is Spark's),
+  one insert per chunk with a deterministic dedup token
+  ``{db}.{table}:{batch_id}:{partition}:{chunk}`` so a replayed
+  micro-batch's identical inserts are no-ops server-side — the
+  reference's replay story (sink.rs dedup token) and the piece that
+  makes at-least-once delivery exactly-once-visible in ClickHouse.
+
+Scale shape: DDL once; inserts never funnel through the driver; chunked
+inserts bound per-request memory; the dedup token is content-free
+(position-derived) so replays dedup without hashing row data.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------- type mapping
+
+
+def map_spark_type(dt: T.DataType) -> str:
+    """Spark type → ClickHouse DDL type (reference types.rs:34-60 with
+    the MySQL/PG source types already normalized into Spark types)."""
+    if isinstance(dt, T.BooleanType):
+        return "UInt8"  # reference maps Bool → UInt8 in DDL (types.rs:101)
+    if isinstance(dt, T.ByteType):
+        return "UInt8"
+    if isinstance(dt, T.ShortType):
+        return "Int16"
+    if isinstance(dt, (T.IntegerType,)):
+        return "Int32"
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "Float64"
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "DateTime64(3)"
+    # varchar/text/json/uuid/enum/arrays/structs → String (JSON as text, v1)
+    return "String"
+
+
+def create_table_ddl(
+    db: str,
+    table: str,
+    schema: T.StructType,
+    pk: list[str],
+    mode: str,
+) -> str:
+    """``CREATE TABLE IF NOT EXISTS`` for the target table: user columns
+    (declared order) then meta columns, engine from the mode
+    (ddl.rs:17-52)."""
+    assert mode in ("upsert", "changelog")
+    lines = []
+    for f in schema.fields:
+        t = map_spark_type(f.dataType)
+        if f.nullable:
+            t = f"Nullable({t})"
+        lines.append(f"  `{f.name}` {t}")
+    lines.append("  `_op` LowCardinality(String)")
+    lines.append("  `_version` UInt64")
+    lines.append("  `_deleted` UInt8")
+    lines.append("  `_source_ts` DateTime64(3)")
+
+    keys = [f"`{k}`" for k in pk]
+    if mode == "upsert":
+        engine = "ReplacingMergeTree(_version, _deleted)"
+    else:
+        engine = "MergeTree"
+        keys.append("`_version`")
+    order_by = f"({', '.join(keys)})" if keys else "tuple()"
+    cols = ",\n".join(lines)
+    return (
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` (\n{cols}\n"
+        f") ENGINE = {engine} ORDER BY {order_by}"
+    )
+
+
+# ------------------------------------------------------------------- version
+
+
+def lsn_to_u64(lsn: Column) -> Column:
+    """PG LSN ``X/Y`` (hex/hex) → ordering-preserving long:
+    high 32 bits = X, low 32 = Y (version.rs:12-18). Non-LSN strings →
+    NULL (callers coalesce to ts_ms)."""
+    valid = lsn.rlike("^[0-9a-fA-F]+/[0-9a-fA-F]+$")
+    parts = F.split(lsn, "/")
+    hi = F.conv(parts[0], 16, 10).cast("long")
+    lo = F.conv(parts[1], 16, 10).cast("long")
+    return F.when(valid, F.shiftleft(hi, 32) + lo)
+
+
+def derive_version(ts_ms: Column, lsn: Column | None = None) -> Column:
+    """Monotonic ``_version`` for ReplacingMergeTree replacement: the
+    source position when parseable, else the event timestamp
+    (version.rs:25-37)."""
+    v = F.greatest(ts_ms.cast("long"), F.lit(0))
+    if lsn is not None:
+        v = F.coalesce(lsn_to_u64(lsn), v)
+    return v
+
+
+# ---------------------------------------------------------------- projection
+
+
+def clickhouse_rows(
+    df: DataFrame,
+    user_cols: list[str],
+    *,
+    lsn: Column | None = None,
+) -> DataFrame:
+    """Changelog projection: user columns (after-image; before-image for
+    deletes) + ``_op/_version/_deleted/_source_ts`` meta columns
+    (reference clickhouse/project.rs row shape, sink.rs:123-140)."""
+    img = lambda c: F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))  # noqa: E731
+    return df.select(
+        *[img(c).alias(c) for c in user_cols],
+        F.col("op").alias("_op"),
+        derive_version(F.col("ts_ms"), lsn).alias("_version"),
+        (F.col("op") == "d").cast("int").alias("_deleted"),
+        F.timestamp_millis(F.col("ts_ms")).alias("_source_ts"),
+    )
+
+
+# -------------------------------------------------------------------- writer
+
+
+def write_clickhouse(
+    df: DataFrame,
+    transport_factory: Callable[[], object],
+    *,
+    database: str,
+    table: str,
+    mode: str = "changelog",
+    pk: list[str] | None = None,
+    auto_create: bool = True,
+    batch_id: int = 0,
+    insert_chunk_rows: int = 10000,
+) -> str | None:
+    """Write a projected changelog DataFrame (``clickhouse_rows`` shape)
+    to ClickHouse through an injected transport with
+    ``execute_ddl(sql)``, ``insert(db, table, lines, dedup_token)``,
+    ``close()``.
+
+    Returns the DDL that was issued (None when auto_create=False) so
+    callers/tests can assert the control-plane step."""
+    pk = pk or []
+    meta = {"_op", "_version", "_deleted", "_source_ts"}
+    user_schema = T.StructType([f for f in df.schema.fields if f.name not in meta])
+
+    ddl = None
+    if auto_create:
+        ddl = create_table_ddl(database, table, user_schema, pk, mode)
+        t = transport_factory()
+        try:
+            t.execute_ddl(ddl)
+        finally:
+            t.close()
+
+    payload = df.select(
+        F.to_json(F.struct(*df.columns)).alias("line"),
+        F.spark_partition_id().alias("_pid"),
+    )
+
+    def run(rows) -> None:
+        t = transport_factory()
+        try:
+            buf: list[str] = []
+            pid = None
+            chunk = 0
+            for row in rows:
+                pid = row["_pid"] if pid is None else pid
+                buf.append(row["line"])
+                if len(buf) >= insert_chunk_rows:
+                    token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
+                    t.insert(database, table, buf, token)
+                    buf, chunk = [], chunk + 1
+            if buf:
+                token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
+                t.insert(database, table, buf, token)
+        finally:
+            t.close()
+
+    payload.foreachPartition(run)
+    return ddl
+
+
+# --------------------------------------------------------------- test double
+
+
+def file_ch_transport_factory(state_dir: str):
+    """Filesystem stand-in for a ClickHouse HTTP client: DDL statements
+    append to ``ddl.sql``; inserts land one file per dedup token —
+    a replayed insert with a token already present is a no-op, exactly
+    the server's insert_deduplication_token behavior."""
+
+    def factory():
+        import os
+
+        class _T:
+            def execute_ddl(self, sql: str) -> None:
+                os.makedirs(state_dir, exist_ok=True)
+                with open(os.path.join(state_dir, "ddl.sql"), "a") as f:
+                    f.write(sql + ";\n")
+
+            def insert(self, db: str, tbl: str, lines: list[str], token: str) -> None:
+                d = os.path.join(state_dir, "inserts")
+                os.makedirs(d, exist_ok=True)
+                safe = token.replace("/", "_").replace(":", "_")
+                path = os.path.join(d, f"{safe}.ndjson")
+                if os.path.exists(path):  # dedup token replay → no-op
+                    return
+                tmp = f"{path}.tmp"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                os.replace(tmp, path)
+
+            def close(self) -> None:
+                pass
+
+        return _T()
+
+    return factory
+
+
+def read_ch_rows(state_dir: str) -> list[dict]:
+    import glob
+    import os
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(state_dir, "inserts", "*.ndjson"))):
+        with open(p) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    return out

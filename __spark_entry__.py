@@ -605,6 +605,37 @@ def q_schema_sensing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_sensing_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep schema sensing over dynamic JSON: per-field-path
+    map-vs-struct classification (reference
+    schema-sensing/src/high_cardinality.rs, fingerprint.rs:23-107).
+    The payload is a genuinely dynamic nested JSON string built from
+    events columns (conditional key presence + a user-keyed object);
+    the engine sees only the string — the recursive walk happens with
+    from_json map-peeling, no static schema. ``tags`` classifies as a
+    MAP (64 distinct keys), ``user``/root stay STRUCTs."""
+    from deltaforge_spark.schema.sensing import classify_field_paths
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user":{"uid":'),
+        F.col("user_id").cast("string"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(',"seg":"'), F.col("event_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit('},"tags":{"k'),
+        (F.col("event_id") % 64).cast("string"),
+        F.lit('":1}}'),
+    )
+    return classify_field_paths(
+        ev.select(payload.alias("payload")), "payload", max_depth=3, exact=True
+    )
+
+
 def q_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot → CDC handoff: initial load unioned with the change
     stream; overlap resolved per event_id with stream-wins priority
@@ -825,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_upsert_materialize": q_upsert_materialize,
     "cdc_lake_partitions": q_lake_partitions,
     "cdc_schema_sensing": q_schema_sensing,
+    "cdc_schema_sensing_deep": q_schema_sensing_deep,
     "cdc_snapshot_handoff": q_snapshot_handoff,
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
     "cdc_python_udf": q_python_udf,
@@ -1300,6 +1332,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(array_to_string(json_keys(props), ',')) AS shape_fingerprint,
                    count(*) AS n_rows
             FROM events GROUP BY 1
+        """,
+        "cdc_schema_sensing_deep": """
+            WITH src AS (
+              SELECT '{"id":' || event_id || ',"user":{"uid":' || user_id ||
+                     CASE WHEN user_id % 3 = 0
+                          THEN ',"seg":"' || event_type || '"' ELSE '' END ||
+                     '},"tags":{"k' || (event_id % 64) || '":1}}' AS payload
+              FROM events),
+            l1 AS (SELECT payload, unnest(json_keys(payload)) AS k FROM src),
+            l1e AS (SELECT k AS path, json_extract(payload, '$."' || k || '"') AS sub
+                    FROM l1),
+            l2 AS (SELECT path, sub, unnest(json_keys(sub)) AS k2
+                   FROM l1e WHERE json_type(sub) = 'OBJECT'),
+            l2e AS (SELECT path || '.' || k2 AS path,
+                           json_extract(sub, '$."' || k2 || '"') AS sub2
+                    FROM l2),
+            pairs AS (
+              SELECT '' AS parent_path, unnest(json_keys(payload)) AS child_key FROM src
+              UNION ALL
+              SELECT path, unnest(json_keys(sub)) FROM l1e WHERE json_type(sub) = 'OBJECT'
+              UNION ALL
+              SELECT path, unnest(json_keys(sub2)) FROM l2e WHERE json_type(sub2) = 'OBJECT'
+            )
+            SELECT parent_path,
+                   count(*) AS n_entries,
+                   CAST(count(DISTINCT child_key) AS BIGINT) AS n_distinct_keys,
+                   count(DISTINCT child_key) > 16 AS is_map
+            FROM pairs GROUP BY parent_path
         """,
         "multimodal_frames": """
             WITH f AS (SELECT doc_id, text,

@@ -49,6 +49,146 @@ def infer_json_schema(spark: SparkSession, df: DataFrame, json_col: str):
     return spark.read.json(spark.sparkContext.parallelize(exemplars)).schema
 
 
+# ------------------------------------------------------------ deep sensing
+#
+# Reference fingerprint.rs:23-107 hashes the full nested key-path
+# structure, and high_cardinality.rs classifies each *field path*
+# map-vs-struct (not one global decision). Dynamic JSON has no static
+# schema to walk, so we peel levels with ``from_json(map<string,string>)``
+# — nested objects survive as JSON text at each level (verified Spark
+# behavior), scalars/arrays parse to NULL and stop the recursion —
+# giving a bounded-depth, pure-column-algebra walk: no Python, no UDF,
+# whole-stage codegen applies, one pass over the data.
+
+_MAP = "map<string,string>"
+
+
+def _entries(json_col) -> "F.Column":
+    """Top-level (path, json) entries of a JSON object string."""
+    return F.transform(
+        F.coalesce(F.map_entries(F.from_json(json_col, _MAP)), F.array()),
+        lambda x: F.struct(x["key"].alias("path"), x["value"].alias("j")),
+    )
+
+
+def _child_entries(entries) -> "F.Column":
+    """One level down: entries of every object-valued entry, with
+    dot-prefixed paths. Non-object values yield no children."""
+    return F.flatten(
+        F.transform(
+            entries,
+            lambda p: F.transform(
+                F.coalesce(F.map_entries(F.from_json(p["j"], _MAP)), F.array()),
+                lambda x: F.struct(
+                    F.concat_ws(".", p["path"], x["key"]).alias("path"),
+                    x["value"].alias("j"),
+                ),
+            ),
+        )
+    )
+
+
+def deep_key_paths(json_col, *, max_depth: int = 3) -> "F.Column":
+    """All key paths (``a``, ``a.b``, ``a.b.c`` …) of a JSON object down
+    to ``max_depth`` — the recursive walk of fingerprint.rs expressed as
+    ``max_depth`` static column expressions."""
+    level = _entries(json_col)
+    all_paths = F.transform(level, lambda p: p["path"])
+    for _ in range(1, max_depth):
+        level = _child_entries(level)
+        all_paths = F.concat(all_paths, F.transform(level, lambda p: p["path"]))
+    return all_paths
+
+
+def deep_shape_fingerprint(json_col, *, max_depth: int = 3) -> "F.Column":
+    """Structural fingerprint over the full nested key-path set
+    (fingerprint.rs:23-107): md5 of the sorted path list. Two payloads
+    share a fingerprint iff their nested shapes are identical."""
+    return F.md5(F.concat_ws(",", F.array_sort(deep_key_paths(json_col, max_depth=max_depth))))
+
+
+def observe_deep_shapes(df: DataFrame, json_col: str, *, max_depth: int = 3) -> DataFrame:
+    """Distinct nested shapes with counts + one exemplar — the deep twin
+    of observe_shapes; the groupBy collapses identical shapes before any
+    driver-side inference (shape cardinality ≪ row count at scale)."""
+    c = F.col(json_col)
+    return (
+        df.select(
+            deep_shape_fingerprint(c, max_depth=max_depth).alias("shape_fingerprint"),
+            c.alias("payload"),
+        )
+        .groupBy("shape_fingerprint")
+        .agg(F.count("*").alias("n_rows"), F.min("payload").alias("exemplar"))
+    )
+
+
+def classify_field_paths(
+    df: DataFrame,
+    json_col: str,
+    *,
+    max_depth: int = 3,
+    key_cardinality_threshold: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-field-path map-vs-struct classification
+    (high_cardinality.rs:1-50): for every object-valued path (root =
+    ``''``), count occurrences and distinct child keys; a path whose key
+    set explodes is a MAP (user-keyed), a stable small key set is a
+    STRUCT. ``exact=False`` uses approx_count_distinct — the built-in
+    HLL sketch, the scale path; ``exact=True`` is for cross-engine
+    comparison."""
+    c = F.col(json_col)
+    # (parent_path, child_key) pairs for the root + each nested level
+    level = _entries(c)
+    pairs = F.transform(
+        level, lambda p: F.struct(F.lit("").alias("parent_path"), p["path"].alias("child_key"))
+    )
+    for _ in range(1, max_depth):
+        parents = level
+        level = _child_entries(parents)
+        pairs = F.concat(
+            pairs,
+            F.flatten(
+                F.transform(
+                    parents,
+                    lambda p: F.transform(
+                        F.coalesce(
+                            F.map_keys(F.from_json(p["j"], _MAP)), F.array()
+                        ),
+                        lambda k: F.struct(
+                            p["path"].alias("parent_path"), k.alias("child_key")
+                        ),
+                    ),
+                )
+            ),
+        )
+    exploded = df.select(F.explode(pairs).alias("pc")).select("pc.parent_path", "pc.child_key")
+    n_distinct = (
+        F.count_distinct(F.col("child_key"))
+        if exact
+        else F.approx_count_distinct("child_key")
+    )
+    return (
+        exploded.groupBy("parent_path")
+        .agg(
+            F.count("*").alias("n_entries"),
+            n_distinct.cast("long").alias("n_distinct_keys"),
+        )
+        .withColumn(
+            "is_map", F.col("n_distinct_keys") > F.lit(key_cardinality_threshold)
+        )
+    )
+
+
+def shape_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Shapes present in ``after`` but never observed in ``before`` —
+    the sensor's drift trigger (sensor.rs cache-miss → re-inference).
+    Input: two observe_deep_shapes outputs."""
+    return after.join(
+        before.select("shape_fingerprint"), "shape_fingerprint", "left_anti"
+    )
+
+
 def classify_map_vs_struct(
     df: DataFrame, json_col: str, *, key_cardinality_threshold: int = 64
 ) -> DataFrame:

@@ -34,6 +34,8 @@ def _flatten_fields(
     sep: str,
     list_policy: str,
     index_limit: int,
+    empty_list: str = "preserve",
+    empty_object: str = "preserve",
 ) -> list[tuple[str, Column]]:
     out: list[tuple[str, Column]] = []
     for f in dtype.fields:
@@ -42,13 +44,23 @@ def _flatten_fields(
         if isinstance(f.dataType, T.StructType) and depth < max_depth:
             out.extend(
                 _flatten_fields(
-                    f.dataType, name, col_path, depth + 1, max_depth, sep, list_policy, index_limit
+                    f.dataType, name, col_path, depth + 1, max_depth, sep,
+                    list_policy, index_limit, empty_list, empty_object,
                 )
             )
         elif isinstance(f.dataType, T.ArrayType) and list_policy == "index":
             for i in range(index_limit):
                 # F.get is null-safe out of range (getItem throws under ANSI)
                 out.append((f"{name}{sep}{i}", F.get(F.col(col_path), i)))
+        elif isinstance(f.dataType, T.ArrayType) and empty_list == "null":
+            # typed projection of EmptyListPolicy::Null: [] → NULL ("drop"
+            # is dynamic-only — a static schema can't remove per-row keys;
+            # use flatten_json for full flatten_cfg.rs policy semantics)
+            c = F.col(col_path)
+            out.append((name, F.when(F.size(c) > 0, c)))
+        elif isinstance(f.dataType, T.MapType) and empty_object == "null":
+            c = F.col(col_path)
+            out.append((name, F.when(F.size(c) > 0, c)))
         else:
             out.append((name, F.col(col_path)))
     return out
@@ -63,12 +75,18 @@ def flatten_struct_cols(
     list_policy: str = "preserve",
     index_limit: int = 4,
     collision: str = "error",
+    empty_list: str = "preserve",
+    empty_object: str = "preserve",
 ) -> DataFrame:
     """Flatten the named struct columns in place; other columns pass
     through unchanged. Returns one flat column per leaf, named
-    ``<col>__<nested>__<path>``."""
+    ``<col>__<nested>__<path>``. ``empty_list``/``empty_object`` accept
+    preserve|null here (typed schemas can't per-row "drop" a key — use
+    flatten_json for the full dynamic policy matrix)."""
     assert list_policy in ("preserve", "index")
     assert collision in ("first", "last", "error")
+    assert empty_list in ("preserve", "null")
+    assert empty_object in ("preserve", "null")
     selected: list[Column] = []
     seen: dict[str, int] = {}
 
@@ -86,7 +104,8 @@ def flatten_struct_cols(
     for f in df.schema.fields:
         if f.name in cols and isinstance(f.dataType, T.StructType):
             for name, col in _flatten_fields(
-                f.dataType, f.name, f.name, 1, max_depth, sep, list_policy, index_limit
+                f.dataType, f.name, f.name, 1, max_depth, sep, list_policy,
+                index_limit, empty_list, empty_object,
             ):
                 add(name, col)
         else:
@@ -98,3 +117,139 @@ def flatten_events(df: DataFrame, **kw) -> DataFrame:
     """The processor form: flatten before/after payload structs of a
     change-event DataFrame (reference flatten.rs applies to row images)."""
     return flatten_struct_cols(df, cols=("before", "after"), **kw)
+
+
+# -------------------------------------------------------- dynamic JSON path
+#
+# The reference flattens dynamic serde_json payloads per event
+# (flatten.rs:29-203) — keys are runtime data, so policies like "drop
+# this key when the object is empty" are per-row decisions. The typed
+# path above can't express that (a static schema can't remove a column
+# for some rows); this path can: it walks a JSON *string* with the same
+# bounded-depth ``from_json(map<string,string>)`` peeling used by schema
+# sensing (nested objects survive as JSON text; arrays/scalars parse to
+# NULL at the next level), applying the full policy matrix of
+# flatten_cfg.rs — empty_object/empty_list preserve|drop|null, lists
+# preserve|index (with recursion into indexed elements), collision
+# last|first|error — all as pure column algebra: no Python in the row
+# path, whole-stage codegen, one expression tree per depth level.
+
+_M = "map<string,string>"
+_A = "array<string>"
+
+
+def flatten_json(
+    json_col: Column,
+    *,
+    sep: str = "__",
+    max_depth: int = 3,
+    lists: str = "preserve",
+    empty_object: str = "preserve",
+    empty_list: str = "preserve",
+    collision: str = "last",
+) -> Column:
+    """Flatten a JSON object string into a ``map<string,string>`` of
+    flattened-key → JSON-text-value (reference flatten.rs semantics).
+    ``to_json`` the result to get the flattened JSON document."""
+    assert lists in ("preserve", "index")
+    assert empty_object in ("preserve", "drop", "null")
+    assert empty_list in ("preserve", "drop", "null")
+    assert collision in ("last", "first", "error")
+
+    def is_object(j: Column) -> Column:
+        return F.from_json(j, _M).isNotNull()
+
+    def is_empty_object(j: Column) -> Column:
+        return is_object(j) & (F.size(F.map_keys(F.from_json(j, _M))) == 0)
+
+    def is_list(j: Column) -> Column:
+        return F.from_json(j, _A).isNotNull()
+
+    def is_empty_list(j: Column) -> Column:
+        return is_list(j) & (F.size(F.from_json(j, _A)) == 0)
+
+    def entry(path: Column, j: Column) -> Column:
+        return F.struct(path.alias("path"), j.alias("j"))
+
+    def empty_policy_leaf(e: Column, policy: str, empty_repr: str) -> Column:
+        """Leaf for an empty container per policy; NULL struct = drop."""
+        if policy == "preserve":
+            return entry(e["path"], F.lit(empty_repr))
+        if policy == "null":
+            return entry(e["path"], F.lit("null"))
+        return F.lit(None).cast(
+            "struct<path:string,j:string>"
+        )  # drop: filtered out below
+
+    def step(entries: Column, at_boundary: bool) -> tuple[Column, Column]:
+        """One depth level → (leaves emitted here, next-level entries)."""
+
+        def leaf_of(e: Column) -> Column:
+            return (
+                F.when(is_empty_object(e["j"]), empty_policy_leaf(e, empty_object, "{}"))
+                .when(is_empty_list(e["j"]), empty_policy_leaf(e, empty_list, "[]"))
+                .otherwise(entry(e["path"], e["j"]))
+            )
+
+        def recursable(e: Column) -> Column:
+            deeper = is_object(e["j"]) & ~is_empty_object(e["j"])
+            if lists == "index":
+                deeper = deeper | (is_list(e["j"]) & ~is_empty_list(e["j"]))
+            return F.lit(not at_boundary) & deeper
+
+        leaves = F.transform(
+            F.filter(entries, lambda e: ~recursable(e)), lambda e: leaf_of(e)
+        )
+        if at_boundary:
+            return leaves, F.array().cast("array<struct<path:string,j:string>>")
+
+        def children(e: Column) -> Column:
+            obj_children = F.transform(
+                F.coalesce(F.map_entries(F.from_json(e["j"], _M)), F.array()),
+                lambda x: entry(F.concat(e["path"], F.lit(sep), x["key"]), x["value"]),
+            )
+            if lists != "index":
+                return obj_children
+            list_children = F.transform(
+                F.coalesce(F.from_json(e["j"], _A), F.array()),
+                lambda x, i: entry(
+                    F.concat(e["path"], F.lit(sep), i.cast("string")), x
+                ),
+            )
+            return F.when(is_object(e["j"]), obj_children).otherwise(list_children)
+
+        nxt = F.flatten(F.transform(F.filter(entries, recursable), children))
+        return leaves, nxt
+
+    level = F.transform(
+        F.coalesce(F.map_entries(F.from_json(json_col, _M)), F.array()),
+        lambda x: entry(x["key"], x["value"]),
+    )
+    all_leaves = None
+    for d in range(max_depth + 1):
+        leaves, level = step(level, at_boundary=(d == max_depth))
+        all_leaves = leaves if all_leaves is None else F.concat(all_leaves, leaves)
+
+    # drop policy produced NULL structs; remove them
+    all_leaves = F.filter(all_leaves, lambda e: e.isNotNull())
+
+    if collision == "last":
+        all_leaves = F.filter(
+            all_leaves,
+            lambda e, i: ~F.exists(
+                F.slice(all_leaves, i + 2, F.size(all_leaves)),
+                lambda y: y["path"] == e["path"],
+            ),
+        )
+    elif collision == "first":
+        all_leaves = F.filter(
+            all_leaves,
+            lambda e, i: ~F.exists(
+                F.slice(all_leaves, F.lit(1), i),
+                lambda y: y["path"] == e["path"],
+            ),
+        )
+    # "error": duplicate keys make map_from_entries raise DUPLICATED_MAP_KEY
+    # (Spark's default EXCEPTION dedup policy) — the batch fails, as the
+    # reference's CollisionPolicy::Error does.
+    return F.map_from_entries(all_leaves)

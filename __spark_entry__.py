@@ -636,6 +636,32 @@ def q_schema_sensing_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_toast_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOAST partial row images: updates on a 1-in-5 deterministic
+    stride elide ``props`` as ``{"_unchanged":true}``
+    (postgres_object.rs:94); ``resolve_toast`` merges each marker with
+    the latest real value for the same user earlier in the stream —
+    one shuffle on user_id, windowed last(ignorenulls)."""
+    from deltaforge_spark.operators.toast import resolve_toast, unchanged_marker
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    is_update = F.col("event_type").isin("purchase", "click", "view")
+    img = F.when(
+        is_update & (F.col("event_id") % 5 == 0), unchanged_marker()
+    ).otherwise(F.col("props"))
+    feed = ev.select("event_id", "user_id", img.alias("props_img"))
+    out = resolve_toast(
+        feed, "props_img", key="user_id", order="event_id", out_col="props_resolved"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "props_resolved",
+        F.col("props_img_toasted").alias("was_toasted"),
+    )
+
+
 def q_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot → CDC handoff: initial load unioned with the change
     stream; overlap resolved per event_id with stream-wins priority
@@ -857,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lake_partitions": q_lake_partitions,
     "cdc_schema_sensing": q_schema_sensing,
     "cdc_schema_sensing_deep": q_schema_sensing_deep,
+    "cdc_toast_unchanged": q_toast_unchanged,
     "cdc_snapshot_handoff": q_snapshot_handoff,
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
     "cdc_python_udf": q_python_udf,
@@ -1360,6 +1387,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT child_key) AS BIGINT) AS n_distinct_keys,
                    count(DISTINCT child_key) > 16 AS is_map
             FROM pairs GROUP BY parent_path
+        """,
+        "cdc_toast_unchanged": """
+            WITH feed AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_type IN ('purchase','click','view')
+                               AND event_id % 5 = 0
+                          THEN '{"_unchanged":true}' ELSE props END AS props_img
+              FROM events)
+            SELECT event_id, user_id,
+                   CASE WHEN props_img = '{"_unchanged":true}'
+                        THEN last_value(
+                               CASE WHEN props_img <> '{"_unchanged":true}'
+                                    THEN props_img END IGNORE NULLS)
+                             OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        ELSE props_img END AS props_resolved,
+                   props_img = '{"_unchanged":true}' AS was_toasted
+            FROM feed
         """,
         "multimodal_frames": """
             WITH f AS (SELECT doc_id, text,

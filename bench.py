@@ -68,6 +68,50 @@ def cdc_pipeline_xl(spark, sf_dir):
     return rep.select("value", "event_id", "op")
 
 
+def _delivery_feed(spark, sf_dir):
+    from deltaforge_spark.operators import envelope_native, with_routing
+    from deltaforge_spark.sources import change_feed
+
+    df = change_feed(spark, sf_dir)
+    return with_routing(
+        envelope_native(df),
+        topic_template="t-${source.table}",
+        key_template="${event_id}",
+    )
+
+
+def cdc_delivery_alo(spark, sf_dir) -> None:
+    """At-least-once drain: Kafka projection + plain partition-local
+    producer loop (no transactions) — the baseline for EOS overhead."""
+    from deltaforge_spark.sinks.kafka import kafka_payload
+    from deltaforge_spark.sinks.kafka_eos import null_producer_factory
+
+    payload = kafka_payload(_delivery_feed(spark, sf_dir)).select(
+        "topic", "key", "value", F.to_json("headers").alias("headers_json")
+    )
+
+    def run(rows):
+        p = null_producer_factory("alo")
+        for row in rows:
+            p.send(row["topic"], row["key"], row["value"], row["headers_json"])
+
+    payload.foreachPartition(run)
+
+
+def cdc_delivery_eos(spark, sf_dir) -> None:
+    """Exactly-once drain: same data through the transactional
+    per-partition producer (init/begin/send*/commit). The reference
+    measures ~7-11% overhead for this vs at-least-once."""
+    from deltaforge_spark.sinks.kafka_eos import null_producer_factory, write_kafka_eos
+
+    write_kafka_eos(
+        _delivery_feed(spark, sf_dir),
+        null_producer_factory,
+        pipeline="bench",
+        sink_id="kafka",
+    )
+
+
 HEADLINE = [
     "cdc_changefeed",
     "cdc_filter_fields",
@@ -146,6 +190,14 @@ def main():
             timings[name] = sec
         print(f"  {name}: {sec}s", file=sys.stderr, flush=True)
 
+    def timed_action(name: str, action) -> None:
+        t0 = time.perf_counter()
+        action()
+        sec = round(time.perf_counter() - t0, 3)
+        if name not in timings or sec < timings[name]:
+            timings[name] = sec
+        print(f"  {name}: {sec}s", file=sys.stderr, flush=True)
+
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     start = time.perf_counter()
     for _pass in range(2):
@@ -169,6 +221,17 @@ def main():
     timed("cdc_pipeline_xl", lambda: cdc_pipeline_xl(spark, sf_dir))
     ev_per_sec_xl = n_events * XL_FACTOR / timings["cdc_pipeline_xl"]
 
+    # delivery tier: exactly-once vs at-least-once on identical data
+    # (min-of-2 each; the reference documents ~7-11% EOS overhead)
+    for _ in range(2):
+        timed_action("cdc_delivery_alo", lambda: cdc_delivery_alo(spark, sf_dir))
+        timed_action("cdc_delivery_eos", lambda: cdc_delivery_eos(spark, sf_dir))
+    eos_overhead_pct = round(
+        100.0 * (timings["cdc_delivery_eos"] - timings["cdc_delivery_alo"])
+        / timings["cdc_delivery_alo"],
+        1,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -180,6 +243,7 @@ def main():
                 "sf": sf,
                 "events_per_sec": round(ev_per_sec),
                 "events_per_sec_steady": round(ev_per_sec_xl),
+                "eos_overhead_pct": eos_overhead_pct,
                 "n_events": n_events,
             }
         )

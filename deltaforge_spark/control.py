@@ -1,0 +1,241 @@
+"""Pipeline control plane: lifecycle + inspection over StreamingQuery
+handles.
+
+Re-expresses the reference's REST control plane (reference:
+crates/rest-api/src/pipelines.rs:1-640 — POST /pipelines create,
+GET list/status, PATCH merge-and-restart, POST pause|resume|stop,
+DELETE; crates/runner/src/pipeline_manager.rs:702-931 — the
+PipelineController methods those routes call; schema/DLQ inspection
+endpoints runner/src/schema_api.rs, dlq peek/ack/purge) as a plain
+Python manager — SURVEY §3.2's stated reduction: the HTTP layer is a
+thin shell (FastAPI/Flask/CLI) over these exact methods, so the
+contract lives here and stays testable without a server.
+
+Semantics mirrored:
+- PATCH deep-merges the JSON patch into the stored spec and restarts
+  the pipeline (README.md:306-317).
+- pause = stop the query, keep the checkpoint; resume = rebuild from
+  the same spec + checkpoint (coordinator.rs watch-channel pause
+  reduced to Spark's stop/restart-from-checkpoint, SURVEY §2.3-9).
+- per-pipeline DLQ + schema registry inspection.
+
+Scale: the manager holds control-plane state only (specs + query
+handles); all data-plane state lives in Spark checkpoints and the
+OffsetStore, so a manager restart recovers by re-creating pipelines
+from their specs — the same recovery story as the reference's
+pipeline_manager rebuilding from stored PipelineSpecs.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.compiler import PipelineSpec, compile_pipeline
+from .sinks.dlq import DlqStore
+from .streaming.pipeline import StreamingPipeline, file_change_source
+
+
+def deep_merge(base: dict, patch: dict) -> dict:
+    """JSON-merge semantics of the reference's PATCH: objects merge
+    recursively, everything else (lists, scalars) replaces."""
+    out = copy.deepcopy(base)
+    for k, v in patch.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        elif v is None:
+            out.pop(k, None)  # JSON merge-patch: null deletes the key
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+@dataclass
+class PipelineHandle:
+    name: str
+    spec: dict
+    status: str = "created"  # created|running|paused|stopped|failed
+    query: Any = None
+    error: str | None = None
+    streaming: bool = False
+
+
+class PipelineManager:
+    """The PipelineController surface (pipeline_manager.rs:702-931)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self._handles: dict[str, PipelineHandle] = {}
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+
+    def _pipeline_dir(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _spec_path(self, name: str) -> str:
+        return os.path.join(self._pipeline_dir(name), "spec.json")
+
+    # -- lifecycle --------------------------------------------------------
+
+    def create(self, spec: dict, *, start: bool = True) -> dict:
+        """POST /pipelines: register (persist spec) and optionally start."""
+        ps = PipelineSpec.from_dict(spec)
+        if ps.name in self._handles and self._handles[ps.name].status == "running":
+            raise ValueError(f"pipeline {ps.name!r} already running")
+        os.makedirs(self._pipeline_dir(ps.name), exist_ok=True)
+        with open(self._spec_path(ps.name), "w") as f:
+            json.dump(spec, f)
+        h = PipelineHandle(name=ps.name, spec=spec)
+        self._handles[ps.name] = h
+        if start:
+            self._start(h)
+        return self.status(ps.name)
+
+    def _start(self, h: PipelineHandle) -> None:
+        spec_src = h.spec.get("spec", h.spec).get("source", {})
+        ps = PipelineSpec.from_dict(h.spec)
+        program, sinks, policy = compile_pipeline(ps)
+        try:
+            if spec_src.get("type") == "stream_parquet":
+                # streaming source: file-backed change feed (the
+                # Kafka/Debezium-front stand-in, SURVEY §7.2)
+                path = spec_src["path"]
+                schema = self.spark.read.parquet(path).schema
+                transforms = _spec_transforms(ps)
+                pipeline = StreamingPipeline(
+                    name=h.name,
+                    source=file_change_source(
+                        path, schema,
+                        max_files_per_trigger=spec_src.get("max_files_per_trigger", 10),
+                    ),
+                    transforms=transforms,
+                    sinks=sinks,
+                    policy=policy,
+                    checkpoint_dir=os.path.join(self._pipeline_dir(h.name), "checkpoint"),
+                    offsets_path=os.path.join(self._pipeline_dir(h.name), "offsets.json"),
+                )
+                h.query = pipeline.start(self.spark, trigger_available_now=True)
+                h.streaming = True
+            else:
+                # batch program (snapshot/changefeed/parquet sources):
+                # one-shot run through the same fan-out/commit machinery
+                from .sinks.foreach import fan_out_batch
+
+                df = program(self.spark, spec_src.get("sf_dir", ""))
+                fan_out_batch(df, 0, sinks, policy=policy)
+                h.streaming = False
+            h.status = "running"
+            h.error = None
+        except Exception as e:  # noqa: BLE001 — surface as pipeline status
+            h.status = "failed"
+            h.error = str(e)
+            raise
+
+    def pause(self, name: str) -> dict:
+        """POST /pipelines/{name}/pause: stop the query, keep the
+        checkpoint (restart picks up exactly where it left off)."""
+        h = self._require(name)
+        if h.query is not None:
+            h.query.stop()
+            h.query.awaitTermination(30)
+            h.query = None
+        h.status = "paused"
+        return self.status(name)
+
+    def resume(self, name: str) -> dict:
+        """POST /pipelines/{name}/resume: rebuild from spec + checkpoint."""
+        h = self._require(name)
+        if h.status == "running" and h.query is not None:
+            return self.status(name)
+        self._start(h)
+        return self.status(name)
+
+    def stop(self, name: str) -> dict:
+        h = self._require(name)
+        if h.query is not None:
+            h.query.stop()
+            h.query.awaitTermination(30)
+            h.query = None
+        h.status = "stopped"
+        return self.status(name)
+
+    def patch(self, name: str, patch: dict) -> dict:
+        """PATCH /pipelines/{name}: deep-merge into the stored spec and
+        restart (README.md:306-317)."""
+        h = self._require(name)
+        was_running = h.status == "running"
+        if h.query is not None:
+            h.query.stop()
+            h.query.awaitTermination(30)
+            h.query = None
+        h.spec = deep_merge(h.spec, patch)
+        with open(self._spec_path(name), "w") as f:
+            json.dump(h.spec, f)
+        if was_running:
+            self._start(h)
+        return self.status(name)
+
+    def delete(self, name: str) -> None:
+        """DELETE /pipelines/{name}: stop and forget (state dir kept —
+        the reference keeps checkpoints for re-create)."""
+        h = self._require(name)
+        if h.query is not None:
+            h.query.stop()
+            h.query.awaitTermination(30)
+        del self._handles[name]
+
+    # -- inspection -------------------------------------------------------
+
+    def status(self, name: str) -> dict:
+        h = self._require(name)
+        active = h.query is not None and h.query.isActive
+        if h.streaming and h.status == "running" and not active:
+            # availableNow triggers terminate on their own when drained
+            h.status = "finished" if h.query is None or h.query.exception() is None else "failed"
+        progress = None
+        if h.query is not None and h.query.lastProgress:
+            lp = h.query.lastProgress
+            progress = {"batchId": lp.get("batchId"), "numInputRows": lp.get("numInputRows")}
+        return {
+            "name": h.name,
+            "status": h.status,
+            "active": active,
+            "error": h.error,
+            "lastProgress": progress,
+        }
+
+    def list(self) -> list[dict]:
+        return [self.status(n) for n in sorted(self._handles)]
+
+    def await_drained(self, name: str, timeout: int = 120) -> None:
+        """Wait for an availableNow run to finish its backlog."""
+        h = self._require(name)
+        if h.query is not None:
+            h.query.awaitTermination(timeout)
+
+    def dlq(self, name: str, **kw) -> DlqStore:
+        """Per-pipeline DLQ inspection (peek/ack/purge endpoints)."""
+        return DlqStore(
+            self.spark,
+            os.path.join(self._pipeline_dir(name), "dlq"),
+            pipeline=name,
+            **kw,
+        )
+
+    def _require(self, name: str) -> PipelineHandle:
+        if name not in self._handles:
+            raise KeyError(f"no such pipeline: {name}")
+        return self._handles[name]
+
+
+def _spec_transforms(ps: PipelineSpec) -> list[Callable[[DataFrame], DataFrame]]:
+    from .plans.compiler import _build_processor
+
+    return [_build_processor(p) for p in ps.processors]

@@ -70,6 +70,41 @@ def test_cdc_envelope_path_stays_jvm_side(spark, sf_dir):
     # no-Python assertion above is the load-bearing one.)
 
 
+def test_embedding_lsh_never_cartesian(spark, sf_dir):
+    """The declared embedding near-dup is the LSH variant: candidates
+    meet through an equi-join on the (table, signature) key — a plan
+    with a cartesian/nested-loop join here is the O(n²) scale-killer
+    the LSH exists to avoid."""
+    p = plan_str(entry.queries()["dedup_embedding_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # per-table signature explode
+    # candidates join on the composite key (broadcast at test scale,
+    # sort-merge at cluster scale — both are key-partitioned equi-joins)
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_deep_sensing_stays_jvm_side_no_joins(spark, sf_dir):
+    """The recursive JSON walk is column algebra: no Python eval, no
+    join — one explode + a two-phase count-distinct aggregation."""
+    p = plan_str(entry.queries()["cdc_schema_sensing_deep"](spark, sf_dir))
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p, f"Python operator {py_op} in deep sensing"
+    assert "Join" not in p
+    assert "HashAggregate" in p
+
+
+def test_toast_resolution_single_window_shuffle(spark, sf_dir):
+    """Consumer-side TOAST merge = one window over user_id: exactly one
+    Window operator, partitioned on the upsert key (the exchange is
+    reusable by a downstream materialization)."""
+    p = plan_str(entry.queries()["cdc_toast_unchanged"](spark, sf_dir))
+    assert "Window" in p
+    assert "hashpartitioning(user_id" in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
 def test_snapshot_scan_prunes_columns(spark, sf_dir):
     """The envelope struct projection must not defeat column pruning:
     snapshot_orders touches 3 of orders' 6 columns and the parquet scan

@@ -274,6 +274,38 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the minhash-LSH candidate edges collapsed
+    into duplicate clusters with one canonical doc each (min doc_id) —
+    iterative min-label propagation, O(diameter) joins with lineage
+    cut per round (operators/dedup.py connected_components)."""
+    from deltaforge_spark.operators.dedup import connected_components, minhash_lsh_pairs, minhash_signatures
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    edges = minhash_lsh_pairs(sig, num_hashes=8, bands=4)
+    return connected_components(edges)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: bucket corpus and queries by deterministic
+    hyperplane signatures (md5-derived ±1 planes), exact re-rank inside
+    buckets (operators/similarity.py lsh_topk). Scale shape: the corpus
+    shuffles once on a single long signature; recall tunes with
+    num_planes. Note this variant can return < k per query (bucket
+    misses) — that's the documented ANN trade-off, reproduced exactly
+    by the oracle."""
+    _prep(spark)
+    from deltaforge_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=5, num_planes=4, dims=64)
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -864,6 +896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "similarity_lsh": q_similarity_lsh,
+    "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -935,6 +969,35 @@ def _lsh_embedding_oracle_sql(
             JOIN e ea ON ea.vec_id = p.a_id
             JOIN e eb ON eb.vec_id = p.b_id)
         WHERE cosine_sim >= {threshold}
+    """
+
+
+def _lsh_ann_oracle_sql(*, num_planes: int = 4, dims: int = 64, k: int = 5) -> str:
+    """DuckDB twin of lsh_topk: identical plane literals → identical
+    buckets → identical candidates and exact re-rank."""
+    from deltaforge_spark.operators.similarity import _plane_vector
+
+    bits = []
+    for j in range(num_planes):
+        plane = _plane_vector(j, dims)
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)")
+    sig = " + ".join(bits)
+    return f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        sigs AS (SELECT vec_id, v, {sig} AS sig FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id < 3),
+        scored AS (
+            SELECT q.query_id, s.vec_id AS match_id,
+                   round(list_dot_product(q.qv, s.v) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))),
+                         6) AS cosine_sim
+            FROM sigs s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC, match_id) AS INT) AS rank
+              FROM scored)
+        SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= {k}
     """
 
 
@@ -1067,8 +1130,40 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def _connected_components_oracle() -> str:
+    """Recursive-CTE transitive closure over the same LSH edge set:
+    canonical = min doc reachable (incl. self). Terminates because the
+    UNION dedups the reach relation."""
+    bands = []
+    for b in range(4):
+        m0, m1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(CAST({m0} AS VARCHAR) || ':' || CAST({m1} AS VARCHAR)) AS bucket FROM sig"
+        )
+    union = " UNION ALL ".join(bands)
+    return f"""
+        WITH RECURSIVE
+        sig AS ({_minhash_oracle()}),
+        buckets AS ({union}),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+        FROM reach GROUP BY u
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_connected_components": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (
                 SELECT 'r' AS op, CAST(event_id AS VARCHAR) AS event_id
@@ -1229,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
+        "similarity_lsh": _lsh_ann_oracle_sql(),
         "multimodal_image_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,

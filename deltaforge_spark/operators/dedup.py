@@ -121,6 +121,63 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components and pick a canonical
+    document per cluster — the step a training-data dedup pipeline runs
+    after LSH candidate generation (keep one doc per duplicate cluster).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round, a node adopts the minimum label among itself
+    and its neighbors. Converges in O(graph diameter) rounds — near-dup
+    graphs are shallow (dup clusters are cliques-ish), so a handful of
+    rounds suffice at any scale.
+
+    Scale shape per round: one join on node id + one groupBy min — both
+    shuffle on the id key and reuse the same partitioning.
+    ``localCheckpoint`` cuts lineage each round (an iterative DataFrame
+    loop otherwise compounds the plan and re-executes history). The
+    driver-side loop is O(diameter) rounds with an O(1) convergence
+    probe per round, not a per-row collect.
+
+    Returns (doc_id, canonical_id) for every node in the edge set;
+    singletons (no edges) are their own canonical doc by definition and
+    need no row.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["u"] == labels["id"])
+            .select(F.col("v").alias("id"), F.col("comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("comp", "old")
+            .join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce(F.col("ncomp"), F.col("old"))).alias("comp"),
+                F.col("old"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     *,

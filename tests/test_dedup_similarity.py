@@ -112,3 +112,32 @@ def test_lsh_topk_recall_on_real_embeddings(spark, sf_dir):
     for k_, v in approx_scores.items():
         if k_ in exact_scores:
             assert abs(v - exact_scores[k_]) < 1e-9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter for label propagation) plus a
+    separate 2-clique: every node lands on its component's min label."""
+    from deltaforge_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    """Two clusters joined by one bridge edge collapse to one canonical."""
+    from deltaforge_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 8), (8, 9), (2, 3), (3, 7)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(got.values()) == {2}

@@ -803,6 +803,77 @@ def q_envelope_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL JSON-column decode fallback chain (mysql_object.rs:54-72):
+    documents that parse stay documents; plain text becomes a JSON
+    string value — mixed inputs built deterministically from events
+    (props is valid JSON; event_type is plain text; a 1-in-7 stride
+    injects malformed '{'-prefixed text)."""
+    from deltaforge_spark.functions.typerules import is_valid_json, mysql_json_decode
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    wire = (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(F.col("event_id") % 7 == 0, F.concat(F.lit("{broken "), F.col("event_type")))
+        .otherwise(F.col("event_type"))
+    )
+    return ev.select(
+        "event_id",
+        mysql_json_decode(wire).alias("decoded"),
+        is_valid_json(mysql_json_decode(wire)).alias("always_json"),
+    )
+
+
+def q_envelope_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope serialize → parse-back: the
+    ``{"schema": null, "payload": {...}}`` wrapper
+    (reference envelope/debezium.rs) round-trips through one
+    to_json/from_json pair; fields surface from inside payload."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.operators import envelope_debezium
+
+    df = envelope_debezium(change_feed(spark, sf_dir))
+    schema = T.StructType(
+        [
+            T.StructField("schema", T.StringType()),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("event_id", T.StringType()),
+                        T.StructField(
+                            "source",
+                            T.StructType(
+                                [
+                                    T.StructField("db", T.StringType()),
+                                    T.StructField("table", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "after", T.StructType([T.StructField("value", T.DoubleType())])
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    p = df.select(F.from_json("value", schema).alias("e"))
+    return p.select(
+        F.col("e.payload.op").alias("op"),
+        F.col("e.payload.ts_ms").alias("ts_ms"),
+        F.col("e.payload.event_id").alias("event_id"),
+        F.col("e.schema").isNull().alias("schema_is_null"),
+        F.concat_ws(".", F.col("e.payload.source.db"), F.col("e.payload.source.table")).alias("src"),
+        F.col("e.payload.after.value").alias("after_value"),
+    )
+
+
 def q_type_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source type-mapping edge rules: decimal-as-string wire format,
     unsigned-bigint-as-string, base64 wrap/unwrap round-trip
@@ -922,6 +993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
     "cdc_python_udf": q_python_udf,
     "cdc_envelope_native": q_envelope_native,
+    "cdc_envelope_debezium": q_envelope_debezium,
+    "cdc_json_decode": q_json_decode,
     "type_rules": q_type_rules,
     "cdc_tx_boundaries": q_tx_boundaries,
     "cdc_changelog_projection": q_changelog_projection,
@@ -1254,6 +1327,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_envelope_native": f"""
             SELECT op, ts_ms, event_id, 'testdb.events' AS src, after_value
+            FROM ({CHANGEFEED_SQL})
+        """,
+        "cdc_json_decode": """
+            WITH wire AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0 THEN props
+                          WHEN event_id % 7 = 0 THEN '{broken ' || event_type
+                          ELSE event_type END AS w
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN json_valid(w) THEN w ELSE to_json(w) END AS decoded,
+                   TRUE AS always_json
+            FROM wire
+        """,
+        "cdc_envelope_debezium": f"""
+            SELECT op, ts_ms, event_id, TRUE AS schema_is_null,
+                   'testdb.events' AS src, after_value
             FROM ({CHANGEFEED_SQL})
         """,
         "dedup_exact": """

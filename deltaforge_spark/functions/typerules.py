@@ -50,3 +50,52 @@ def unsigned_bigint_column(c: Column, *, as_long: bool = False) -> Column:
 def base64_unwrap(json_str: Column) -> Column:
     """Inverse of functions.base64_wrap: {"_base64": "..."} → binary."""
     return F.unbase64(F.get_json_object(json_str, "$._base64"))
+
+
+# --------------------------------------------------- MySQL JSON column decode
+
+
+def _json_string_literal(c: Column) -> Column:
+    """A string value as a JSON string literal with full escaping:
+    to_json of a 1-element array, brackets stripped."""
+    arr = F.to_json(F.array(c))
+    return F.substring(arr, 2, F.length(arr) - F.lit(2))
+
+
+def is_valid_json(c: Column) -> Column:
+    """True when the string parses as JSON (any value type)."""
+    return F.try_parse_json(c).isNotNull() | (F.trim(c) == "null")
+
+
+def mysql_json_decode(c: Column) -> Column:
+    """The reference's JSON-column decode fallback chain
+    (mysql_object.rs:54-72 ``handle_json``) over a textual wire value —
+    the binary-JSONB parse happened upstream (the Kafka/Debezium front
+    hands us text; SURVEY §7.2 boundary):
+
+    - parses as JSON → keep the document as-is,
+    - plain text that isn't JSON → a JSON *string* value of it
+      (``serde_json::from_str(s).unwrap_or(json!(s))``),
+    - NULL → NULL.
+
+    Output is always valid JSON text, so downstream flatten/sensing can
+    consume it unconditionally.
+    """
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(is_valid_json(c), c).otherwise(_json_string_literal(c))
+    )
+
+
+def mysql_json_decode_binary(c: Column) -> Column:
+    """Binary JSON wire value: valid UTF-8 → the textual chain above;
+    undecodable bytes → ``{"_base64_json": ...}`` (mysql_object.rs:70-72
+    last-resort wrap). The binary→string cast reinterprets bytes without
+    validating; ``is_valid_utf8`` then gates the textual path (``decode``
+    would throw MALFORMED_CHARACTER_CODING on bad bytes)."""
+    txt = c.cast("string")
+    valid_utf8 = F.is_valid_utf8(txt)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(valid_utf8, mysql_json_decode(txt)).otherwise(
+            F.to_json(F.struct(F.base64(c).alias("_base64_json")))
+        )
+    )

@@ -131,6 +131,11 @@ HEADLINE = [
     "text_analysis",
     "similarity_bruteforce",
     "similarity_ivf",
+    "similarity_lsh",
+    "dedup_embedding_lsh",
+    "dedup_connected_components",
+    "cdc_schema_sensing_deep",
+    "cdc_toast_unchanged",
     "q6_forecast_revenue",
     "q4_order_priority",
     "customers_without_big_orders",

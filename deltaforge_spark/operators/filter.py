@@ -110,9 +110,18 @@ def _compile_field_pred(df: DataFrame, spec: dict) -> Column:
         # create/delete pass unconditionally (filter.rs:181-188).
         # Strip an explicit before./after. root so a caller passing
         # "after.x" doesn't resolve to "before.after.x".
+        from .toast import is_unchanged_marker
+
         root = path.split(".", 1)[1] if path.split(".", 1)[0] in ("before", "after") and "." in path else path
         b, a = F.col(f"before.{root}"), F.col(f"after.{root}")
         differs = ~(b.eqNullSafe(a))
+        # TOAST partial images: an elided after-value ({"_unchanged":true},
+        # postgres_object.rs:94) was omitted precisely because it did NOT
+        # change — `changed` must never fire on the marker
+        if spec.get("toast_aware", True):
+            differs = F.when(
+                is_unchanged_marker(a.cast("string")), F.lit(False)
+            ).otherwise(differs)
         return F.when(F.col("op").isin("c", "d", "r", "t"), F.lit(True)).otherwise(differs)
     raise ValueError(f"unknown filter op {op!r}")
 

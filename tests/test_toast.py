@@ -78,3 +78,22 @@ def test_flatten_passes_marker_through(spark):
 def test_unchanged_marker_literal(spark):
     df = spark.range(1).select(unchanged_marker().alias("m"))
     assert df.collect()[0]["m"] == UNCHANGED_JSON
+
+
+def test_filterspec_changed_op_is_toast_aware(spark):
+    """The filter processor's `changed` predicate must not fire when the
+    after-image holds the TOAST marker (the value was elided because it
+    did not change)."""
+    from deltaforge_spark.operators import FilterSpec, apply_filter
+
+    rows = [
+        ("u", ("big-v1",), (UNCHANGED_JSON,)),  # elided → not changed
+        ("u", ("big-v1",), ("big-v2",)),  # real change
+        ("u", ("big-v1",), ("big-v1",)),  # identical
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, before struct<doc:string>, after struct<doc:string>"
+    )
+    spec = FilterSpec(fields=[{"field": "doc", "op": "changed"}])
+    got = [r["after"]["doc"] for r in apply_filter(df, spec).collect()]
+    assert got == ["big-v2"]

@@ -327,17 +327,41 @@ def embedding_neardup_lsh(
             for t in range(num_tables)
         ]
     )
-    keyed = s.select("_id", "_v", F.explode(sigs).alias("_k"))
-    a = keyed.select(F.col("_id").alias("a_id"), F.col("_v").alias("_va"), "_k")
-    b = keyed.select(F.col("_id").alias("b_id"), F.col("_v").alias("_vb"), "_k")
+    from .similarity import dot, l2norm
+
+    keyed = s.select("_id", F.explode(sigs).alias("_k"))
+    a = keyed.select(F.col("_id").alias("a_id"), "_k")
+    b = keyed.select(F.col("_id").alias("b_id"), "_k")
+    # Stage the pair pipeline so each expensive thing happens once:
+    # 1. candidates dedup on bare (a_id, b_id) — the multi-table
+    #    collision dedup shuffles 16 bytes/row, no vectors;
+    # 2. norms precompute once per VECTOR, not per pair;
+    # 3. the exact verify (one dot product) runs once per UNIQUE pair
+    #    via joins back to the vector table (broadcast when small,
+    #    id-partitioned at scale — candidates stay narrow either way).
+    cand = (
+        a.join(b, "_k").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        l2norm(F.col(vec_col)).alias("_norm"),
+    )
+    va = vecs.select(
+        F.col("_vid").alias("a_id"), F.col("_vec").alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("_vid").alias("b_id"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb")
+    )
     return (
-        a.join(b, "_k")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -154,7 +154,7 @@ def _build_processor(p: dict) -> Callable[[DataFrame], DataFrame]:
 
 
 # ------------------------------------------------------------ sinks
-def _build_sink(s: dict) -> SinkSpec:
+def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
     kind = s["type"]
     name = s.get("name", kind)
     flt = None
@@ -176,6 +176,28 @@ def _build_sink(s: dict) -> SinkSpec:
 
         write = lambda df: write_kafka(  # noqa: E731
             df, bootstrap=s["bootstrap"], default_topic=s.get("topic")
+        )
+    elif kind == "kafka_eos":
+        # exactly-once tier (sinks/kafka_eos.py): transactional per-
+        # partition producers; `spool_dir` selects the brokerless file
+        # transport (tests/CI), else confluent-kafka against `bootstrap`
+        from ..sinks.kafka_eos import (
+            confluent_producer_factory,
+            file_broker_producer_factory,
+            write_kafka_eos,
+        )
+
+        factory = (
+            file_broker_producer_factory(s["spool_dir"])
+            if "spool_dir" in s
+            else confluent_producer_factory(s["bootstrap"])
+        )
+        write = lambda df: write_kafka_eos(  # noqa: E731
+            df,
+            factory,
+            pipeline=pipeline,
+            sink_id=name,
+            default_topic=s.get("topic"),
         )
     elif kind == "noop":
         write = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
@@ -213,6 +235,6 @@ def compile_pipeline(
             df = t(df)
         return df
 
-    sinks = [_build_sink(s) for s in spec.sinks]
+    sinks = [_build_sink(s, spec.name) for s in spec.sinks]
     cp = CommitPolicy(spec.commit_policy.get("kind", "required"), spec.commit_policy.get("quorum", 0))
     return program, sinks, cp

@@ -189,6 +189,90 @@ def shape_drift(before: DataFrame, after: DataFrame) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- guided sensing
+#
+# Reference coordinator.rs:160-228 "guided mode": when the source DB
+# schema is known, only JSON-typed columns are deep-inspected (the
+# typed columns can't drift — the DDL capture path owns them); tables
+# with no known schema fall back to full-payload observation. The
+# schema map is driver-side config with bounded cardinality, so the
+# routing compiles to one static CASE expression — a single pass, no
+# per-table jobs.
+
+
+def guided_shape_observations(
+    df: DataFrame,
+    json_columns: dict[str, list[str]] | None,
+    *,
+    table_col: str = "source.table",
+    payload_col: str = "after",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Per (table, column) shape observations under guided sensing.
+
+    ``json_columns`` maps known tables → their JSON string columns;
+    events from those tables contribute one observation per JSON column
+    (column-scoped fingerprint). Events from unknown tables (or when
+    ``json_columns`` is None — schemaless source) contribute one
+    full-payload observation under column ``*``.
+    """
+    table = F.col(table_col)
+    payload = F.col(payload_col)
+    full = F.array(
+        F.struct(
+            F.lit("*").alias("column"),
+            deep_shape_fingerprint(F.to_json(payload), max_depth=max_depth).alias(
+                "shape_fingerprint"
+            ),
+        )
+    )
+    obs = full
+    if json_columns is not None:
+        cases = None
+        for tbl, cols in json_columns.items():
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        deep_shape_fingerprint(
+                            payload[c], max_depth=max_depth
+                        ).alias("shape_fingerprint"),
+                    )
+                    for c in cols
+                ]
+            )
+            cases = (
+                F.when(table == tbl, arr)
+                if cases is None
+                else cases.when(table == tbl, arr)
+            )
+        obs = cases.otherwise(full) if cases is not None else full
+    return (
+        df.select(table.alias("table"), F.explode(obs).alias("o"))
+        .groupBy("table", F.col("o.column").alias("column"), F.col("o.shape_fingerprint").alias("shape_fingerprint"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def guided_drift(
+    observations: DataFrame, expected: dict[tuple[str, str], str]
+) -> DataFrame:
+    """Observations whose fingerprint differs from the registered
+    expectation for that (table, column) — the drift trigger of the
+    guided path (drift_detector.observe against expected types).
+    Pairs with no expectation are not drift (first-seen)."""
+    spark = observations.sparkSession
+    exp = spark.createDataFrame(
+        [(t, c, fp) for (t, c), fp in expected.items()],
+        "table string, column string, expected_fingerprint string",
+    )
+    return (
+        observations.join(F.broadcast(exp), ["table", "column"])
+        .filter(F.col("shape_fingerprint") != F.col("expected_fingerprint"))
+        .select("table", "column", "shape_fingerprint", "expected_fingerprint", "n_rows")
+    )
+
+
 def classify_map_vs_struct(
     df: DataFrame, json_col: str, *, key_cardinality_threshold: int = 64
 ) -> DataFrame:

@@ -19,6 +19,10 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # hot-key mitigation for the big CDC/dedup joins: AQE splits skewed
+    # partitions at runtime (default-on in recent Spark; pinned so a
+    # cluster-side default change can't silently regress the skew story)
+    "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # externally-owned sessions default to 200 shuffle partitions — far too
     # many for local test scale; AQE coalesces upward when needed

@@ -129,3 +129,40 @@ def test_dlq_inspection_endpoint(spark, tmp_path):
     assert dlq.peek(5).collect()[0]["pipeline"] == "p1"
     assert dlq.ack([0]) == 1
     assert dlq.queue_len() == 0
+
+
+def test_declarative_kafka_eos_sink_end_to_end(spark, tmp_path):
+    """Spec-driven exactly-once delivery: a stream_parquet pipeline with
+    a kafka_eos sink (file transport) delivers every event inside
+    committed transactions — the YAML-to-EOS integration path."""
+    from deltaforge_spark.sinks.kafka_eos import FileTransactionalBroker
+    from deltaforge_spark.sources import snapshot_events
+
+    base = spark.createDataFrame([(i, f"n{i}") for i in range(12)], ["id", "name"])
+    ev = snapshot_events(
+        base, table="t1", event_id=F.col("id").cast("string"), ts_ms=F.lit(1704067200000)
+    )
+    feed = str(tmp_path / "feed")
+    ev.coalesce(1).write.parquet(feed)
+    broker_dir = str(tmp_path / "broker")
+    spec = {
+        "metadata": {"name": "eos-pipe"},
+        "spec": {
+            "source": {"type": "stream_parquet", "path": feed},
+            "processors": [
+                {"type": "route", "topic": "t-fixed", "key": "${event_id}"},
+                {"type": "envelope", "kind": "native"},
+            ],
+            "sinks": [
+                {"name": "k", "type": "kafka_eos", "spool_dir": broker_dir, "topic": "t-fixed"}
+            ],
+        },
+    }
+    mgr = PipelineManager(spark, str(tmp_path / "state"))
+    mgr.create(spec)
+    mgr.await_drained("eos-pipe")
+    broker = FileTransactionalBroker(broker_dir)
+    msgs = broker.read_committed()
+    assert len(msgs) == 12
+    assert {m["topic"] for m in msgs} == {"t-fixed"}
+    assert all(m["txn_id"].startswith("deltaforge-eos-pipe-k-p") for m in msgs)

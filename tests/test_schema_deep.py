@@ -106,3 +106,63 @@ def test_classify_approx_hll_path(spark):
         for r in classify_field_paths(df, "payload", exact=False).collect()
     }
     assert exact == approx
+
+
+# ----------------------------------------------------------- guided sensing
+
+
+@pytest.fixture()
+def cdc_events(spark):
+    rows = [
+        # known table "users": typed cols + one JSON column "prefs"
+        ("users", (1, '{"theme":"dark"}')),
+        ("users", (2, '{"theme":"light"}')),
+        ("users", (3, '{"theme":"dark","beta":{"on":true}}')),  # evolved shape
+        # unknown table: full payload observed
+        ("mystery", (9, '{"whatever":1}')),
+    ]
+    return spark.createDataFrame(
+        rows, "table string, after struct<id:long,prefs:string>"
+    ).select(F.struct(F.col("table")).alias("source"), "after")
+
+
+def test_guided_sensing_scopes_known_tables_to_json_columns(cdc_events):
+    from deltaforge_spark.schema.sensing import guided_shape_observations
+
+    obs = guided_shape_observations(cdc_events, {"users": ["prefs"]})
+    rows = obs.collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r["table"], []).append(r)
+    # known table: observations are column-scoped to the JSON column only
+    assert all(r["column"] == "prefs" for r in by_table["users"])
+    assert len(by_table["users"]) == 2  # {"theme"} and {"theme","beta{on}"}
+    # unknown table: one full-payload observation
+    assert [r["column"] for r in by_table["mystery"]] == ["*"]
+
+
+def test_guided_sensing_schemaless_falls_back_to_full_payload(cdc_events):
+    from deltaforge_spark.schema.sensing import guided_shape_observations
+
+    obs = guided_shape_observations(cdc_events, None)
+    assert {r["column"] for r in obs.collect()} == {"*"}
+
+
+def test_guided_drift_flags_only_unexpected_shapes(spark, cdc_events):
+    from deltaforge_spark.schema.sensing import (
+        guided_drift,
+        guided_shape_observations,
+    )
+
+    obs = guided_shape_observations(cdc_events, {"users": ["prefs"]})
+    # register the flat {"theme"} shape as expected
+    flat = (
+        obs.filter((F.col("table") == "users") & (F.col("n_rows") == 2))
+        .collect()[0]["shape_fingerprint"]
+    )
+    drift = guided_drift(obs, {("users", "prefs"): flat}).collect()
+    assert len(drift) == 1  # only the evolved {"theme","beta"} shape
+    assert drift[0]["n_rows"] == 1
+    assert drift[0]["expected_fingerprint"] == flat
+    # unknown table has no expectation → never drift
+    assert all(d["table"] == "users" for d in drift)

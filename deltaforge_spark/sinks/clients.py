@@ -110,38 +110,75 @@ def redis_stream_sink(df: DataFrame, *, url: str, stream_template: str = "deltaf
 
 
 def http_webhook_sink(
-    df: DataFrame, *, url_template: str, method: str = "POST", max_retries: int = 3
+    df: DataFrame,
+    *,
+    url_template: str,
+    method: str = "POST",
+    max_retries: int = 3,
+    batch_mode: bool = False,
+    batch_size: int = 500,
+    session_factory=None,
 ) -> None:
-    """POST each event (requires `requests`); 5xx retried with backoff
-    (reference http.rs retry policy)."""
+    """HTTP sink (reference http.rs): per-event POST, or ``batch_mode``
+    combining the chunk's payloads into ONE JSON-array request per
+    resolved URL (http.rs:424-445) — the shape that matters at scale,
+    since per-event HTTP round-trips cap throughput at connection
+    latency. Dynamic URLs resolve from the routing template upstream
+    (``routing.topic`` carries the resolved destination). 5xx/network
+    errors retry with exponential backoff; 4xx raise immediately
+    (non-retryable, DLQ-eligible upstream). ``session_factory`` injects
+    the transport (tests: a recording fake; production: requests)."""
+
+    def default_session():
+        import requests  # gated: not in this container
+
+        return requests.Session()
+
+    mk_session = session_factory or default_session
 
     def factory():
+        import json as _json
         import time
 
-        import requests  # gated
+        sess = mk_session()
 
-        sess = requests.Session()
+        def _request_with_retry(dest: str, body: str) -> None:
+            for attempt in range(max_retries + 1):
+                resp = sess.request(method, dest or url_template, data=body)
+                if resp.status_code < 500:
+                    resp.raise_for_status()
+                    return
+                time.sleep(min(2**attempt * 0.1, 5.0))
+            raise IOError(f"HTTP sink exhausted retries: {resp.status_code}")
 
         class _C:
+            def __init__(self):
+                self.buf: dict[str, list[str]] = {}
+
             def send(self, dest, fields):
-                body = fields["payload"]
-                for attempt in range(max_retries + 1):
-                    resp = sess.request(method, dest or url_template, data=body)
-                    if resp.status_code < 500:
-                        resp.raise_for_status()
-                        return
-                    time.sleep(min(2**attempt * 0.1, 5.0))
-                raise IOError(f"HTTP sink exhausted retries: {resp.status_code}")
+                if batch_mode:
+                    self.buf.setdefault(dest, []).append(fields["payload"])
+                else:
+                    _request_with_retry(dest, fields["payload"])
 
             def flush(self):
-                pass
+                for dest, payloads in self.buf.items():
+                    docs = []
+                    for p in payloads:
+                        try:
+                            docs.append(_json.loads(p))
+                        except ValueError:
+                            docs.append(p)
+                    _request_with_retry(dest, _json.dumps(docs))
+                self.buf = {}
 
             def close(self):
+                self.flush()
                 sess.close()
 
         return _C()
 
-    write_client_sink(df, factory, default_dest=url_template)
+    write_client_sink(df, factory, default_dest=url_template, batch_size=batch_size)
 
 
 def spool_sink_factory(spool_dir: str):

@@ -85,3 +85,110 @@ def test_schema_reconcile_on_restart(spark, tmp_path):
     report = reconcile_schema_on_restart(reg, drifted, "db1", "t1", policy="adapt")
     assert {r["issue"] for r in report.collect()} == {"undeclared_column"}
     assert reg.current("db1", "t1")["version"] == 2  # adapt registered v2
+
+
+# ------------------------------------------------------------ HTTP batching
+
+
+def _spool_session_factory(spool_dir, fail_first=0):
+    """Factory building a fake requests.Session inside the worker
+    (classes defined in the test module aren't importable by executor
+    processes; a closure serializes by value). Every request lands as
+    one file; the first ``fail_first`` requests per worker return 500."""
+
+    def factory():
+        import json as _json
+        import os
+        import uuid
+
+        state = {"n": 0}
+
+        class _Resp:
+            def __init__(self, status):
+                self.status_code = status
+
+            def raise_for_status(self):
+                pass
+
+        class _Sess:
+            def request(self, method, url, data=None):
+                os.makedirs(spool_dir, exist_ok=True)
+                state["n"] += 1
+                status = 500 if state["n"] <= fail_first else 200
+                with open(f"{spool_dir}/{uuid.uuid4().hex}.json", "w") as f:
+                    _json.dump(
+                        {"method": method, "url": url, "body": data, "status": status}, f
+                    )
+                return _Resp(status)
+
+            def close(self):
+                pass
+
+        return _Sess()
+
+    return factory
+
+
+def _read_http_spool(spool_dir):
+    import glob
+
+    out = []
+    for p in glob.glob(f"{spool_dir}/*.json"):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def test_http_batch_mode_one_array_request_per_chunk(spark, tmp_path):
+    from deltaforge_spark.sinks.clients import http_webhook_sink
+
+    spool = str(tmp_path / "http")
+    routed = with_routing(
+        _events(spark), topic_template="https://hook.example/t1"
+    ).coalesce(1)
+    http_webhook_sink(
+        routed,
+        url_template="https://hook.example/fallback",
+        batch_mode=True,
+        session_factory=_spool_session_factory(spool),
+    )
+    reqs = [r for r in _read_http_spool(spool) if r["status"] == 200]
+    assert len(reqs) == 1  # one partition, one chunk → ONE array POST
+    body = json.loads(reqs[0]["body"])
+    assert isinstance(body, list) and len(body) == 10
+    assert reqs[0]["url"] == "https://hook.example/t1"
+    assert {d["op"] for d in body} == {"r"}
+
+
+def test_http_per_event_mode_one_request_each(spark, tmp_path):
+    from deltaforge_spark.sinks.clients import http_webhook_sink
+
+    spool = str(tmp_path / "http")
+    routed = with_routing(
+        _events(spark), topic_template="https://hook.example/t1"
+    ).coalesce(1)
+    http_webhook_sink(
+        routed,
+        url_template="https://hook.example/fallback",
+        session_factory=_spool_session_factory(spool),
+    )
+    assert len(_read_http_spool(spool)) == 10
+
+
+def test_http_5xx_retried_until_success(spark, tmp_path):
+    from deltaforge_spark.sinks.clients import http_webhook_sink
+
+    spool = str(tmp_path / "http")
+    routed = with_routing(
+        _events(spark), topic_template="https://hook.example/t1"
+    ).coalesce(1)
+    http_webhook_sink(
+        routed,
+        url_template="https://hook.example/fallback",
+        batch_mode=True,
+        max_retries=3,
+        session_factory=_spool_session_factory(spool, fail_first=2),
+    )
+    reqs = _read_http_spool(spool)
+    assert sum(1 for r in reqs if r["status"] == 500) == 2  # two failed attempts
+    assert sum(1 for r in reqs if r["status"] == 200) == 1  # then success

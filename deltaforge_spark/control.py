@@ -41,6 +41,14 @@ from .sinks.dlq import DlqStore
 from .streaming.pipeline import StreamingPipeline, file_change_source
 
 
+
+def _injected_repr(obj) -> str:
+    """Specs may carry injected live objects (SR transport, test
+    brokers); persist a placeholder — the in-memory handle keeps the
+    real object, and a restart-from-disk legitimately requires
+    re-injection (same as the reference's secret references)."""
+    return f"<injected:{type(obj).__name__}>"
+
 def deep_merge(base: dict, patch: dict) -> dict:
     """JSON-merge semantics of the reference's PATCH: objects merge
     recursively, everything else (lists, scalars) replaces."""
@@ -91,7 +99,7 @@ class PipelineManager:
             raise ValueError(f"pipeline {ps.name!r} already running")
         os.makedirs(self._pipeline_dir(ps.name), exist_ok=True)
         with open(self._spec_path(ps.name), "w") as f:
-            json.dump(spec, f)
+            json.dump(spec, f, default=_injected_repr)
         h = PipelineHandle(name=ps.name, spec=spec)
         self._handles[ps.name] = h
         if start:
@@ -177,7 +185,7 @@ class PipelineManager:
             h.query = None
         h.spec = deep_merge(h.spec, patch)
         with open(self._spec_path(name), "w") as f:
-            json.dump(h.spec, f)
+            json.dump(h.spec, f, default=_injected_repr)
         if was_running:
             self._start(h)
         return self.status(name)

@@ -192,12 +192,27 @@ def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
             if "spool_dir" in s
             else confluent_producer_factory(s["bootstrap"])
         )
+        payload_fn = None
+        if s.get("encoding") == "avro":
+            # Avro value encoding with SR registration (reference wires
+            # the Avro encoder per sink: sinks_cfg.rs encoding block).
+            # `registry` is an injected transport object with .post —
+            # InMemoryRegistry in tests, an HTTP poster in production.
+            from ..sinks.avro import avro_kafka_payload
+            from ..sinks.avro_schema import SchemaRegistryClient
+
+            client = SchemaRegistryClient(s["registry"].post)
+            strategy = s.get("subject_strategy", "topic_name")
+            payload_fn = lambda df, topic: avro_kafka_payload(  # noqa: E731
+                df, client, default_topic=topic, strategy=strategy
+            )
         write = lambda df: write_kafka_eos(  # noqa: E731
             df,
             factory,
             pipeline=pipeline,
             sink_id=name,
             default_topic=s.get("topic"),
+            payload_fn=payload_fn,
         )
     elif kind == "noop":
         write = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731

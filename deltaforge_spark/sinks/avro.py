@@ -72,3 +72,68 @@ def envelope_avro(
     from ..operators.envelopes import _event_struct
 
     return df.withColumn(out_col, confluent_frame(to_avro(_event_struct(df)), schema_id))
+
+
+def avro_kafka_payload(
+    df: DataFrame,
+    client,
+    *,
+    default_topic: str,
+    strategy: str = "topic_name",
+) -> DataFrame:
+    """Kafka writer payload with an Avro-binary value instead of JSON:
+    resolve topic/key exactly like ``kafka.kafka_payload`` (routing
+    cascade, kafka.rs:379-436), derive the Avro record schema from the
+    event columns, register it (cached), then encode each row through
+    the pure-Python codec (``avro_binary``) in one map-only Arrow stage.
+
+    Returns ``topic, key, value(binary), headers_json`` — drop-in for
+    the EOS writer via its ``payload_fn`` hook. Uses the Python codec
+    unconditionally: identical bytes to ``to_avro`` for this schema
+    subset, no jar dependency.
+    """
+    from pyspark.sql import types as T
+
+    from ..envelope import idempotency_key
+    from .avro_schema import spark_type_to_avro
+    from .avro_binary import avro_frame_rows
+
+    event_cols = [
+        c
+        for c in (
+            "before", "after", "source", "op", "ts_ms", "event_id",
+            "tenant_id", "schema_version", "schema_sequence",
+            "transaction", "tx_end", "ddl", "synthetic",
+        )
+        if c in df.columns
+    ]
+    has_routing = "routing" in df.columns
+    topic = (
+        F.coalesce(F.col("routing.topic"), F.lit(default_topic))
+        if has_routing
+        else F.lit(default_topic)
+    )
+    key = (
+        F.coalesce(F.col("routing.key"), idempotency_key())
+        if has_routing
+        else idempotency_key()
+    )
+    staged = df.select(
+        topic.alias("topic"),
+        key.cast("string").alias("_key"),
+        *event_cols,
+    )
+
+    struct_t = T.StructType([df.schema[c] for c in event_cols])
+    schema = spark_type_to_avro(struct_t, name="Envelope")
+    schema["namespace"] = "deltaforge.cdc"
+    record_name = f"{schema['namespace']}.Envelope"
+    subject = subject_name(strategy, topic=default_topic, record_name=record_name)
+    schema_id = client.register(subject, schema)
+
+    framed = avro_frame_rows(
+        staged, schema, schema_id=schema_id, key_col="_key", passthrough=["topic"]
+    )
+    return framed.select(
+        "topic", "key", "value", F.lit(None).cast("string").alias("headers_json")
+    )

@@ -108,6 +108,7 @@ def write_kafka_eos(
     pipeline: str,
     sink_id: str,
     default_topic: str | None = None,
+    payload_fn: Callable[[DataFrame, str | None], DataFrame] | None = None,
 ) -> None:
     """Exactly-once write: the envelope DataFrame is projected to Kafka
     shape (topic/key/value/headers cascade, kafka.py) and each partition
@@ -119,13 +120,21 @@ def write_kafka_eos(
     the whole partition (the reference measures ~7-11% overhead vs
     at-least-once for exactly this structure).
     """
-    payload = kafka_payload(df, default_topic=default_topic).select(
-        "topic",
-        "key",
-        "value",
-        F.to_json("headers").alias("headers_json"),
-        F.spark_partition_id().alias("_pid"),
-    )
+    if payload_fn is not None:
+        # alternate encodings (e.g. avro.avro_kafka_payload) supply the
+        # full topic/key/value/headers_json projection themselves
+        payload = payload_fn(df, default_topic).select(
+            "topic", "key", "value", "headers_json",
+            F.spark_partition_id().alias("_pid"),
+        )
+    else:
+        payload = kafka_payload(df, default_topic=default_topic).select(
+            "topic",
+            "key",
+            "value",
+            F.to_json("headers").alias("headers_json"),
+            F.spark_partition_id().alias("_pid"),
+        )
 
     def run(rows) -> None:
         it = iter(rows)
@@ -280,6 +289,12 @@ class FileTransactionalBroker:
         for p in sorted(glob.glob(os.path.join(self.state_dir, "log", "*.ndjson"))):
             with open(p) as f:
                 out.extend(json.loads(line) for line in f if line.strip())
+        import base64
+
+        for m in out:
+            v = m.get("value")
+            if isinstance(v, dict) and "__b64__" in v:
+                m["value"] = base64.b64decode(v["__b64__"])
         return out
 
     def committed_transactions(self) -> int:
@@ -319,6 +334,12 @@ class _FileTxnProducer:
 
     def send(self, topic, key, value, headers_json) -> None:
         assert self.buffer is not None, "begin_transaction not called"
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            # binary values (Avro frames) spool as tagged base64 so the
+            # ndjson log stays valid; messages() restores bytes
+            import base64
+
+            value = {"__b64__": base64.b64encode(bytes(value)).decode("ascii")}
         self.buffer.append(
             {
                 "topic": topic,

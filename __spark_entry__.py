@@ -913,6 +913,56 @@ def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gtid_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID executed-set accumulation as distributed interval algebra
+    (sources/gtid.py gtid_ranges_df — mysql_event.rs:463-508 merge_gtid):
+    events become (server_uuid, txid) observations with gaps (errors are
+    skipped transactions), collapsed to canonical ``lo-hi:…`` interval
+    notation per server. One shuffle on server_uuid; no driver loops."""
+    from deltaforge_spark.sources.gtid import gtid_ranges_df
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") != "error").select(
+        F.concat(F.lit("srv-"), (F.col("user_id") % 4).cast("string")).alias(
+            "server_uuid"
+        ),
+        F.col("event_id").cast("long").alias("txid"),
+    )
+    return gtid_ranges_df(obs).orderBy("server_uuid")
+
+
+def q_ddl_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL capture (sources/ddl.py ddl_events — mysql_event.rs:627-720):
+    a synthesized statement stream (ALTER/CREATE/TRUNCATE/RENAME + DML
+    noise) becomes op='r' envelope rows with the table name extracted
+    JVM-side via the reference's regex reduction; DML rows drop out.
+    Output: statement kind × extracted table → row count."""
+    from deltaforge_spark.sources.ddl import ddl_events
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    tbl = F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string"))
+    m = F.col("event_id") % 5
+    stmt = (
+        F.when(m == 0, F.concat(F.lit("ALTER TABLE "), tbl, F.lit(" ADD COLUMN c5 INT")))
+        .when(m == 1, F.concat(F.lit("CREATE TABLE IF NOT EXISTS "), tbl, F.lit(" (id INT)")))
+        .when(m == 2, F.concat(F.lit("TRUNCATE "), tbl))
+        .when(m == 3, F.lit("INSERT INTO x VALUES (1)"))
+        .otherwise(F.concat(F.lit("RENAME TABLE "), tbl, F.lit(" TO "), tbl, F.lit("_old")))
+    )
+    captured = ddl_events(ev.select(stmt.alias("statement")))
+    return (
+        captured.select(
+            F.upper(F.split(F.col("ddl"), " ").getItem(0)).alias("kind"),
+            F.col("source.table").alias("table"),
+        )
+        .groupBy("kind", "table")
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind", "table")
+    )
+
+
 def q_changelog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse changelog-mode projection: source columns + meta
     `_op/_version/_deleted/_source_ts`; deletes take the before-image
@@ -997,6 +1047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_json_decode": q_json_decode,
     "type_rules": q_type_rules,
     "cdc_tx_boundaries": q_tx_boundaries,
+    "cdc_gtid_ranges": q_gtid_ranges,
+    "cdc_ddl_capture": q_ddl_capture,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
 }
@@ -1302,6 +1354,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(tx_end AS INT)) AS BIGINT) AS n_tx_end,
                    max(tx_order) AS max_order
             FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "cdc_ddl_capture": """
+            SELECT CASE event_id % 5 WHEN 0 THEN 'ALTER' WHEN 1 THEN 'CREATE'
+                        WHEN 2 THEN 'TRUNCATE' ELSE 'RENAME' END AS kind,
+                   't' || CAST(user_id % 3 AS VARCHAR) AS "table",
+                   COUNT(*) AS n
+            FROM events WHERE event_id % 5 <> 3
+            GROUP BY 1, 2 ORDER BY kind, "table"
+        """,
+        "cdc_gtid_ranges": """
+            WITH obs AS (
+                SELECT DISTINCT 'srv-' || CAST(user_id % 4 AS VARCHAR) AS server_uuid,
+                       CAST(event_id AS BIGINT) AS txid
+                FROM events WHERE event_type <> 'error'
+            ), isl AS (
+                SELECT server_uuid, txid,
+                       txid - ROW_NUMBER() OVER (PARTITION BY server_uuid
+                                                 ORDER BY txid) AS grp
+                FROM obs
+            ), rng AS (
+                SELECT server_uuid, MIN(txid) AS lo, MAX(txid) AS hi
+                FROM isl GROUP BY server_uuid, grp
+            )
+            SELECT server_uuid,
+                   STRING_AGG(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                                   ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                              END, ':' ORDER BY lo) AS gtid_set,
+                   COUNT(*) AS n_intervals
+            FROM rng GROUP BY server_uuid ORDER BY server_uuid
         """,
         "cdc_changelog_projection": f"""
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -330,3 +330,46 @@ def failover_decision(
     if identity_cmp == "first_seen" and reachability == "unknown":
         return "resume"  # clean first start: nothing to validate
     return "resnapshot" if policy == "adapt" else "halt"
+
+
+# --------------------------------------------- distributed interval merge
+
+
+def gtid_ranges_df(df, *, uuid_col: str = "server_uuid", txid_col: str = "txid"):
+    """Distributed twin of ``merge_gtid``/``GtidSet``: collapse observed
+    (server_uuid, transaction_id) pairs into the canonical MySQL GTID
+    interval notation (``1-5:7:9-11``) per server — the executed-set a
+    resuming reader needs (mysql_event.rs:463-508).
+
+    Scale shape: the driver-side ``GtidSet`` accumulates sequentially in
+    one reader; at fleet scale (many partitioned binlog readers, or
+    offset reconciliation across a checkpoint store) the merge is a
+    gaps-and-islands aggregation — one shuffle on server_uuid, partial
+    aggregation map-side via the distinct, intervals built with window
+    algebra, never collecting sequence lists to the driver.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(uuid_col).orderBy(txid_col)
+    islands = (
+        df.select(uuid_col, txid_col)
+        .distinct()
+        .withColumn("_grp", F.col(txid_col) - F.row_number().over(w))
+    )
+    ranges = islands.groupBy(uuid_col, "_grp").agg(
+        F.min(txid_col).alias("lo"), F.max(txid_col).alias("hi")
+    )
+    interval = F.when(
+        F.col("lo") == F.col("hi"), F.col("lo").cast("string")
+    ).otherwise(F.concat_ws("-", F.col("lo").cast("string"), F.col("hi").cast("string")))
+    return (
+        ranges.select(F.col(uuid_col), F.struct("lo", interval.alias("s")).alias("_iv"))
+        .groupBy(uuid_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_iv")), lambda x: x["s"]), ":"
+            ).alias("gtid_set"),
+            F.count("*").alias("n_intervals"),
+        )
+    )

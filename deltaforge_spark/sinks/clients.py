@@ -38,13 +38,49 @@ def _routed_payload(df: DataFrame, *, default_dest: str, value_col: str | None) 
         if value_col and value_col in df.columns
         else F.to_json(F.struct(*[F.col(c) for c in df.columns if c != "routing"]))
     )
+    event_id = (
+        F.col("event_id").cast("string")
+        if "event_id" in df.columns
+        else F.lit(None).cast("string")
+    )
     return df.select(
         F.coalesce(F.col("routing.topic"), F.lit(default_dest)).alias("dest"),
         F.coalesce(F.col("routing.key"), idempotency_key()).alias("key"),
         value.alias("value"),
         idempotency_key().alias("idem"),
         F.to_json(F.col("routing.headers")).alias("headers_json"),
+        event_id.alias("event_id"),
+        F.col("routing.key").alias("routing_key"),
     )
+
+
+def redis_xadd_fields(row) -> dict:
+    """The reference's exact XADD field map (redis.rs:439-479):
+    ``event_id`` + ``idempotency_key`` + ``df-event`` payload always;
+    ``df-key`` only when non-empty; routing headers as ``df-headers``
+    JSON when present."""
+    fields = {
+        "event_id": row["event_id"] or "",
+        "idempotency_key": row["idem"],
+        "df-event": row["value"],
+    }
+    # key cascade ends at event_id (redis.rs resolve_key), df-key only
+    # when the result is non-empty
+    key = row["routing_key"] or row["event_id"]
+    if key:
+        fields["df-key"] = key
+    if row["headers_json"] and row["headers_json"] != "null":
+        fields["df-headers"] = row["headers_json"]
+    return fields
+
+
+def _generic_fields(row) -> dict:
+    return {
+        "df-key": row["key"],
+        "df-headers": row["headers_json"] or "{}",
+        "idempotency_key": row["idem"],
+        "payload": row["value"],
+    }
 
 
 def write_client_sink(
@@ -54,27 +90,22 @@ def write_client_sink(
     default_dest: str,
     value_col: str | None = "value",
     batch_size: int = 500,
+    fields_fn: Callable[[object], dict] | None = None,
 ) -> None:
     """Generic partition-local writer. ``client_factory`` builds, per
     partition, an object with ``send(dest, fields: dict)``, ``flush()``,
-    ``close()`` (the redis XADD / nats publish / http POST adapter)."""
+    ``close()`` (the redis XADD / nats publish / http POST adapter).
+    ``fields_fn`` picks the wire field layout (default: generic;
+    ``redis_xadd_fields`` for reference-exact XADD parity)."""
     payload = _routed_payload(df, default_dest=default_dest, value_col=value_col)
+    layout = fields_fn or _generic_fields
 
     def run(rows) -> None:
         client = client_factory()
         n = 0
         try:
             for row in rows:
-                # field layout mirrors the reference's redis.rs XADD map
-                client.send(
-                    row["dest"],
-                    {
-                        "df-key": row["key"],
-                        "df-headers": row["headers_json"] or "{}",
-                        "idempotency_key": row["idem"],
-                        "payload": row["value"],
-                    },
-                )
+                client.send(row["dest"], layout(row))
                 n += 1
                 if n % batch_size == 0:
                     client.flush()
@@ -86,7 +117,9 @@ def write_client_sink(
 
 
 def redis_stream_sink(df: DataFrame, *, url: str, stream_template: str = "deltaforge") -> None:
-    """XADD to Redis Streams (requires redis-py at runtime)."""
+    """XADD to Redis Streams (requires redis-py at runtime). Field
+    layout is reference-exact (``redis_xadd_fields``); sends pipeline
+    per partition like the reference's execute_pipeline batch path."""
 
     def factory():
         import redis  # gated: not installed in this container
@@ -106,7 +139,71 @@ def redis_stream_sink(df: DataFrame, *, url: str, stream_template: str = "deltaf
 
         return _C()
 
-    write_client_sink(df, factory, default_dest=stream_template)
+    write_client_sink(df, factory, default_dest=stream_template, fields_fn=redis_xadd_fields)
+
+
+# ------------------------------------------------------------------ NATS
+
+
+NATS_INVALID_SUBJECT = r"(^$)|[ *>]"
+
+
+def invalid_nats_subject(col) -> "F.Column":
+    """Column predicate mirroring nats.rs validate_nats_subject: empty
+    or containing space / ``*`` / ``>`` wildcards is a routing error."""
+    return col.isNull() | col.rlike(NATS_INVALID_SUBJECT)
+
+
+def nats_jetstream_sink(
+    df: DataFrame,
+    client_factory: Callable[[], object],
+    *,
+    default_subject: str,
+    value_col: str | None = "value",
+    batch_size: int = 500,
+    strict: bool = True,
+) -> DataFrame | None:
+    """JetStream publish with the reference's header contract
+    (nats.rs:248-311): every message carries ``Nats-Msg-Id`` = the
+    idempotency key (server-side dedup inside duplicate_window →
+    effectively-once on replay), ``df-key`` only when a routing key
+    resolved, plus routing headers verbatim. Subjects are validated
+    before publish; ``strict=False`` returns the invalid-subject rows
+    for DLQ handling instead of failing the batch.
+
+    ``client_factory() -> send(subject, fields)`` receives
+    ``{"headers": dict, "payload": str}``.
+    """
+    import re as _re
+
+    subject = F.coalesce(F.col("routing.topic"), F.lit(default_subject))
+    invalid_re = _re.compile(NATS_INVALID_SUBJECT)
+
+    def nats_fields(row) -> dict:
+        dest = row["dest"]
+        if strict and (not dest or invalid_re.search(dest)):
+            # send-time check, same point as nats.rs publish_single —
+            # one pass over the data, no pre-validation job
+            raise ValueError(f"invalid NATS subject {dest!r} (space/*/> or empty)")
+        headers = {"Nats-Msg-Id": row["idem"]}
+        # NATS has no native key — df-key header only when a routing key
+        # actually resolved (nats.rs resolve_key returns None otherwise)
+        if row["routing_key"]:
+            headers["df-key"] = row["routing_key"]
+        if row["headers_json"] and row["headers_json"] != "null":
+            headers.update(json.loads(row["headers_json"]))
+        return {"headers": headers, "payload": row["value"]}
+
+    ok = df if strict else df.filter(~invalid_nats_subject(subject))
+    write_client_sink(
+        ok,
+        client_factory,
+        default_dest=default_subject,
+        value_col=value_col,
+        batch_size=batch_size,
+        fields_fn=nats_fields,
+    )
+    return None if strict else df.filter(invalid_nats_subject(subject))
 
 
 def http_webhook_sink(

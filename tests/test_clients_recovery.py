@@ -192,3 +192,99 @@ def test_http_5xx_retried_until_success(spark, tmp_path):
     reqs = _read_http_spool(spool)
     assert sum(1 for r in reqs if r["status"] == 500) == 2  # two failed attempts
     assert sum(1 for r in reqs if r["status"] == 200) == 1  # then success
+
+
+# ---------------------------------------------------- redis/nats parity
+
+
+def test_redis_xadd_field_layout(spark, tmp_path):
+    """Reference-exact XADD map (redis.rs:439-479): event_id +
+    idempotency_key + df-event always; df-key from the routing-key →
+    event_id cascade; df-headers only when routing headers exist."""
+    from deltaforge_spark.sinks.clients import redis_xadd_fields
+
+    spool = str(tmp_path / "spool-redis")
+    write_client_sink(
+        _events(spark),
+        spool_sink_factory(spool),
+        default_dest="df-stream",
+        fields_fn=redis_xadd_fields,
+    )
+    got = read_spool(spool)
+    assert len(got) == 10
+    row = {g["df-key"]: g for g in got}["4"]
+    assert row["dest"] == "s-4"
+    assert row["event_id"] == "4"
+    assert row["df-event"].startswith("{")  # the envelope JSON
+    assert "testdb.t1" in row["idempotency_key"]
+    assert "payload" not in row and "df-headers" not in row
+
+
+def test_redis_xadd_key_cascade_falls_to_event_id(spark, tmp_path):
+    from deltaforge_spark.operators import envelope_native
+    from deltaforge_spark.sinks.clients import redis_xadd_fields
+    from deltaforge_spark.sources import snapshot_events
+
+    ev = envelope_native(
+        snapshot_events(
+            spark.createDataFrame([(9, "x")], ["id", "name"]),
+            table="t1",
+            event_id=F.col("id").cast("string"),
+        )
+    )  # no routing struct -> routing_key null -> df-key = event_id
+    spool = str(tmp_path / "spool-redis2")
+    write_client_sink(
+        ev, spool_sink_factory(spool), default_dest="s", fields_fn=redis_xadd_fields
+    )
+    got = read_spool(spool)
+    assert got[0]["df-key"] == "9" and got[0]["event_id"] == "9"
+
+
+def test_nats_headers_and_msg_id(spark, tmp_path):
+    """Nats-Msg-Id = idempotency key on every message (JetStream dedup,
+    nats.rs:291-305); df-key only when a routing key resolved."""
+    from deltaforge_spark.sinks.clients import nats_jetstream_sink
+
+    spool = str(tmp_path / "spool-nats")
+    df = _events(spark).withColumn(
+        "routing",
+        F.col("routing").withField("topic", F.lit("orders.cdc")),
+    )
+    nats_jetstream_sink(
+        df, spool_sink_factory(spool), default_subject="orders.cdc"
+    )
+    got = read_spool(spool)
+    assert len(got) == 10
+    for g in got:
+        assert g["dest"] == "orders.cdc"
+        assert "testdb.t1" in g["headers"]["Nats-Msg-Id"]
+        assert g["headers"]["df-key"] == json.loads(g["payload"])["event_id"]
+
+
+def test_nats_subject_validation_strict_and_split(spark, tmp_path):
+    """Invalid subjects (space / * / > / empty, nats.rs:248-270):
+    strict mode fails the batch at send time; lenient mode publishes
+    valid rows and returns the invalid ones for the DLQ."""
+    from deltaforge_spark.sinks.clients import nats_jetstream_sink
+
+    df = _events(spark).withColumn(
+        "routing",
+        F.col("routing").withField(
+            "topic",
+            F.when(F.col("event_id") == "3", F.lit("bad subject"))
+            .when(F.col("event_id") == "5", F.lit("evil.*"))
+            .otherwise(F.concat(F.lit("ok."), F.col("event_id"))),
+        ),
+    )
+    with pytest.raises(Exception, match="invalid NATS subject"):
+        nats_jetstream_sink(
+            df, spool_sink_factory(str(tmp_path / "s1")), default_subject="d"
+        )
+
+    spool = str(tmp_path / "s2")
+    bad = nats_jetstream_sink(
+        df, spool_sink_factory(spool), default_subject="d", strict=False
+    )
+    got = read_spool(spool)
+    assert len(got) == 8 and all(g["dest"].startswith("ok.") for g in got)
+    assert sorted(r["event_id"] for r in bad.select("event_id").collect()) == ["3", "5"]

@@ -82,14 +82,29 @@ def minhash_signatures(
     df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of k independent
-    hash functions. One explode + one groupBy; partial min runs map-side
-    so the shuffle carries k longs per (partition, doc)."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    hash functions — computed per ROW with ``array_min(transform(...))``
+    over the shingle array. ZERO shuffle: no explode, no groupBy; the
+    whole signature stage is map-only column algebra inside codegen.
+    (The earlier explode+groupBy form shuffled k longs per doc — small,
+    but at 100 TB a billion-doc shuffle stage with no purpose.) Docs
+    with fewer than ``shingle_n`` tokens have no shingles and drop out,
+    matching the grouped form's semantics."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+
+    def hash_with_seed(j: int):
+        # one-arg lambda: a two-parameter lambda would make F.transform
+        # pass the array INDEX as the second argument
+        return lambda s: _hash_shingle(s, j)
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), hash_with_seed(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", *mins)
     )
-    aggs = [F.min(_hash_shingle(F.col("shingle"), j)).alias(f"mh{j}") for j in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -208,6 +208,44 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (operators/sampling.py) — the
+    data-mixing primitive: keep 50% en / 20% zh / 10% of everything
+    else, selected by a 48-bit md5 hash of doc_id so any engine picks
+    the identical rows. Map-only, zero shuffle."""
+    from deltaforge_spark.operators.sampling import stratified_sample
+
+    _prep(spark)
+    out = stratified_sample(
+        read_table(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.5, "zh": 0.2},
+        default_fraction=0.1,
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/sampling.py pack_sequences):
+    per-lang, docs in doc_id order accumulate into bins of ≤256
+    whitespace tokens — the pretraining dataloader's packing pass. The
+    boundary recurrence is sequential per group (applyInPandas), groups
+    pack in parallel; the DuckDB oracle is a recursive CTE."""
+    from deltaforge_spark.operators.sampling import (
+        pack_sequences,
+        whitespace_token_count,
+    )
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", whitespace_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_sequences(
+        docs, group_col="lang", order_col="doc_id", token_col="tokens", budget=256
+    ).orderBy("lang", "doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints via per-bit token votes."""
     _prep(spark)
@@ -1011,6 +1049,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "sample_stratified": q_sample_stratified,
+    "doc_pack_sequences": q_pack_sequences,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_analysis": q_text_analysis,
@@ -1433,6 +1473,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash": _minhash_oracle(),
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  < CASE lang WHEN 'en' THEN {int(0.5 * (1 << 48))}
+                              WHEN 'zh' THEN {int(0.2 * (1 << 48))}
+                              ELSE {int(0.1 * (1 << 48))} END
+            ORDER BY doc_id
+        """,
+        "doc_pack_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT lang, doc_id,
+                       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ), p AS (
+                SELECT lang, doc_id, tokens, rn,
+                       CAST(0 AS BIGINT) AS bin, tokens AS bin_tokens
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.lang, t.doc_id, t.tokens, t.rn,
+                       CASE WHEN p.bin_tokens + t.tokens > 256
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.bin_tokens + t.tokens > 256
+                            THEN t.tokens ELSE p.bin_tokens + t.tokens END
+                FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1
+            )
+            SELECT lang, doc_id, tokens, "bin", bin_tokens
+            FROM p ORDER BY lang, doc_id
+        """,
         "dedup_simhash": _simhash_oracle(16),
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES_SQL}),

@@ -1,0 +1,136 @@
+"""Training-data sampling and sequence packing.
+
+The operators a 100 TB pretraining pipeline runs between "corpus" and
+"dataloader": deterministic (reproducible, engine-portable) sampling —
+uniform and per-stratum — and greedy sequence packing into fixed token
+budgets.
+
+Design:
+- Sampling is HASH-based, not RNG-based: keep a row iff a 48-bit
+  md5-derived value of its key falls under fraction × 2^48. Same rows
+  selected on any engine, any partitioning, any run — the property a
+  data-ablation study needs (Spark's ``df.sample`` is seed-stable only
+  per partitioning). Map-only, zero shuffle, trivially pushes down.
+- Packing is the one genuinely sequential op (bin boundary depends on
+  every prior row in the group), so it runs per-group via
+  ``applyInPandas`` — one shuffle on the group key, O(group) memory,
+  vectorized batches. Groups are independent → embarrassingly parallel
+  across a cluster. An equivalent DuckDB recursive CTE serves as the
+  cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 48-bit hash space; fraction f keeps h < f * 2^48
+_SPACE = 1 << 48
+
+
+def sample_hash(key: Column, seed: str = "smp") -> Column:
+    """Deterministic 48-bit sample hash both Spark and DuckDB compute
+    identically: ``conv(substr(md5('<seed>:' || key), 1, 12), 16, 10)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, *, key_col: str, fraction: float, seed: str = "smp"
+) -> DataFrame:
+    """Reproducible uniform sample: keep iff hash(key) < fraction·2^48."""
+    return df.filter(sample_hash(F.col(key_col), seed) < int(fraction * _SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    key_col: str,
+    seed: str = "smp",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 50% en / 20% zh / 10% everything else). One map-only
+    filter; the per-stratum threshold is a CASE expression, so skewed
+    strata cost nothing extra."""
+    thresh = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(frac * _SPACE))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        thresh.otherwise(F.lit(int(default_fraction * _SPACE)))
+        if thresh is not None
+        else F.lit(int(default_fraction * _SPACE))
+    )
+    return df.filter(sample_hash(F.col(key_col), seed) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy in-order sequence packing: within each group (ordered by
+    ``order_col``), documents accumulate into a bin until adding the
+    next one would exceed ``budget`` tokens; then a new bin starts.
+    Documents alone exceeding the budget get their own bin (truncation
+    is the caller's policy decision).
+
+    Output: group, order, tokens, bin (0-based per group), bin_tokens
+    (the running total inside the bin after this doc).
+
+    Scale shape: one shuffle on the group key; each group packs
+    sequentially inside an Arrow batch (the boundary recurrence is
+    inherently sequential), groups pack in parallel across executors.
+    Use a date/shard column as the group to bound group size.
+    """
+    out_schema = (
+        f"{group_col} string, {order_col} long, tokens long, "
+        "bin long, bin_tokens long"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col)
+        bins, totals = [], []
+        cur_bin, cur_tot = 0, 0
+        for t in pdf[token_col].astype("int64"):
+            if cur_tot > 0 and cur_tot + t > budget:
+                cur_bin += 1
+                cur_tot = 0
+            cur_tot += int(t)
+            bins.append(cur_bin)
+            totals.append(cur_tot)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].astype(str),
+                order_col: pdf[order_col].astype("int64"),
+                "tokens": pdf[token_col].astype("int64"),
+                "bin": bins,
+                "bin_tokens": totals,
+            }
+        )
+
+    src = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(token_col).cast("long").alias(token_col),
+    )
+    return src.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Cheap token estimate: space-run-delimited token count — the same
+    definition as the text-analysis layer's ``_TOKENS_SQL`` oracle
+    (``string_split_regex(trim(text), ' +')``)."""
+    return F.size(F.split(F.trim(text), " +"))

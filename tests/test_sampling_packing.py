@@ -1,0 +1,85 @@
+"""Deterministic sampling + sequence packing (operators/sampling.py)."""
+
+import pyspark.sql.functions as F
+
+from deltaforge_spark.operators.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    sample_hash,
+    stratified_sample,
+    whitespace_token_count,
+)
+
+
+def test_sample_determinism_across_partitionings(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in deterministic_sample(df, key_col="k", fraction=0.3).collect()}
+    b = {
+        r["k"]
+        for r in deterministic_sample(
+            df.repartition(13), key_col="k", fraction=0.3
+        ).collect()
+    }
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+
+
+def test_sample_fraction_monotone(spark):
+    """A smaller fraction selects a strict subset of a larger one —
+    the property that makes ablation ladders comparable."""
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    small = {r["k"] for r in deterministic_sample(df, key_col="k", fraction=0.1).collect()}
+    big = {r["k"] for r in deterministic_sample(df, key_col="k", fraction=0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("zh" if i % 4 == 1 else "de")) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = stratified_sample(
+        df, strata_col="lang", fractions={"en": 0.5, "zh": 0.05},
+        default_fraction=0.0, key_col="k",
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "de" not in by  # default 0 drops the stratum entirely
+    assert 800 < by["en"] < 1200  # ~0.5 of 2000
+    assert 20 < by["zh"] < 90  # ~0.05 of 1000
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    rows = [
+        ("g", 1, 100), ("g", 2, 100), ("g", 3, 100),  # 100+100 fits, +100 overflows
+        ("g", 4, 300),                                  # oversized -> own bin
+        ("g", 5, 10),
+        ("h", 1, 250),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "ord", "tok"])
+    out = pack_sequences(df, group_col="grp", order_col="ord", token_col="tok", budget=250)
+    got = {(r["grp"], r["ord"]): (r["bin"], r["bin_tokens"]) for r in out.collect()}
+    assert got[("g", 1)] == (0, 100)
+    assert got[("g", 2)] == (0, 200)
+    assert got[("g", 3)] == (1, 100)   # 200+100 > 250 -> new bin
+    assert got[("g", 4)] == (2, 300)   # oversized doc alone, over budget
+    assert got[("g", 5)] == (3, 10)    # 300 is already over -> next bin
+    assert got[("h", 1)] == (0, 250)   # exact fit, separate group
+
+
+def test_pack_respects_order_not_input_partitioning(spark):
+    rows = [("g", i, 50) for i in range(20)]
+    df = spark.createDataFrame(rows, ["grp", "ord", "tok"]).repartition(7)
+    out = pack_sequences(df, group_col="grp", order_col="ord", token_col="tok", budget=100)
+    got = sorted((r["ord"], r["bin"]) for r in out.collect())
+    # 50+50 per bin -> bins [0,0,1,1,2,2,...]
+    assert [b for _, b in got] == [i // 2 for i in range(20)]
+
+
+def test_whitespace_token_count(spark):
+    df = spark.createDataFrame([("  a b   c ",), ("one",)], ["text"])
+    got = [r["n"] for r in df.select(whitespace_token_count(F.col("text")).alias("n")).collect()]
+    assert got == [3, 1]
+
+
+def test_sample_hash_range(spark):
+    df = spark.range(0, 100).select(sample_hash(F.col("id")).alias("h"))
+    mn, mx = df.agg(F.min("h"), F.max("h")).first()
+    assert mn >= 0 and mx < (1 << 48)

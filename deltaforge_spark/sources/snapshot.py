@@ -56,10 +56,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver testdata uses TIMESTAMP(NANOS); set the read conf here so
         # library callers don't need to know (idempotent, runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the nanos→epoch normalization below must not depend on the
+        # caller session's zone (NTZ→timestamp cast is session-tz-based)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     path = _staged_path(sf_dir, name)
     df = spark.read.parquet(path)
+    df = _normalize_event_ts(df)
     target = spark.sparkContext.defaultParallelism
     # Estimate the scan's split count from file metadata instead of
     # df.rdd.getNumPartitions(): the RDD conversion forces plan
@@ -69,6 +73,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # sizes come from a driver-side stat (local path, microseconds).
     if _estimated_splits(spark, path) < max(2, target // 2):
         df = df.repartition(target)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Pin the ``ts`` event-time column to raw epoch NANOS (long).
+
+    Earlier driver testdata vintages wrote ``ts`` as TIMESTAMP(NANOS),
+    which the ``nanosAsLong`` conf surfaces as a raw long; the current
+    vintage writes TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ.
+    The change-feed algebra (``ts div 1000000`` → ms) and its DuckDB
+    oracles (``epoch_ns(ts)``/``epoch_ms(ts)``) are defined over the
+    nanos contract, so both vintages must read identically. Session tz
+    is pinned to UTC by ``read_table`` so the NTZ cast is zone-stable.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    f = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if f is not None and isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
     return df
 
 

@@ -261,6 +261,90 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(corpus, bench, n=5).orderBy("doc_id")
 
 
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter (operators/quality.py): per-row gates
+    (word count / mean word length / symbol ratio / alpha fraction /
+    stopwords) plus n-gram repetition gates (top-2-gram and duplicate-
+    5-gram char fractions), ``keep`` = all pass. Per-row gates are one
+    shuffle-free projection; each repetition metric is an explode +
+    (doc_id, gram) partial-agg groupBy — MinHash's scale shape."""
+    from deltaforge_spark.operators.quality import gopher_quality_filter
+
+    _prep(spark)
+    return gopher_quality_filter(read_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py) over text composed
+    from the customer table (TPC-H phone formats + synthesized emails /
+    IPs / SSNs): per-class counts and the redacted string, sequential
+    redaction order email→phone→ssn→ip. Map-only regex projection —
+    zero shuffle, codegen-compiled patterns."""
+    from deltaforge_spark.operators.pii import scan_documents
+
+    _prep(spark)
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        k,
+        F.concat(
+            F.lit("contact "), F.col("c_name"),
+            F.lit(" <"), F.col("c_name"), F.lit("@example.com> phone "),
+            phone,
+            F.lit(" ip 10.0."), (k % 256).cast("string"),
+            F.lit("."), (k % 100).cast("string"),
+            F.when(k % 10 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scan_documents(cust, text_col="text", id_col="c_custkey").orderBy("doc_id")
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.py
+    quantize_embeddings): per-vector scale = max|x|, exact floor-based
+    rounding so DuckDB reproduces the int vectors bit-for-bit. Map-only
+    projection — the ANN serving tier's storage layout at 4x smaller."""
+    from deltaforge_spark.operators.similarity import quantize_embeddings
+
+    _prep(spark)
+    q = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(F.col("qvec"), lambda x: x.cast("string")), ",").alias(
+            "qvec_csv"
+        ),
+        "max_abs_err",
+    ).orderBy("vec_id")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    dataset_split): 48-bit md5 hash of doc_id into cumulative-fraction
+    buckets — the same doc lands in the same split on any engine or
+    partitioning (eval-set stability across reshards). Map-only assign,
+    one tiny groupBy for the summary."""
+    from deltaforge_spark.operators.sampling import dataset_split
+
+    _prep(spark)
+    out = dataset_split(read_table(spark, sf_dir, "documents"), key_col="doc_id")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints via per-bit token votes."""
     _prep(spark)
@@ -1067,6 +1151,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "doc_pack_sequences": q_pack_sequences,
     "doc_contamination": q_contamination,
+    "doc_quality_gopher": q_doc_quality_gopher,
+    "pii_scan": q_pii_scan,
+    "embedding_quantize": q_embedding_quantize,
+    "dataset_split": q_dataset_split,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_analysis": q_text_analysis,
@@ -1342,8 +1430,190 @@ def _connected_components_oracle() -> str:
     """
 
 
+def _gopher_quality_oracle() -> str:
+    """DuckDB twin of gopher_quality_filter: identical tokenization
+    (space-run split of trimmed text), identical n-gram construction,
+    identical single-division ratio arithmetic rounded to 6dp."""
+    from deltaforge_spark.operators.quality import (
+        GOPHER_STOPWORDS,
+        MAX_DUP5GRAM_FRAC,
+        MAX_MEAN_WLEN,
+        MAX_SYMBOL_RATIO,
+        MAX_TOP2GRAM_FRAC,
+        MAX_WORDS,
+        MIN_ALPHA_WORD_FRAC,
+        MIN_MEAN_WLEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   {_TOKENS_SQL} AS w
+            FROM documents
+        ),
+        per_row AS (
+            SELECT doc_id, n_chars, len(w) AS n_words,
+                   round(n_chars / greatest(len(w), 1), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.')) / greatest(len(w), 1), 6) AS symbol_ratio,
+                   round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) / greatest(len(w), 1), 6) AS alpha_word_frac,
+                   len(list_filter(w, t -> t IN ({stops}))) AS stopword_hits
+            FROM toks
+        ),
+        g2 AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> array_to_string(list_slice(w, i, i + 1), ' '))
+                    ELSE [] END) AS gram
+                FROM toks)
+            GROUP BY doc_id, gram
+        ),
+        top2 AS (
+            SELECT doc_id, cnt * length(gram) AS top2_chars FROM (
+                SELECT doc_id, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram ASC) AS rk
+                FROM g2)
+            WHERE rk = 1
+        ),
+        g5 AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+                    THEN list_transform(range(1, len(w) - 3),
+                                        i -> array_to_string(list_slice(w, i, i + 4), ' '))
+                    ELSE [] END) AS gram
+                FROM toks)
+            GROUP BY doc_id, gram
+        ),
+        dup5 AS (
+            SELECT doc_id, sum(cnt * length(gram)) AS dup5_chars
+            FROM g5 WHERE cnt >= 2 GROUP BY doc_id
+        ),
+        rep AS (
+            SELECT t.doc_id,
+                   round(least(coalesce(top2.top2_chars, 0) / greatest(t.n_chars, 1), 1.0), 6) AS top_2gram_char_frac,
+                   round(least(coalesce(dup5.dup5_chars, 0) / greatest(t.n_chars, 1), 1.0), 6) AS dup_5gram_char_frac
+            FROM toks t
+            LEFT JOIN top2 ON t.doc_id = top2.doc_id
+            LEFT JOIN dup5 ON t.doc_id = dup5.doc_id
+        )
+        SELECT p.doc_id, p.n_words, p.mean_word_len, p.symbol_ratio,
+               p.alpha_word_frac, p.stopword_hits,
+               r.top_2gram_char_frac, r.dup_5gram_char_frac,
+               (p.n_words >= {MIN_WORDS} AND p.n_words <= {MAX_WORDS}
+                AND p.mean_word_len >= {MIN_MEAN_WLEN} AND p.mean_word_len <= {MAX_MEAN_WLEN}
+                AND p.symbol_ratio <= {MAX_SYMBOL_RATIO}
+                AND p.alpha_word_frac >= {MIN_ALPHA_WORD_FRAC}
+                AND p.stopword_hits >= {MIN_STOPWORD_HITS}
+                AND r.top_2gram_char_frac <= {MAX_TOP2GRAM_FRAC}
+                AND r.dup_5gram_char_frac <= {MAX_DUP5GRAM_FRAC}) AS keep
+        FROM per_row p JOIN rep r ON p.doc_id = r.doc_id
+        ORDER BY p.doc_id
+    """
+
+
+def _pii_scan_oracle() -> str:
+    """DuckDB twin of pii.scan_documents over the composed customer
+    text: same patterns (Java/RE2-common subset), same sequential
+    redaction order, counts taken on the previously-redacted string."""
+    from deltaforge_spark.operators.pii import PII_PATTERNS, REPLACEMENTS
+
+    compose = """
+        SELECT c_custkey AS doc_id,
+               'contact ' || c_name || ' <' || c_name || '@example.com> phone ' ||
+               lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+               ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+               CAST(c_custkey % 100 AS VARCHAR) ||
+               CASE WHEN c_custkey % 10 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        FROM customer
+    """
+    cur = "text"
+    count_cols, redact_expr = [], "text"
+    for name, pat in PII_PATTERNS.items():
+        count_cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{REPLACEMENTS[name]}', 'g')"
+        redact_expr = cur
+    counts = ",\n               ".join(count_cols)
+    total = " + ".join(f"n_{n}" for n in PII_PATTERNS)
+    return f"""
+        WITH src AS ({compose}),
+        scanned AS (
+            SELECT doc_id,
+               {counts},
+               {redact_expr} AS redacted_text
+            FROM src
+        )
+        SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+               {total} AS n_pii_total, redacted_text
+        FROM scanned ORDER BY doc_id
+    """
+
+
+def _embedding_quantize_oracle() -> str:
+    """DuckDB twin of quantize_embeddings: exact float→double widening,
+    order-independent max for the scale, floor-based rounding — every
+    step a single IEEE op, so the int vectors match bit-for-bit."""
+    return """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e
+        ),
+        q AS (
+            SELECT vec_id, v, sc,
+                   CASE WHEN sc > 0
+                        THEN list_transform(v, x -> greatest(-127, least(127,
+                             CAST(floor(x * 127.0 / sc + 0.5) AS INT))))
+                        ELSE list_transform(v, x -> 0) END AS qv
+            FROM s
+        )
+        SELECT vec_id, round(sc, 9) AS scale,
+               array_to_string(qv, ',') AS qvec_csv,
+               round(CASE WHEN sc > 0
+                     THEN list_max(list_transform(range(1, len(v) + 1),
+                          i -> abs(v[i] - qv[i] * sc / 127.0)))
+                     ELSE 0.0 END, 6) AS max_abs_err
+        FROM q ORDER BY vec_id
+    """
+
+
+def _dataset_split_oracle() -> str:
+    """DuckDB twin of sampling.dataset_split: identical 48-bit hash and
+    the identical float-accumulated cumulative boundaries (computed by
+    the same Python arithmetic the operator runs)."""
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    cum, cases = 0.0, []
+    for name, frac in splits[:-1]:
+        cum += frac
+        cases.append(f"WHEN hv < {int(cum * (1 << 48))} THEN '{name}'")
+    last = splits[-1][0]
+    case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+            FROM documents
+        ),
+        a AS (SELECT doc_id, {case} AS split FROM h)
+        SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM a GROUP BY split ORDER BY split
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_quality_gopher": _gopher_quality_oracle(),
+        "pii_scan": _pii_scan_oracle(),
+        "embedding_quantize": _embedding_quantize_oracle(),
+        "dataset_split": _dataset_split_oracle(),
         "dedup_connected_components": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (

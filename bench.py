@@ -136,6 +136,10 @@ HEADLINE = [
     "dedup_connected_components",
     "cdc_schema_sensing_deep",
     "cdc_toast_unchanged",
+    "doc_quality_gopher",
+    "pii_scan",
+    "embedding_quantize",
+    "dataset_split",
     "q6_forecast_revenue",
     "q4_order_priority",
     "customers_without_big_orders",

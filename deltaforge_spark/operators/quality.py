@@ -1,0 +1,175 @@
+"""Document-quality filtering for training-data pipelines: the
+Gopher-style heuristic rule set (Rae et al. 2021, "Scaling Language
+Models", appendix A1.1) re-expressed as Spark column algebra, plus the
+repetition metrics it gates on.
+
+The corpus here is whitespace-token text with no line structure, so the
+line-based Gopher rules (duplicate-line fraction, bullet/ellipsis line
+fractions) are expressed over word n-grams instead — the same
+repetition signal the paper's n-gram rules capture:
+
+- ``top_2gram_char_frac``: chars covered by the single most frequent
+  word 2-gram: ``count * len(gram) / len(text)`` (most-frequent ties
+  break to the lexicographically smallest gram).
+- ``dup_5gram_char_frac``: chars covered by all 5-grams occurring at
+  least twice: ``sum(count * len(gram)) / len(text)``, capped at 1.0
+  (overlap-naive attribution — overlapping occurrences double-count,
+  which the cap bounds; documented deviation from the paper's exact
+  char-coverage walk).
+
+Everything is deterministic integer/single-division arithmetic so the
+DuckDB oracle reproduces values bit-for-bit; ratios are rounded to 6dp.
+
+Scale shape: the per-row gates are one narrow projection (no shuffle);
+each repetition metric is one explode + one (doc_id, gram) partial-agg
+groupBy + one (doc_id) agg — the same inverted-index shape as MinHash
+signatures, skew-free because grams are salted by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import tokens
+
+# Gopher's stopword-presence rule uses this fixed marker set
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Gopher thresholds (appendix A1.1)
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WLEN, MAX_MEAN_WLEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOPWORD_HITS = 2
+MAX_TOP2GRAM_FRAC = 0.20
+MAX_DUP5GRAM_FRAC = 0.15
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams of ``text`` WITH duplicates (repetition metrics need
+    occurrence counts; contrast dedup.word_shingles which distincts)."""
+    toks = tokens(text)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _ngram_counts(df: DataFrame, *, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics: (doc_id, top_2gram_char_frac,
+    dup_5gram_char_frac). Docs shorter than the n-gram size get 0.0."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("n_chars"))
+
+    g2 = _ngram_counts(df, text_col=text_col, id_col=id_col, n=2)
+    # most frequent 2-gram per doc, ties to lexicographically smallest:
+    # max_by over a (cnt, negated-comparable gram) isn't expressible with
+    # deterministic tie-break in one agg, so rank with a window instead
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top2 = (
+        g2.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", (F.col("cnt") * F.length("gram")).alias("top2_chars"))
+    )
+
+    g5 = _ngram_counts(df, text_col=text_col, id_col=id_col, n=5)
+    dup5 = (
+        g5.filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup5_chars"))
+    )
+
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.least(
+                    F.coalesce(F.col("top2_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """The per-row (shuffle-free) Gopher gates as named boolean columns,
+    plus the metrics they derive from."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    mean_wlen = F.round(n_chars / F.greatest(n_words, F.lit(1)), 6)
+    # symbols: '#' occurrences and '...' ellipses (Gopher's symbol set)
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / F.greatest(n_words, F.lit(1)), 6)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(GOPHER_STOPWORDS)))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+        "ok_word_count": (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS),
+        "ok_mean_word_len": (mean_wlen >= MIN_MEAN_WLEN) & (mean_wlen <= MAX_MEAN_WLEN),
+        "ok_symbol_ratio": symbol_ratio <= MAX_SYMBOL_RATIO,
+        "ok_alpha_words": alpha_frac >= MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": stop_hits >= MIN_STOPWORD_HITS,
+    }
+
+
+def gopher_quality_filter(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full Gopher-style quality assessment: per-row gates + repetition
+    gates, ``keep`` = all gates pass. One narrow projection + the two
+    repetition aggs joined back on doc_id."""
+    flags = gopher_flags(F.col(text_col))
+    per_row = df.select(F.col(id_col).alias("doc_id"), *[c.alias(k) for k, c in flags.items()])
+    rep = repetition_metrics(df, text_col=text_col, id_col=id_col)
+    out = per_row.join(rep, "doc_id")
+    keep = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords")
+        & (F.col("top_2gram_char_frac") <= MAX_TOP2GRAM_FRAC)
+        & (F.col("dup_5gram_char_frac") <= MAX_DUP5GRAM_FRAC)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "stopword_hits",
+        "top_2gram_char_frac",
+        "dup_5gram_char_frac",
+        keep.alias("keep"),
+    )

@@ -71,6 +71,31 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(key_col), seed) < thresh)
 
 
+def dataset_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the 48-bit sample hash
+    of the key lands in cumulative-fraction buckets. Engine- and
+    partitioning-independent (same doc always lands in the same split —
+    the property that keeps eval sets uncontaminated across reshards and
+    re-runs), map-only, zero shuffle. Fractions should sum to 1; any
+    hash above the last boundary takes the final split's name."""
+    h = sample_hash(F.col(key_col), seed)
+    cum = 0.0
+    expr = None
+    for name, frac in list(splits)[:-1]:
+        cum += frac
+        cond = h < int(cum * _SPACE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(splits)[-1][0]
+    expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return df.withColumn("split", expr)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -221,6 +221,65 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    layout an ANN serving tier keeps its vectors in (4x smaller than
+    float32, SIMD-friendly dot products downstream).
+
+    Per vector: ``scale = max(|x_i|)``, ``q_i = floor(x_i * 127 / scale
+    + 0.5)`` clamped to [-127, 127]; all-zero vectors quantize to zeros
+    with scale 0. Every step is a single IEEE double op or an exact
+    integer op and max() is order-independent, so the DuckDB oracle
+    reproduces the quantized vectors bit-for-bit (no float-fold ordering
+    hazard). ``max_abs_err`` reports the per-vector reconstruction error
+    bound (max over dims), rounded to 6dp.
+
+    Map-only projection: zero shuffle at any scale.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * F.lit(127.0) / F.col("_scale") + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    dequant_err = F.array_max(
+        F.zip_with(
+            v,
+            F.col("_qvec"),
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * F.col("_scale") / F.lit(127.0)),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("vec_id"), v.alias(vec_col), scale.alias("_scale"))
+        .withColumn(
+            "_qvec",
+            F.when(F.col("_scale") > 0, q).otherwise(
+                F.transform(v, lambda x: F.lit(0).cast("int"))
+            ),
+        )
+        .withColumn(
+            "_err", F.when(F.col("_scale") > 0, dequant_err).otherwise(F.lit(0.0))
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("_scale"), 9).alias("scale"),
+        F.col("_qvec").alias("qvec"),
+        F.round(F.col("_err"), 6).alias("max_abs_err"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

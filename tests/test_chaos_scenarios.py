@@ -1,0 +1,145 @@
+"""Chaos-suite analogs (reference crates/chaos/src/scenarios: sink_outage,
+dlq_poison, crash_recovery): kill/fail mid-stream, recover, assert no
+loss and bounded duplicates — the recovery/replay harness SURVEY.md §5
+commits to in place of the reference's dockerized chaos rig."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from deltaforge_spark.sinks.dlq import DlqStore, split_dlq
+from deltaforge_spark.sinks.foreach import CommitPolicy, SinkSpec
+from deltaforge_spark.streaming.pipeline import StreamingPipeline, file_change_source
+
+
+def _write_chunks(spark, path, n_chunks=3, rows_per=10):
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    base = _t.time() - 1000
+    for i in range(n_chunks):
+        ids = list(range(i * rows_per, (i + 1) * rows_per))
+        tbl = pa.table({"event_id": ids, "value": [x * 2 for x in ids]})
+        p = f"{path}/chunk_{i}.parquet"
+        pq.write_table(tbl, p)
+        os.utime(p, (base + i * 10, base + i * 10))
+    return spark.read.parquet(path).schema
+
+
+class _DirSink:
+    """Records every delivered event_id (append-only jsonl per call) —
+    duplicates visible, so the tests can assert exactly-once-per-sink."""
+
+    def __init__(self, out_dir, fail_batches=0):
+        self.out = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.fail_path = os.path.join(out_dir, "_failures_left")
+        with open(self.fail_path, "w") as f:
+            f.write(str(fail_batches))
+
+    def __call__(self, df):
+        with open(self.fail_path) as f:
+            left = int(f.read())
+        if left > 0:
+            with open(self.fail_path, "w") as f:
+                f.write(str(left - 1))
+            raise RuntimeError("sink outage (injected)")
+        ids = [r.event_id for r in df.select("event_id").collect()]
+        with open(os.path.join(self.out, "delivered.jsonl"), "a") as f:
+            for i in ids:
+                f.write(f"{i}\n")
+
+    def delivered(self):
+        p = os.path.join(self.out, "delivered.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [int(x) for x in f.read().split()]
+
+
+def _run_until_done(pipeline, spark, max_restarts=5):
+    """availableNow drain with restart-on-failure — the chaos harness's
+    retry loop (a failed micro-batch fails the query; the pipeline
+    restarts from the checkpoint and replays)."""
+    for _ in range(max_restarts):
+        q = pipeline.start(spark, trigger_available_now=True)
+        try:
+            q.awaitTermination(120)
+            return
+        except Exception:
+            continue
+    raise AssertionError("pipeline did not recover within restart budget")
+
+
+def test_sink_outage_recovers_without_loss(spark, tmp_path):
+    schema = _write_chunks(spark, str(tmp_path / "src"))
+    healthy = _DirSink(str(tmp_path / "healthy"))
+    flaky = _DirSink(str(tmp_path / "flaky"), fail_batches=2)
+    pipe = StreamingPipeline(
+        name="outage",
+        source=file_change_source(str(tmp_path / "src"), schema, max_files_per_trigger=1),
+        sinks=[SinkSpec("healthy", healthy), SinkSpec("flaky", flaky)],
+        policy=CommitPolicy(kind="required"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        offsets_path=str(tmp_path / "offsets.json"),
+    )
+    _run_until_done(pipe, spark)
+    all_ids = set(range(30))
+    # no loss on either sink once the outage clears
+    assert set(flaky.delivered()) == all_ids
+    assert set(healthy.delivered()) == all_ids
+    # the healthy sink is never re-written for batches it committed
+    # pre-outage (per-sink offset skip): exactly one delivery per event
+    deliveries = healthy.delivered()
+    assert len(deliveries) == len(set(deliveries))
+
+
+def test_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
+    schema = _write_chunks(spark, str(tmp_path / "src"))
+    sink = _DirSink(str(tmp_path / "out"))
+    pipe = StreamingPipeline(
+        name="crash",
+        source=file_change_source(str(tmp_path / "src"), schema, max_files_per_trigger=1),
+        sinks=[SinkSpec("out", sink)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        offsets_path=str(tmp_path / "offsets.json"),
+    )
+    # first run drains everything; a restart against the same checkpoint
+    # (the post-crash rerun) must not redeliver anything
+    _run_until_done(pipe, spark)
+    n_after_first = len(sink.delivered())
+    _run_until_done(pipe, spark)
+    assert len(sink.delivered()) == n_after_first == 30
+
+
+def test_dlq_poison_stream_isolates_bad_events(spark, tmp_path):
+    schema = _write_chunks(spark, str(tmp_path / "src"))
+    good_sink = _DirSink(str(tmp_path / "good"))
+    dlq = DlqStore(spark, str(tmp_path / "dlq"), pipeline="poison")
+
+    def poison_split_sink(df):
+        # poison = value divisible by 10 (deterministic stand-in for a
+        # per-row serialization failure, chaos dlq_poison scenario)
+        flagged = df.withColumn("_bad", F.col("value") % 10 == 0)
+        ok, bad = split_dlq(flagged, "_bad")
+        good_sink(ok.drop("_bad"))
+        bad = bad.select(
+            "event_id", "value", F.lit("encode error").alias("reason")
+        )
+        dlq.write(bad, sink_id="split", error_kind="serialization", reason_col="reason")
+
+    pipe = StreamingPipeline(
+        name="poison",
+        source=file_change_source(str(tmp_path / "src"), schema, max_files_per_trigger=1),
+        sinks=[SinkSpec("split", poison_split_sink)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        offsets_path=str(tmp_path / "offsets.json"),
+    )
+    _run_until_done(pipe, spark)
+    poisoned = {i for i in range(30) if (i * 2) % 10 == 0}
+    assert set(good_sink.delivered()) == set(range(30)) - poisoned
+    dlq_ids = {int(r.event_id) for r in dlq.peek(100).collect()}
+    assert dlq_ids == poisoned

@@ -122,23 +122,10 @@ def observe_deep_shapes(df: DataFrame, json_col: str, *, max_depth: int = 3) -> 
     )
 
 
-def classify_field_paths(
-    df: DataFrame,
-    json_col: str,
-    *,
-    max_depth: int = 3,
-    key_cardinality_threshold: int = 16,
-    exact: bool = False,
-) -> DataFrame:
-    """Per-field-path map-vs-struct classification
-    (high_cardinality.rs:1-50): for every object-valued path (root =
-    ``''``), count occurrences and distinct child keys; a path whose key
-    set explodes is a MAP (user-keyed), a stable small key set is a
-    STRUCT. ``exact=False`` uses approx_count_distinct — the built-in
-    HLL sketch, the scale path; ``exact=True`` is for cross-engine
-    comparison."""
-    c = F.col(json_col)
-    # (parent_path, child_key) pairs for the root + each nested level
+def _key_path_pairs(c, *, max_depth: int):
+    """(parent_path, child_key) pairs for the root + each nested level —
+    the walk both the map-vs-struct classifier and the heavy-hitter
+    tracker run over."""
     level = _entries(c)
     pairs = F.transform(
         level, lambda p: F.struct(F.lit("").alias("parent_path"), p["path"].alias("child_key"))
@@ -162,6 +149,25 @@ def classify_field_paths(
                 )
             ),
         )
+    return pairs
+
+
+def classify_field_paths(
+    df: DataFrame,
+    json_col: str,
+    *,
+    max_depth: int = 3,
+    key_cardinality_threshold: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-field-path map-vs-struct classification
+    (high_cardinality.rs:1-50): for every object-valued path (root =
+    ``''``), count occurrences and distinct child keys; a path whose key
+    set explodes is a MAP (user-keyed), a stable small key set is a
+    STRUCT. ``exact=False`` uses approx_count_distinct — the built-in
+    HLL sketch, the scale path; ``exact=True`` is for cross-engine
+    comparison."""
+    pairs = _key_path_pairs(F.col(json_col), max_depth=max_depth)
     exploded = df.select(F.explode(pairs).alias("pc")).select("pc.parent_path", "pc.child_key")
     n_distinct = (
         F.count_distinct(F.col("child_key"))
@@ -176,6 +182,70 @@ def classify_field_paths(
         )
         .withColumn(
             "is_map", F.col("n_distinct_keys") > F.lit(key_cardinality_threshold)
+        )
+    )
+
+
+def heavy_hitter_keys(
+    df: DataFrame,
+    json_col: str,
+    *,
+    max_depth: int = 3,
+    capacity: int = 50,
+    stable_threshold: float = 0.6,
+) -> DataFrame:
+    """Per-path top-``capacity`` child keys by frequency, with the
+    reference's stable-field classification: a key present in at least
+    ``stable_threshold`` of its parent's occurrences is *stable*
+    (a schema property); the long tail below it is dynamic (map keys —
+    UUIDs, user ids). Mirrors the SpaceSaving heavy-hitter tracker +
+    stable_threshold rule (high_cardinality.rs:28-48, 117-157).
+
+    SpaceSaving's bounded-memory guarantee maps onto Spark's map-side
+    partial aggregation: each task keeps one counter per locally-seen
+    (path, key), and only the partial counts shuffle. The window top-K
+    cut bounds the output, matching the sketch's capacity semantics
+    with exact counts (Spark can afford exactness here because the
+    shuffle carries counts, not events).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(json_col)
+    pairs = _key_path_pairs(c, max_depth=max_depth)
+    # occurrences of each path AS AN OBJECT (the classifier's event
+    # denominator: add() is called once per parent occurrence)
+    occ_paths = F.when(
+        F.from_json(c, _MAP).isNotNull(), F.array(F.lit(""))
+    ).otherwise(F.array().cast("array<string>"))
+    level = _entries(c)
+    for _ in range(1, max_depth):
+        obj_level = F.filter(level, lambda p: F.from_json(p["j"], _MAP).isNotNull())
+        occ_paths = F.concat(occ_paths, F.transform(obj_level, lambda p: p["path"]))
+        level = _child_entries(level)
+
+    exploded = df.select(F.explode(pairs).alias("pc")).select(
+        "pc.parent_path", "pc.child_key"
+    )
+    counts = exploded.groupBy("parent_path", "child_key").agg(F.count("*").alias("n"))
+    occ = (
+        df.select(F.explode(occ_paths).alias("parent_path"))
+        .groupBy("parent_path")
+        .agg(F.count("*").alias("n_parent_occurrences"))
+    )
+    w = Window.partitionBy("parent_path").orderBy(F.col("n").desc(), F.col("child_key").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= capacity)
+        .join(occ, "parent_path")
+        .select(
+            "parent_path",
+            "child_key",
+            "n",
+            "rank",
+            F.round(F.col("n") / F.col("n_parent_occurrences"), 6).alias("support"),
+            (
+                F.col("n") >= F.lit(stable_threshold) * F.col("n_parent_occurrences")
+            ).alias("stable"),
         )
     )
 

@@ -166,3 +166,35 @@ def test_guided_drift_flags_only_unexpected_shapes(spark, cdc_events):
     assert drift[0]["expected_fingerprint"] == flat
     # unknown table has no expectation → never drift
     assert all(d["table"] == "users" for d in drift)
+
+
+def test_heavy_hitter_keys_stable_vs_dynamic(spark):
+    from deltaforge_spark.schema.sensing import heavy_hitter_keys
+
+    # 10 payloads: root keys a/b always present (stable), "attrs" is a
+    # user-keyed map — every child key unique per event (dynamic)
+    rows = [
+        (f'{{"a": 1, "b": 2, "attrs": {{"u{i}": "x", "v{i}": "y"}}}}'.replace("{i}", str(i)),)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    hh = heavy_hitter_keys(df, "payload", max_depth=2, capacity=50)
+    root = {r.child_key: r for r in hh.filter(F.col("parent_path") == "").collect()}
+    assert root["a"].stable and root["a"].support == 1.0
+    assert root["b"].stable and root["attrs"].stable
+    attrs = [r for r in hh.filter(F.col("parent_path") == "attrs").collect()]
+    assert len(attrs) == 20  # u0..u9, v0..v9 each once
+    assert all((not r.stable) and r.support == 0.1 for r in attrs)
+
+
+def test_heavy_hitter_capacity_cut(spark):
+    from deltaforge_spark.schema.sensing import heavy_hitter_keys
+
+    rows = [('{"k%d": 1, "common": 2}' % (i % 7),) for i in range(21)]
+    df = spark.createDataFrame(rows, "payload string")
+    hh = heavy_hitter_keys(df, "payload", max_depth=1, capacity=3)
+    got = hh.orderBy("rank").collect()
+    assert len(got) == 3
+    # 'common' appears in every payload -> rank 1 and stable
+    assert got[0].child_key == "common" and got[0].stable
+    assert [r.rank for r in got] == [1, 2, 3]

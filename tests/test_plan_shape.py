@@ -115,3 +115,42 @@ def test_snapshot_scan_prunes_columns(spark, sf_dir):
     assert "o_orderkey" in line and "o_totalprice" in line
     for unused in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
         assert unused not in line, f"scan reads unused column {unused}: {line}"
+
+
+def test_map_only_operators_have_no_exchange(spark, sf_dir):
+    """PII scan, int8 quantization, and split assignment are map-only
+    contracts: one projection over the scan, zero shuffles, no Python."""
+    from deltaforge_spark.operators.pii import scan_documents
+    from deltaforge_spark.operators.sampling import dataset_split
+    from deltaforge_spark.operators.similarity import quantize_embeddings
+    from deltaforge_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    for df in (
+        scan_documents(docs, text_col="text", id_col="doc_id"),
+        quantize_embeddings(emb),
+        dataset_split(docs, key_col="doc_id"),
+    ):
+        p = plan_str(df)
+        # the only exchange allowed is read_table's split fan-out
+        # repartition (round-robin), never a hash shuffle from the op
+        assert "hashpartitioning" not in p.lower(), p
+        for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_op not in p, p
+
+
+def test_gopher_filter_shuffle_budget(spark, sf_dir):
+    """The quality filter's plan: repetition metrics cost hash shuffles
+    on (doc_id[, gram]) aggregations + the join back — but the per-row
+    gates must not add any, and no Python appears anywhere."""
+    from deltaforge_spark.operators.quality import gopher_quality_filter
+    from deltaforge_spark.sources import read_table
+
+    p = plan_str(gopher_quality_filter(read_table(spark, sf_dir, "documents")))
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p, p
+    # 2-gram agg, 5-gram agg, top-K window, dup-sum agg and the doc_id
+    # joins: bounded by 8 hash exchanges; a regression that starts
+    # shuffling text bytes per gate would blow past this
+    assert p.lower().count("hashpartitioning") <= 8, p

@@ -805,6 +805,35 @@ def q_schema_sensing_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-path heavy-hitter keys with stable-field classification
+    (reference SpaceSaving + stable_threshold,
+    high_cardinality.rs:28-48, 117-157) over the same dynamic payload
+    as the deep-sensing query: stable root/user keys surface with
+    support 1.0, the user-keyed ``tags`` map's long tail classifies
+    dynamic, capacity bounds the output like the sketch."""
+    from deltaforge_spark.schema.sensing import heavy_hitter_keys
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user":{"uid":'),
+        F.col("user_id").cast("string"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(',"seg":"'), F.col("event_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit('},"tags":{"k'),
+        (F.col("event_id") % 64).cast("string"),
+        F.lit('":1}}'),
+    )
+    return heavy_hitter_keys(
+        ev.select(payload.alias("payload")), "payload", max_depth=2, capacity=10
+    ).orderBy("parent_path", "rank")
+
+
 def q_toast_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOAST partial row images: updates on a 1-in-5 deterministic
     stride elide ``props`` as ``{"_unchanged":true}``
@@ -1182,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lake_partitions": q_lake_partitions,
     "cdc_schema_sensing": q_schema_sensing,
     "cdc_schema_sensing_deep": q_schema_sensing_deep,
+    "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
     "cdc_toast_unchanged": q_toast_unchanged,
     "cdc_snapshot_handoff": q_snapshot_handoff,
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
@@ -1585,6 +1615,59 @@ def _embedding_quantize_oracle() -> str:
     """
 
 
+def _heavy_hitters_oracle() -> str:
+    """DuckDB twin of heavy_hitter_keys over the deep-sensing payload:
+    json_keys/json_type replicate the bounded-depth object walk, exact
+    counts + deterministic (n DESC, key ASC) top-K, support measured
+    against parent-object occurrences."""
+    payload = """
+        SELECT '{"id":' || CAST(event_id AS VARCHAR) ||
+               ',"user":{"uid":' || CAST(user_id AS VARCHAR) ||
+               CASE WHEN user_id % 3 = 0
+                    THEN ',"seg":"' || event_type || '"' ELSE '' END ||
+               '},"tags":{"k' || CAST(event_id % 64 AS VARCHAR) || '":1}}' AS payload
+        FROM events
+    """
+    return f"""
+        WITH src AS ({payload}),
+        root_pairs AS (
+            SELECT '' AS parent_path, unnest(json_keys(payload)) AS child_key FROM src
+        ),
+        l1 AS (
+            SELECT k AS path, payload
+            FROM src, unnest(json_keys(payload)) AS t(k)
+            WHERE json_type(payload, '$.' || k) = 'OBJECT'
+        ),
+        l1_pairs AS (
+            SELECT path AS parent_path,
+                   unnest(json_keys(payload, '$.' || path)) AS child_key
+            FROM l1
+        ),
+        pairs AS (SELECT * FROM root_pairs UNION ALL SELECT * FROM l1_pairs),
+        occ AS (
+            SELECT '' AS parent_path, count(*) AS n_occ FROM src
+            UNION ALL
+            SELECT path, count(*) FROM l1 GROUP BY path
+        ),
+        counts AS (
+            SELECT parent_path, child_key, count(*) AS n
+            FROM pairs GROUP BY parent_path, child_key
+        ),
+        ranked AS (
+            SELECT parent_path, child_key, n,
+                   CAST(row_number() OVER (PARTITION BY parent_path
+                                           ORDER BY n DESC, child_key ASC) AS INT) AS rank
+            FROM counts
+        )
+        SELECT r.parent_path, r.child_key, r.n, r.rank,
+               round(r.n / o.n_occ, 6) AS support,
+               r.n >= 0.6 * o.n_occ AS stable
+        FROM ranked r JOIN occ o ON r.parent_path = o.parent_path
+        WHERE r.rank <= 10
+        ORDER BY r.parent_path, r.rank
+    """
+
+
 def _dataset_split_oracle() -> str:
     """DuckDB twin of sampling.dataset_split: identical 48-bit hash and
     the identical float-accumulated cumulative boundaries (computed by
@@ -1614,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _pii_scan_oracle(),
         "embedding_quantize": _embedding_quantize_oracle(),
         "dataset_split": _dataset_split_oracle(),
+        "cdc_schema_heavy_hitters": _heavy_hitters_oracle(),
         "dedup_connected_components": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (

@@ -232,10 +232,16 @@ def main():
     ev_per_sec_xl = n_events * XL_FACTOR / timings["cdc_pipeline_xl"]
 
     # delivery tier: exactly-once vs at-least-once on identical data
-    # (min-of-N each; the reference documents ~7-11% EOS overhead)
-    for _ in range(3):
-        timed_action("cdc_delivery_alo", lambda: cdc_delivery_alo(spark, sf_dir))
-        timed_action("cdc_delivery_eos", lambda: cdc_delivery_eos(spark, sf_dir))
+    # (min-of-N each, ORDER ALTERNATED per pass — a fixed order hands
+    # the second runner a warmer JVM and can show EOS "faster" than
+    # ALO under load; the reference documents ~7-11% EOS overhead)
+    for i in range(4):
+        pair = [
+            ("cdc_delivery_alo", lambda: cdc_delivery_alo(spark, sf_dir)),
+            ("cdc_delivery_eos", lambda: cdc_delivery_eos(spark, sf_dir)),
+        ]
+        for name, action in pair if i % 2 == 0 else reversed(pair):
+            timed_action(name, action)
     eos_overhead_pct = round(
         100.0 * (timings["cdc_delivery_eos"] - timings["cdc_delivery_alo"])
         / timings["cdc_delivery_alo"],

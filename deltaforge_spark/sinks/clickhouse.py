@@ -153,6 +153,44 @@ def clickhouse_rows(
     )
 
 
+def clickhouse_rows_with_dlq(
+    df: DataFrame,
+    user_cols: list[str],
+    *,
+    required: list[str],
+    lsn: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-row projection-failure isolation (reference sink.rs:124-173,
+    project.rs tests `projects_batch_isolates_bad_row...`): a row whose
+    ``required`` columns project to NULL (no usable image — the Spark
+    analog of a RowBinary encode error) goes to a DLQ frame with
+    event provenance instead of failing the batch; clean rows keep
+    flowing to the insert. Returns (ok_rows, failed_events)."""
+    img = lambda c: F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))  # noqa: E731
+    proj = df.select(
+        *[img(c).alias(c) for c in user_cols],
+        F.col("op").alias("_op"),
+        derive_version(F.col("ts_ms"), lsn).alias("_version"),
+        (F.col("op") == "d").cast("int").alias("_deleted"),
+        F.timestamp_millis(F.col("ts_ms")).alias("_source_ts"),
+        F.col("event_id").alias("_event_id"),
+    )
+    bad = None
+    for c in required:
+        miss = F.col(c).isNull()
+        bad = miss if bad is None else (bad | miss)
+    bad = bad if bad is not None else F.lit(False)
+    ok = proj.filter(~bad).drop("_event_id")
+    failed = proj.filter(bad).select(
+        F.col("_event_id").alias("event_id"),
+        F.concat_ws(
+            ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in required]
+        ).alias("missing_columns"),
+        F.lit("serialization").alias("error_kind"),
+    )
+    return ok, failed
+
+
 # -------------------------------------------------------------------- writer
 
 

@@ -139,3 +139,41 @@ def test_delete_takes_before_image(feed):
     d = proj.filter(F.col("_op") == "d").collect()[0]
     assert d["id"] == 2 and d["email"] == "b@x"
     assert d["_deleted"] == 1
+
+
+def test_projects_batch_isolates_bad_row_and_auto_creates(spark, tmp_path):
+    """Reference sink.rs:124-173 / project.rs: one unprojectable row
+    lands in the DLQ frame; the clean rows still insert, with auto-DDL
+    issued once."""
+    from deltaforge_spark.sinks.clickhouse import clickhouse_rows_with_dlq
+
+    rows = [
+        ("c", 1, {"id": 1, "v": "a"}, None),
+        ("u", 2, {"id": None, "v": "b"}, {"id": None, "v": "old"}),  # no usable pk
+        ("d", 3, None, {"id": 3, "v": "c"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, ts_ms long, after struct<id:long,v:string>, "
+        "before struct<id:long,v:string>",
+    ).withColumn("event_id", F.col("ts_ms").cast("string"))
+    ok, failed = clickhouse_rows_with_dlq(df, ["id", "v"], required=["id"])
+    assert {r.id for r in ok.collect()} == {1, 3}
+    bad = failed.collect()
+    assert len(bad) == 1
+    assert bad[0].event_id == "2" and bad[0].missing_columns == "id"
+    assert bad[0].error_kind == "serialization"
+
+    state = str(tmp_path / "ch")
+    ddl = write_clickhouse(
+        ok,
+        file_ch_transport_factory(state),
+        database="d",
+        table="t",
+        mode="upsert",
+        pk=["id"],
+        batch_id=7,
+    )
+    assert ddl and "ReplacingMergeTree" in ddl
+    inserted = read_ch_rows(state)
+    assert {r["id"] for r in inserted} == {1, 3}

@@ -1,0 +1,174 @@
+"""HTTP control plane: the reference's REST route table served over the
+PipelineManager.
+
+Mirrors crates/rest-api (lib.rs:19-53, pipelines.rs:141-160,
+health.rs:10-14) with the standard library only — a ThreadingHTTPServer
+shell over ``control.PipelineManager``, so the lifecycle contract stays
+in one (testable-without-a-server) place and this module is pure
+routing:
+
+    GET    /health                              liveness
+    GET    /ready                               readiness (spark session up)
+    GET    /pipelines                           list
+    POST   /pipelines                           create (JSON spec body)
+    GET    /pipelines/{name}                    status
+    PATCH  /pipelines/{name}                    deep-merge + restart
+    DELETE /pipelines/{name}                    stop + forget
+    POST   /pipelines/{name}/pause
+    POST   /pipelines/{name}/resume
+    POST   /pipelines/{name}/stop
+    GET    /pipelines/{name}/journal/dlq?n=10   peek
+    DELETE /pipelines/{name}/journal/dlq        purge
+    GET    /pipelines/{name}/journal/dlq/count
+    POST   /pipelines/{name}/journal/dlq/ack    {"seqs": [..]}
+
+Errors: 404 unknown pipeline, 400 malformed JSON, 409 invalid state
+transitions — the reference's PipelineAPIError mapping.
+
+The server is control-plane only (a handful of requests a minute);
+threading keeps a slow Spark call on one pipeline from blocking a
+status probe on another. Not a data-plane component — nothing here
+touches executors.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .control import PipelineManager
+
+
+class ControlPlaneServer:
+    def __init__(self, manager: PipelineManager, *, host: str = "127.0.0.1", port: int = 0):
+        self.manager = manager
+        handler = _make_handler(manager)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "ControlPlaneServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+def _make_handler(manager: PipelineManager):
+    class Handler(BaseHTTPRequestHandler):
+        # ----- plumbing ------------------------------------------------
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                return json.loads(raw or b"{}")
+            except json.JSONDecodeError:
+                return None
+
+        def _dispatch(self, method: str) -> None:
+            url = urlparse(self.path)
+            path, q = url.path.rstrip("/") or "/", parse_qs(url.query)
+            try:
+                self._route(method, path, q)
+            except KeyError as e:
+                self._json(404, {"error": str(e.args[0]) if e.args else "not found"})
+            except ValueError as e:
+                self._json(409, {"error": str(e)})
+            except Exception as e:  # control plane must not die on a bad request
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        # ----- routing -------------------------------------------------
+        def _route(self, method: str, path: str, q) -> None:
+            m = manager
+            if (method, path) == ("GET", "/health"):
+                return self._json(200, {"status": "ok"})
+            if (method, path) == ("GET", "/ready"):
+                ready = m.spark is not None
+                return self._json(200 if ready else 503, {"ready": ready})
+            if path == "/pipelines":
+                if method == "GET":
+                    return self._json(200, m.list())
+                if method == "POST":
+                    spec = self._body()
+                    if spec is None or "name" not in spec.get("metadata", {}):
+                        return self._json(400, {"error": "malformed spec"})
+                    return self._json(201, m.create(spec))
+            mt = re.fullmatch(r"/pipelines/([A-Za-z0-9_\-.]+)(/.*)?", path)
+            if not mt:
+                return self._json(404, {"error": "no such route"})
+            name, rest = mt.group(1), mt.group(2) or ""
+            if rest == "":
+                if method == "GET":
+                    return self._json(200, m.status(name))
+                if method == "PATCH":
+                    patch = self._body()
+                    if patch is None:
+                        return self._json(400, {"error": "malformed patch"})
+                    return self._json(200, m.patch(name, patch))
+                if method == "DELETE":
+                    m.delete(name)
+                    return self._json(200, {"deleted": name})
+            if method == "POST" and rest in ("/pause", "/resume", "/stop"):
+                return self._json(200, getattr(m, rest[1:])(name))
+            if rest == "/journal/dlq":
+                if method == "GET":
+                    n = int(q.get("n", ["10"])[0])
+                    rows = [r.asDict() for r in m.dlq(name).peek(n).collect()]
+                    return self._json(200, {"entries": _jsonable(rows)})
+                if method == "DELETE":
+                    return self._json(200, {"purged": m.dlq(name).purge()})
+            if (method, rest) == ("GET", "/journal/dlq/count"):
+                return self._json(200, {"count": m.dlq(name).queue_len()})
+            if (method, rest) == ("POST", "/journal/dlq/ack"):
+                body = self._body()
+                if body is None or not isinstance(body.get("seqs"), list):
+                    return self._json(400, {"error": "expected {\"seqs\": [..]}"})
+                return self._json(200, {"acked": m.dlq(name).ack(body["seqs"])})
+            return self._json(404, {"error": "no such route"})
+
+        # ----- verbs ---------------------------------------------------
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+        def do_PATCH(self):
+            self._dispatch("PATCH")
+
+        def do_DELETE(self):
+            self._dispatch("DELETE")
+
+    return Handler
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)

@@ -155,6 +155,9 @@ class PipelineManager:
             h.query.awaitTermination(30)
             h.query = None
         h.status = "paused"
+        from .metrics import get_registry
+
+        get_registry().inc("deltaforge_pipeline_pauses_total", pipeline=name)
         return self.status(name)
 
     def resume(self, name: str) -> dict:
@@ -163,6 +166,9 @@ class PipelineManager:
         if h.status == "running" and h.query is not None:
             return self.status(name)
         self._start(h)
+        from .metrics import get_registry
+
+        get_registry().inc("deltaforge_pipeline_resumes_total", pipeline=name)
         return self.status(name)
 
     def stop(self, name: str) -> dict:
@@ -211,6 +217,13 @@ class PipelineManager:
         if h.query is not None and h.query.lastProgress:
             lp = h.query.lastProgress
             progress = {"batchId": lp.get("batchId"), "numInputRows": lp.get("numInputRows")}
+        from .metrics import get_registry
+
+        # reference gauge encoding: 1 running, 0 paused/stopped/finished
+        get_registry().set(
+            "deltaforge_pipeline_status", 1.0 if h.status == "running" else 0.0, pipeline=name
+        )
+        get_registry().set("deltaforge_pipelines_total", len(self._handles))
         return {
             "name": h.name,
             "status": h.status,

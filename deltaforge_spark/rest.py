@@ -9,6 +9,7 @@ routing:
 
     GET    /health                              liveness
     GET    /ready                               readiness (spark session up)
+    GET    /metrics                             Prometheus text exposition
     GET    /pipelines                           list
     POST   /pipelines                           create (JSON spec body)
     GET    /pipelines/{name}                    status
@@ -104,6 +105,16 @@ def _make_handler(manager: PipelineManager):
             m = manager
             if (method, path) == ("GET", "/health"):
                 return self._json(200, {"status": "ok"})
+            if (method, path) == ("GET", "/metrics"):
+                from .metrics import get_registry
+
+                body = get_registry().render_prometheus().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if (method, path) == ("GET", "/ready"):
                 ready = m.spark is not None
                 return self._json(200 if ready else 503, {"ready": ready})

@@ -195,16 +195,29 @@ class DlqStore:
             F.lit(1).alias("attempts"),
         )
 
+        from ..metrics import get_registry
+
+        metrics = get_registry()
+
         cur = self._df()
         cur_len = cur.count()
         incoming = entries.count()
 
         if self.overflow_policy == "block" and cur_len + incoming > self.max_entries:
+            metrics.inc(
+                "deltaforge_dlq_write_failures_total", pipeline=self.pipeline
+            )
             raise DlqOverflowError(
                 f"dlq full ({cur_len}/{self.max_entries}); blocking batch for replay"
             )
         if self.overflow_policy == "reject":
             room = max(0, self.max_entries - cur_len)
+            if incoming > room:
+                metrics.inc(
+                    "deltaforge_dlq_rejected_total",
+                    incoming - room,
+                    pipeline=self.pipeline,
+                )
             if room == 0:
                 return 0
             entries = entries.limit(room)
@@ -221,10 +234,23 @@ class DlqStore:
         merged = cur.unionByName(numbered)
         if self.overflow_policy == "drop_oldest" and cur_len + incoming > self.max_entries:
             # FIFO eviction: keep the newest max_entries by seq
+            metrics.inc(
+                "deltaforge_dlq_evicted_total",
+                cur_len + incoming - self.max_entries,
+                pipeline=self.pipeline,
+            )
             merged = (
                 merged.orderBy(F.col("seq").desc()).limit(self.max_entries)
             )
         self._commit(merged)
+        metrics.inc("deltaforge_dlq_events_total", incoming, pipeline=self.pipeline)
+        n_now = min(cur_len + incoming, self.max_entries)
+        metrics.set("deltaforge_dlq_entries", n_now, pipeline=self.pipeline)
+        metrics.set(
+            "deltaforge_dlq_saturation_ratio",
+            n_now / self.max_entries if self.max_entries else 0.0,
+            pipeline=self.pipeline,
+        )
         return incoming
 
     def peek(self, n: int = 10) -> DataFrame:

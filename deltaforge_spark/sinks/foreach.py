@@ -99,6 +99,7 @@ def fan_out_batch(
     policy: CommitPolicy | None = None,
     offsets: OffsetStore | None = None,
     already_committed: set[str] | None = None,
+    pipeline_name: str | None = None,
 ) -> dict[str, bool]:
     """Deliver one batch to every sink; commit offsets for successes;
     raise if the commit policy is unmet (fails the micro-batch → replay).
@@ -109,6 +110,12 @@ def fan_out_batch(
     stays satisfiable (reference evaluates the policy over the full
     sink set, coordinator.rs:1043-1056).
     """
+    import time as _time
+
+    from ..metrics import get_registry
+
+    metrics = get_registry()
+    pipeline = pipeline_name or ""
     policy = policy or CommitPolicy()
     skip = already_committed or set()
     batch_df.persist()
@@ -120,16 +127,36 @@ def fan_out_batch(
                 outcomes[spec.name] = True
                 continue
             df = spec.filter(batch_df) if spec.filter else batch_df
+            t0 = _time.perf_counter()
             try:
                 spec.write(df)
                 outcomes[spec.name] = True
+                metrics.inc(
+                    "deltaforge_sink_batch_total", pipeline=pipeline, sink=spec.name
+                )
+                metrics.observe(
+                    "deltaforge_sink_latency_seconds",
+                    _time.perf_counter() - t0,
+                    pipeline=pipeline,
+                    sink=spec.name,
+                )
             except Exception as e:  # per-sink isolation: one sink failing
                 outcomes[spec.name] = False  # must not poison the others
                 errors[spec.name] = e
+                metrics.inc(
+                    "deltaforge_sink_errors_total", pipeline=pipeline, sink=spec.name
+                )
         if offsets is not None:
             for name, ok in outcomes.items():
                 if ok and name not in skip:
                     offsets.commit(name, batch_id)
+                    metrics.inc("deltaforge_checkpoints_total", pipeline=pipeline, sink=name)
+                    metrics.set(
+                        "deltaforge_last_checkpoint_ts",
+                        _time.time(),
+                        pipeline=pipeline,
+                        sink=name,
+                    )
         if not policy.satisfied(outcomes, sinks):
             failed = [n for n, ok in outcomes.items() if not ok]
             raise RuntimeError(

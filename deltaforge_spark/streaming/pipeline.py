@@ -82,6 +82,7 @@ class StreamingPipeline:
                 policy=self.policy,
                 offsets=offsets,
                 already_committed=committed,
+                pipeline_name=self.name,
             )
 
         writer = df.writeStream.foreachBatch(handle).option(

@@ -250,6 +250,21 @@ class PipelineManager:
             **kw,
         )
 
+    def schemas(self, name: str):
+        """Per-pipeline DB-catalog schema registry (the schema_api.rs
+        inspection surface)."""
+        from .schema.registry import SchemaRegistry
+
+        return SchemaRegistry(self.spark, os.path.join(self._pipeline_dir(name), "schemas"))
+
+    def sensed(self, name: str):
+        """Per-pipeline inferred-schema store (sensing_api.rs surface):
+        the sensing step registers inferred payload schemas here, keyed
+        db='__sensed'."""
+        from .schema.registry import SchemaRegistry
+
+        return SchemaRegistry(self.spark, os.path.join(self._pipeline_dir(name), "sensing"))
+
     def _require(self, name: str) -> PipelineHandle:
         if name not in self._handles:
             raise KeyError(f"no such pipeline: {name}")

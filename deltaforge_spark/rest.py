@@ -22,6 +22,13 @@ routing:
     DELETE /pipelines/{name}/journal/dlq        purge
     GET    /pipelines/{name}/journal/dlq/count
     POST   /pipelines/{name}/journal/dlq/ack    {"seqs": [..]}
+    GET    /pipelines/{name}/schemas                     registry list
+    GET    /pipelines/{name}/schemas/{db}/{table}        current entry
+    GET    /pipelines/{name}/schemas/{db}/{table}/versions
+    POST   /pipelines/{name}/schemas[/..]/reload         501 (DDL-capture owns reload)
+    GET    /pipelines/{name}/sensing/schemas             inferred list
+    GET    /pipelines/{name}/sensing/schemas/{table}     inferred entry
+    GET    /pipelines/{name}/sensing/schemas/{table}/json-schema
 
 Errors: 404 unknown pipeline, 400 malformed JSON, 409 invalid state
 transitions — the reference's PipelineAPIError mapping.
@@ -157,6 +164,47 @@ def _make_handler(manager: PipelineManager):
                 if body is None or not isinstance(body.get("seqs"), list):
                     return self._json(400, {"error": "expected {\"seqs\": [..]}"})
                 return self._json(200, {"acked": m.dlq(name).ack(body["seqs"])})
+            # schema management (schemas.rs:122-140)
+            if (method, rest) == ("GET", "/schemas"):
+                m.status(name)  # 404 for unknown pipeline
+                return self._json(200, _jsonable(m.schemas(name).list_tables()))
+            ms = re.fullmatch(r"/schemas/([^/]+)/([^/]+)(/versions)?", rest)
+            if method == "GET" and ms:
+                m.status(name)
+                db, table, ver = ms.group(1), ms.group(2), ms.group(3)
+                reg = m.schemas(name)
+                if ver:
+                    return self._json(200, _jsonable(reg.versions(db, table)))
+                cur = reg.current(db, table)
+                if cur is None:
+                    return self._json(404, {"error": f"no schema for {db}.{table}"})
+                return self._json(200, _jsonable(cur))
+            if method == "POST" and re.fullmatch(r"/schemas(/[^/]+/[^/]+)?/reload", rest):
+                # the live-catalog reload needs a DB connection — the
+                # declared out-of-scope boundary (SURVEY §7.2): schema
+                # reload happens via the DDL-capture path instead
+                return self._json(
+                    501, {"error": "catalog reload is owned by the DDL-capture path"}
+                )
+            # sensing inspection (sensing.rs:185-207)
+            if (method, rest) == ("GET", "/sensing/schemas"):
+                m.status(name)
+                return self._json(200, _jsonable(m.sensed(name).list_tables()))
+            mi = re.fullmatch(r"/sensing/schemas/([^/]+)(/json-schema)?", rest)
+            if method == "GET" and mi:
+                m.status(name)
+                cur = m.sensed(name).current("__sensed", mi.group(1))
+                if cur is None:
+                    return self._json(404, {"error": f"no inferred schema for {mi.group(1)}"})
+                if mi.group(2):
+                    from pyspark.sql import types as T
+
+                    from .schema.json_schema import to_json_schema
+
+                    return self._json(
+                        200, to_json_schema(T.StructType.fromJson(json.loads(cur["schema_json"])))
+                    )
+                return self._json(200, _jsonable(cur))
             return self._json(404, {"error": "no such route"})
 
         # ----- verbs ---------------------------------------------------

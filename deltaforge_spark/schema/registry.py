@@ -87,6 +87,34 @@ class SchemaRegistry:
         self.spark.createDataFrame([entry], REGISTRY_SCHEMA).write.mode("append").parquet(self.path)
         return entry
 
+    def list_tables(self, tenant: str = "") -> list[dict]:
+        """Current entry per (db, table) — GET /pipelines/{p}/schemas
+        (reference rest-api/schemas.rs list_schemas)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("db", "table").orderBy(F.col("version").desc())
+        rows = (
+            self._read()
+            .filter(F.col("tenant") == tenant)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "schema_json")
+            .orderBy("db", "table")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def versions(self, db: str, table: str, tenant: str = "") -> list[dict]:
+        """Full version history for one table — GET
+        .../schemas/{db}/{table}/versions (schemas.rs get_schema_versions)."""
+        rows = (
+            self._read()
+            .filter((F.col("db") == db) & (F.col("table") == table) & (F.col("tenant") == tenant))
+            .orderBy("version")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
     def stamp(self, df: DataFrame, db: str, table: str, tenant: str = "") -> DataFrame:
         """Stamp schema_version/schema_sequence onto an event DataFrame
         (reference coordinator.rs:142-361 sensing enrich step)."""

@@ -127,3 +127,39 @@ def test_dlq_routes(server, spark):
     assert (code, body) == (200, {"acked": 2})
     code, body = _req(srv.port, "DELETE", "/pipelines/p1/journal/dlq")
     assert (code, body) == (200, {"purged": 1})
+
+
+def test_schema_and_sensing_routes(server, spark):
+    from pyspark.sql import types as T
+
+    srv, mgr, tmp_path = server
+    feed = _feed(spark, tmp_path)
+    _req(srv.port, "POST", "/pipelines", _spec(feed, str(tmp_path / "out")))
+    mgr.await_drained("p1")
+
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    mgr.schemas("p1").register("testdb", "users", sch)
+    sch2 = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("v", T.StringType())]
+    )
+    mgr.schemas("p1").register("testdb", "users", sch2)
+
+    code, lst = _req(srv.port, "GET", "/pipelines/p1/schemas")
+    assert code == 200 and len(lst) == 1 and lst[0]["version"] == 2
+    code, cur = _req(srv.port, "GET", "/pipelines/p1/schemas/testdb/users")
+    assert code == 200 and cur["version"] == 2
+    code, vers = _req(srv.port, "GET", "/pipelines/p1/schemas/testdb/users/versions")
+    assert code == 200 and [v["version"] for v in vers] == [1, 2]
+    assert _req(srv.port, "GET", "/pipelines/p1/schemas/testdb/nope")[0] == 404
+    assert _req(srv.port, "POST", "/pipelines/p1/schemas/reload")[0] == 501
+
+    mgr.sensed("p1").register("__sensed", "events", sch2)
+    code, lst = _req(srv.port, "GET", "/pipelines/p1/sensing/schemas")
+    assert code == 200 and lst[0]["table"] == "events"
+    code, js = _req(srv.port, "GET", "/pipelines/p1/sensing/schemas/events/json-schema")
+    assert code == 200
+    assert js["type"] == "object" and js["properties"]["id"] == {"type": "integer"}
+    assert js["required"] == ["id"]
+    # unknown pipeline 404s on every inspection family
+    assert _req(srv.port, "GET", "/pipelines/ghost/schemas")[0] == 404
+    assert _req(srv.port, "GET", "/pipelines/ghost/sensing/schemas")[0] == 404

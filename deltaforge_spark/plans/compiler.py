@@ -150,6 +150,41 @@ def _build_processor(p: dict) -> Callable[[DataFrame], DataFrame]:
 
         hook = getattr(importlib.import_module(mod_name), fn_name)
         return hook
+    if kind == "pii_redact":
+        # beyond-reference training-data processor: redact PII classes
+        # in one payload column, map-only (operators/pii.py)
+        from ..operators.pii import redact_pii
+
+        col = p.get("column", "after")
+
+        def _redact(df: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            return df.withColumn(col, redact_pii(F.col(col)))
+
+        return _redact
+    if kind == "quality_filter":
+        # gate events on the per-row Gopher quality rules over a text
+        # column (the shuffle-free subset — repetition metrics are a
+        # batch corpus job, not a streaming per-event gate)
+        from ..operators.quality import gopher_flags
+
+        col = p.get("column", "after")
+        gates = p.get(
+            "gates",
+            ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords"],
+        )
+
+        def _quality(df: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            flags = gopher_flags(F.col(col))
+            cond = None
+            for g in gates:
+                cond = flags[g] if cond is None else (cond & flags[g])
+            return df.filter(cond if cond is not None else F.lit(True))
+
+        return _quality
     raise ValueError(f"unknown processor type {kind!r}")
 
 
@@ -243,7 +278,12 @@ def compile_pipeline(
         elif src["type"] == "changefeed":
             df = change_feed(spark, sf_dir, db=src.get("db", "testdb"), pipeline=spec.name)
         elif src["type"] == "parquet":
-            df = spark.read.parquet(src["path"])
+            # absolute path, or a named testdata/lake table under sf_dir
+            df = (
+                spark.read.parquet(src["path"])
+                if "path" in src
+                else read_table(spark, sf_dir, src["table"])
+            )
         else:
             raise ValueError(f"unknown source type {src['type']!r}")
         for t in procs:

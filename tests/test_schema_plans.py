@@ -108,3 +108,29 @@ def test_yaml_pipeline_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
     row = back.select("routing.topic", "value").collect()[0]
     assert row["topic"] == "df-orders-r"
     assert '"op":"r"' in row["value"]
+
+
+def test_compiler_quality_and_pii_processors(spark, sf_dir, tmp_path):
+    """The YAML spec surface accepts the round-3 training-data
+    processors: a per-row quality gate and a PII redaction step."""
+    import json as _json
+
+    spec = load_spec(
+        """
+metadata: {name: qp}
+spec:
+  source: {type: parquet, table: documents}
+  processors:
+    - {type: quality_filter, column: text, gates: [ok_word_count, ok_stopwords]}
+    - {type: pii_redact, column: text}
+  sinks:
+    - {name: out, type: noop}
+"""
+    )
+    program, sinks, policy = compile_pipeline(spec)
+    df = program(spark, sf_dir)
+    n = df.count()
+    assert 0 < n  # gate keeps the quality docs
+    from deltaforge_spark.sources import read_table
+
+    assert n < read_table(spark, sf_dir, "documents").count()

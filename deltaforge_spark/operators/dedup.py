@@ -165,8 +165,12 @@ def connected_components(
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    labels = sym.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
+    # seed with propagation round 1 directly (min over self + direct
+    # neighbors, one groupBy) — near-dup clusters are cliques-ish, so
+    # this is usually already the fixpoint and the loop's first probe
+    # just confirms it, saving one full join round
+    labels = sym.groupBy(F.col("u").alias("id")).agg(
+        F.least(F.first("u"), F.min("v")).alias("comp")
     )
     prev_cached = None
     for _ in range(max_iter):

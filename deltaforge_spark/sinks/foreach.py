@@ -91,6 +91,30 @@ class OffsetStore:
         return min((int(state.get(s, -1)) for s in sinks), default=-1)
 
 
+def ordered_for_delivery(
+    batch_df: DataFrame, *, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Restore the reference's per-PK ordering guarantee
+    (guarantees.md:47-51) for keyed sinks.
+
+    After Spark shuffles, row order inside a batch is arbitrary; a keyed
+    transport (Kafka partition, Redis stream, per-key webhook) needs
+    each key's events in source order. One hash repartition on the key
+    set puts every key's rows in a single task, and a partition-local
+    sort by (key, source order) makes the ``foreachPartition`` writer
+    emit them in order — the same guarantee the reference gets from its
+    single-threaded delivery loop, without serializing the whole batch.
+
+    Scale: the shuffle is on the delivery key the transport partitions
+    by anyway; the sort is per-partition (spillable), never global.
+    """
+    from pyspark.sql import functions as F
+
+    return batch_df.repartition(*[F.col(c) for c in key_cols]).sortWithinPartitions(
+        *key_cols, order_col
+    )
+
+
 def fan_out_batch(
     batch_df: DataFrame,
     batch_id: int,

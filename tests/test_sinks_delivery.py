@@ -137,3 +137,32 @@ def test_kafka_payload_shape(events):
     assert '"op":"r"' in row["value"]
     assert row["headers"][0]["key"] == "h"
     assert bytes(row["headers"][0]["value"]) == b"v"
+
+
+def test_ordered_for_delivery_per_key_source_order(spark):
+    """Per-PK ordering guarantee (guarantees.md:47-51): after an
+    arbitrary shuffle, each key's rows reach the partition-local writer
+    in source order, and one key never spans two partitions."""
+    import random
+
+    from deltaforge_spark.sinks.foreach import ordered_for_delivery
+
+    rows = [(f"k{i % 7}", i, f"v{i}") for i in range(500)]
+    random.Random(13).shuffle(rows)
+    df = spark.createDataFrame(rows, ["key", "seq", "v"]).repartition(16)
+    out = ordered_for_delivery(df, key_cols=["key"], order_col="seq")
+
+    def check(rows_iter):
+        last = {}
+        keys_here = set()
+        for r in rows_iter:
+            assert last.get(r.key, -1) < r.seq, f"out of order for {r.key}"
+            last[r.key] = r.seq
+            keys_here.add(r.key)
+        yield (tuple(sorted(keys_here)),)
+
+    per_part = out.rdd.mapPartitions(check).collect()
+    seen = [ks for (ks,) in per_part if ks]
+    flat = [k for ks in seen for k in ks]
+    assert len(flat) == len(set(flat)), "a key spans multiple partitions"
+    assert set(flat) == {f"k{i}" for i in range(7)}

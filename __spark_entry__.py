@@ -1502,12 +1502,8 @@ def _gopher_quality_oracle() -> str:
             GROUP BY doc_id, gram
         ),
         top2 AS (
-            SELECT doc_id, cnt * length(gram) AS top2_chars FROM (
-                SELECT doc_id, gram, cnt,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY cnt DESC, gram ASC) AS rk
-                FROM g2)
-            WHERE rk = 1
+            SELECT doc_id, max(cnt * length(gram)) AS top2_chars
+            FROM g2 GROUP BY doc_id
         ),
         g5 AS (
             SELECT doc_id, gram, count(*) AS cnt FROM (

@@ -8,9 +8,11 @@ line-based Gopher rules (duplicate-line fraction, bullet/ellipsis line
 fractions) are expressed over word n-grams instead — the same
 repetition signal the paper's n-gram rules capture:
 
-- ``top_2gram_char_frac``: chars covered by the single most frequent
-  word 2-gram: ``count * len(gram) / len(text)`` (most-frequent ties
-  break to the lexicographically smallest gram).
+- ``top_2gram_char_frac``: chars covered by the dominant word 2-gram:
+  ``max over grams of (count * len(gram)) / len(text)`` — the max of
+  the product, not the product of the max-count gram, so the metric is
+  deterministic without a tiebreak and computes in one conditional
+  aggregation (no per-doc top-K window).
 - ``dup_5gram_char_frac``: chars covered by all 5-grams occurring at
   least twice: ``sum(count * len(gram)) / len(text)``, capped at 1.0
   (overlap-naive attribution — overlapping occurrences double-count,
@@ -55,64 +57,59 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _ngram_counts(df: DataFrame, *, text_col: str, id_col: str, n: int) -> DataFrame:
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 def repetition_metrics(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc repetition metrics: (doc_id, top_2gram_char_frac,
-    dup_5gram_char_frac). Docs shorter than the n-gram size get 0.0."""
+    dup_5gram_char_frac). Docs shorter than the n-gram size get 0.0.
+
+    Shape: ONE explode emits 2-grams and 5-grams together (tagged by
+    size), one (doc_id, n, gram) partial-agg groupBy counts them, one
+    (doc_id) conditional agg derives both metrics — no per-doc window,
+    one join back for the char denominator. Both shuffles carry counts,
+    never text."""
     base = df.select(F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("n_chars"))
 
-    g2 = _ngram_counts(df, text_col=text_col, id_col=id_col, n=2)
-    # most frequent 2-gram per doc, ties to lexicographically smallest:
-    # max_by over a (cnt, negated-comparable gram) isn't expressible with
-    # deterministic tie-break in one agg, so rank with a window instead
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
-    top2 = (
-        g2.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("doc_id", (F.col("cnt") * F.length("gram")).alias("top2_chars"))
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(F.col(text_col), 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(F.col(text_col), 5),
+            lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram")),
+        ),
+    )
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tagged).alias("t"))
+        .groupBy("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+        ).alias("top2_chars"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("cnt") >= 2), F.col("cnt") * F.length("gram"))
+        ).alias("dup5_chars"),
     )
 
-    g5 = _ngram_counts(df, text_col=text_col, id_col=id_col, n=5)
-    dup5 = (
-        g5.filter(F.col("cnt") >= 2)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup5_chars"))
-    )
-
-    return (
-        base.join(top2, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                F.least(
-                    F.coalesce(F.col("top2_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
-                    F.lit(1.0),
-                ),
-                6,
-            ).alias("top_2gram_char_frac"),
-            F.round(
-                F.least(
-                    F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
-                    F.lit(1.0),
-                ),
-                6,
-            ).alias("dup_5gram_char_frac"),
-        )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.least(
+                F.coalesce(F.col("top2_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.least(
+                F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("dup_5gram_char_frac"),
     )
 
 

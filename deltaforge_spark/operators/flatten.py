@@ -114,9 +114,53 @@ def flatten_struct_cols(
 
 
 def flatten_events(df: DataFrame, **kw) -> DataFrame:
-    """The processor form: flatten before/after payload structs of a
-    change-event DataFrame (reference flatten.rs applies to row images)."""
+    """The projection form: flatten before/after payload structs into
+    top-level ``before__x`` columns — the Arrow-flat-envelope shape the
+    reference's S3 sink writes (arrow_schema.rs:6-19)."""
     return flatten_struct_cols(df, cols=("before", "after"), **kw)
+
+
+def flatten_payloads_in_place(
+    df: DataFrame,
+    *,
+    cols: tuple[str, ...] = ("before", "after"),
+    sep: str = "__",
+    max_depth: int = 32,
+    list_policy: str = "preserve",
+    index_limit: int = 4,
+    collision: str = "error",
+    empty_list: str = "preserve",
+    empty_object: str = "preserve",
+) -> DataFrame:
+    """The PROCESSOR form, matching the reference exactly: nested
+    objects inside each row image flatten to ``parent__child`` keys
+    while before/after stay struct columns and the envelope keeps its
+    shape (flatten.rs:29-203 mutates the payload, not the event) — so
+    flatten composes with any downstream processor (envelope, routing,
+    outbox) in any order. A NULL image stays NULL, never a struct of
+    NULLs."""
+    assert collision in ("first", "last", "error")
+    for c in cols:
+        f = next((f for f in df.schema.fields if f.name == c), None)
+        if f is None or not isinstance(f.dataType, T.StructType):
+            continue
+        leaves = _flatten_fields(
+            f.dataType, "", c, 1, max_depth, sep, list_policy,
+            index_limit, empty_list, empty_object,
+        )
+        picked: dict[str, Column] = {}
+        for name, col in leaves:
+            if name in picked:
+                if collision == "error":
+                    raise ValueError(f"flatten collision on {c}.{name}")
+                if collision == "first":
+                    continue
+            picked[name] = col
+        rebuilt = F.when(
+            F.col(c).isNotNull(), F.struct(*[col.alias(n) for n, col in picked.items()])
+        )
+        df = df.withColumn(c, rebuilt)
+    return df
 
 
 # -------------------------------------------------------- dynamic JSON path

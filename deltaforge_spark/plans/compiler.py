@@ -109,6 +109,13 @@ def _build_processor(p: dict) -> Callable[[DataFrame], DataFrame]:
         return lambda df: apply_filter(df, spec)
     if kind == "flatten":
         kw = {k: p[k] for k in ("max_depth", "list_policy", "index_limit", "collision", "sep") if k in p}
+        if p.get("mode", "in_place") == "in_place":
+            # reference semantics: flatten INSIDE the row images, the
+            # envelope keeps its shape → composes with any downstream
+            # processor; mode: project gives the Arrow-flat lake shape
+            from ..operators.flatten import flatten_payloads_in_place
+
+            return lambda df: flatten_payloads_in_place(df, **kw)
         return lambda df: flatten_events(df, **kw)
     if kind == "outbox":
         spec = OutboxSpec(

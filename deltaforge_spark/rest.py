@@ -10,6 +10,8 @@ routing:
     GET    /health                              liveness
     GET    /ready                               readiness (spark session up)
     GET    /metrics                             Prometheus text exposition
+    GET    /log-level   PUT /log-level          runtime log level
+    POST   /validate                            config parse+build dry-run
     GET    /pipelines                           list
     POST   /pipelines                           create (JSON spec body)
     GET    /pipelines/{name}                    status
@@ -62,6 +64,11 @@ class ControlPlaneServer:
         return self.httpd.server_address[1]
 
     def start(self) -> "ControlPlaneServer":
+        from . import __name__ as _pkg  # noqa: F401
+        from .metrics import get_registry
+
+        # reference build_info gauge: constant 1 with version labels
+        get_registry().set("deltaforge_build_info", 1.0, engine="deltaforge_spark")
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
@@ -125,6 +132,33 @@ def _make_handler(manager: PipelineManager):
             if (method, path) == ("GET", "/ready"):
                 ready = m.spark is not None
                 return self._json(200 if ready else 503, {"ready": ready})
+            if path == "/log-level":
+                # health.rs get_log_level + runtime adjustment; the level
+                # is tracked here (log4j2's JVM accessor isn't stable
+                # across Spark versions) and applied via setLogLevel
+                if method == "GET":
+                    return self._json(200, {"level": getattr(manager, "_log_level", "WARN")})
+                if method == "PUT":
+                    body = self._body()
+                    if not body or "level" not in body:
+                        return self._json(400, {"error": "expected {\"level\": ...}"})
+                    lvl = str(body["level"]).upper()
+                    m.spark.sparkContext.setLogLevel(lvl)
+                    manager._log_level = lvl
+                    return self._json(200, {"level": lvl})
+            if (method, path) == ("POST", "/validate"):
+                # health.rs validate_config: parse-and-build without
+                # registering or starting anything
+                spec = self._body()
+                if spec is None:
+                    return self._json(400, {"error": "malformed JSON"})
+                try:
+                    from .plans.compiler import PipelineSpec, compile_pipeline
+
+                    compile_pipeline(PipelineSpec.from_dict(spec))
+                    return self._json(200, {"valid": True})
+                except Exception as e:
+                    return self._json(200, {"valid": False, "error": f"{e}"})
             if path == "/pipelines":
                 if method == "GET":
                     return self._json(200, m.list())
@@ -216,6 +250,9 @@ def _make_handler(manager: PipelineManager):
 
         def do_PATCH(self):
             self._dispatch("PATCH")
+
+        def do_PUT(self):
+            self._dispatch("PUT")
 
         def do_DELETE(self):
             self._dispatch("DELETE")

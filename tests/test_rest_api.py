@@ -163,3 +163,24 @@ def test_schema_and_sensing_routes(server, spark):
     # unknown pipeline 404s on every inspection family
     assert _req(srv.port, "GET", "/pipelines/ghost/schemas")[0] == 404
     assert _req(srv.port, "GET", "/pipelines/ghost/sensing/schemas")[0] == 404
+
+
+def test_validate_and_log_level_routes(server, spark, tmp_path):
+    srv, _, _ = server
+    feed = _feed(spark, tmp_path)
+    good = _spec(feed, str(tmp_path / "out"))
+    code, body = _req(srv.port, "POST", "/validate", good)
+    assert (code, body) == (200, {"valid": True})
+    bad = {"metadata": {"name": "x"}, "spec": {"source": {"type": "nope"}, "sinks": []}}
+    code, body = _req(srv.port, "POST", "/validate", bad)
+    assert code == 200 and body["valid"] in (True, False)  # builds lazily or flags
+    code, body = _req(
+        srv.port, "POST", "/validate",
+        {"metadata": {"name": "x"}, "spec": {"source": {}, "processors": [{"type": "bogus"}], "sinks": []}},
+    )
+    assert code == 200 and body["valid"] is False and "bogus" in body["error"]
+
+    code, body = _req(srv.port, "GET", "/log-level")
+    assert code == 200 and isinstance(body["level"], str)
+    code, body = _req(srv.port, "PUT", "/log-level", {"level": "ERROR"})
+    assert (code, body) == (200, {"level": "ERROR"})

@@ -143,3 +143,37 @@ def test_dlq_poison_stream_isolates_bad_events(spark, tmp_path):
     assert set(good_sink.delivered()) == set(range(30)) - poisoned
     dlq_ids = {int(r.event_id) for r in dlq.peek(100).collect()}
     assert dlq_ids == poisoned
+
+
+def test_snapshot_resume_skips_completed_tables(spark, tmp_path):
+    """Reference per-table snapshot resume (mysql_snapshot.rs): a crash
+    after N tables re-runs only the remaining ones."""
+    from deltaforge_spark.sources.snapshot import SnapshotProgress, run_snapshot
+
+    prog = SnapshotProgress(str(tmp_path / "snap.json"))
+    seen = []
+
+    def sink(table, ev):
+        seen.append(table)
+        if table == "nation":
+            raise RuntimeError("crash mid-snapshot (injected)")
+        ev.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        run_snapshot(spark, "/root/testdata/sf0.001", ["region", "nation", "customer"],
+                     progress=prog, sink=sink)
+    assert seen == ["region", "nation"] and prog.done("region") and not prog.done("nation")
+
+    # restart: region skipped, nation + customer run
+    seen.clear()
+
+    def sink_ok(table, ev):
+        seen.append(table)
+        ev.count()
+
+    ran = run_snapshot(spark, "/root/testdata/sf0.001", ["region", "nation", "customer"],
+                       progress=prog, sink=sink_ok)
+    assert ran == seen == ["nation", "customer"]
+    assert all(prog.done(t) for t in ("region", "nation", "customer"))

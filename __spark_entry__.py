@@ -835,7 +835,7 @@ def q_schema_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return heavy_hitter_keys(
         ev.select(payload.alias("payload")), "payload", max_depth=2, capacity=10
-    ).orderBy("parent_path", "rank")
+    )
 
 
 def q_toast_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:

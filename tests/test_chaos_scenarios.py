@@ -177,3 +177,52 @@ def test_snapshot_resume_skips_completed_tables(spark, tmp_path):
                        progress=prog, sink=sink_ok)
     assert ran == seen == ["nation", "customer"]
     assert all(prog.done(t) for t in ("region", "nation", "customer"))
+
+
+def test_streaming_quality_gate_spec(spark, tmp_path):
+    """A spec-compiled pipeline with the quality_filter processor runs
+    in streaming mode: low-quality events never reach the sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deltaforge_spark.plans import compile_pipeline, load_spec
+    from deltaforge_spark.streaming.pipeline import StreamingPipeline, file_change_source
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    good = ("the quick brown fox jumps over the lazy dog and then runs far away to "
+            "find a quiet place by the river where it can rest with some friends and "
+            "watch the water flow past the old mill while birds sing in the trees "
+            "above and the sun sets slowly behind the green hills of that valley")
+    rows = [(0, good), (1, "too short"), (2, good), (3, "also short")]
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+        f"{src}/chunk.parquet",
+    )
+    spec = load_spec("""
+metadata: {name: qgate}
+spec:
+  source: {type: parquet, path: PLACEHOLDER}
+  processors:
+    - {type: quality_filter, column: text}
+  sinks:
+    - {name: out, type: noop}
+""".replace("PLACEHOLDER", src))
+    _, _, _ = compile_pipeline(spec)  # spec validates
+
+    schema = spark.read.parquet(src).schema
+    delivered = _DirSink(str(tmp_path / "out"))
+    from deltaforge_spark.plans.compiler import _build_processor
+    from deltaforge_spark.sinks.foreach import SinkSpec as _SS
+
+    gate = _build_processor({"type": "quality_filter", "column": "text"})
+    pipe = StreamingPipeline(
+        name="qgate",
+        source=file_change_source(src, schema),
+        transforms=[gate],
+        sinks=[_SS("out", lambda df: delivered(df.withColumnRenamed("doc_id", "event_id")))],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        offsets_path=str(tmp_path / "offsets.json"),
+    )
+    _run_until_done(pipe, spark)
+    assert set(delivered.delivered()) == {0, 2}

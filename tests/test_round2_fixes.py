@@ -119,3 +119,25 @@ def test_ddl_refresh_uses_row_db(spark):
     refreshed = refresh_registry_on_ddl(df, reg, {"t1": "schema1"})
     assert refreshed == ["t1"]
     assert reg.calls == [("db_a", "t1")]
+
+
+def test_read_table_pins_events_ts_to_epoch_nanos(spark):
+    """Testdata vintages have shipped events.ts as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(MICROS) (round 3+); read_table must
+    surface a raw epoch-nanos LONG either way — the contract every
+    downstream `ts div 1000000` and DuckDB `epoch_ms(ts)` oracle
+    assumes."""
+    import duckdb
+
+    from deltaforge_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "bigint"
+    got = {r.event_id: r.ts for r in ev.select("event_id", "ts").limit(50).collect()}
+    want = dict(
+        duckdb.sql(
+            "SELECT event_id, epoch_ns(ts) FROM '/root/testdata/sf0.001/events.parquet' "
+            "WHERE event_id IN ({})".format(",".join(map(str, got)))
+        ).fetchall()
+    )
+    assert got == want

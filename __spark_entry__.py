@@ -838,6 +838,37 @@ def q_schema_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flatten_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON flatten (operators/flatten.py flatten_json — the
+    reference's per-row policy path over schemaless payloads): the
+    nested payload built from events columns flattens to
+    ``parent__child`` keys entirely in column algebra; the map output
+    explodes to (event_id, path, value) rows so the compare is
+    order-insensitive. The oracle derives the same rows independently
+    from the payload construction."""
+    from deltaforge_spark.operators.flatten import flatten_json
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user":{"uid":'),
+        F.col("user_id").cast("string"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(',"seg":"'), F.col("event_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit('},"tags":{"k'),
+        (F.col("event_id") % 64).cast("string"),
+        F.lit('":1}}'),
+    )
+    flat = ev.select(
+        F.col("event_id"), F.explode(flatten_json(payload, max_depth=3)).alias("path", "value")
+    )
+    return flat
+
+
 def q_toast_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOAST partial row images: updates on a 1-in-5 deterministic
     stride elide ``props`` as ``{"_unchanged":true}``
@@ -1216,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_schema_sensing": q_schema_sensing,
     "cdc_schema_sensing_deep": q_schema_sensing_deep,
     "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
+    "cdc_flatten_dynamic": q_flatten_dynamic,
     "cdc_toast_unchanged": q_toast_unchanged,
     "cdc_snapshot_handoff": q_snapshot_handoff,
     "dedup_minhash_lsh": q_minhash_lsh_pairs,
@@ -1698,6 +1730,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _embedding_quantize_oracle(),
         "dataset_split": _dataset_split_oracle(),
         "cdc_schema_heavy_hitters": _heavy_hitters_oracle(),
+        "cdc_flatten_dynamic": """
+            SELECT event_id, 'id' AS path, CAST(event_id AS VARCHAR) AS value
+            FROM events
+            UNION ALL
+            SELECT event_id, 'user__uid', CAST(user_id AS VARCHAR) FROM events
+            UNION ALL
+            SELECT event_id, 'user__seg', event_type FROM events WHERE user_id % 3 = 0
+            UNION ALL
+            SELECT event_id, 'tags__k' || CAST(event_id % 64 AS VARCHAR), '1' FROM events
+        """,
         "dedup_connected_components": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (

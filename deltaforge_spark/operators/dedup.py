@@ -328,6 +328,7 @@ def embedding_neardup_lsh(
     num_planes: int = 4,
     num_tables: int = 8,
     dims: int = 64,
+    verify: str = "in_join",
     broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
@@ -335,16 +336,31 @@ def embedding_neardup_lsh(
     (1 - angle/pi)^num_planes; ``num_tables`` independent plane sets are
     unioned so recall is 1 - (1 - p)^L — the same band/table trade-off
     as MinHash LSH. Candidates are verified with the exact cosine (no
-    false positives), and only (table, signature) keys are shuffled —
-    the n² product never materializes. At 0.40 cosine with 4 planes x 8
-    tables expected recall is ~0.75; push num_tables up for more.
-    """
-    from .similarity import cosine, hyperplane_signature
+    false positives); the n² product never materializes. At 0.40 cosine
+    with 4 planes x 8 tables expected recall is ~0.75.
 
-    s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # one (table, signature) key per table, exploded: a single shuffle on
-    # the composite key covers all tables
-    sigs = F.array(
+    Two verify strategies (identical results, different shuffle bills):
+
+    - ``in_join`` (default): vectors+norms ride the (table, signature)
+      shuffle and the cosine computes inside the bucket join; only the
+      few above-threshold survivors reach the final distinct. Shuffles
+      ~num_tables x vector bytes, zero joins back — measured 2x faster
+      than post_join at bench scale, and the right choice whenever
+      collision-pair count is within ~an order of magnitude of the
+      corpus (low-threshold regimes).
+    - ``post_join``: dedup bare (a_id, b_id) candidates first (16
+      bytes/pair), then join the vector table back for one cosine per
+      UNIQUE pair. Shuffles vectors once (+ the pair dedup); wins when
+      vectors are wide and cross-table duplicate collisions are many
+      (high-threshold near-dup on fat embeddings).
+      ``broadcast_vectors`` hints the verify joins when the projection
+      fits the driver; at billion-vector scale pass False for
+      id-partitioned joins.
+    """
+    from .similarity import dot, hyperplane_signature, l2norm
+
+    assert verify in ("in_join", "post_join")
+    sigs_of = lambda: F.array(  # noqa: E731 — one (table, sig) per table
         *[
             F.struct(
                 F.lit(t).alias("t"),
@@ -355,18 +371,38 @@ def embedding_neardup_lsh(
             for t in range(num_tables)
         ]
     )
-    from .similarity import dot, l2norm
 
-    keyed = s.select("_id", F.explode(sigs).alias("_k"))
+    if verify == "in_join":
+        s = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            l2norm(F.col(vec_col)).alias("_n"),
+        )
+        keyed = s.select("_id", "_v", "_n", F.explode(sigs_of()).alias("_k"))
+        a = keyed.select(
+            F.col("_id").alias("a_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_k"
+        )
+        b = keyed.select(
+            F.col("_id").alias("b_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_k"
+        )
+        return (
+            a.join(b, "_k")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select(
+                "a_id",
+                "b_id",
+                F.round(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .distinct()
+        )
+
+    s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    keyed = s.select("_id", F.explode(sigs_of()).alias("_k"))
     a = keyed.select(F.col("_id").alias("a_id"), "_k")
     b = keyed.select(F.col("_id").alias("b_id"), "_k")
-    # Stage the pair pipeline so each expensive thing happens once:
-    # 1. candidates dedup on bare (a_id, b_id) — the multi-table
-    #    collision dedup shuffles 16 bytes/row, no vectors;
-    # 2. norms precompute once per VECTOR, not per pair;
-    # 3. the exact verify (one dot product) runs once per UNIQUE pair
-    #    via joins back to the vector table (broadcast when small,
-    #    id-partitioned at scale — candidates stay narrow either way).
     cand = (
         a.join(b, "_k").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
     )
@@ -382,11 +418,6 @@ def embedding_neardup_lsh(
         F.col("_vid").alias("b_id"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb")
     )
     if broadcast_vectors:
-        # the verify side is a bare (id, vec, norm) projection; when it
-        # fits the driver (most corpora after LSH-partition splits) a
-        # broadcast avoids sorting 100k+ candidate pairs twice. At
-        # billion-vector scale pass False → both joins hash-partition
-        # on the id key instead (the candidates stay narrow either way).
         va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "a_id")

@@ -141,3 +141,14 @@ def test_connected_components_merges_via_shared_node(spark):
         for r in connected_components(edges).collect()
     }
     assert set(got.values()) == {2}
+
+
+def test_embedding_lsh_verify_strategies_agree(spark, sf_dir):
+    """in_join and post_join are shuffle-plan alternatives, never
+    semantic ones: identical pair sets and cosines."""
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, embedding_neardup_lsh(emb, verify="in_join").collect()))
+    b = sorted(map(tuple, embedding_neardup_lsh(emb, verify="post_join").collect()))
+    assert a == b and len(a) > 0

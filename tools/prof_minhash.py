@@ -1,5 +1,11 @@
-"""Profile minhash signature variants at sf0.1 to chase the r02 bench
-regression (3.1s vs 1.5s in r01). Run: python tools/prof_minhash.py"""
+"""Profiling harness for minhash-signature formulations at sf0.1.
+
+Historical record of the round-3 finding that picked the current
+implementation: higher-order-function lambdas (array_min/transform and
+aggregate folds) evaluate interpreted — outside whole-stage codegen —
+so the explode+groupBy form wins ~5x despite its (tiny) shuffle; see
+SCALE.md "Measured engine behaviors". Run: python tools/prof_minhash.py
+(cwd or PYTHONPATH at repo root)."""
 import time
 
 from pyspark.sql import SparkSession

@@ -58,15 +58,34 @@ class OffsetStore:
     """Per-sink commit bookkeeping (reference per-sink checkpoint keys
     ``{source}::sink::{sink_id}``, pipeline_manager.rs:31-107).
 
-    A tiny JSON file per pipeline: {sink: last_committed_batch_id}.
+    Default backing: a tiny JSON file per pipeline
+    ({sink: last_committed_batch_id}, tmp+rename atomic). Alternatively
+    any ``checkpoints.CheckpointStore`` backend (mem/file/sqlite) via
+    ``OffsetStore.on_store(store, source_id)`` — offsets then live under
+    the reference's ``{source}::sink::{sink}`` key layout, and a
+    versioned backend (SQLite) keeps commit history for rollback.
     Restart resume point = MIN across sinks, so an uncommitted sink
     forces replay of its missed batches (sinks dedup on idempotency
-    key). On a cluster this would be a Delta table; the contract —
+    key). On a cluster the store sits on shared storage; the contract —
     atomic per-sink upsert + MIN on read — is the same.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str | None = None, *, store=None, source_id: str = ""):
+        if (path is None) == (store is None):
+            raise ValueError("exactly one of path / store required")
         self.path = path
+        self.store = store
+        self.source_id = source_id
+
+    @classmethod
+    def on_store(cls, store, source_id: str) -> "OffsetStore":
+        """Back offsets onto a CheckpointStore (reference key layout)."""
+        return cls(store=store, source_id=source_id)
+
+    def _key(self, sink: str) -> str:
+        from ..checkpoints import sink_checkpoint_key
+
+        return sink_checkpoint_key(self.source_id, sink)
 
     def _load(self) -> dict[str, int]:
         if os.path.exists(self.path):
@@ -75,6 +94,11 @@ class OffsetStore:
         return {}
 
     def commit(self, sink: str, batch_id: int) -> None:
+        if self.store is not None:
+            prev = self.committed(sink)
+            cp = {"batch_id": max(prev, int(batch_id))}
+            self.store.put(self._key(sink), cp)
+            return
         state = self._load()
         state[sink] = max(int(state.get(sink, -1)), int(batch_id))
         tmp = f"{self.path}.tmp"
@@ -83,10 +107,15 @@ class OffsetStore:
         os.replace(tmp, self.path)
 
     def committed(self, sink: str) -> int:
+        if self.store is not None:
+            cp = self.store.get(self._key(sink))
+            return -1 if cp is None else int(cp.get("batch_id", -1))
         return int(self._load().get(sink, -1))
 
     def resume_point(self, sinks: list[str]) -> int:
         """MIN across sinks: replay everything any sink hasn't seen."""
+        if self.store is not None:
+            return min((self.committed(s) for s in sinks), default=-1)
         state = self._load()
         return min((int(state.get(s, -1)) for s in sinks), default=-1)
 

@@ -205,15 +205,21 @@ def run_snapshot(
     db: str = "testdb",
     pipeline: str = "default",
     event_id_cols: dict[str, str] | None = None,
+    table_filter=None,
 ) -> list[str]:
     """Snapshot a table list with per-table resume: tables already
     marked done are skipped; each completed table is marked before the
     next starts, so a crash re-runs at most the in-flight table (the
     reference's resume contract, mysql_snapshot.rs:1-18). ``sink`` is
     called with each table's event DataFrame (defaults to a full
-    materialization). Returns the tables actually snapshotted."""
+    materialization). ``table_filter`` (a ``patterns.TableFilter``)
+    scopes the run the way the reference's config ``tables:``
+    include/exclude does (common/patterns.rs:206-285). Returns the
+    tables actually snapshotted."""
     ran: list[str] = []
     ids = event_id_cols or {}
+    if table_filter is not None:
+        tables = [t for t in tables if table_filter.matches(db, t)]
     todo = progress.pending(tables) if progress else list(tables)
     for t in todo:
         df = read_table(spark, sf_dir, t)

@@ -113,6 +113,70 @@ def repetition_metrics(
     )
 
 
+def repetition_metrics_arrow(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Map-only twin of :func:`repetition_metrics` — same output,
+    ZERO shuffle.
+
+    The repetition metrics are per-document with no cross-document
+    state, so the structurally right 100 TB shape is embarrassingly
+    parallel: an Arrow-batched ``mapInPandas`` Counter pass per doc.
+    The column-algebra twin above (explode + groupBy) shuffles ~7x the
+    corpus text as gram strings; this one shuffles nothing. Measured
+    3x faster at sf0.1 (1.86s -> 0.63s warm) — see SCALE.md.
+
+    Bit-parity contract: tokenization replicates ``tokens()`` exactly
+    (trim spaces, split on runs of single spaces — NOT arbitrary
+    whitespace), the per-doc char sums are integers, and the final
+    fraction/round runs in the SAME Spark column expressions as the
+    columnar twin. Differentially tested against it.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, top2_chars long, dup5_chars long, n_chars long"
+
+    def compute(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        split = re.compile(" +").split
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""  # null text → 0.0 like the columnar twin
+                toks = split(text.strip(" "))
+                c2 = Counter(zip(toks, toks[1:]))
+                top2 = max(
+                    (cnt * (len(a) + len(b) + 1) for (a, b), cnt in c2.items()),
+                    default=0,
+                )
+                c5 = Counter(zip(toks, toks[1:], toks[2:], toks[3:], toks[4:]))
+                dup5 = sum(
+                    cnt * (sum(map(len, g)) + 4)
+                    for g, cnt in c5.items()
+                    if cnt >= 2
+                )
+                out.append((doc_id, top2, dup5, len(text)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "top2_chars", "dup5_chars", "n_chars"]
+            )
+
+    per_doc = df.select(id_col, text_col).mapInPandas(compute, out_schema)
+    return per_doc.select(
+        "doc_id",
+        F.round(
+            F.least(F.col("top2_chars") / F.greatest("n_chars", F.lit(1)), F.lit(1.0)),
+            6,
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.least(F.col("dup5_chars") / F.greatest("n_chars", F.lit(1)), F.lit(1.0)),
+            6,
+        ).alias("dup_5gram_char_frac"),
+    )
+
+
 def gopher_flags(text: Column) -> dict[str, Column]:
     """The per-row (shuffle-free) Gopher gates as named boolean columns,
     plus the metrics they derive from."""
@@ -141,14 +205,22 @@ def gopher_flags(text: Column) -> dict[str, Column]:
 
 
 def gopher_quality_filter(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repetition_impl: str = "arrow",
 ) -> DataFrame:
     """Full Gopher-style quality assessment: per-row gates + repetition
     gates, ``keep`` = all gates pass. One narrow projection + the two
-    repetition aggs joined back on doc_id."""
+    repetition metrics joined back on doc_id. ``repetition_impl``
+    selects the map-only Arrow twin (default — zero shuffle) or the
+    pure column-algebra path ("columnar"); both produce identical
+    values (differential-tested)."""
     flags = gopher_flags(F.col(text_col))
     per_row = df.select(F.col(id_col).alias("doc_id"), *[c.alias(k) for k, c in flags.items()])
-    rep = repetition_metrics(df, text_col=text_col, id_col=id_col)
+    rep_fn = repetition_metrics_arrow if repetition_impl == "arrow" else repetition_metrics
+    rep = rep_fn(df, text_col=text_col, id_col=id_col)
     out = per_row.join(rep, "doc_id")
     keep = (
         F.col("ok_word_count")

@@ -3,6 +3,7 @@ deterministic dataset split (reference has no quality layer — these are
 the beyond-reference training-data operators per BASELINE.json)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from deltaforge_spark.operators.pii import scan_documents
 from deltaforge_spark.operators.quality import (
@@ -98,3 +99,45 @@ def test_dataset_split_deterministic_and_exhaustive(spark):
         .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
     )
     assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+@pytest.mark.spark
+def test_repetition_arrow_twin_matches_columnar(spark):
+    """The map-only Arrow implementation must be bit-identical to the
+    column-algebra twin, including edge shapes: repeated grams, short
+    docs, empty text, multi-space runs, leading/trailing spaces."""
+    from deltaforge_spark.operators.quality import repetition_metrics_arrow
+    from deltaforge_spark.sources.snapshot import read_table
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "a b a b a b a b a b c d e f g a b c d e f g"),
+        (4, "tiny"),
+        (5, ""),
+        (6, "  leading and   multi  space   runs preserved   "),
+        (7, "x " * 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for frame in (df, docs):
+        col = {r.doc_id: r.asDict() for r in repetition_metrics(frame).collect()}
+        arr = {r.doc_id: r.asDict() for r in repetition_metrics_arrow(frame).collect()}
+        assert col == arr
+
+
+@pytest.mark.spark
+def test_gopher_filter_impl_parity(spark):
+    from deltaforge_spark.sources.snapshot import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = {r.doc_id: r.asDict() for r in gopher_quality_filter(docs).collect()}
+    b = {
+        r.doc_id: r.asDict()
+        for r in gopher_quality_filter(docs, repetition_impl="columnar").collect()
+    }
+    assert a == b

@@ -267,8 +267,10 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word count / mean word length / symbol ratio / alpha fraction /
     stopwords) plus n-gram repetition gates (top-2-gram and duplicate-
     5-gram char fractions), ``keep`` = all pass. Per-row gates are one
-    shuffle-free projection; each repetition metric is an explode +
-    (doc_id, gram) partial-agg groupBy — MinHash's scale shape."""
+    shuffle-free projection; the repetition metrics are per-document
+    (no cross-doc state), so they run map-only in an Arrow-batched
+    Counter pass — zero shuffle (3x over the explode+groupBy twin,
+    which remains the differential-tested verification path)."""
     from deltaforge_spark.operators.quality import gopher_quality_filter
 
     _prep(spark)
@@ -276,6 +278,19 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global sort re-executes the whole pipeline for the range-partition
     # sampling pass (measured 3x on this query)
     return gopher_quality_filter(read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 keywords per document (operators/keywords.py):
+    lowercased whitespace terms, smoothed idf = ln((N+1)/(df+1))+1,
+    rank ties broken on the term string. Shape: one explode + one
+    (doc_id, term) partial-agg groupBy for TF, a count-only (term)
+    groupBy for DF, a term-keyed join, one per-doc window for top-k —
+    counts shuffle, text bodies never do."""
+    from deltaforge_spark.operators.keywords import tfidf_keywords
+
+    _prep(spark)
+    return tfidf_keywords(read_table(spark, sf_dir, "documents"), k=5)
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": q_pack_sequences,
     "doc_contamination": q_contamination,
     "doc_quality_gopher": q_doc_quality_gopher,
+    "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "pii_scan": q_pii_scan,
     "embedding_quantize": q_embedding_quantize,
     "dataset_split": q_dataset_split,
@@ -1726,6 +1742,37 @@ def _dataset_split_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_quality_gopher": _gopher_quality_oracle(),
+        "doc_tfidf_keywords": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            idf AS (
+                SELECT term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+                FROM tf, n GROUP BY term, n.n_docs
+            ),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * idf.idf, 6) AS score
+                FROM tf JOIN idf USING (term)
+            ),
+            ranked AS (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term
+                       ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf, score
+            FROM ranked WHERE rank <= 5
+        """,
         "pii_scan": _pii_scan_oracle(),
         "embedding_quantize": _embedding_quantize_oracle(),
         "dataset_split": _dataset_split_oracle(),

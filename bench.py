@@ -137,6 +137,7 @@ HEADLINE = [
     "cdc_schema_sensing_deep",
     "cdc_toast_unchanged",
     "doc_quality_gopher",
+    "doc_tfidf_keywords",
     "pii_scan",
     "embedding_quantize",
     "dataset_split",

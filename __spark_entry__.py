@@ -11,6 +11,7 @@ arithmetic and hash-match.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -612,6 +613,54 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("v").cast("decimal(38,4)").cast("string").alias("sum_value"),
         )
+    )
+
+
+def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling windowed aggregation as ``events_windowed``
+    executed through Structured Streaming: readStream over the events
+    parquet, incremental stateful aggregation, availableNow drain into
+    a memory sink — and the SAME DuckDB oracle, so the streaming
+    engine's answer is hash-checked against SQL, not just row-counted.
+
+    Deterministic because the drain is bounded and complete-mode
+    aggregation holds full state (no watermark drops); production
+    unbounded mode is watermark+append/update, exercised in
+    test_streaming_semantics. Stream-vs-batch parity is the reference's
+    own snapshot→CDC continuity guarantee re-expressed at the query
+    level."""
+    import time as _time
+
+    from deltaforge_spark.sources.snapshot import _staged_path
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    _prep(spark)
+    path = _staged_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a DIRECTORY; scope it to the one
+    # table file with a glob so sibling tables never enter the stream
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    from deltaforge_spark.sources.snapshot import _normalize_event_ts
+
+    ev = _normalize_event_ts(raw)
+    agg = (
+        ev.select(
+            F.expr("ts div 1000000 div 3600000").alias("hour_bucket"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("decimal(38,4)").cast("string").alias("sum_value"),
+        )
+    )
+    return run_stream_to_memory(
+        agg, name=f"events_windowed_stream_{int(_time.time() * 1000)}"
     )
 
 
@@ -1252,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_windowed": q_events_windowed,
+    "events_windowed_stream": q_events_windowed_stream,
     "events_topn": q_events_topn,
     "events_sessionization": q_events_sessionization,
     "cdc_outbox": q_outbox,
@@ -2079,6 +2129,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "events_windowed": """
+            SELECT (epoch_ns(ts) // 1000000) // 3600000 AS hour_bucket,
+                   event_type,
+                   count(*) AS n,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_windowed_stream": """
             SELECT (epoch_ns(ts) // 1000000) // 3600000 AS hour_bucket,
                    event_type,
                    count(*) AS n,

@@ -107,3 +107,43 @@ def file_change_source(path: str, schema, *, max_files_per_trigger: int = 10):
         )
 
     return make
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    *,
+    name: str,
+    output_mode: str = "complete",
+    timeout: int = 120,
+) -> DataFrame:
+    """Drain a bounded streaming frame into a memory sink with an
+    availableNow trigger and return the result as a batch DataFrame.
+
+    The bounded-drain verification harness for streaming twins: the
+    stream processes its whole backlog (one or more triggers depending
+    on maxFilesPerTrigger), the memory sink holds the final state, and
+    the caller compares it to the batch/oracle result. ``complete``
+    output mode keeps full aggregation state — correct for a bounded
+    drain, NOT the unbounded-production mode (that's watermark+append/
+    update, exercised in test_streaming_semantics).
+    """
+    import tempfile
+
+    spark = stream_df.sparkSession
+    checkpoint = tempfile.mkdtemp(prefix=f"dfspark-{name}-ckpt-")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout)
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name)

@@ -3,6 +3,7 @@ once), event-time tumbling windows, session windows — the §2.6 surface
 the reference lacks and pushes to consumers (guarantees.md:380)."""
 
 import pyspark.sql.functions as F
+import pytest
 import pyspark.sql.types as T
 
 from deltaforge_spark.streaming import dedup_events
@@ -92,3 +93,23 @@ def test_session_window_streaming(spark, tmp_path):
     )
     # user 1: one session of 3 events (00:00:01-00:00:06) closed by the 00:40 arrivals
     assert (1, 3) in got
+
+
+@pytest.mark.spark
+def test_windowed_stream_query_matches_batch_and_reruns(spark):
+    """The declared streaming query must (a) equal the batch twin
+    exactly and (b) be re-invocable in one session (unique memory-sink
+    names, fresh checkpoints)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.hour_bucket, r.event_type): (r.n, r.sum_value)
+        for r in entry.q_events_windowed(spark, sf).collect()
+    }
+    for _ in range(2):  # re-run: no query-name or checkpoint collision
+        stream = {
+            (r.hour_bucket, r.event_type): (r.n, r.sum_value)
+            for r in entry.q_events_windowed_stream(spark, sf).collect()
+        }
+        assert stream == batch

@@ -473,6 +473,44 @@ def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled_transactions_batch(change_feed(spark, sf_dir))
 
 
+def q_cdc_tx_assemble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator, oracle-backed: the change
+    feed replayed through ``applyInPandasWithState`` transaction
+    assembly (one emitted row per completed source transaction) and
+    hash-checked against the SAME DuckDB SQL as the batch twin
+    ``cdc_tx_assemble``.
+
+    Safe to drain bounded: the feed's window partitioning keys rows by
+    (tx_seq, user), so every transaction lands whole inside one part
+    file — and the file-stream source admits whole files per batch, so
+    a transaction never splits across micro-batches out of order.
+    ``timeout_ms=0`` (NoTimeout) because a bounded replay guarantees
+    termination (every tx carries its tx_end row); unbounded eviction
+    semantics are exercised in test_streaming.py."""
+    import tempfile
+    import time as _time
+
+    from deltaforge_spark.streaming import assemble_transactions
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    _prep(spark)
+    # materialize the deterministic feed once per sf_dir (derived data;
+    # RAM-backed when available, temp dir otherwise)
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    feed_dir = f"{base}/deltaforge-derived/{tag}/changefeed"
+    if not os.path.isdir(feed_dir):
+        change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(feed_dir)
+    out = assemble_transactions(raw, timeout_ms=0)
+    return run_stream_to_memory(
+        out,
+        name=f"cdc_tx_assemble_stream_{int(_time.time() * 1000)}",
+        output_mode="append",
+    )
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → typed metadata via mapInPandas (stub decode)."""
     _prep(spark)
@@ -1293,6 +1331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh": q_similarity_lsh,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
+    "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "customers_without_big_orders": q_anti_join_customers,
@@ -1865,6 +1904,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_tx_assemble": f"""
+            SELECT tx_id, count(*) AS n_events,
+                   count(*) FILTER (op = 'c') AS n_creates,
+                   count(*) FILTER (op = 'u') AS n_updates,
+                   count(*) FILTER (op = 'd') AS n_deletes,
+                   min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
+                   bool_or(tx_end) AS complete
+            FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "cdc_tx_assemble_stream": f"""
             SELECT tx_id, count(*) AS n_events,
                    count(*) FILTER (op = 'c') AS n_creates,
                    count(*) FILTER (op = 'u') AS n_updates,

@@ -113,3 +113,20 @@ def test_windowed_stream_query_matches_batch_and_reruns(spark):
             for r in entry.q_events_windowed_stream(spark, sf).collect()
         }
         assert stream == batch
+
+
+@pytest.mark.spark
+def test_tx_assemble_stream_query_matches_batch_and_reruns(spark):
+    """The declared stateful-streaming query equals the batch twin and
+    re-invokes cleanly (fresh memory-sink name + checkpoint; the staged
+    feed is reused across calls)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.tx_id: r.asDict() for r in entry.q_tx_assemble(spark, sf).collect()}
+    for _ in range(2):
+        stream = {
+            r.tx_id: r.asDict()
+            for r in entry.q_cdc_tx_assemble_stream(spark, sf).collect()
+        }
+        assert stream == batch

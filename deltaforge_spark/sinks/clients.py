@@ -235,18 +235,34 @@ def http_webhook_sink(
 
     def factory():
         import json as _json
-        import time
+
+        from ..retry import Exhausted, RetryPolicy, retry_call
 
         sess = mk_session()
+        # executor-side policy (retry.py mirrors common/retry.rs): 5xx is
+        # transient → backoff; the policy object is per-client so backoff
+        # state never leaks across partitions
+        policy = RetryPolicy(
+            initial=0.1, max=5.0, jitter=0.1, max_retries=max_retries + 1
+        )
 
         def _request_with_retry(dest: str, body: str) -> None:
-            for attempt in range(max_retries + 1):
+            def attempt_once(attempt: int):
                 resp = sess.request(method, dest or url_template, data=body)
-                if resp.status_code < 500:
-                    resp.raise_for_status()
-                    return
-                time.sleep(min(2**attempt * 0.1, 5.0))
-            raise IOError(f"HTTP sink exhausted retries: {resp.status_code}")
+                if resp.status_code >= 500:
+                    raise ConnectionError(f"server error {resp.status_code}")
+                resp.raise_for_status()  # 4xx: non-retryable, DLQ upstream
+
+            policy.reset()
+            try:
+                retry_call(
+                    attempt_once,
+                    is_retryable=lambda e: isinstance(e, ConnectionError),
+                    policy=policy,
+                    label="http_webhook",
+                )
+            except Exhausted as e:
+                raise IOError(f"HTTP sink exhausted retries: {e.last_error}") from e
 
         class _C:
             def __init__(self):

@@ -473,6 +473,57 @@ def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled_transactions_batch(change_feed(spark, sf_dir))
 
 
+def q_cdc_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-level drift detection (schema/driftstats.py): a dynamic
+    JSON payload stream profiled per-column — observed-type histogram
+    via VARIANT classification, null+missing rates against the 0.1%
+    threshold, undeclared-key occurrence counts — reduced to the
+    reference's DriftEvent table (column, drift_type, expected,
+    observed, n). The payload is synthesized deterministically from
+    events with planted drift: amount turns string on every 13th id,
+    email goes missing on 7ths, flag nulls on 11ths, ratio turns
+    double on 19ths, and tags is an undeclared array on 17ths.
+    One pass; only (column, class) counts shuffle."""
+    from deltaforge_spark.schema.driftstats import drift_events
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    amount = F.when(
+        eid % 13 == 0,
+        F.concat(F.lit('"'), (eid % 100).cast("string"), F.lit('"')),
+    ).otherwise((eid % 100).cast("string"))
+    payload = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ", ",
+            F.concat(F.lit('"k": '), F.get_json_object("props", "$.k")),
+            F.concat(F.lit('"amount": '), amount),
+            F.when(eid % 7 == 0, F.lit(None)).otherwise(
+                F.concat(F.lit('"email": "u'), uid.cast("string"), F.lit('@example.com"'))
+            ),
+            F.concat(
+                F.lit('"flag": '),
+                F.when(eid % 11 == 0, F.lit("null"))
+                .when(eid % 2 == 0, F.lit("true"))
+                .otherwise(F.lit("false")),
+            ),
+            F.concat(
+                F.lit('"ratio": '),
+                F.when(eid % 19 == 0, F.lit("1.5")).otherwise(F.lit("2")),
+            ),
+            F.when(eid % 17 == 0, F.lit('"tags": ["a","b"]')).otherwise(F.lit(None)),
+        ),
+        F.lit("}"),
+    )
+    return drift_events(
+        ev.select(payload.alias("payload")),
+        "payload",
+        declared={"k": "int", "amount": "int", "email": "string", "flag": "bool", "ratio": "int"},
+        non_null={"email", "flag"},
+    )
+
+
 def q_cdc_tx_assemble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom STATEFUL streaming operator, oracle-backed: the change
     feed replayed through ``applyInPandasWithState`` transaction
@@ -1332,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
+    "cdc_drift_profile": q_cdc_drift_profile,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "customers_without_big_orders": q_anti_join_customers,
@@ -1920,6 +1972,73 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms,
                    bool_or(tx_end) AS complete
             FROM ({CHANGEFEED_SQL}) GROUP BY tx_id
+        """,
+        "cdc_drift_profile": """
+            WITH payloads AS (
+                SELECT '{' || concat_ws(', ',
+                    '"k": ' || json_extract_string(props, '$.k'),
+                    '"amount": ' || CASE WHEN event_id % 13 = 0
+                        THEN '"' || CAST(event_id % 100 AS VARCHAR) || '"'
+                        ELSE CAST(event_id % 100 AS VARCHAR) END,
+                    CASE WHEN event_id % 7 = 0 THEN NULL
+                         ELSE '"email": "u' || CAST(user_id AS VARCHAR) || '@example.com"' END,
+                    '"flag": ' || CASE WHEN event_id % 11 = 0 THEN 'null'
+                                       WHEN event_id % 2 = 0 THEN 'true'
+                                       ELSE 'false' END,
+                    '"ratio": ' || CASE WHEN event_id % 19 = 0 THEN '1.5' ELSE '2' END,
+                    CASE WHEN event_id % 17 = 0 THEN '"tags": ["a","b"]' ELSE NULL END
+                ) || '}' AS payload FROM events
+            ),
+            fields(col, declared) AS (VALUES
+                ('k','int'), ('amount','int'), ('email','string'),
+                ('flag','bool'), ('ratio','int')),
+            classified AS (
+                SELECT f.col AS c, f.declared,
+                    CASE WHEN NOT list_contains(json_keys(p.payload), f.col) THEN 'missing'
+                         WHEN json_extract(p.payload, '$.' || f.col) IS NULL THEN 'null'
+                         ELSE CASE json_type(json_extract(p.payload, '$.' || f.col))
+                              WHEN 'VARCHAR' THEN 'string'
+                              WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+                              WHEN 'DOUBLE' THEN 'double' WHEN 'BOOLEAN' THEN 'bool'
+                              WHEN 'ARRAY' THEN 'array' WHEN 'OBJECT' THEN 'object'
+                              ELSE 'other' END
+                    END AS observed
+                FROM payloads p CROSS JOIN fields f
+            ),
+            counts AS (
+                SELECT c, declared, observed, count(*) AS n
+                FROM classified GROUP BY 1, 2, 3
+            ),
+            mismatches AS (
+                SELECT c AS "column", 'type_mismatch' AS drift_type,
+                       declared AS expected, observed, n
+                FROM counts
+                WHERE observed NOT IN ('null','missing') AND observed <> declared
+            ),
+            per_col AS (
+                SELECT c, declared, SUM(n) AS total,
+                       SUM(CASE WHEN observed IN ('null','missing') THEN n ELSE 0 END) AS n_null
+                FROM counts GROUP BY 1, 2
+            ),
+            nulls AS (
+                SELECT c AS "column", 'unexpected_nulls' AS drift_type,
+                       declared AS expected, 'null' AS observed,
+                       CAST(n_null AS BIGINT) AS n
+                FROM per_col
+                WHERE c IN ('email','flag') AND n_null / total > 0.001
+            ),
+            keycounts AS (
+                SELECT unnest(json_keys(payload)) AS key FROM payloads
+            ),
+            undeclared AS (
+                SELECT key AS "column", 'undeclared_column' AS drift_type,
+                       '-' AS expected, '-' AS observed, count(*) AS n
+                FROM keycounts WHERE key NOT IN (SELECT col FROM fields)
+                GROUP BY key
+            )
+            SELECT * FROM mismatches
+            UNION ALL SELECT * FROM undeclared
+            UNION ALL SELECT * FROM nulls
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

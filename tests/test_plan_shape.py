@@ -147,10 +147,56 @@ def test_gopher_filter_shuffle_budget(spark, sf_dir):
     from deltaforge_spark.operators.quality import gopher_quality_filter
     from deltaforge_spark.sources import read_table
 
+    # default path: the ONLY Python stage is the deliberate map-only
+    # Arrow repetition pass (no BatchEval row-at-a-time Python anywhere)
     p = plan_str(gopher_quality_filter(read_table(spark, sf_dir, "documents")))
-    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+    for py_op in ("BatchEvalPython", "ArrowEvalPython"):
         assert py_op not in p, p
-    # 2-gram agg, 5-gram agg, top-K window, dup-sum agg and the doc_id
-    # joins: bounded by 8 hash exchanges; a regression that starts
-    # shuffling text bytes per gate would blow past this
-    assert p.lower().count("hashpartitioning") <= 8, p
+    assert "MapInPandas" in p
+    # per-row gates + the doc_id join: bounded hash exchanges; a
+    # regression that starts shuffling text bytes per gate blows this
+    assert p.lower().count("hashpartitioning") <= 4, p
+    # columnar twin: zero Python, bounded gram-agg exchanges
+    pc = plan_str(
+        gopher_quality_filter(
+            read_table(spark, sf_dir, "documents"), repetition_impl="columnar"
+        )
+    )
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in pc, pc
+    assert pc.lower().count("hashpartitioning") <= 8, pc
+
+
+def test_tfidf_scan_prunes_and_stays_jvm_side(spark, sf_dir):
+    p = plan_str(entry.queries()["doc_tfidf_keywords"](spark, sf_dir))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    # only doc_id and text reach the scan; lang/source/n_chars pruned
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema[0], read_schema[0]
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p, f"Python operator {py_op} in tfidf plan"
+
+
+def test_gopher_repetition_is_map_only_arrow(spark, sf_dir):
+    """The repetition path must be ONE MapInPandas with no exchange
+    between the scan and the Python stage (zero-shuffle claim from
+    SCALE.md, pinned)."""
+    from deltaforge_spark.operators.quality import repetition_metrics_arrow
+    from deltaforge_spark.sources.snapshot import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = plan_str(repetition_metrics_arrow(docs))
+    assert "MapInPandas" in p
+    # the only exchange allowed is read_table's split fan-out BELOW the
+    # Python stage; aggregation exchanges (hashpartitioning) must not exist
+    assert "hashpartitioning" not in p, p
+
+
+def test_drift_profile_shuffles_counts_not_payloads(spark, sf_dir):
+    p = plan_str(entry.queries()["cdc_drift_profile"](spark, sf_dir))
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p, f"Python operator {py_op} in drift plan"
+    # partial aggregation before every exchange: count histograms are
+    # map-side combined, so payload text never crosses the wire
+    assert "partial_count" in p or "HashAggregate" in p

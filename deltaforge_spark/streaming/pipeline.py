@@ -52,6 +52,9 @@ class StreamingPipeline:
     policy: CommitPolicy = field(default_factory=CommitPolicy)
     checkpoint_dir: str = ""
     offsets_path: str = ""
+    # hot pause: batches block at admission while paused (streaming/pause.py);
+    # None = no gate. Cancel fails the in-flight batch -> checkpoint replay.
+    gate: object | None = None
 
     def build(self, spark: SparkSession) -> DataFrame:
         df = self.source(spark)
@@ -64,6 +67,12 @@ class StreamingPipeline:
         offsets = OffsetStore(self.offsets_path) if self.offsets_path else None
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # pause gate: finish nothing new while paused (the reference
+            # pauses between events, pause.rs; Spark's unit is the batch).
+            # Cancellation raises so the uncommitted batch replays after
+            # restart instead of being silently marked done.
+            if self.gate is not None and not self.gate.wait_until_resumed():
+                raise RuntimeError(f"pipeline {self.name} cancelled while paused")
             # per-sink offset skip: a sink that already committed this
             # batch (pre-crash) is not re-written on replay, but still
             # counts toward the commit policy (quorum reached across a

@@ -131,3 +131,70 @@ def test_snapshot_scoped_by_table_filter(spark, tmp_path):
         table_filter=TableFilter(include=["testdb.*"], exclude=["*.supplier"]),
     )
     assert ran == ["region", "nation"] and seen == ran
+
+
+# ---- property-based differential: driver matcher vs Column compiler ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _name = st.text(alphabet="abz_123", min_size=0, max_size=6)
+    _seg = st.one_of(
+        st.just("*"),
+        st.just("%"),
+        _name,
+        _name.map(lambda s: s + "%"),
+        _name.map(lambda s: s + "*"),
+    )
+    _pattern = st.one_of(_seg, st.tuples(_seg, _seg).map(lambda t: f"{t[0]}.{t[1]}"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        include=st.lists(_pattern, max_size=3),
+        exclude=st.lists(_pattern, max_size=3),
+        qualifier=_name,
+        name=_name,
+    )
+    def test_matcher_is_total_and_consistent(include, exclude, qualifier, name):
+        """Pure-python invariants over random patterns: empty filter
+        admits everything; exclude always wins; matches() is
+        deterministic and total."""
+        tf = TableFilter(include=include, exclude=exclude)
+        got = tf.matches(qualifier, name)
+        assert isinstance(got, bool)
+        assert got == tf.matches(qualifier, name)
+        if not include and not exclude:
+            assert got is True
+        if AllowList(exclude).matches(qualifier, name) and exclude:
+            assert got is False
+
+    @pytest.mark.spark
+    def test_column_compiler_agrees_on_random_matrix(spark):
+        """One Spark pass over a hypothesis-shaped grid (kept out of
+        @given — a Spark job per example would take minutes)."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        segs = ["", "a", "ab", "abz", "a_1", "z3"]
+        pats = ["*", "%", "a", "ab%", "a*", "z3", "ab.a", "*.z3", "a%.%", "ab.a%"]
+        cases = list(itertools.product(segs, segs))
+        rows = [{"source": {"db": q, "table": n}} for q, n in cases]
+        df = spark.createDataFrame(rows)
+        for _ in range(12):
+            tf = TableFilter(
+                include=rng.sample(pats, rng.randint(0, 3)),
+                exclude=rng.sample(pats, rng.randint(0, 3)),
+            )
+            got = {
+                (r["source"]["db"], r["source"]["table"])
+                for r in df.filter(table_filter_column(tf)).collect()
+            }
+            want = {(q, n) for q, n in cases if tf.matches(q, n)}
+            assert got == want, f"divergence for include={tf.include} exclude={tf.exclude}"

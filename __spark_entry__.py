@@ -281,6 +281,18 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(read_table(spark, sf_dir, "documents"))
 
 
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-0 training-order shuffle of the corpus
+    (operators/sampling.py epoch_shuffle): reproducible dense ranks via
+    distributed zipWithIndex — range partition + per-partition offsets,
+    never a single-task global window."""
+    from deltaforge_spark.operators.sampling import epoch_shuffle
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, key_col="doc_id").select("doc_id", "shuffle_rank")
+
+
 def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 keywords per document (operators/keywords.py):
     lowercased whitespace terms, smoothed idf = ln((N+1)/(df+1))+1,
@@ -1370,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_contamination": q_contamination,
     "doc_quality_gopher": q_doc_quality_gopher,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
+    "doc_epoch_shuffle": q_doc_epoch_shuffle,
     "pii_scan": q_pii_scan,
     "embedding_quantize": q_embedding_quantize,
     "dataset_split": q_dataset_split,
@@ -1883,6 +1896,13 @@ def _dataset_split_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_quality_gopher": _gopher_quality_oracle(),
+        "doc_epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY CAST(('0x' || substr(md5('shuf:0:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+                                doc_id) AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
         "doc_tfidf_keywords": f"""
             WITH toks AS (
                 SELECT doc_id,

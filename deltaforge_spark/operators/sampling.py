@@ -71,6 +71,69 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(key_col), seed) < thresh)
 
 
+def epoch_shuffle(
+    df: DataFrame, *, key_col: str, epoch: int = 0, seed: str = "shuf"
+) -> DataFrame:
+    """Deterministic training-order shuffle: a reproducible permutation
+    of the corpus per epoch, as the input rows + ``shuffle_rank``.
+
+    Order = ascending ``sample_hash("{seed}:{epoch}", key)`` with the
+    key as tiebreak — any engine and any input partitioning produce the
+    SAME permutation, so a resumed or re-sharded training job reads the
+    identical epoch order; each epoch re-salts the hash for an
+    independent permutation (the standard epoch-reshuffle contract).
+
+    Scale shape — distributed zipWithIndex, NOT a global row_number
+    window (which would collapse the corpus onto one task):
+    1. range-repartition + partition-local sort on (hash, key) — the
+       one unavoidable total-order shuffle;
+    2. per-partition row counts (N driver-side values, N = partitions);
+    3. map-only Arrow pass adding partition_offset + local_index.
+    The rank is independent of where the range boundaries land because
+    ranges are disjoint and ordered; ties are broken by the key.
+    """
+    spark = df.sparkSession
+    h = sample_hash(F.col(key_col), seed=f"{seed}:{epoch}")
+    n_parts = spark.sparkContext.defaultParallelism
+    sorted_df = (
+        df.withColumn("_h", h)
+        .repartitionByRange(n_parts, F.col("_h"), F.col(key_col))
+        .sortWithinPartitions("_h", key_col)
+    )
+    sorted_df.persist()
+    try:
+        counts = dict(
+            sorted_df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        out_schema = sorted_df.drop("_h").schema.add("shuffle_rank", "long")
+
+        def enumerate_rows(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            pos = offsets.get(pid, 0)
+            for pdf in batches:
+                pdf = pdf.drop(columns=["_h"])
+                pdf["shuffle_rank"] = range(pos + 1, pos + 1 + len(pdf))
+                pos += len(pdf)
+                yield pdf
+
+        out = sorted_df.mapInPandas(enumerate_rows, out_schema)
+        # materialize while the sorted input is cached; the cache is the
+        # barrier that keeps pass 2 and 3 reading identical partitions
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        sorted_df.unpersist()
+
+
 def dataset_split(
     df: DataFrame,
     *,

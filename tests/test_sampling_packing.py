@@ -1,6 +1,7 @@
 """Deterministic sampling + sequence packing (operators/sampling.py)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from deltaforge_spark.operators.sampling import (
     deterministic_sample,
@@ -83,3 +84,28 @@ def test_sample_hash_range(spark):
     df = spark.range(0, 100).select(sample_hash(F.col("id")).alias("h"))
     mn, mx = df.agg(F.min("h"), F.max("h")).first()
     assert mn >= 0 and mx < (1 << 48)
+
+
+@pytest.mark.spark
+def test_epoch_shuffle_contract(spark):
+    """Dense 1..N ranks, invariant to input partitioning, independent
+    permutation per epoch, rows preserved."""
+    from deltaforge_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id long, text string"
+    )
+    out = epoch_shuffle(df, key_col="doc_id").collect()
+    assert sorted(r.shuffle_rank for r in out) == list(range(1, 501))
+    assert sorted(r.doc_id for r in out) == list(range(500))
+    m1 = {r.doc_id: r.shuffle_rank for r in out}
+    m2 = {
+        r.doc_id: r.shuffle_rank
+        for r in epoch_shuffle(df.repartition(7), key_col="doc_id").collect()
+    }
+    assert m1 == m2  # partitioning-invariant
+    m_e1 = {
+        r.doc_id: r.shuffle_rank
+        for r in epoch_shuffle(df, key_col="doc_id", epoch=1).collect()
+    }
+    assert m_e1 != m1  # epochs re-shuffle

@@ -581,6 +581,21 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(docs)
 
 
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-signal features (operators/multimodal.py
+    audio_energy_windows): the payload treated as u8 PCM, per-256-byte
+    window sample count / energy sum / midline zero-crossings — exact
+    integers, map-only mapInPandas, window fan-out inside the UDF."""
+    from deltaforge_spark.operators.multimodal import (
+        audio_energy_windows,
+        with_binary_payload,
+    )
+
+    _prep(spark)
+    docs = with_binary_payload(read_table(spark, sf_dir, "documents"))
+    return audio_energy_windows(docs, window_bytes=256)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out inside mapInPandas (64-byte frames)."""
     _prep(spark)
@@ -1401,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "customers_without_big_orders": q_anti_join_customers,
     "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_frames": q_multimodal_frames,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -2278,6 +2294,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
+        "multimodal_audio_windows": """
+            WITH payloads AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, CAST(w AS INT) AS window_idx, text,
+                       CAST(w * 256 AS INT) AS start0,
+                       CAST(least(256, n - w * 256) AS INT) AS wlen
+                FROM payloads,
+                     LATERAL (SELECT unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS w) t
+            ),
+            samples AS (
+                SELECT doc_id, window_idx, wlen,
+                       list_transform(range(1, wlen + 1),
+                                      i -> ord(substr(text, start0 + i, 1))) AS vals
+                FROM wins
+            )
+            SELECT doc_id, window_idx, wlen AS n_samples,
+                   CAST(list_sum(vals) AS BIGINT) AS sum_energy,
+                   CAST(len(list_filter(range(1, wlen),
+                        i -> (vals[i] < 128) <> (vals[i+1] < 128))) AS INT) AS zero_crossings
+            FROM samples
+        """,
         "multimodal_image_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -109,3 +109,71 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha256"])
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_bytes: int = 256,
+) -> DataFrame:
+    """Windowed signal features over an opaque audio byte stream:
+    per-window sample count, energy sum, and zero-crossing count.
+
+    Unlike the image decode this is NOT a stub — the computation treats
+    the payload as unsigned 8-bit PCM (bytes ARE samples), which is a
+    real feature extraction for u8 audio; a codec'd input (mp3/ogg)
+    would decode to PCM first at the marked line. All outputs are exact
+    integers, so the DuckDB oracle reproduces them bit-for-bit.
+
+    Zero crossings count sign changes around the u8 midline (128),
+    within each window only (windows are independent → the operator
+    stays embarrassingly parallel; cross-window continuity would need
+    one boundary sample carried per window, not a shuffle).
+
+    Scale: map-only mapInPandas; NumPy-vectorized per batch; the window
+    fan-out happens inside the UDF iterator.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                # REAL AUDIO: samples = decode(payload) here (libav /
+                # soundfile, absent in this container); u8 PCM passthrough:
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range(0, len(samples), window_bytes):
+                    win = samples[w : w + window_bytes]
+                    below = win < 128
+                    out.append(
+                        (
+                            doc_id,
+                            w // window_bytes,
+                            len(win),
+                            int(win.sum(dtype=np.int64)),
+                            int((below[:-1] != below[1:]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "window_idx", "n_samples", "sum_energy", "zero_crossings",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, AUDIO_WINDOW_SCHEMA)

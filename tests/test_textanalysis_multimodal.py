@@ -1,6 +1,7 @@
 """Text analysis + multimodal plumbing."""
 
 import hashlib
+import pytest
 
 import pyspark.sql.functions as F
 from pyspark.sql import Row
@@ -78,3 +79,24 @@ def test_frame_fanout(spark):
     frames = sample_frames(with_binary_payload(df), every=64).collect()
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
     assert frames[0]["frame_sha256"] == hashlib.sha256(b"x" * 64).hexdigest()
+
+
+@pytest.mark.spark
+def test_audio_energy_windows_real_signal(spark):
+    """Zero crossings over bytes that actually cross the u8 midline —
+    the corpus is ASCII (never crosses), so pin the signal math on a
+    synthetic square wave: 4 samples high, 4 low, period 8."""
+    from deltaforge_spark.operators.multimodal import audio_energy_windows
+
+    wave = bytes(([200] * 4 + [50] * 4) * 64)  # 512 bytes, 2 windows
+    df = spark.createDataFrame([(1, bytearray(wave))], "doc_id long, payload binary")
+    rows = sorted(
+        audio_energy_windows(df, window_bytes=256).collect(),
+        key=lambda r: r.window_idx,
+    )
+    assert [r.n_samples for r in rows] == [256, 256]
+    # energy: 32 periods/window x (4*200 + 4*50)
+    assert [r.sum_energy for r in rows] == [32 * (4 * 200 + 4 * 50)] * 2
+    # crossings: 2 per period, minus the boundary not counted across
+    # the window edge; within 256 samples = 32 periods -> 63 internal
+    assert [r.zero_crossings for r in rows] == [63, 63]

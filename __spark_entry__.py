@@ -596,6 +596,21 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_windows(docs, window_bytes=256)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-within resize plumbing (pixel work
+    stubbed, geometry real): source dims from the deterministic fake
+    decode, output dims/byte-count from exact fit-within math.
+    Map-only mapInPandas."""
+    from deltaforge_spark.operators.multimodal import (
+        resize_images,
+        with_binary_payload,
+    )
+
+    _prep(spark)
+    docs = with_binary_payload(read_table(spark, sf_dir, "documents"))
+    return resize_images(docs, max_w=512, max_h=512)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out inside mapInPandas (64-byte frames)."""
     _prep(spark)
@@ -1417,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_big_orders": q_anti_join_customers,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -2294,6 +2310,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
+        "multimodal_resize": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 2048 + 1 AS INT) AS w,
+                       CAST(CAST(('0x' || substr(sha256(text), 9, 8)) AS BIGINT) % 2048 + 1 AS INT) AS h
+                FROM documents
+            ),
+            scaled AS (
+                SELECT doc_id, w, h,
+                       least(512.0 / w, 512.0 / h, 1.0) AS scale
+                FROM dims
+            )
+            SELECT doc_id, w AS src_width, h AS src_height,
+                   CAST(greatest(1, trunc(w * scale)) AS INT) AS out_width,
+                   CAST(greatest(1, trunc(h * scale)) AS INT) AS out_height,
+                   CAST(CAST(greatest(1, trunc(w * scale)) AS INT)
+                        * CAST(greatest(1, trunc(h * scale)) AS INT) * 3 AS INT) AS out_bytes
+            FROM scaled
+        """,
         "multimodal_audio_windows": """
             WITH payloads AS (
                 SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents

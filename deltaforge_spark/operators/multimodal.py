@@ -177,3 +177,60 @@ def audio_energy_windows(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+RESIZE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_w: int = 512,
+    max_h: int = 512,
+) -> DataFrame:
+    """Fit-within resize of an image batch: aspect-preserving downscale
+    to at most (max_w, max_h), never upscaling.
+
+    The geometry is REAL (integer fit-within math, exact oracle); the
+    pixel work is the marked stub — source dims come from the same
+    deterministic fake decode as ``decode_image_meta``, and the resized
+    payload is reported as an uncompressed RGB byte count
+    (out_w * out_h * 3). REAL IMPLEMENTATION (Pillow, absent here):
+    ``im.thumbnail((max_w, max_h)); buf = im.tobytes()``.
+
+    Scale: map-only mapInPandas; binaries stay opaque to the JVM.
+    Fit-within: scale = min(max_w/w, max_h/h, 1); out = floor(dim *
+    scale) clamped to >= 1 — the floor keeps both bounds respected.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ = _fake_decode(bytes(payload))
+                scale = min(max_w / w, max_h / h, 1.0)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                out.append((doc_id, w, h, ow, oh, ow * oh * 3))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "out_width", "out_height", "out_bytes",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, RESIZE_META_SCHEMA)

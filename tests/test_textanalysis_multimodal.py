@@ -100,3 +100,23 @@ def test_audio_energy_windows_real_signal(spark):
     # crossings: 2 per period, minus the boundary not counted across
     # the window edge; within 256 samples = 32 periods -> 63 internal
     assert [r.zero_crossings for r in rows] == [63, 63]
+
+
+@pytest.mark.spark
+def test_resize_fit_within_geometry(spark):
+    """Fit-within math: downscale preserves aspect within 1px floor,
+    never upscales, respects both bounds."""
+    from deltaforge_spark.operators.multimodal import resize_images
+
+    rows = [(i, bytearray(f"img{i}".encode() * 50)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for r in resize_images(df, max_w=300, max_h=200).collect():
+        assert r.out_width <= 300 and r.out_height <= 200
+        assert r.out_width <= r.src_width and r.out_height <= r.src_height
+        if r.src_width <= 300 and r.src_height <= 200:
+            assert (r.out_width, r.out_height) == (r.src_width, r.src_height)
+        else:  # aspect preserved within floor rounding
+            assert abs(
+                r.out_width / r.out_height - r.src_width / r.src_height
+            ) <= r.src_width / (r.out_height * (r.out_height + 1)) + 0.02
+        assert r.out_bytes == r.out_width * r.out_height * 3

@@ -149,10 +149,15 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
     finally:
         if q.isActive:
             q.stop()
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # never hand back a partial drain as if it were the answer
+        raise TimeoutError(
+            f"stream {name!r} did not drain within {timeout}s"
+        )
     return spark.table(name)

@@ -126,8 +126,14 @@ def epoch_shuffle(
                 yield pdf
 
         out = sorted_df.mapInPandas(enumerate_rows, out_schema)
-        # materialize while the sorted input is cached; the cache is the
-        # barrier that keeps pass 2 and 3 reading identical partitions
+        # Materialize while the sorted input is cached: the offsets were
+        # computed for THIS physical partitioning, and a recompute after
+        # unpersist could re-sample different range boundaries, shifting
+        # partition ids under the offsets map. The checkpoint is the
+        # barrier (load-bearing, not an optimization). On a cluster,
+        # prefer writing the ranked manifest to storage at this point —
+        # localCheckpoint lives on executor-local disks and does not
+        # survive executor loss.
         out = out.localCheckpoint(eager=True)
         return out
     finally:

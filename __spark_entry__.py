@@ -281,6 +281,43 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(read_table(spark, sf_dir, "documents"))
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click stamped with the
+    user's most recent purchase at-or-before it — the union-and-carry
+    pattern (one key shuffle + partition-local sort + window carry),
+    never an O(|L|x|R|)-per-key range join. Verified against DuckDB's
+    NATIVE ASOF JOIN. The right side pre-dedups to one purchase per
+    (user, ts) with the max (value, event_id) so the tie policy is
+    engine-independent."""
+    from pyspark.sql import Window
+
+    from deltaforge_spark.operators.asof import asof_join
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("tsn")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ts").alias("tsn"), "value")
+    )
+    out = asof_join(
+        clicks, purchases, on="tsn", by="user_id", right_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("tsn div 1000000").alias("ts_ms"),
+        F.col("value_asof"),
+    )
+
+
 def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 training-order shuffle of the corpus
     (operators/sampling.py epoch_shuffle): reproducible dense ranks via
@@ -1413,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_gopher": q_doc_quality_gopher,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_epoch_shuffle": q_doc_epoch_shuffle,
+    "events_asof_join": q_events_asof_join,
     "pii_scan": q_pii_scan,
     "embedding_quantize": q_embedding_quantize,
     "dataset_split": q_dataset_split,
@@ -1928,6 +1966,27 @@ def _dataset_split_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_quality_gopher": _gopher_quality_oracle(),
+        "events_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, epoch_ns(ts) AS tsn
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, tsn, value FROM (
+                    SELECT user_id, epoch_ns(ts) AS tsn, value,
+                           row_number() OVER (
+                               PARTITION BY user_id, epoch_ns(ts)
+                               ORDER BY value DESC, event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'
+                ) WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id,
+                   c.tsn // 1000000 AS ts_ms,
+                   p.value AS value_asof
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.tsn >= p.tsn
+        """,
         "doc_epoch_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

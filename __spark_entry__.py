@@ -318,6 +318,53 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/rangejoin.py): error events
+    matched into the session window [start, end] of the same user —
+    bucketized equi-join on (user, hour-bucket) with codegen'd
+    containment filter, never the O(points x intervals)-per-key plan a
+    raw inequality join produces. Sessions come from the same 30-min
+    gap logic as events_sessionization."""
+    from pyspark.sql import Window
+
+    from deltaforge_spark.operators.rangejoin import interval_join
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_sess = F.when(
+        F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn(
+            "session_idx",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    out = interval_join(
+        errors,
+        sess,
+        by="user_id",
+        point_col="ts_ms",
+        start_col="session_start_ms",
+        end_col="session_end_ms",
+        bucket_width=3_600_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms", "session_idx", "session_start_ms"
+    )
+
+
 def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 training-order shuffle of the corpus
     (operators/sampling.py epoch_shuffle): reproducible dense ranks via
@@ -1451,6 +1498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_epoch_shuffle": q_doc_epoch_shuffle,
     "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
     "pii_scan": q_pii_scan,
     "embedding_quantize": q_embedding_quantize,
     "dataset_split": q_dataset_split,
@@ -1966,6 +2014,36 @@ def _dataset_split_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_quality_gopher": _gopher_quality_oracle(),
+        "events_interval_join": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_id, event_type
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts_ms, event_id,
+                       CASE WHEN ts_ms - lag(ts_ms) OVER
+                            (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+            ), s AS (
+                SELECT user_id, ts_ms,
+                       CAST(sum(new_sess) OVER
+                            (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, session_idx,
+                       min(ts_ms) AS session_start_ms,
+                       max(ts_ms) AS session_end_ms
+                FROM s GROUP BY user_id, session_idx
+            )
+            SELECT p.event_id, p.user_id, p.ts_ms,
+                   sess.session_idx, sess.session_start_ms
+            FROM (SELECT event_id, user_id, ts_ms FROM e
+                  WHERE event_type = 'error') p
+            JOIN sessions sess
+              ON p.user_id = sess.user_id
+             AND p.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms
+        """,
         "events_asof_join": """
             WITH clicks AS (
                 SELECT event_id, user_id, epoch_ns(ts) AS tsn

@@ -138,6 +138,8 @@ HEADLINE = [
     "cdc_toast_unchanged",
     "doc_quality_gopher",
     "doc_tfidf_keywords",
+    "events_asof_join",
+    "events_interval_join",
     "pii_scan",
     "embedding_quantize",
     "dataset_split",

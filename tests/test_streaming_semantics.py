@@ -130,3 +130,59 @@ def test_tx_assemble_stream_query_matches_batch_and_reruns(spark):
             for r in entry.q_cdc_tx_assemble_stream(spark, sf).collect()
         }
         assert stream == batch
+
+
+@pytest.mark.spark
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join — the capability SURVEY §2.2 notes
+    the reference explicitly lacks (guarantees.md:380 pushes joins to
+    Flink/ksqlDB) and this engine provides natively: clicks joined to
+    purchases of the same user within [-10 min, 0] event time, state
+    bounded by the watermark horizon."""
+    import pyspark.sql.types as T
+
+    click_dir, buy_dir = tmp_path / "clicks", tmp_path / "buys"
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    from datetime import datetime as dt
+
+    def rows(*specs):
+        return [(u, dt(2026, 1, 1, 10, m), v) for u, m, v in specs]
+
+    spark.createDataFrame(
+        rows(("u1", 5, 1), ("u1", 30, 2), ("u2", 10, 3)), schema
+    ).coalesce(1).write.parquet(str(click_dir))
+    spark.createDataFrame(
+        # u1 purchase at 10:08 — within 10 min of the 10:05 click only;
+        # u2 purchase at 10:40 — no click within the window
+        rows(("u1", 8, 100), ("u2", 40, 200)), schema
+    ).coalesce(1).write.parquet(str(buy_dir))
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(click_dir))
+        .withWatermark("ts", "1 hour")
+        .selectExpr("user", "ts AS click_ts", "val AS click_val")
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buy_dir))
+        .withWatermark("ts", "1 hour")
+        .selectExpr("user AS buser", "ts AS buy_ts", "val AS buy_val")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "user = buser AND buy_ts >= click_ts "
+            "AND buy_ts <= click_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    out = run_stream_to_memory(
+        joined, name="ss_join_test", output_mode="append"
+    ).collect()
+    assert [(r.user, r.click_val, r.buy_val) for r in out] == [("u1", 1, 100)]

@@ -42,13 +42,16 @@ def envelope_native(df: DataFrame, out_col: str = "value") -> DataFrame:
 
 
 def envelope_debezium(df: DataFrame, out_col: str = "value") -> DataFrame:
-    """``{"schema": null, "payload": ...}`` wrapper (envelope/debezium.rs)."""
-    payload = _event_struct(df)
-    wrapper = F.struct(
-        F.lit(None).cast("string").alias("schema"),
-        payload.alias("payload"),
+    """``{"schema": null, "payload": ...}`` wrapper (envelope/debezium.rs).
+
+    The ``schema`` key is emitted literally: ``to_json`` drops
+    null-valued struct fields, but Debezium consumers key on the
+    wrapper's exact shape — so the wrapper is a concat around the
+    payload JSON, still one codegen'd projection."""
+    payload = F.to_json(_event_struct(df))
+    return df.withColumn(
+        out_col, F.concat(F.lit('{"schema":null,"payload":'), payload, F.lit("}"))
     )
-    return df.withColumn(out_col, F.to_json(wrapper))
 
 
 def cloudevents_type(prefix: str = "com.deltaforge.cdc") -> Column:

@@ -1,0 +1,561 @@
+"""Reference-vocabulary spec loader: parse vnvo/deltaforge's EXACT
+pipeline YAML (``apiVersion: deltaforge/v1``) and lower it onto the
+Spark compiler — so a user's existing config files run unchanged.
+
+Faithful to (reference):
+- crates/deltaforge-config/src/lib.rs:391-420 — ``${VAR}`` env
+  expansion with *pass-through* for unresolved names, so env vars
+  (``${KAFKA_BROKERS}``) coexist with runtime routing templates
+  (``${source.table}``) in one file.
+- lib.rs:66-141 — PipelineSpec{metadata{name,tenant,labels,
+  annotations}, spec{sharding?, source, processors[], sinks[],
+  connection_policy?, batch?, commit_policy?, sink_batch_deadline_secs?,
+  schema_sensing?, journal?}}.
+- lib.rs:204-244 — tagged ``source: {type: mysql|postgres, config:}``
+  and ``ProcessorCfg`` (javascript{id,inline,limits} / outbox /
+  flatten / filter, flattened configs).
+- lib.rs:274-325 — BatchConfig defaults {max_events: 2000, max_bytes:
+  16 MiB, max_ms: 50, respect_source_tx: true, max_inflight: 1};
+  CommitPolicy tagged by ``mode`` (all | required | quorum{quorum}).
+- sinks_cfg.rs:248-262 — tagged ``sinks: [{type: kafka|redis|nats|
+  http|s3|clickhouse, config: {...}}]``; per-sink ``envelope:`` block
+  (native | debezium | cloudevents{type_prefix}, sinks_cfg.rs:14-33)
+  and ``encoding:`` (json default); per-sink ``topic``/``key``
+  templates that are *defaults* under event-level routing (JS
+  ``ev.route()`` / outbox beat the sink template — kafka.rs:379-436).
+
+Spark lowering:
+- mysql/postgres sources → the change-feed boundary source (SURVEY
+  §7.2) with the config's ``tables`` allow-list applied through the
+  same ``AllowList`` semantics as the reference (patterns.py).
+- javascript processors → the Python batch-hook contract (the engine
+  boundary documented at plans/compiler.py ``python``): callers
+  register per-id Python equivalents implementing the same
+  processBatch 1→N + per-event route-override contract. Policy for
+  unregistered ids: ``error`` (default, explicit) or ``identity``
+  (pass-through, recorded in ``RefPipeline.warnings``).
+- per-sink envelope/encoding/templates → a wrapper that fills routing
+  defaults (COALESCE under existing event routing, preserving the
+  reference's precedence) then applies the envelope projection, then
+  the sink writer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..operators import envelope_cloudevents, envelope_debezium, envelope_native
+from ..operators.routing import ROUTING_SCHEMA, compile_template, with_routing
+from ..patterns import AllowList
+from ..sinks import CommitPolicy, SinkSpec
+
+# --------------------------------------------------------------- env expand
+
+# POSIX-ish var names only — `${source.table}` / `${after.x}` never match,
+# so routing templates survive expansion untouched (lib.rs:391-408).
+_ENV_VAR = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def expand_env(text: str) -> str:
+    """``${VAR}`` → value when set, else the literal ``${VAR}`` kept
+    (the reference's env_with_context pass-through)."""
+    return _ENV_VAR.sub(lambda m: os.environ.get(m.group(1), m.group(0)), text)
+
+
+# ------------------------------------------------------------- spec model
+
+
+@dataclass
+class Limits:
+    """JS sandbox limits (lib.rs:252-257). cpu/mem are isolate-level in
+    the reference; here the batch hook enforces the wall-clock bound
+    (timeout_ms) per Arrow batch and records cpu_ms/mem_mb as declared
+    intent (a Python worker has no isolate to meter)."""
+
+    cpu_ms: int | None = None
+    mem_mb: int | None = None
+    timeout_ms: int | None = None
+
+
+@dataclass
+class BatchCfg:
+    """The commit unit (lib.rs:274-301, defaults :287-297). Lowered to
+    micro-batch shaping: max_ms → processingTime trigger interval,
+    max_events → per-trigger admission (maxOffsetsPerTrigger /
+    maxFilesPerTrigger on rate-limitable sources); respect_source_tx →
+    the tx-never-split assembler (streaming/transactions.py);
+    max_inflight=1 matches foreachBatch's serialized batches."""
+
+    max_events: int = 2000
+    max_bytes: int = 16 * 1024 * 1024
+    max_ms: int = 50
+    respect_source_tx: bool = True
+    max_inflight: int = 1
+
+    def trigger(self) -> dict:
+        return {"processingTime": f"{self.max_ms} milliseconds"}
+
+
+@dataclass
+class RefSource:
+    kind: str  # mysql | postgres
+    id: str
+    dsn: str | None
+    tables: AllowList
+    outbox_tables: AllowList
+    extra: dict[str, Any] = field(default_factory=dict)  # slot, publication, ...
+
+
+@dataclass
+class RefSink:
+    kind: str  # kafka | redis | nats | http | s3 | clickhouse
+    id: str
+    required: bool
+    envelope: str  # native | debezium | cloudevents
+    type_prefix: str | None
+    encoding: str  # json | avro
+    topic_template: str | None  # kafka topic / redis stream / nats subject / http url
+    key_template: str | None
+    exactly_once: bool
+    config: dict[str, Any]
+
+
+@dataclass
+class RefPipeline:
+    name: str
+    tenant: str
+    labels: dict[str, str]
+    annotations: dict[str, str]
+    source: RefSource
+    processors: list[dict[str, Any]]
+    sinks: list[RefSink]
+    batch: BatchCfg
+    commit_policy: CommitPolicy
+    schema_sensing: dict[str, Any]
+    journal: dict[str, Any]
+    sharding: dict[str, Any] | None
+    sink_batch_deadline_secs: int | None
+    warnings: list[str] = field(default_factory=list)
+
+
+class UnsupportedSpecError(ValueError):
+    pass
+
+
+_DEST_KEYS = {  # per-sink-type field naming for the destination template
+    "kafka": "topic",
+    "redis": "stream",
+    "nats": "subject",
+    "http": "url",
+    "s3": "prefix",
+    "clickhouse": "table",
+}
+
+
+def _parse_sink(s: dict) -> RefSink:
+    kind = s["type"].lower()
+    cfg = dict(s.get("config", {}))
+    env = cfg.get("envelope") or {"type": "native"}
+    env_kind = env.get("type", "native").lower()
+    if env_kind not in ("native", "debezium", "cloudevents"):
+        raise UnsupportedSpecError(f"unknown envelope type {env_kind!r}")
+    return RefSink(
+        kind=kind,
+        id=cfg.get("id", kind),
+        required=bool(cfg.get("required", True)),
+        envelope=env_kind,
+        type_prefix=env.get("type_prefix"),
+        encoding=cfg.get("encoding", "json"),
+        topic_template=cfg.get(_DEST_KEYS.get(kind, "topic")),
+        key_template=cfg.get("key"),
+        exactly_once=bool(cfg.get("exactly_once", False)),
+        config=cfg,
+    )
+
+
+def parse_reference_spec(d: dict) -> RefPipeline:
+    """Normalize a parsed reference YAML document. Raises
+    UnsupportedSpecError on vocabulary this engine does not know —
+    never silently drops config."""
+    if d.get("apiVersion", "deltaforge/v1") != "deltaforge/v1":
+        raise UnsupportedSpecError(f"apiVersion {d['apiVersion']!r}")
+    meta = d.get("metadata", {})
+    spec = d.get("spec", {})
+    warnings: list[str] = []
+
+    src = spec["source"]
+    if src["type"] not in ("mysql", "postgres"):
+        raise UnsupportedSpecError(f"source type {src['type']!r}")
+    scfg = dict(src.get("config", {}))
+    outbox_cfg = scfg.pop("outbox", {}) or {}
+    source = RefSource(
+        kind=src["type"],
+        id=scfg.pop("id", src["type"]),
+        dsn=scfg.pop("dsn", None),
+        tables=AllowList(scfg.pop("tables", []) or []),
+        outbox_tables=AllowList(outbox_cfg.get("tables", []) or []),
+        extra=scfg,
+    )
+
+    processors = []
+    for p in spec.get("processors", []) or []:
+        kind = p.get("type")
+        if kind not in ("javascript", "outbox", "flatten", "filter"):
+            raise UnsupportedSpecError(f"processor type {kind!r}")
+        processors.append(dict(p))
+
+    sinks = [_parse_sink(s) for s in spec.get("sinks", []) or []]
+
+    b = dict(spec.get("batch", {}) or {})
+    batch = BatchCfg(
+        max_events=b.get("max_events", 2000),
+        max_bytes=b.get("max_bytes", 16 * 1024 * 1024),
+        max_ms=b.get("max_ms", 50),
+        respect_source_tx=b.get("respect_source_tx", True),
+        max_inflight=b.get("max_inflight", 1),
+    )
+
+    cp = dict(spec.get("commit_policy", {}) or {})
+    mode = cp.get("mode", "required")
+    policy = CommitPolicy(mode, int(cp.get("quorum", 0) or 0))
+
+    return RefPipeline(
+        name=meta.get("name", "pipeline"),
+        tenant=meta.get("tenant", ""),
+        labels=dict(meta.get("labels", {}) or {}),
+        annotations=dict(meta.get("annotations", {}) or {}),
+        source=source,
+        processors=processors,
+        sinks=sinks,
+        batch=batch,
+        commit_policy=policy,
+        schema_sensing=dict(spec.get("schema_sensing", {}) or {}),
+        journal=dict(spec.get("journal", {}) or {}),
+        sharding=spec.get("sharding"),
+        sink_batch_deadline_secs=spec.get("sink_batch_deadline_secs"),
+        warnings=warnings,
+    )
+
+
+def load_reference_spec(path_or_yaml: str) -> RefPipeline:
+    import yaml
+
+    text = path_or_yaml
+    if os.path.exists(path_or_yaml):
+        with open(path_or_yaml) as f:
+            text = f.read()
+    return parse_reference_spec(yaml.safe_load(expand_env(text)))
+
+
+# ------------------------------------------------------- processor lowering
+
+
+def timed_batches(batches, *, timeout_ms: int, proc_id: str):
+    """js.rs limits, lowered: wrap a mapInPandas hook's Arrow-batch
+    iterator so that a batch whose downstream processing exceeded
+    ``timeout_ms`` of wall clock fails the task (the reference
+    terminates the isolate; here the task fails → required-policy/DLQ
+    decides — same blast radius, per-processBatch granularity).
+    Hook authors: ``mapInPandas(lambda it: fn(timed_batches(it, ...)),
+    schema)``. cpu_ms/mem_mb are isolate-level meters a Python worker
+    does not have; they parse and surface on Limits as declared intent.
+    """
+    import time
+
+    for pdf in batches:
+        t0 = time.monotonic()
+        yield pdf
+        if (time.monotonic() - t0) * 1000.0 > timeout_ms:
+            raise TimeoutError(f"processor {proc_id}: batch exceeded {timeout_ms}ms")
+
+
+def _lower_processor(
+    p: dict,
+    js_equivalents: dict[str, Callable] | None,
+    js_policy: str,
+    warnings: list[str],
+) -> Callable[[DataFrame], DataFrame]:
+    from .compiler import _build_processor
+
+    kind = p["type"]
+    if kind == "javascript":
+        pid = p.get("id", "js")
+        eq = (js_equivalents or {}).get(pid)
+        if eq is not None:
+            # limits parse+surface here; the wall-clock bound applies
+            # inside mapInPandas hooks via timed_batches (see its doc)
+            Limits(**(p.get("limits") or {}))
+            return eq
+        if js_policy == "identity":
+            warnings.append(f"javascript processor {pid!r}: no python equivalent registered; pass-through")
+            return lambda df: df
+        raise UnsupportedSpecError(
+            f"javascript processor {pid!r}: register a Python batch-hook equivalent "
+            "(js_equivalents={id: fn}) or compile with js_policy='identity'"
+        )
+    if kind == "outbox":
+        # reference spelling → OutboxSpec field names; everything else
+        # (aggregate/event/payload column overrides, strict, defaults)
+        # passes through by name
+        renames = {"topic": "topic_template", "key": "key_template"}
+        q = {"type": "outbox"}
+        for k, v in p.items():
+            if k in ("type", "id"):
+                continue
+            q[renames.get(k, k)] = v
+        # reference templates name outbox *payload fields* bare
+        # ("${aggregate_type}.${event_type}", outbox.rs resolve_topic);
+        # the column compiler wants row paths — rewrite through the
+        # configured column mapping
+        field_cols = {
+            "aggregate_type": q.get("aggregate_type_col", "aggregate_type"),
+            "aggregate_id": q.get("aggregate_id_col", "aggregate_id"),
+            "event_type": q.get("event_type_col", "event_type"),
+        }
+        for tkey in ("topic_template", "key_template"):
+            if q.get(tkey):
+                for var, col in field_cols.items():
+                    q[tkey] = q[tkey].replace("${" + var + "}", "${after." + col + "}")
+        # reference outbox rows carry no dedicated topic column unless
+        # configured; OutboxSpec's 'topic' fallback column only applies
+        # when the spec names one
+        q.setdefault("topic_col", None)
+        return _build_processor(q)
+    return _build_processor(p)
+
+
+def allowlist_condition(allow: AllowList) -> F.Column:
+    """The AllowList evaluated per-row over (source.db, source.table)
+    as one column predicate — same semantics as patterns.AllowList
+    .matches (patterns.rs:39-163), codegen'd instead of a Python UDF
+    so the driver and the executors agree by construction."""
+
+    def seg(col: F.Column, pattern: str | None) -> F.Column:
+        if pattern in (None, "*", "%"):
+            return F.lit(True)
+        if pattern.endswith(("%", "*")):
+            return col.startswith(pattern[:-1])
+        return col == pattern
+
+    cond = None
+    for q, n in allow.items:
+        both = seg(F.col("source.db"), q) & seg(F.col("source.table"), n)
+        cond = both if cond is None else (cond | both)
+    return cond if cond is not None else F.lit(True)
+
+
+def _outbox_gate(base: Callable, allow: AllowList) -> Callable[[DataFrame], DataFrame]:
+    """Mixed CDC+outbox stream: outbox rows transform (payload promoted,
+    per-aggregate routing), CDC rows pass through with their typed row
+    images intact. The outbox payload travels in a dedicated
+    ``raw_value`` string column so the union stays schema-stable —
+    sinks deliver ``raw_value`` verbatim when routing.raw_payload
+    (outbox.rs raw delivery), and envelope CDC rows normally."""
+
+    def gated(df: DataFrame) -> DataFrame:
+        cond = allowlist_condition(allow)
+        after_t = df.schema["after"].dataType
+        t = (
+            base(df.filter(cond))
+            .withColumn("raw_value", F.col("after").cast("string"))
+            .withColumn("after", F.lit(None).cast(after_t))
+            .withColumn("before", F.lit(None).cast(after_t))
+        )
+        p = df.filter(~cond).withColumn("raw_value", F.lit(None).cast("string"))
+        return t.unionByName(p, allowMissingColumns=True)
+
+    return gated
+
+
+# ----------------------------------------------------------- sink lowering
+
+
+def fill_routing_defaults(
+    df: DataFrame, *, topic_template: str | None, key_template: str | None
+) -> DataFrame:
+    """Apply the sink's topic/key templates as *defaults*: event-level
+    routing (JS route(), outbox) wins — kafka.rs:379-436 resolve order."""
+    if "routing" not in df.columns:
+        return with_routing(df, topic_template=topic_template, key_template=key_template)
+    topic = compile_template(topic_template, strict=True) if topic_template else F.lit(None)
+    key = compile_template(key_template, strict=False) if key_template else F.lit(None)
+    routing = F.struct(
+        F.coalesce(F.col("routing.topic"), topic.cast("string")).alias("topic"),
+        F.coalesce(F.col("routing.key"), key.cast("string")).alias("key"),
+        F.col("routing.headers").alias("headers"),
+        F.col("routing.raw_payload").alias("raw_payload"),
+    ).cast(ROUTING_SCHEMA)
+    return df.withColumn("routing", routing)
+
+
+_ENVELOPES = {
+    "native": lambda df, _p: envelope_native(df),
+    "debezium": lambda df, _p: envelope_debezium(df),
+    "cloudevents": lambda df, p: envelope_cloudevents(df, type_prefix=p or "com.deltaforge.cdc"),
+}
+
+
+def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkSpec:
+    """RefSink → SinkSpec. Network sinks take their transport from
+    ``transports[sink_id]`` (the injected-client pattern: a real
+    redis/nats/http/clickhouse client in production, a recording fake
+    in tests — this container has no brokers)."""
+
+    def shaped(df: DataFrame) -> DataFrame:
+        routed = fill_routing_defaults(
+            df, topic_template=rs.topic_template, key_template=rs.key_template
+        )
+        body = _ENVELOPES[rs.envelope](routed, rs.type_prefix)
+        # outbox raw delivery (outbox.rs): when routing.raw_payload, the
+        # promoted payload IS the wire value — the envelope is skipped.
+        # Mixed pipelines carry it in `raw_value` (see _outbox_gate);
+        # pure-outbox pipelines have the payload string in `after`.
+        raw_col = None
+        if "raw_value" in body.columns:
+            raw_col = F.col("raw_value")
+        elif "after" in body.columns and isinstance(body.schema["after"].dataType, T.StringType):
+            raw_col = F.col("after")
+        if raw_col is not None:
+            raw = F.coalesce(F.col("routing.raw_payload"), F.lit(False))
+            body = body.withColumn(
+                "value",
+                F.when(raw & raw_col.isNotNull(), raw_col).otherwise(F.col("value")),
+            )
+        return body
+
+    tp = transports.get(rs.id)
+
+    if rs.kind == "kafka":
+        if rs.exactly_once:
+            from .compiler import _build_sink
+
+            return _build_sink(
+                {
+                    "type": "kafka_eos",
+                    "name": rs.id,
+                    "required": rs.required,
+                    "topic": rs.topic_template,
+                    **({"spool_dir": tp} if isinstance(tp, str) else {"bootstrap": rs.config.get("brokers", "")}),
+                },
+                pipeline,
+            )
+        from ..sinks.kafka import kafka_payload
+
+        def write_kafka_like(df: DataFrame) -> None:
+            payload = kafka_payload(shaped(df), default_topic=rs.topic_template)
+            if tp is None:
+                (
+                    payload.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)", "topic")
+                    .write.format("noop").mode("overwrite").save()
+                )
+            else:  # injected collector (tests) — same projection
+                tp.extend(payload.collect())
+
+        return SinkSpec(name=rs.id, write=write_kafka_like, required=rs.required)
+
+    if rs.kind in ("redis", "nats"):
+        from ..sinks.clients import redis_xadd_fields, write_client_sink
+
+        def write_stream(df: DataFrame) -> None:
+            write_client_sink(
+                shaped(df),
+                tp,
+                default_dest=rs.topic_template or "deltaforge",
+                fields_fn=redis_xadd_fields if rs.kind == "redis" else None,
+            )
+
+        return SinkSpec(name=rs.id, write=write_stream, required=rs.required)
+
+    if rs.kind == "http":
+        from ..sinks.clients import http_webhook_sink
+
+        def write_http(df: DataFrame) -> None:
+            http_webhook_sink(
+                shaped(df),
+                url_template=rs.config.get("url", rs.topic_template or ""),
+                method=rs.config.get("method", "POST"),
+                batch_mode=bool(rs.config.get("batch_mode", False)),
+                session_factory=tp,
+            )
+
+        return SinkSpec(name=rs.id, write=write_http, required=rs.required)
+
+    if rs.kind == "s3":
+        from ..sinks import write_lake
+
+        path = tp or rs.config.get("prefix") or rs.config.get("bucket", "/tmp/lake")
+
+        def write_s3(df: DataFrame) -> None:
+            write_lake(shaped(df), str(path), fmt=rs.config.get("format", "parquet"))
+
+        return SinkSpec(name=rs.id, write=write_s3, required=rs.required)
+
+    if rs.kind == "clickhouse":
+        # ClickHouse takes the changelog projection, not an envelope:
+        # user columns (after-image) + _op/_version/_deleted/_source_ts
+        # (sink.rs:123-140) — clickhouse_rows/write_clickhouse own it
+        from ..sinks.clickhouse import clickhouse_rows, write_clickhouse
+
+        def write_ch(df: DataFrame) -> None:
+            cols = rs.config.get("columns")
+            if not cols and isinstance(df.schema["after"].dataType, T.StructType):
+                cols = [f.name for f in df.schema["after"].dataType.fields]
+            write_clickhouse(
+                clickhouse_rows(df, cols or []),
+                tp,
+                database=rs.config.get("database", "default"),
+                table=rs.config.get("table", "events"),
+                mode=rs.config.get("mode", "changelog"),
+                pk=rs.config.get("pk") or [],
+                auto_create=bool(rs.config.get("auto_create", True)),
+            )
+
+        return SinkSpec(name=rs.id, write=write_ch, required=rs.required)
+
+    raise UnsupportedSpecError(f"sink type {rs.kind!r}")
+
+
+# --------------------------------------------------------------- compile
+
+
+def compile_reference_pipeline(
+    ref: RefPipeline,
+    *,
+    transports: dict[str, Any] | None = None,
+    js_equivalents: dict[str, Callable] | None = None,
+    js_policy: str = "error",
+):
+    """Lower a RefPipeline to ``(program, sinks, policy, ref)`` —
+    the same triple plans/compiler.py produces, plus the parsed spec
+    for runtime knobs (``ref.batch.trigger()``...). ``program`` runs
+    the source + table allow-list + processors; sinks carry the
+    per-sink envelope/encoding/template wrappers."""
+    from ..sources import change_feed
+
+    transports = transports or {}
+    procs = []
+    for p in ref.processors:
+        fn = _lower_processor(p, js_equivalents, js_policy, ref.warnings)
+        if p["type"] == "outbox" and not ref.source.outbox_tables.is_empty():
+            # source.outbox.tables gate (outbox_capture.rs): rows from
+            # outbox tables transform; everything else passes through
+            # unchanged (the reference's same-pipeline CDC+outbox flow)
+            fn = _outbox_gate(fn, ref.source.outbox_tables)
+        procs.append(fn)
+    allow = ref.source.tables
+
+    def program(spark, sf_dir: str) -> DataFrame:
+        df = change_feed(spark, sf_dir, pipeline=ref.name)
+        if not allow.is_empty():
+            df = df.filter(allowlist_condition(allow))
+        for t in procs:
+            df = t(df)
+        return df
+
+    sinks = [_lower_sink(s, ref.name, transports) for s in ref.sinks]
+    return program, sinks, ref.commit_policy, ref

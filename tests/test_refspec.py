@@ -1,0 +1,346 @@
+"""The reference's own example configs load and compile unchanged.
+
+Parity evidence for the primary entry point (reference
+crates/deltaforge-config/src/lib.rs load_from_path + the 7 files under
+reference examples/): every example parses through the reference
+vocabulary (tagged source/sink `config:` blocks, `${VAR}` env
+pass-through, per-sink envelope/encoding, batch, commit_policy), and
+run-tests exercise the lowered pipelines end-to-end on the testdata
+change feed — per-sink envelope shapes, sink-template-vs-event-routing
+precedence, outbox raw delivery, table allow-lists, quorum parsing.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltaforge_spark.plans.refspec import (
+    BatchCfg,
+    UnsupportedSpecError,
+    allowlist_condition,
+    compile_reference_pipeline,
+    expand_env,
+    load_reference_spec,
+    parse_reference_spec,
+)
+
+EXAMPLES = sorted(glob.glob("/root/reference/examples/*.yaml"))
+
+
+# ------------------------------------------------------------ parse layer
+
+
+def test_all_reference_examples_parse():
+    assert len(EXAMPLES) == 7
+    for path in EXAMPLES:
+        ref = load_reference_spec(path)
+        assert ref.name and ref.tenant
+        assert ref.sinks, path
+        for s in ref.sinks:
+            assert s.envelope in ("native", "debezium", "cloudevents")
+
+
+def test_env_passthrough_vs_substitution(monkeypatch):
+    monkeypatch.setenv("KAFKA_BROKERS", "broker-a:9092")
+    monkeypatch.delenv("MYSQL_DSN", raising=False)
+    text = "a: ${KAFKA_BROKERS}\nb: ${MYSQL_DSN}\nc: cdc.${source.table}\n"
+    out = expand_env(text)
+    assert "broker-a:9092" in out
+    assert "${MYSQL_DSN}" in out  # unresolved env var passes through
+    assert "${source.table}" in out  # routing template untouched
+
+
+def test_dev_yaml_shapes():
+    ref = load_reference_spec("/root/reference/examples/dev.yaml")
+    assert ref.name == "mysql-smoke" and ref.tenant == "acme"
+    assert [s.kind for s in ref.sinks] == ["redis", "kafka"]
+    assert ref.sinks[0].required is False and ref.sinks[1].required is True
+    assert ref.sinks[0].envelope == "native" and ref.sinks[1].envelope == "debezium"
+    assert ref.sinks[0].topic_template == "df.events"
+    assert ref.batch.max_events == 2000 and ref.batch.max_bytes == 8388608
+    assert ref.commit_policy.kind == "required"
+    assert ref.schema_sensing["deep_inspect"]["max_depth"] == 5
+    assert ref.source.tables.matches("orders", "order_items")
+    assert not ref.source.tables.matches("other", "t")
+
+
+def test_envelope_yaml_commit_all_and_cloudevents_prefix():
+    ref = load_reference_spec("/root/reference/examples/dev.envelopes.yaml")
+    assert ref.commit_policy.kind == "all"
+    ce = [s for s in ref.sinks if s.envelope == "cloudevents"]
+    assert ce and ce[0].type_prefix == "com.df.cdc"
+
+
+def test_outbox_yaml_outbox_tables():
+    ref = load_reference_spec("/root/reference/examples/outbox.yaml")
+    assert ref.source.outbox_tables.matches("shop", "outbox")
+    assert not ref.source.outbox_tables.matches("shop", "orders")
+    assert ref.processors[0]["type"] == "outbox"
+    assert ref.processors[0]["raw_payload"] is True
+
+
+def test_batch_defaults_match_reference():
+    b = BatchCfg()  # lib.rs:287-297 Default impl
+    assert (b.max_events, b.max_bytes, b.max_ms, b.respect_source_tx, b.max_inflight) == (
+        2000,
+        16 * 1024 * 1024,
+        50,
+        True,
+        1,
+    )
+    assert b.trigger() == {"processingTime": "50 milliseconds"}
+
+
+def test_unknown_vocabulary_is_an_error():
+    with pytest.raises(UnsupportedSpecError):
+        parse_reference_spec({"spec": {"source": {"type": "oracle", "config": {}}}})
+    with pytest.raises(UnsupportedSpecError):
+        parse_reference_spec(
+            {
+                "spec": {
+                    "source": {"type": "mysql", "config": {}},
+                    "processors": [{"type": "mystery"}],
+                }
+            }
+        )
+
+
+def test_quorum_mode_parses():
+    ref = parse_reference_spec(
+        {
+            "metadata": {"name": "q", "tenant": "t"},
+            "spec": {
+                "source": {"type": "mysql", "config": {"id": "m"}},
+                "sinks": [],
+                "commit_policy": {"mode": "quorum", "quorum": 2},
+            },
+        }
+    )
+    assert ref.commit_policy.kind == "quorum" and ref.commit_policy.quorum == 2
+
+
+def test_examples_compile_with_identity_js():
+    """All 7 files lower to programs+sinks without running Spark."""
+    for path in EXAMPLES:
+        ref = load_reference_spec(path)
+        program, sinks, policy, ref2 = compile_reference_pipeline(
+            ref, js_policy="identity", transports={}
+        )
+        assert callable(program)
+        assert len(sinks) == len(ref.sinks)
+        for want, got in zip(ref.sinks, sinks):
+            assert got.name == want.id and got.required == want.required
+        if any(p["type"] == "javascript" for p in ref.processors):
+            assert ref2.warnings  # identity pass-through is recorded
+
+
+def test_js_without_equivalent_is_an_error_by_default():
+    ref = load_reference_spec("/root/reference/examples/dev.yaml")
+    with pytest.raises(UnsupportedSpecError):
+        compile_reference_pipeline(ref)
+
+
+# ------------------------------------------------------------ run layer
+
+TESTDATA_SPEC = """
+apiVersion: deltaforge/v1
+kind: Pipeline
+metadata:
+  name: refspec-run
+  tenant: acme
+spec:
+  source:
+    type: mysql
+    config:
+      id: m
+      dsn: "mysql://x"
+      tables: ["testdb.ev%"]
+  processors: []
+  sinks:
+    - type: kafka
+      config:
+        id: k1
+        brokers: "b:9092"
+        topic: "cdc.${source.db}.${source.table}"
+        key: "${after.user_id}"
+        envelope:
+          type: debezium
+        encoding: json
+        required: true
+    - type: redis
+      config:
+        id: r1
+        uri: "redis://x"
+        stream: df.events
+        envelope:
+          type: native
+        required: false
+  commit_policy:
+    mode: all
+"""
+
+
+class _Collector(list):
+    pass
+
+
+def test_compiled_pipeline_runs_and_envelopes_per_sink(spark, sf_dir, tmp_path):
+    from deltaforge_spark.sinks.clients import read_spool, spool_sink_factory
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(TESTDATA_SPEC)))
+    kafka_rows = _Collector()
+    spool_dir = str(tmp_path / "redis")
+
+    program, sinks, policy, _ = compile_reference_pipeline(
+        ref, transports={"k1": kafka_rows, "r1": spool_sink_factory(spool_dir)}
+    )
+    assert policy.kind == "all"
+    df = program(spark, sf_dir).limit(50).cache()
+    n = df.count()
+    assert n > 0
+
+    outcomes = fan_out_batch(df, 0, sinks, policy=policy)
+    assert outcomes == {"k1": True, "r1": True}
+
+    # kafka got the debezium envelope with the template-resolved topic
+    assert len(kafka_rows) == n
+    topics = {r["topic"] for r in kafka_rows}
+    assert topics == {"cdc.testdb.events"}
+    body = json.loads(kafka_rows[0]["value"])
+    assert set(body) >= {"schema", "payload"} and body["schema"] is None
+    assert body["payload"]["source"]["table"] == "events"
+
+    # redis got the native envelope, XADD field layout, configured stream
+    sent = read_spool(spool_dir)
+    assert len(sent) == n
+    assert {e["dest"] for e in sent} == {"df.events"}
+    native = json.loads(sent[0]["df-event"])
+    assert "payload" not in native and native["source"]["table"] == "events"
+
+
+def test_allowlist_filters_rows(spark, sf_dir):
+    spec = TESTDATA_SPEC.replace('tables: ["testdb.ev%"]', 'tables: ["otherdb.*"]')
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(spec)))
+    program, _, _, _ = compile_reference_pipeline(ref, transports={})
+    assert program(spark, sf_dir).count() == 0
+
+
+def test_js_equivalent_route_override_beats_sink_template(spark, sf_dir):
+    """The dynamic-js-routing contract: a batch hook sets per-event
+    routing; the sink template only fills events the hook skipped
+    (kafka.rs resolve precedence)."""
+    from deltaforge_spark.operators.routing import with_routing
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(TESTDATA_SPEC)))
+    ref.processors.append({"type": "javascript", "id": "route-by-value", "inline": "function processBatch(e){}"})
+    kafka_rows = _Collector()
+
+    def route_by_value(df):
+        # ev.route({topic: 'events.priority'}) for high-value events;
+        # others keep routing null → sink template resolves them
+        routed = with_routing(df, topic_template="events.priority", key_template="${after.user_id}")
+        rt = routed.schema["routing"].dataType
+        return routed.withColumn(
+            "routing",
+            F.when(F.col("after.value") > 50, F.col("routing")).otherwise(F.lit(None).cast(rt)),
+        )
+
+    program, sinks, policy, _ = compile_reference_pipeline(
+        ref,
+        transports={"k1": kafka_rows, "r1": lambda: None},
+        js_equivalents={"route-by-value": route_by_value},
+    )
+    df = program(spark, sf_dir).limit(200).cache()
+    hi = df.filter(F.col("after.value") > 50).count()
+    lo = df.count() - hi
+    assert hi > 0 and lo > 0
+    fan_out_batch(df, 0, [s for s in sinks if s.name == "k1"], policy=policy)
+    topics = [r["topic"] for r in kafka_rows]
+    assert topics.count("events.priority") == hi
+    assert topics.count("cdc.testdb.events") == lo
+
+
+OUTBOX_SPEC = """
+apiVersion: deltaforge/v1
+kind: Pipeline
+metadata:
+  name: outbox-run
+  tenant: acme
+spec:
+  source:
+    type: mysql
+    config:
+      id: m
+      dsn: "mysql://x"
+      tables: ["testdb.*"]
+      outbox:
+        tables: ["testdb.events"]
+  processors:
+    - type: outbox
+      topic: "${aggregate_type}.${event_type}"
+      default_topic: events.unrouted
+      raw_payload: true
+  sinks:
+    - type: kafka
+      config:
+        id: ok
+        brokers: "b:9092"
+        topic: "cdc.${source.db}.${source.table}"
+        envelope:
+          type: debezium
+  commit_policy:
+    mode: required
+"""
+
+
+def test_outbox_raw_delivery_through_sink(spark, sf_dir):
+    """Outbox rows land with the RAW payload as the wire value and the
+    per-aggregate topic; the outbox table's rows never appear as CDC."""
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(OUTBOX_SPEC)))
+    # outbox columns live in the events payload: aggregate_type etc.
+    # The testdata change feed lacks them, so point the processor at
+    # existing payload fields (same template machinery).
+    ref.processors[0].update(
+        {
+            "aggregate_type_col": "event_type",
+            "aggregate_id_col": "user_id",
+            "event_type_col": "event_type",
+            "payload_col": "props",
+        }
+    )
+    kafka_rows = _Collector()
+    program, sinks, policy, _ = compile_reference_pipeline(ref, transports={"ok": kafka_rows})
+    df = program(spark, sf_dir)
+    out = df.filter(F.coalesce(F.col("routing.raw_payload"), F.lit(False))).limit(20).cache()
+    n = out.count()
+    assert n > 0
+    fan_out_batch(out, 0, sinks, policy=policy)
+    assert len(kafka_rows) == n
+    for r in kafka_rows:
+        body = json.loads(r["value"])
+        assert "payload" not in body  # raw payload, not the envelope
+        assert "." in r["topic"] and not r["topic"].startswith("cdc.")
+
+
+def test_allowlist_condition_matches_python_model(spark):
+    rows = [("db1", "orders"), ("db1", "order_items"), ("db2", "orders"), ("x", "y")]
+    df = spark.createDataFrame(
+        [((d, t),) for d, t in rows], "source struct<db:string,table:string>"
+    )
+    from deltaforge_spark.patterns import AllowList
+
+    for pats in ([], ["db1.order%"], ["*.orders"], ["db2.*", "x.y"], ["orders"]):
+        allow = AllowList(pats)
+        got = {
+            (r["source"]["db"], r["source"]["table"])
+            for r in df.filter(allowlist_condition(allow)).collect()
+        }
+        want = {(d, t) for d, t in rows if allow.matches(d, t)}
+        assert got == want, pats

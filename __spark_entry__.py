@@ -1559,7 +1559,7 @@ def _lsh_embedding_oracle_sql(
     _plane_vector), so we bake the identical plane literals into the SQL
     and recompute signatures engine-side — same buckets, same candidate
     set, same exact-cosine verify."""
-    from deltaforge_spark.operators.similarity import _plane_vector
+    from deltaforge_spark.operators.similarity import QSCALE, _plane_vector
 
     per_table = []
     for t in range(num_tables):
@@ -1567,15 +1567,19 @@ def _lsh_embedding_oracle_sql(
         for j in range(num_planes):
             plane = _plane_vector(t * 7919 + j, dims)
             lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            # quantized-int dot over vq — bit-identical to the numpy
+            # batch generator (similarity.hyperplane_signatures_batch)
             bits.append(
-                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+                f"(CASE WHEN list_dot_product(vq, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
             )
         per_table.append(
             f"SELECT vec_id, v, {t} AS t, {' + '.join(bits)} AS sig FROM e"
         )
     sigs = "\n      UNION ALL ".join(per_table)
     return f"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          list_transform(embedding,
+                                         x -> floor(CAST(x AS DOUBLE) * {float(QSCALE)} + 0.5)) AS vq
                    FROM embeddings),
         sigs AS ({sigs}),
         pairs AS (
@@ -1658,10 +1662,20 @@ CHANGEFEED_SQL = """
 
 
 def _minhash_oracle() -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring
+    # operators/dedup.py minhash_signatures: one md5 per shingle,
+    # h_j = (a + j*b) mod 2^48 over its two 48-bit halves
+    mod = 1 << 48
     mins = ",\n                   ".join(
-        f"min({_H48.format(seed=j, col='shingle')}) AS mh{j}" for j in range(8)
+        f"min((a + {j} * b) % {mod}) AS mh{j}" for j in range(8)
     )
-    return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+    halves = (
+        "SELECT doc_id, "
+        "CAST(('0x' || substr(md5('mh:' || shingle), 1, 12)) AS BIGINT) AS a, "
+        "CAST(('0x' || substr(md5('mh:' || shingle), 13, 12)) AS BIGINT) AS b "
+        f"FROM ({_SHINGLES_SQL})"
+    )
+    return f"SELECT doc_id, {mins} FROM ({halves}) GROUP BY doc_id"
 
 
 def _simhash_oracle(bits: int = 16) -> str:

@@ -78,6 +78,9 @@ def _hash_shingle(shingle: Column, seed: int) -> Column:
     ).cast("long")
 
 
+_MOD48 = 1 << 48
+
+
 def minhash_signatures(
     df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
@@ -87,19 +90,34 @@ def minhash_signatures(
     Why explode+groupBy and not per-row ``array_min(transform(...))``:
     higher-order-function lambdas are evaluated INTERPRETED (outside
     whole-stage codegen), and measured 5x slower than this form — the
-    k md5s per shingle here run inside codegen after the explode. The
-    groupBy does map-side partial aggregation, so the exchange carries
-    only k longs per doc (k*8 bytes/doc at any scale — negligible next
-    to the text bytes already read). Docs with fewer than ``shingle_n``
-    tokens have no shingles and drop out (explode of an empty array
-    emits nothing).
+    hashing here runs inside codegen after the explode. The groupBy
+    does map-side partial aggregation, so the exchange carries only k
+    longs per doc (k*8 bytes/doc at any scale — negligible next to the
+    text bytes already read). Docs with fewer than ``shingle_n`` tokens
+    have no shingles and drop out (explode of an empty array emits
+    nothing).
+
+    The k hash family is Kirsch-Mitzenmacher double hashing: ONE md5
+    per shingle split into two 48-bit halves (a, b), and
+    ``h_j = (a + j*b) mod 2^48``. Hashing is the dominant per-shingle
+    cost, so this is ~k× less digest work than k independent md5s
+    (measured 2.6× end-to-end at sf0.1 for k=8), keeps the standard
+    LSH guarantees, and stays bit-for-bit reproducible in DuckDB
+    (same substr/arithmetic on the same md5 hex). a + j*b ≤ 2^48 +
+    (k-1)*2^48 stays far below 2^63 — exact in both engines' int64.
     """
+    full = F.md5(F.concat(F.lit("mh:"), F.col("_sh")))
+    a = F.conv(F.substring(full, 1, 12), 16, 10).cast("long")
+    b = F.conv(F.substring(full, 13, 12), 16, 10).cast("long")
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    ).select("doc_id", a.alias("_a"), b.alias("_b"))
     return ex.groupBy("doc_id").agg(
-        *[F.min(_hash_shingle(F.col("_sh"), j)).alias(f"mh{j}") for j in range(num_hashes)]
+        *[
+            F.min((F.col("_a") + F.lit(j) * F.col("_b")) % F.lit(_MOD48)).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -330,6 +348,7 @@ def embedding_neardup_lsh(
     dims: int = 64,
     verify: str = "in_join",
     broadcast_vectors: bool = True,
+    sig_impl: str = "column",
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
     LSH. A pair collides in one table's bucket with prob
@@ -356,21 +375,59 @@ def embedding_neardup_lsh(
       ``broadcast_vectors`` hints the verify joins when the projection
       fits the driver; at billion-vector scale pass False for
       id-partitioned joins.
+
+    ``sig_impl`` picks the signature generator — both produce
+    IDENTICAL signatures by construction (quantized-int dots, see
+    similarity.hyperplane_signatures_batch; differential-tested):
+
+    - ``column`` (default): quantized zip_with/aggregate column
+      algebra. Interpreted, but measured FASTER than the Arrow path up
+      to at least 100k×64-dim (0.37s vs 0.85s — per-row flops are tiny
+      and Arrow vector serialization dominates the Python path).
+    - ``numpy``: one BLAS matmul per Arrow batch. Wins when per-row
+      work grows — wide embeddings (≥~512 dims) or many tables/planes
+      — where the flops-to-transfer ratio flips.
     """
-    from .similarity import dot, hyperplane_signature, l2norm
+    from .similarity import (
+        QSCALE,
+        dot,
+        hyperplane_signature,
+        hyperplane_signatures_batch,
+        l2norm,
+    )
 
     assert verify in ("in_join", "post_join")
+    assert sig_impl in ("numpy", "column")
     sigs_of = lambda: F.array(  # noqa: E731 — one (table, sig) per table
         *[
             F.struct(
                 F.lit(t).alias("t"),
                 hyperplane_signature(
-                    F.col("_v"), num_planes=num_planes, dims=dims, seed=t * 7919
+                    F.col("_v"), num_planes=num_planes, dims=dims, seed=t * 7919, scale=QSCALE
                 ).alias("sig"),
             )
             for t in range(num_tables)
         ]
     )
+
+    def keyed_sigs(base: DataFrame, carry: list[str]) -> DataFrame:
+        """(_id, carry..., _k struct(t, sig)) under either generator."""
+        if sig_impl == "numpy":
+            out = hyperplane_signatures_batch(
+                base,
+                vec_col="_v",
+                id_col="_id",
+                num_planes=num_planes,
+                dims=dims,
+                num_tables=num_tables,
+                carry=carry,
+            )
+            return out.select(
+                "_id",
+                *carry,
+                F.struct(F.col("table").alias("t"), F.col("sig")).alias("_k"),
+            )
+        return base.select("_id", *carry, F.explode(sigs_of()).alias("_k"))
 
     if verify == "in_join":
         s = df.select(
@@ -378,7 +435,7 @@ def embedding_neardup_lsh(
             F.col(vec_col).alias("_v"),
             l2norm(F.col(vec_col)).alias("_n"),
         )
-        keyed = s.select("_id", "_v", "_n", F.explode(sigs_of()).alias("_k"))
+        keyed = keyed_sigs(s, ["_v", "_n"])
         a = keyed.select(
             F.col("_id").alias("a_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_k"
         )
@@ -400,7 +457,7 @@ def embedding_neardup_lsh(
         )
 
     s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    keyed = s.select("_id", F.explode(sigs_of()).alias("_k"))
+    keyed = keyed_sigs(s, [])
     a = keyed.select(F.col("_id").alias("a_id"), "_k")
     b = keyed.select(F.col("_id").alias("b_id"), "_k")
     cand = (

@@ -21,6 +21,7 @@ to 6dp anyway for hash-stability.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,26 +99,37 @@ def _plane_sql_literal(plane: list[float]) -> str:
 
 
 def hyperplane_signature_sql(
-    vec_sql: str, *, num_planes: int, dims: int, seed: int = 0
+    vec_sql: str, *, num_planes: int, dims: int, seed: int = 0, scale: int | None = None
 ) -> str:
     """SQL-string form of the bit-signature (see below). One parsed
     expression instead of thousands of py4j Column-builder round trips:
     constructing the 32-plane multi-table signature out of ``F.lit``
     lists and Python lambdas measured ~6s of driver time per query
     BUILD (64 literal conversions x planes x tables, each a py4j call);
-    the parsed string is one call and yields the identical tree."""
+    the parsed string is one call and yields the identical tree.
+
+    ``scale`` switches to the quantized-int dot (``floor(x*scale+0.5)``
+    components): every sum is then exact in float64 regardless of
+    summation order, which is what lets the numpy batch generator
+    (hyperplane_signatures_batch) and any SQL engine agree bit-for-bit.
+    """
+    x = "CAST(x AS DOUBLE)"
+    if scale is not None:
+        x = f"floor(CAST(x AS DOUBLE) * {float(scale)}D + 0.5D)"
     bits = []
     for j in range(num_planes):
         plane = _plane_sql_literal(_plane_vector(seed + j, dims))
         d = (
-            f"aggregate(zip_with({vec_sql}, {plane}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"aggregate(zip_with({vec_sql}, {plane}, (x, y) -> {x} * y), "
             f"0.0D, (acc, x) -> acc + x)"
         )
         bits.append(f"(CASE WHEN {d} > 0.0D THEN {1 << j}L ELSE 0L END)")
     return "(" + " + ".join(bits) + ")"
 
 
-def hyperplane_signature(vec: Column, *, num_planes: int, dims: int, seed: int = 0) -> Column:
+def hyperplane_signature(
+    vec: Column, *, num_planes: int, dims: int, seed: int = 0, scale: int | None = None
+) -> Column:
     """Bit-signature: bit_j = 1 if dot(vec, plane_j) > 0. ``seed``
     offsets the plane family so multi-table LSH gets independent hash
     tables from the same deterministic generator.
@@ -134,7 +146,82 @@ def hyperplane_signature(vec: Column, *, num_planes: int, dims: int, seed: int =
     if not re.fullmatch(r"[A-Za-z0-9_.`]+", vec_sql):
         raise ValueError(f"hyperplane_signature needs a plain column reference, got {vec_sql!r}")
     return F.expr(
-        hyperplane_signature_sql(vec_sql, num_planes=num_planes, dims=dims, seed=seed)
+        hyperplane_signature_sql(
+            vec_sql, num_planes=num_planes, dims=dims, seed=seed, scale=scale
+        )
+    )
+
+
+QSCALE = 1 << 20  # quantization scale for exact cross-engine signatures
+
+
+def plane_matrix(seed: int, num_planes: int, dims: int):
+    """±1 plane family as an ndarray (num_planes, dims) — same
+    generator as _plane_vector, so every implementation (numpy batch,
+    column algebra, oracle SQL) draws identical planes."""
+    import numpy as np
+
+    return np.array([_plane_vector(seed + j, dims) for j in range(num_planes)])
+
+
+def hyperplane_signatures_batch(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    dims: int,
+    num_tables: int,
+    seed_stride: int = 7919,
+    scale: int = QSCALE,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """All tables' bit-signatures in ONE Arrow-batched numpy pass:
+    ``(id, carry..., table, sig)``.
+
+    The whole plane family is one ``(n, dims) @ (dims, tables*planes)``
+    matmul per Arrow batch — map-only, no shuffle, BLAS-backed; the
+    Python boundary is the same deliberate one as multimodal decode.
+    Measured honestly against the interpreted column-algebra twin at
+    100k×64-dim/8×4 planes: the twin WINS (0.37s vs 0.85s — per-row
+    flops are tiny there and Arrow vector serialization dominates), so
+    this is NOT the default at bench dims; it is the right shape when
+    per-row work grows (wide embeddings ≥~512 dims, large plane
+    families) and the flops-to-transfer ratio flips. SCALE.md records
+    the crossover reasoning.
+
+    Exactness across engines: components are quantized to integers
+    first — ``floor(x * scale + 0.5)`` — so every dot product is a sum
+    of exact integer-valued float64s (|sum| ≪ 2^53): numpy's pairwise
+    summation, Spark's sequential fold, and DuckDB's list_dot_product
+    then agree BIT-FOR-BIT, which keeps the LSH buckets (and therefore
+    the declared query's rows) oracle-reproducible. Differential test:
+    tests/test_dedup_similarity.py signature-twin case.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.vstack(
+        [plane_matrix(t * seed_stride, num_planes, dims) for t in range(num_tables)]
+    )  # (tables*planes, dims)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy()).astype(np.float64)
+        Q = np.floor(M * scale + 0.5)
+        B = (Q @ planes.T) > 0.0  # (n, tables*planes), exact
+        S = B.reshape(len(M), num_tables, num_planes).astype(np.int64) @ weights
+        return pd.Series(list(S))
+
+    carry = carry or []
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carry],
+        _sigs(F.col(vec_col)).alias("_sigs"),
+    )
+    return keyed.select(
+        "_id", *carry, F.posexplode("_sigs").alias("table", "sig")
     )
 
 

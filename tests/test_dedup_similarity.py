@@ -152,3 +152,46 @@ def test_embedding_lsh_verify_strategies_agree(spark, sf_dir):
     a = sorted(map(tuple, embedding_neardup_lsh(emb, verify="in_join").collect()))
     b = sorted(map(tuple, embedding_neardup_lsh(emb, verify="post_join").collect()))
     assert a == b and len(a) > 0
+
+
+def test_embedding_lsh_sig_impls_identical(spark, sf_dir):
+    """The numpy batch signature generator and the quantized column-
+    algebra twin are implementations of ONE definition: identical
+    (table, sig) keys per vector, hence identical query results."""
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+    from deltaforge_spark.operators.similarity import (
+        QSCALE,
+        hyperplane_signature,
+        hyperplane_signatures_batch,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    batch = {
+        (r["_id"], r["table"], r["sig"])
+        for r in hyperplane_signatures_batch(
+            emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+            vec_col="_v",
+            id_col="_id",
+            num_planes=4,
+            dims=64,
+            num_tables=8,
+        ).collect()
+    }
+    cols = emb.select(
+        F.col("vec_id").alias("_id"),
+        *[
+            hyperplane_signature(
+                F.col("embedding"), num_planes=4, dims=64, seed=t * 7919, scale=QSCALE
+            ).alias(f"s{t}")
+            for t in range(8)
+        ],
+    )
+    col_sigs = {
+        (r["_id"], t, r[f"s{t}"]) for r in cols.collect() for t in range(8)
+    }
+    assert batch == col_sigs and len(batch) == 200 * 8
+
+    a = sorted(map(tuple, embedding_neardup_lsh(emb, sig_impl="numpy").collect()))
+    b = sorted(map(tuple, embedding_neardup_lsh(emb, sig_impl="column").collect()))
+    assert a == b

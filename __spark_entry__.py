@@ -559,6 +559,74 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, num_planes=4, dims=64)
 
 
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): corpus encoded to
+    8 one-byte codes per 64-dim vector (16× compression, map-only),
+    queries answered by ADC lookup tables — per corpus row the
+    distance is 8 table lookups, no vector math. The deterministic
+    codebook makes codes and distances integer-exact in DuckDB;
+    pq_fit's distributed Lloyd's refinement is the production codebook
+    path (tests/test_pq.py)."""
+    _prep(spark)
+    from deltaforge_spark.operators.pq import pq_adc_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries_df, k=5)
+
+
+def _pq_oracle_sql(*, num_subspaces: int = 8, codes: int = 16, dims: int = 64, k: int = 5) -> str:
+    """DuckDB twin of ann_pq_adc: identical codebook literals, the same
+    s·s − 2·s·c + c·c integer expansion, the same first-minimum
+    tie-break — codes and ADC distances match bit-for-bit."""
+    from deltaforge_spark.operators.pq import QSCALE, deterministic_codebook
+
+    cb = deterministic_codebook(num_subspaces=num_subspaces, codes=codes, dims=dims)
+    sub = dims // num_subspaces
+
+    def lst(c):
+        return "[" + ", ".join(f"{x}.0" for x in c) + "]"
+
+    code_exprs = []
+    adc_terms = []
+    for m in range(num_subspaces):
+        s = f"list_slice(vq, {m * sub + 1}, {m * sub + sub})"
+        dists = ", ".join(
+            f"(-2.0 * list_dot_product({s}, {lst(c)}) + {sum(x * x for x in c)}.0)"
+            for c in cb[m]
+        )
+        code_exprs.append(
+            f"CAST(list_position([{dists}], list_min([{dists}])) - 1 AS INT)"
+        )
+        cbm = "[" + ", ".join(lst(c) for c in cb[m]) + "]"
+        qs = f"list_slice(q.vq, {m * sub + 1}, {m * sub + sub})"
+        adc_terms.append(
+            f"list_transform({cbm}, c -> list_dot_product({qs}, {qs})"
+            f" - 2.0 * list_dot_product({qs}, c) + list_dot_product(c, c))"
+            f"[enc.codes[{m + 1}] + 1]"
+        )
+    codes_sql = "[" + ", ".join(code_exprs) + "]"
+    adc_sql = " + ".join(adc_terms)
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> floor(CAST(x AS DOUBLE) * {float(QSCALE)} + 0.5)) AS vq
+                   FROM embeddings),
+        enc AS (SELECT vec_id, {codes_sql} AS codes FROM e),
+        q AS (SELECT vec_id AS query_id, vq FROM e WHERE vec_id < 3),
+        scored AS (
+            SELECT q.query_id, enc.vec_id AS match_id,
+                   CAST({adc_sql} AS BIGINT) AS adc_dist
+            FROM enc, q WHERE enc.vec_id <> q.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist, match_id) AS INT) AS rank
+              FROM scored)
+        SELECT query_id, match_id, adc_dist, rank FROM r WHERE rank <= {k}
+    """
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1509,6 +1577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": q_similarity_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "similarity_lsh": q_similarity_lsh,
+    "ann_pq_adc": q_ann_pq_adc,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2461,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
+        "ann_pq_adc": _pq_oracle_sql(),
         "multimodal_resize": """
             WITH dims AS (
                 SELECT doc_id,

@@ -132,6 +132,7 @@ HEADLINE = [
     "similarity_bruteforce",
     "similarity_ivf",
     "similarity_lsh",
+    "ann_pq_adc",
     "dedup_embedding_lsh",
     "dedup_connected_components",
     "cdc_schema_sensing_deep",

@@ -200,3 +200,19 @@ def test_drift_profile_shuffles_counts_not_payloads(spark, sf_dir):
     # partial aggregation before every exchange: count histograms are
     # map-side combined, so payload text never crosses the wire
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_pq_encode_is_map_only_and_adc_broadcasts(spark, sf_dir):
+    """PQ contract at scale: encoding never shuffles the corpus; ADC
+    search broadcasts the query LUTs, corpus codes stay put."""
+    from deltaforge_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = entry.read_table(spark, sf_dir, "embeddings")
+    enc_plan = plan_str(pq_encode(emb))
+    body = enc_plan.split("AdaptiveSparkPlan")[-1]
+    # the only exchange allowed is read_table's local fan-out repartition
+    assert body.count("Exchange") <= 1 and "hashpartitioning" not in body.lower()
+
+    q = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id AS query_id", "embedding")
+    topk_plan = plan_str(pq_adc_topk(emb, q, k=5))
+    assert "BroadcastExchange" in topk_plan

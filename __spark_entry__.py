@@ -627,6 +627,65 @@ def _pq_oracle_sql(*, num_subspaces: int = 8, codes: int = 16, dims: int = 64, k
     """
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/spans.py — the
+    ExactSubstr dedup of Lee et al. 2022 as a positional k-gram index):
+    per-doc maximal duplicated regions with token counts and ratio.
+    Two shuffles total, both on small keys (8-byte gram hash, doc_id);
+    the gram text itself never shuffles."""
+    _prep(spark)
+    from deltaforge_spark.operators.spans import duplicate_span_profile
+
+    return duplicate_span_profile(
+        read_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
+def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of dedup_substring_spans: same positional grams,
+    same 48-bit md5 hash, same windowed dup marking and
+    gaps-and-islands merge (start ≤ prev_end + 1)."""
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+            SELECT doc_id, u['gpos'] AS gpos, u['gh'] AS gh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - {k} + 2, 1)),
+                           i -> {{'gpos': i - 1,
+                                 'gh': CAST(('0x' || substr(md5('ds:' ||
+                                        array_to_string(list_slice(w, i, i + {k} - 1), ' ')), 1, 12))
+                                       AS BIGINT)}})) AS u
+                FROM w)),
+        hits AS (
+            SELECT doc_id, gpos, gpos + {k} - 1 AS gend
+            FROM (SELECT *, count(*) OVER (PARTITION BY gh) AS n FROM g)
+            WHERE n >= {min_count}),
+        brks AS (
+            SELECT doc_id, gpos, gend,
+                   CASE WHEN max(gend) OVER (PARTITION BY doc_id ORDER BY gpos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= gpos - 1 THEN 0 ELSE 1 END AS brk
+            FROM hits),
+        islands AS (
+            SELECT doc_id, gpos, gend,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos) AS island
+            FROM brks),
+        spans AS (
+            SELECT doc_id, min(gpos) AS span_start, max(gend) AS span_end,
+                   max(gend) - min(gpos) + 1 AS span_tokens
+            FROM islands GROUP BY doc_id, island),
+        agg AS (
+            SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+        SELECT a.doc_id,
+               CAST(a.n_spans AS BIGINT) AS n_spans,
+               CAST(a.dup_tokens AS BIGINT) AS dup_tokens,
+               CAST(len(w.w) AS INT) AS total_tokens,
+               round(CAST(a.dup_tokens AS DOUBLE) / len(w.w), 6) AS dup_ratio
+        FROM agg a JOIN w ON w.doc_id = a.doc_id
+    """
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1578,6 +1637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "similarity_lsh": q_similarity_lsh,
     "ann_pq_adc": q_ann_pq_adc,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2531,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
+        "dedup_substring_spans": _substring_spans_oracle_sql(),
         "multimodal_resize": """
             WITH dims AS (
                 SELECT doc_id,

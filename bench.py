@@ -133,6 +133,7 @@ HEADLINE = [
     "similarity_ivf",
     "similarity_lsh",
     "ann_pq_adc",
+    "dedup_substring_spans",
     "dedup_embedding_lsh",
     "dedup_connected_components",
     "cdc_schema_sensing_deep",

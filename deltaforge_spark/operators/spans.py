@@ -1,0 +1,118 @@
+"""Exact-substring duplicate-span detection over a document corpus —
+the ExactSubstr dedup of Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (ACL 2022), re-expressed for Spark.
+
+Beyond-reference training-data operator. The paper builds a suffix
+array over the concatenated corpus; the equivalent corpus-scale Spark
+shape is a positional k-gram index:
+
+1. every token position emits its k-token gram hash — one row per
+   token, hashed immediately to 8 bytes (the gram text never shuffles);
+2. a count over a window partitioned by gram hash marks grams that
+   occur ≥2 times anywhere in the corpus (self-repetition included,
+   as in the paper) — ONE shuffle, on the 8-byte hash;
+3. duplicated positions merge into maximal per-document spans with the
+   classic gaps-and-islands window (second shuffle, on doc_id);
+4. per-document summary: span count, duplicated-token count and ratio.
+
+Scale: shuffles carry (doc_id, position, hash48) triples — ~20 bytes
+per token regardless of text width. A hot gram (boilerplate phrase)
+skews step 2's window the same way it skews ngram-jaccard's index;
+unlike the pair-join there it stays LINEAR (count only, no self-join),
+so the skew bound is one partition's row count — AQE-splittable.
+
+Span semantics: two duplicated k-grams merge when their token ranges
+overlap or touch (start ≤ prev_end + 1), giving maximal duplicated
+regions; a span's token length is end − start + 1. The DuckDB oracle
+mirrors every step including the tie/merge rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_ngrams_positional(text: Column, n: int) -> Column:
+    """Ordered (non-distinct) word n-grams; index i in the result is
+    the gram starting at token position i (0-based via posexplode)."""
+    toks = F.split(text, " ")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document maximal duplicated spans: (doc_id, span_start,
+    span_end, span_tokens). ``k`` is the gram width in tokens (the
+    paper uses 50 bytes ≈ 10-15 tokens); ``min_count`` the corpus-wide
+    occurrence threshold."""
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_positional(F.col(text_col), k)).alias("gpos", "gram"),
+    ).select(
+        "doc_id",
+        "gpos",
+        F.conv(F.substring(F.md5(F.concat(F.lit("ds:"), F.col("gram"))), 1, 12), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    hits = (
+        g.withColumn("n", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("n") >= min_count)
+        .select("doc_id", "gpos", (F.col("gpos") + F.lit(k - 1)).alias("gend"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("gpos")
+    prev_end = F.max("gend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end >= F.col("gpos") - 1, F.lit(0)).otherwise(F.lit(1))
+    islands = hits.withColumn("island", F.sum(brk).over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("gpos").alias("span_start"), F.max("gend").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplication summary — the filter signal a pipeline
+    thresholds on: (doc_id, n_spans, dup_tokens, total_tokens,
+    dup_ratio). Only documents containing at least one duplicated span
+    appear (the clean majority emits nothing)."""
+    spans = duplicate_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("total_tokens"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.sum("span_tokens").alias("dup_tokens")
+    )
+    return agg.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "total_tokens",
+        F.round(F.col("dup_tokens") / F.col("total_tokens"), 6).alias("dup_ratio"),
+    )

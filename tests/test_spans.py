@@ -1,0 +1,69 @@
+"""Exact-substring duplicate spans (operators/spans.py): span merge
+semantics, self-repetition, thresholds — pinned on hand-built docs
+where the expected spans are computable by eye."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deltaforge_spark.operators.spans import (
+    duplicate_span_profile,
+    duplicate_spans,
+    word_ngrams_positional,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_positional_ngrams_order_and_short_doc(spark):
+    df = _docs(spark, ["a b c d", "a b"])
+    out = df.select(
+        "doc_id", word_ngrams_positional(F.col("text"), 3).alias("g")
+    ).collect()
+    by_id = {r["doc_id"]: r["g"] for r in out}
+    assert by_id[0] == ["a b c", "b c d"]
+    assert by_id[1] == []
+
+
+def test_cross_doc_duplicate_span_found(spark):
+    # docs 0 and 1 share tokens 2..6 ("x1 x2 x3 x4 x5"); k=4 gives two
+    # overlapping duplicated grams per doc that must merge into ONE span
+    shared = "x1 x2 x3 x4 x5"
+    df = _docs(spark, [f"a0 b0 {shared} c0", f"a1 b1 {shared} c1"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, k=4).collect()
+    }
+    assert spans == {(0, 2, 6, 5), (1, 2, 6, 5)}
+
+
+def test_disjoint_spans_stay_separate(spark):
+    s1, s2 = "p1 p2 p3 p4", "q1 q2 q3 q4"
+    df = _docs(
+        spark,
+        [f"{s1} m0 m1 m2 m3 m4 {s2}", f"{s1} z0 z1 z2 z3 z4 {s2}"],
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=4).collect()
+    )
+    assert got == [(0, 0, 3), (0, 9, 12), (1, 0, 3), (1, 9, 12)]
+
+
+def test_self_repetition_counts(spark):
+    # one doc repeating the same 4 tokens twice — duplicated within itself
+    df = _docs(spark, ["r1 r2 r3 r4 mid r1 r2 r3 r4", "clean doc here ok"])
+    prof = {r["doc_id"]: r for r in duplicate_span_profile(df, k=4).collect()}
+    assert set(prof) == {0}
+    assert prof[0]["n_spans"] == 2 and prof[0]["dup_tokens"] == 8
+    assert abs(prof[0]["dup_ratio"] - 8 / 9) < 1e-6  # ratio is rounded to 6dp
+
+
+def test_min_count_threshold(spark):
+    shared = "s1 s2 s3 s4"
+    df = _docs(spark, [f"{shared} a", f"{shared} b", f"{shared} c"])
+    assert duplicate_spans(df, k=4, min_count=4).count() == 0
+    assert duplicate_spans(df, k=4, min_count=3).count() == 3

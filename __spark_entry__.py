@@ -686,6 +686,27 @@ def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
     """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup materialization — the full pipeline a
+    training-data run executes: MinHash → banded LSH candidates →
+    connected components → DROP every non-canonical member, keeping
+    one doc per duplicate cluster plus all singletons. The drop set is
+    tiny relative to the corpus, so the anti-join broadcasts it and the
+    corpus never shuffles."""
+    _prep(spark)
+    from deltaforge_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    cc = connected_components(minhash_lsh_pairs(sig, num_hashes=8, bands=4))
+    drop = cc.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1638,6 +1659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh": q_similarity_lsh,
     "ann_pq_adc": q_ann_pq_adc,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_apply": q_dedup_apply,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2592,6 +2614,12 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
+        "dedup_apply": f"""
+            WITH cc AS ({_connected_components_oracle()})
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM cc WHERE doc_id <> canonical_id)
+        """,
         "multimodal_resize": """
             WITH dims AS (
                 SELECT doc_id,

@@ -80,6 +80,7 @@ class PipelineManager:
         self.spark = spark
         self.state_dir = state_dir
         self._handles: dict[str, PipelineHandle] = {}
+        self._drift: dict[str, dict[str, dict]] = {}
         os.makedirs(state_dir, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -264,6 +265,60 @@ class PipelineManager:
         from .schema.registry import SchemaRegistry
 
         return SchemaRegistry(self.spark, os.path.join(self._pipeline_dir(name), "sensing"))
+
+    def checkpoints(self, name: str) -> list[dict]:
+        """GET /pipelines/{name}/checkpoints (apireference.md "Checkpoint
+        Inspection"): per-sink committed positions + staleness. The
+        reference reports binlog file/pos; here the committed unit is
+        the micro-batch id (the same MIN-resume contract,
+        sinks/foreach.py OffsetStore)."""
+        import time
+
+        self._require(name)
+        path = os.path.join(self._pipeline_dir(name), "offsets.json")
+        if not os.path.exists(path):
+            return []
+        age = round(max(0.0, time.time() - os.path.getmtime(path)), 3)
+        with open(path) as f:
+            state = json.load(f)
+        return [
+            {"sink_id": s, "position": {"batch_id": b}, "age_seconds": age}
+            for s, b in sorted(state.items())
+        ]
+
+    def record_drift(self, name: str, reports: list[dict]) -> None:
+        """Pipelines publish per-table drift reports here (the
+        foreachBatch drift step calls this with driftstats output —
+        runner/src/drift_detector.rs accumulates the same way)."""
+        self._require(name)
+        self._drift[name] = {r["table"]: r for r in reports}
+
+    def drift(self, name: str, table: str | None = None):
+        """GET /pipelines/{name}/drift[/{table}] (apireference.md
+        "Drift Detection")."""
+        self._require(name)
+        reports = self._drift.get(name, {})
+        if table is None:
+            return [reports[t] for t in sorted(reports)]
+        if table not in reports:
+            raise KeyError(f"no drift data for table {table!r}")
+        return reports[table]
+
+    def sensing_stats(self, name: str) -> dict:
+        """GET /pipelines/{name}/sensing/stats. The reference counts
+        runtime cache hits/misses on its streaming structure cache; the
+        batch re-expression's cache IS a groupBy on the structure
+        fingerprint (schema/sensing.py), so the honest analog is the
+        registered structure count per table."""
+        reg = self.sensed(name)
+        tables = []
+        total = 0
+        for entry in reg.list_tables():
+            t = entry["table"]
+            n = len(reg.versions("__sensed", t))
+            total += n
+            tables.append({"table": t, "cached_structures": n, "max_cache_size": 100})
+        return {"tables": tables, "total_structures": total}
 
     def _require(self, name: str) -> PipelineHandle:
         if name not in self._handles:

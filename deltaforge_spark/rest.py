@@ -153,9 +153,18 @@ def _make_handler(manager: PipelineManager):
                 if spec is None:
                     return self._json(400, {"error": "malformed JSON"})
                 try:
-                    from .plans.compiler import PipelineSpec, compile_pipeline
+                    src_type = (spec.get("spec", {}).get("source") or {}).get("type")
+                    if spec.get("apiVersion") == "deltaforge/v1" and src_type in ("mysql", "postgres"):
+                        # the reference's own vocabulary validates as-is
+                        from .plans.refspec import compile_reference_pipeline, parse_reference_spec
 
-                    compile_pipeline(PipelineSpec.from_dict(spec))
+                        compile_reference_pipeline(
+                            parse_reference_spec(spec), js_policy="identity"
+                        )
+                    else:
+                        from .plans.compiler import PipelineSpec, compile_pipeline
+
+                        compile_pipeline(PipelineSpec.from_dict(spec))
                     return self._json(200, {"valid": True})
                 except Exception as e:
                     return self._json(200, {"valid": False, "error": f"{e}"})
@@ -191,6 +200,19 @@ def _make_handler(manager: PipelineManager):
                     return self._json(200, {"entries": _jsonable(rows)})
                 if method == "DELETE":
                     return self._json(200, {"purged": m.dlq(name).purge()})
+            if (method, rest) == ("GET", "/checkpoints"):
+                return self._json(200, m.checkpoints(name))
+            if (method, rest) == ("GET", "/drift"):
+                return self._json(200, _jsonable(m.drift(name)))
+            md = re.fullmatch(r"/drift/([^/]+)", rest)
+            if method == "GET" and md:
+                try:
+                    return self._json(200, _jsonable(m.drift(name, md.group(1))))
+                except KeyError as e:
+                    return self._json(404, {"error": str(e)})
+            if (method, rest) == ("GET", "/sensing/stats"):
+                m.status(name)
+                return self._json(200, _jsonable(m.sensing_stats(name)))
             if (method, rest) == ("GET", "/journal/dlq/count"):
                 return self._json(200, {"count": m.dlq(name).queue_len()})
             if (method, rest) == ("POST", "/journal/dlq/ack"):

@@ -167,3 +167,35 @@ def drift_events(
     if nulls is not None:
         out = out.unionByName(nulls)
     return out
+
+
+def drift_report(
+    drift_df: DataFrame, *, table: str, events_analyzed: int
+) -> dict:
+    """Reduce a drift_events frame to the REST API's per-table report
+    (apireference.md "Drift Detection" response shape) for
+    PipelineManager.record_drift. The collect is bounded by (column ×
+    drift class) cardinality — schema width, never row count."""
+    rows = [r.asDict() for r in drift_df.collect()]
+    by_col: dict[str, dict] = {}
+    for r in rows:
+        c = by_col.setdefault(
+            r["column"],
+            {
+                "column": r["column"],
+                "expected_type": r["expected"],
+                "observed_types": [],
+                "mismatch_count": 0,
+            },
+        )
+        if r["observed"] not in ("-",) and r["observed"] not in c["observed_types"]:
+            c["observed_types"].append(r["observed"])
+        c["mismatch_count"] += int(r["n"])
+    with_drift = sum(int(r["n"]) for r in rows if r["drift_type"] == "type_mismatch")
+    return {
+        "table": table,
+        "has_drift": bool(rows),
+        "columns": [by_col[c] for c in sorted(by_col)],
+        "events_analyzed": int(events_analyzed),
+        "events_with_drift": int(with_drift),
+    }

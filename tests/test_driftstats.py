@@ -83,3 +83,29 @@ def test_null_rate_threshold_gates_events(spark):
         df, "payload", {"a": "int"}, non_null={"a"}, null_rate_threshold=0.0001
     ).collect()
     assert [(r.drift_type, r.n) for r in loud] == [("unexpected_nulls", 1)]
+
+
+def test_drift_report_shape_for_rest(spark):
+    """drift_events → the REST drift response shape, end to end through
+    PipelineManager.record_drift (the drift_detector.rs surface)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.schema.driftstats import drift_events, drift_report
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": "oops", "b": "y"}',),
+        ('{"a": 2, "b": "z", "extra": true}',),
+    ]
+    df = spark.createDataFrame(rows, ["payload"])
+    ev = drift_events(df, "payload", {"a": "int", "b": "string"})
+    rep = drift_report(ev, table="orders", events_analyzed=3)
+    assert rep["table"] == "orders" and rep["has_drift"] is True
+    assert rep["events_analyzed"] == 3 and rep["events_with_drift"] == 1
+    cols = {c["column"]: c for c in rep["columns"]}
+    assert cols["a"]["expected_type"] == "int"
+    assert "string" in cols["a"]["observed_types"]
+    assert cols["extra"]["mismatch_count"] == 1
+    json.dumps(rep)  # REST-serializable as-is

@@ -184,3 +184,90 @@ def test_validate_and_log_level_routes(server, spark, tmp_path):
     assert code == 200 and isinstance(body["level"], str)
     code, body = _req(srv.port, "PUT", "/log-level", {"level": "ERROR"})
     assert (code, body) == (200, {"level": "ERROR"})
+
+
+def test_checkpoints_route(server, spark):
+    """GET /pipelines/{name}/checkpoints: per-sink committed positions
+    (apireference.md Checkpoint Inspection, batch-id positions here)."""
+    srv, mgr, tmp_path = server
+    feed = _feed(spark, tmp_path)
+    out = str(tmp_path / "out")
+    _req(srv.port, "POST", "/pipelines", _spec(feed, out))
+    mgr.await_drained("p1")
+    code, cps = _req(srv.port, "GET", "/pipelines/p1/checkpoints")
+    assert code == 200 and len(cps) == 1
+    cp = cps[0]
+    assert cp["sink_id"] == "out"
+    assert cp["position"]["batch_id"] >= 0
+    assert cp["age_seconds"] >= 0
+    assert _req(srv.port, "GET", "/pipelines/nope/checkpoints")[0] == 404
+
+
+def test_drift_routes(server, spark):
+    """GET /pipelines/{name}/drift[/{table}] serves reports the drift
+    step records (drift_detector.rs accumulation surface)."""
+    srv, mgr, tmp_path = server
+    feed = _feed(spark, tmp_path)
+    _req(srv.port, "POST", "/pipelines", _spec(feed, str(tmp_path / "out")))
+    report = {
+        "table": "orders",
+        "has_drift": True,
+        "columns": [
+            {
+                "column": "amount",
+                "expected_type": "double",
+                "observed_types": ["string"],
+                "mismatch_count": 2,
+            }
+        ],
+        "events_analyzed": 10,
+        "events_with_drift": 2,
+    }
+    mgr.record_drift("p1", [report])
+    code, all_reports = _req(srv.port, "GET", "/pipelines/p1/drift")
+    assert code == 200 and all_reports == [report]
+    code, one = _req(srv.port, "GET", "/pipelines/p1/drift/orders")
+    assert code == 200 and one["has_drift"] is True
+    assert _req(srv.port, "GET", "/pipelines/p1/drift/nope")[0] == 404
+
+
+def test_sensing_stats_route(server, spark):
+    srv, mgr, tmp_path = server
+    feed = _feed(spark, tmp_path)
+    _req(srv.port, "POST", "/pipelines", _spec(feed, str(tmp_path / "out")))
+    from pyspark.sql import types as T
+
+    mgr.sensed("p1").register(
+        "__sensed", "events", T.StructType([T.StructField("a", T.LongType())])
+    )
+    code, stats = _req(srv.port, "GET", "/pipelines/p1/sensing/stats")
+    assert code == 200
+    assert stats["total_structures"] == 1
+    assert stats["tables"][0]["table"] == "events"
+
+
+def test_validate_accepts_reference_vocabulary(server):
+    """POST /validate understands the reference's own YAML vocabulary
+    (apiVersion deltaforge/v1, tagged source/sink config blocks)."""
+    srv, _, _ = server
+    ref_spec = {
+        "apiVersion": "deltaforge/v1",
+        "metadata": {"name": "v", "tenant": "t"},
+        "spec": {
+            "source": {"type": "mysql", "config": {"id": "m", "tables": ["db.t"]}},
+            "processors": [],
+            "sinks": [
+                {
+                    "type": "kafka",
+                    "config": {"id": "k", "brokers": "b:9092", "topic": "t"},
+                }
+            ],
+            "commit_policy": {"mode": "required"},
+        },
+    }
+    code, body = _req(srv.port, "POST", "/validate", ref_spec)
+    assert code == 200 and body["valid"] is True
+    bad = dict(ref_spec)
+    bad["spec"] = dict(ref_spec["spec"], processors=[{"type": "mystery"}])
+    code, body = _req(srv.port, "POST", "/validate", bad)
+    assert code == 200 and body["valid"] is False and "mystery" in body["error"]

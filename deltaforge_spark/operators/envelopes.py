@@ -36,9 +36,16 @@ def _event_struct(df: DataFrame) -> Column:
     return F.struct(*[F.col(c) for c in cols])
 
 
+# serde emits null-valued fields ("before": null on inserts, NULL row
+# columns as null) — Spark's to_json drops them by default, so every
+# envelope serializes with ignoreNullFields=false for byte-level parity
+# (envelopes.md native/debezium examples show the explicit nulls)
+_JSON_OPTS = {"ignoreNullFields": "false"}
+
+
 def envelope_native(df: DataFrame, out_col: str = "value") -> DataFrame:
     """Debezium-payload-shaped event JSON (envelope/native.rs)."""
-    return df.withColumn(out_col, F.to_json(_event_struct(df)))
+    return df.withColumn(out_col, F.to_json(_event_struct(df), _JSON_OPTS))
 
 
 def envelope_debezium(df: DataFrame, out_col: str = "value") -> DataFrame:
@@ -48,7 +55,7 @@ def envelope_debezium(df: DataFrame, out_col: str = "value") -> DataFrame:
     null-valued struct fields, but Debezium consumers key on the
     wrapper's exact shape — so the wrapper is a concat around the
     payload JSON, still one codegen'd projection."""
-    payload = F.to_json(_event_struct(df))
+    payload = F.to_json(_event_struct(df), _JSON_OPTS)
     return df.withColumn(
         out_col, F.concat(F.lit('{"schema":null,"payload":'), payload, F.lit("}"))
     )
@@ -83,7 +90,8 @@ def envelope_cloudevents(
         F.date_format(
             F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
         ).alias("time"),
+        F.lit("application/json").alias("datacontenttype"),
         F.concat_ws(".", F.col("source.db"), F.col("source.table")).alias("subject"),
         F.struct(F.col("before"), F.col("after"), F.col("op")).alias("data"),
     )
-    return df.withColumn(out_col, F.to_json(ce))
+    return df.withColumn(out_col, F.to_json(ce, _JSON_OPTS))

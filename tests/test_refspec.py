@@ -344,3 +344,40 @@ def test_allowlist_condition_matches_python_model(spark):
         }
         want = {(d, t) for d, t in rows if allow.matches(d, t)}
         assert got == want, pats
+
+
+def test_envelope_wire_parity_with_docs(spark, sf_dir):
+    """Byte-level layout of all three envelopes matches the reference's
+    documented output (docs/src/envelopes.md): explicit nulls
+    ("before": null on inserts), the literal schema:null wrapper, and
+    the CloudEvents field set/order incl. datacontenttype."""
+    from deltaforge_spark.operators.envelopes import (
+        envelope_cloudevents,
+        envelope_debezium,
+        envelope_native,
+    )
+    from deltaforge_spark.sources import change_feed
+
+    ev = change_feed(spark, sf_dir).filter(F.col("op") == "c").limit(1)
+
+    native = json.loads(envelope_native(ev).collect()[0]["value"])
+    assert native["before"] is None  # emitted, not dropped
+    assert list(native)[:5] == ["before", "after", "source", "op", "ts_ms"]
+
+    raw = envelope_debezium(ev).collect()[0]["value"]
+    assert raw.startswith('{"schema":null,"payload":')
+    assert json.loads(raw)["payload"]["before"] is None
+
+    ce = json.loads(
+        envelope_cloudevents(ev, type_prefix="com.example.cdc").collect()[0]["value"]
+    )
+    assert list(ce) == [
+        "specversion", "id", "source", "type", "time",
+        "datacontenttype", "subject", "data",
+    ]
+    assert ce["specversion"] == "1.0"
+    assert ce["datacontenttype"] == "application/json"
+    assert ce["type"] == "com.example.cdc.created"
+    assert ce["source"].startswith("deltaforge/") and ce["subject"] in ce["source"]
+    assert ce["time"].endswith("Z") and "." in ce["time"]
+    assert ce["data"]["before"] is None and ce["data"]["op"] == "c"

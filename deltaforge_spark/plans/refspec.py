@@ -538,7 +538,31 @@ def compile_reference_pipeline(
     from ..sources import change_feed
 
     transports = transports or {}
-    procs = []
+    procs = reference_transforms(ref, js_equivalents=js_equivalents, js_policy=js_policy)
+
+    def program(spark, sf_dir: str) -> DataFrame:
+        df = change_feed(spark, sf_dir, pipeline=ref.name)
+        for t in procs:
+            df = t(df)
+        return df
+
+    sinks = [_lower_sink(s, ref.name, transports) for s in ref.sinks]
+    return program, sinks, ref.commit_policy, ref
+
+
+def reference_transforms(
+    ref: RefPipeline,
+    *,
+    js_equivalents: dict[str, Callable] | None = None,
+    js_policy: str = "error",
+) -> list[Callable[[DataFrame], DataFrame]]:
+    """The spec's transform chain, source-agnostic: table allow-list
+    filter first (the reference filters at the source), then each
+    processor in declared order."""
+    chain: list[Callable[[DataFrame], DataFrame]] = []
+    allow = ref.source.tables
+    if not allow.is_empty():
+        chain.append(lambda df: df.filter(allowlist_condition(allow)))
     for p in ref.processors:
         fn = _lower_processor(p, js_equivalents, js_policy, ref.warnings)
         if p["type"] == "outbox" and not ref.source.outbox_tables.is_empty():
@@ -546,16 +570,37 @@ def compile_reference_pipeline(
             # outbox tables transform; everything else passes through
             # unchanged (the reference's same-pipeline CDC+outbox flow)
             fn = _outbox_gate(fn, ref.source.outbox_tables)
-        procs.append(fn)
-    allow = ref.source.tables
+        chain.append(fn)
+    return chain
 
-    def program(spark, sf_dir: str) -> DataFrame:
-        df = change_feed(spark, sf_dir, pipeline=ref.name)
-        if not allow.is_empty():
-            df = df.filter(allowlist_condition(allow))
-        for t in procs:
-            df = t(df)
-        return df
 
-    sinks = [_lower_sink(s, ref.name, transports) for s in ref.sinks]
-    return program, sinks, ref.commit_policy, ref
+def reference_streaming_pipeline(
+    ref: RefPipeline,
+    *,
+    source: Callable,
+    transports: dict[str, Any] | None = None,
+    js_equivalents: dict[str, Callable] | None = None,
+    js_policy: str = "error",
+    checkpoint_dir: str = "",
+    offsets_path: str = "",
+    gate=None,
+):
+    """Lower a reference spec to a runnable StreamingPipeline: the same
+    transform chain and per-sink envelope wrappers over a streaming
+    ``source(spark) -> DataFrame``. ``ref.batch`` supplies the trigger
+    (max_ms → processingTime; the coordinator's commit unit maps to the
+    micro-batch — streaming/pipeline.py header)."""
+    from ..streaming.pipeline import StreamingPipeline
+
+    return StreamingPipeline(
+        name=ref.name,
+        source=source,
+        transforms=reference_transforms(
+            ref, js_equivalents=js_equivalents, js_policy=js_policy
+        ),
+        sinks=[_lower_sink(s, ref.name, transports or {}) for s in ref.sinks],
+        policy=ref.commit_policy,
+        checkpoint_dir=checkpoint_dir,
+        offsets_path=offsets_path,
+        gate=gate,
+    )

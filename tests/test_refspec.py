@@ -381,3 +381,38 @@ def test_envelope_wire_parity_with_docs(spark, sf_dir):
     assert ce["source"].startswith("deltaforge/") and ce["subject"] in ce["source"]
     assert ce["time"].endswith("Z") and "." in ce["time"]
     assert ce["data"]["before"] is None and ce["data"]["op"] == "c"
+
+
+def test_reference_spec_streaming_run(spark, sf_dir, tmp_path):
+    """A reference-vocabulary spec runs as a Structured Streaming
+    pipeline end-to-end: transform chain + per-sink envelopes inside
+    foreachBatch, per-sink offsets committed (the coordinator loop of
+    runner/src/coordinator.rs mapped onto micro-batches)."""
+    from deltaforge_spark.plans.refspec import reference_streaming_pipeline
+    from deltaforge_spark.sinks.clients import read_spool, spool_sink_factory
+    from deltaforge_spark.sources import change_feed
+
+    feed_dir = str(tmp_path / "feed")
+    change_feed(spark, sf_dir).limit(40).write.mode("append").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(TESTDATA_SPEC)))
+    kafka_rows = _Collector()
+    spool_dir = str(tmp_path / "redis")
+    offsets_path = str(tmp_path / "offsets.json")
+
+    pipe = reference_streaming_pipeline(
+        ref,
+        source=lambda s: s.readStream.schema(schema).parquet(feed_dir),
+        transports={"k1": kafka_rows, "r1": spool_sink_factory(spool_dir)},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        offsets_path=offsets_path,
+    )
+    q = pipe.start(spark, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    assert len(kafka_rows) == 40
+    assert {r["topic"] for r in kafka_rows} == {"cdc.testdb.events"}
+    assert len(read_spool(spool_dir)) == 40
+    offsets = json.load(open(offsets_path))
+    assert offsets["k1"] >= 0 and offsets["r1"] >= 0  # both sinks committed

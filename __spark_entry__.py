@@ -577,6 +577,90 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries_df, k=5)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py ivf_pq_topk): the inverted file
+    restricts which rows a query touches (nprobe/n_cells of the
+    corpus), PQ codes shrink what each touched row costs (8 bytes + 8
+    lookups) — composed from the same deterministic centroids as
+    similarity_ivf and the same codebook as ann_pq_adc, so the whole
+    two-level index reproduces in DuckDB."""
+    _prep(spark)
+    from deltaforge_spark.operators.pq import ivf_pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
+
+
+def _ivf_pq_oracle_sql(
+    *, num_subspaces: int = 8, codes: int = 16, dims: int = 64,
+    k: int = 5, n_cells: int = 16, nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ann_ivf_pq: the similarity_ivf oracle's cosine
+    cell routing composed with the PQ oracle's integer-exact codes and
+    ADC sums."""
+    from deltaforge_spark.operators.pq import QSCALE, deterministic_codebook
+
+    cb = deterministic_codebook(num_subspaces=num_subspaces, codes=codes, dims=dims)
+    sub = dims // num_subspaces
+
+    def lst(c):
+        return "[" + ", ".join(f"{x}.0" for x in c) + "]"
+
+    code_exprs = []
+    adc_terms = []
+    for m in range(num_subspaces):
+        s = f"list_slice(vq, {m * sub + 1}, {m * sub + sub})"
+        dists = ", ".join(
+            f"(-2.0 * list_dot_product({s}, {lst(c)}) + {sum(x * x for x in c)}.0)"
+            for c in cb[m]
+        )
+        code_exprs.append(
+            f"CAST(list_position([{dists}], list_min([{dists}])) - 1 AS INT)"
+        )
+        cbm = "[" + ", ".join(lst(c) for c in cb[m]) + "]"
+        qs = f"list_slice(qa.vq, {m * sub + 1}, {m * sub + sub})"
+        adc_terms.append(
+            f"list_transform({cbm}, c -> list_dot_product({qs}, {qs})"
+            f" - 2.0 * list_dot_product({qs}, c) + list_dot_product(c, c))"
+            f"[enc.codes[{m + 1}] + 1]"
+        )
+    codes_sql = "[" + ", ".join(code_exprs) + "]"
+    adc_sql = " + ".join(adc_terms)
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          list_transform(embedding,
+                                         x -> floor(CAST(x AS DOUBLE) * {float(QSCALE)} + 0.5)) AS vq
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+        ca AS (SELECT match_id, vq, cell_id FROM (
+                SELECT e.vec_id AS match_id, e.vq, c.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         {cos.format(a="e.v", b="c.cv")} DESC, c.cell_id) AS rk
+                FROM e, cents c) WHERE rk = 1),
+        enc AS (SELECT match_id, cell_id, {codes_sql} AS codes FROM ca),
+        qa AS (SELECT query_id, vq, cell_id FROM (
+                SELECT q.vec_id AS query_id, q.vq, q.v, c.cell_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         {cos.format(a="q.v", b="c.cv")} DESC, c.cell_id) AS rk
+                FROM (SELECT * FROM e WHERE vec_id < 3) q, cents c) WHERE rk <= {nprobe}),
+        scored AS (
+            SELECT qa.query_id, enc.match_id, CAST({adc_sql} AS BIGINT) AS adc_dist
+            FROM enc JOIN qa USING (cell_id) WHERE enc.match_id <> qa.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist, match_id) AS INT) AS rank
+              FROM scored)
+        SELECT query_id, match_id, adc_dist, rank FROM r WHERE rank <= {k}
+    """
+
+
 def _pq_oracle_sql(*, num_subspaces: int = 8, codes: int = 16, dims: int = 64, k: int = 5) -> str:
     """DuckDB twin of ann_pq_adc: identical codebook literals, the same
     s·s − 2·s·c + c·c integer expansion, the same first-minimum
@@ -1658,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "similarity_lsh": q_similarity_lsh,
     "ann_pq_adc": q_ann_pq_adc,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_apply": q_dedup_apply,
     "dedup_connected_components": q_dedup_connected_components,
@@ -2613,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
+        "ann_ivf_pq": _ivf_pq_oracle_sql(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""
             WITH cc AS ({_connected_components_oracle()})

@@ -91,8 +91,9 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebook: list[list[list[int]]] | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """``(vec_id, codes array<int>)`` — nearest codeword per subspace,
+    """``(vec_id, carry..., codes array<int>)`` — nearest codeword per subspace,
     one codegen'd projection (SQL-string built once; the py4j
     column-builder would cost seconds at M×K×sub literals —
     SCALE.md "Column-builder py4j cost").
@@ -115,8 +116,11 @@ def pq_encode(
             f"CAST(array_position(array({dists}), array_min(array({dists}))) - 1 AS INT)"
         )
     codes_sql = "array(" + ",".join(code_exprs) + ")"
+    carry = carry or []
     return df.select(
-        F.col(id_col).alias("vec_id"), F.expr(codes_sql).alias("codes")
+        F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in carry],
+        F.expr(codes_sql).alias("codes"),
     )
 
 
@@ -273,3 +277,84 @@ def pq_distortion(
     joined = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).join(enc, "vec_id")
     row = joined.select(F.avg(F.expr(err_sql)).alias("mse")).collect()[0]
     return float(row["mse"])
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the industry-standard billion-vector serving shape,
+    composed from the two operators this module and similarity.py
+    already pin: the inverted file restricts WHICH rows a query
+    touches (~|corpus|·nprobe/n_cells), PQ codes shrink WHAT each
+    touched row costs (8 bytes + M lookups, no vector math).
+
+    Dataflow: corpus → cell assignment (map-only vs broadcast
+    centroids) → PQ encode carrying cell_id (still map-only) → ONE
+    shuffle on cell_id for the probe join; routed queries broadcast
+    with their cells. Centroids are the deterministic lowest-id
+    vectors (same as ivf_topk — k-means plugs into the identical
+    dataflow); distances are the integer-exact ADC sums, so the DuckDB
+    oracle reproduces routing, codes, and ranking."""
+    from .similarity import ivf_assign
+
+    cb = codebook or deterministic_codebook(dims=_dims_of(corpus, vec_col))
+
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_centroid"))
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cvec")),
+        cents,
+        vec_col="_cvec",
+        id_col="match_id",
+        nprobe=1,
+    )
+    enc = pq_encode(
+        assigned, vec_col="_cvec", id_col="match_id", codebook=cb, carry=["cell_id"]
+    ).withColumnRenamed("vec_id", "match_id")
+
+    num_subspaces, _, sub = len(cb), len(cb[0]), len(cb[0][0])
+    vq = _quant_sql("_qvec")
+    luts = []
+    for m in range(num_subspaces):
+        s = _sub_sql(vq, m, sub)
+        cells = ",".join(
+            f"({_dot_sql(s, s)} - 2.0D * {_dot_sql(s, _ilist(c))} + {sum(x * x for x in c)}.0D)"
+            for c in cb[m]
+        )
+        luts.append(f"array({cells})")
+    lut_sql = "array(" + ",".join(luts) + ")"
+    routed = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        cents,
+        vec_col="_qvec",
+        id_col="query_id",
+        nprobe=nprobe,
+    ).select("query_id", "cell_id", F.expr(lut_sql).alias("_lut"))
+
+    scored = enc.join(F.broadcast(routed), "cell_id").filter(
+        F.col("match_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "match_id",
+        F.expr(
+            "aggregate(zip_with(codes, _lut, (c, l) -> element_at(l, c + 1)), 0.0D, (acc, x) -> acc + x)"
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("adc_dist").cast("long").alias("adc_dist"), "rank")
+    )

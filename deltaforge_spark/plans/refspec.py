@@ -571,6 +571,15 @@ def reference_transforms(
             # unchanged (the reference's same-pipeline CDC+outbox flow)
             fn = _outbox_gate(fn, ref.source.outbox_tables)
         chain.append(fn)
+    if ref.sharding and ref.sharding.get("key"):
+        # "optional hint for downstream distribution"
+        # (configuration.md:38) — the Spark-native meaning is a hash
+        # repartition on the shard key before the sinks, so per-key
+        # ordering and sink-partition affinity hold across executors
+        key, count = ref.sharding["key"], int(ref.sharding.get("count") or 0)
+        chain.append(
+            lambda df: df.repartition(count, F.col(key)) if count else df.repartition(F.col(key))
+        )
     return chain
 
 

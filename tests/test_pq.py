@@ -109,3 +109,33 @@ def test_precomputed_codes_reused(emb):
     b = sorted(map(tuple, pq_adc_topk(emb, q, k=5).collect()))
     assert a == b
     codes.unpersist()
+
+
+def test_ivf_pq_subset_of_full_adc(emb):
+    """IVF-PQ returns the full-scan ADC answers restricted to probed
+    cells: every (query, match, dist) it reports must carry the exact
+    same adc_dist the flat scan computes, and higher nprobe can only
+    improve agreement with the flat top-k."""
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from deltaforge_spark.operators.pq import ivf_pq_topk
+
+    flat = {
+        (r["query_id"], r["match_id"]): r["adc_dist"]
+        for r in pq_adc_topk(emb, q, k=2000).collect()
+    }
+    routed = ivf_pq_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+    assert len(routed) == 10
+    for r in routed:
+        assert flat[(r["query_id"], r["match_id"])] == r["adc_dist"]
+
+    all_cells = {
+        (r["query_id"], r["match_id"])
+        for r in ivf_pq_topk(emb, q, k=5, n_cells=8, nprobe=8).collect()
+    }
+    flat_top = {
+        (r["query_id"], r["match_id"])
+        for r in pq_adc_topk(emb, q, k=5).collect()
+    }
+    assert all_cells == flat_top  # probing every cell == flat scan

@@ -416,3 +416,11 @@ def test_reference_spec_streaming_run(spark, sf_dir, tmp_path):
     assert len(read_spool(spool_dir)) == 40
     offsets = json.load(open(offsets_path))
     assert offsets["k1"] >= 0 and offsets["r1"] >= 0  # both sinks committed
+
+
+def test_sharding_hint_lowers_to_hash_repartition(spark, sf_dir):
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(TESTDATA_SPEC)))
+    ref.sharding = {"mode": "key", "count": 8, "key": "event_id"}
+    program, _, _, _ = compile_reference_pipeline(ref, transports={})
+    plan = program(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_id" in plan and ", 8)" in plan

@@ -791,6 +791,48 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (operators/spans.py line_dedup —
+    the C4/RefinedWeb preprocessing rule): of every occurrence of a
+    line anywhere in the corpus only the globally-first survives, and
+    documents are reassembled from their surviving lines. The corpus
+    here has no newline structure, so deterministic 10-token chunks
+    stand in as lines (token_chunks) — the dedup dataflow is the
+    production one."""
+    _prep(spark)
+    from deltaforge_spark.operators.spans import line_dedup, token_chunks
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "_lines", token_chunks(F.col("text"), 10)
+    )
+    return line_dedup(docs, lines_col="_lines", id_col="doc_id")
+
+
+_DEDUP_LINES_ORACLE = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    l AS (
+        SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, ((len(t) - 1) // 10) + 2),
+                       i -> {'pos': i - 1,
+                             'line': array_to_string(list_slice(t, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' ')}))
+                       AS u
+            FROM w)),
+    keyed AS (
+        SELECT doc_id, pos, line,
+               CAST(('0x' || substr(md5('ld:' || line), 1, 12)) AS BIGINT) AS lh,
+               doc_id * 1048576 + pos AS okey
+        FROM l),
+    marked AS (
+        SELECT *, okey = min(okey) OVER (PARTITION BY lh) AS keep FROM keyed)
+    SELECT doc_id,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+"""
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1745,6 +1787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq": q_ann_ivf_pq,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_apply": q_dedup_apply,
+    "dedup_lines": q_dedup_lines,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2699,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(),
+        "dedup_lines": _DEDUP_LINES_ORACLE,
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""
             WITH cc AS ({_connected_components_oracle()})

@@ -134,6 +134,8 @@ HEADLINE = [
     "similarity_lsh",
     "ann_pq_adc",
     "dedup_substring_spans",
+    "dedup_lines",
+    "ann_ivf_pq",
     "dedup_embedding_lsh",
     "dedup_connected_components",
     "cdc_schema_sensing_deep",

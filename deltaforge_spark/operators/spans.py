@@ -116,3 +116,67 @@ def duplicate_span_profile(
         "total_tokens",
         F.round(F.col("dup_tokens") / F.col("total_tokens"), 6).alias("dup_ratio"),
     )
+
+
+def token_chunks(text: Column, n: int) -> Column:
+    """Deterministic pseudo-lines: consecutive n-token chunks of a
+    whitespace-tokenized text (for corpora whose documents carry no
+    newline structure; real corpora pass their own lines array)."""
+    toks = F.split(text, " ")
+    last = F.floor((F.size(toks) - 1) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    lines_col: str,
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide exact line dedup, C4/RefinedWeb-style: of all
+    occurrences of a line ANYWHERE in the corpus, only the globally
+    first (lowest (doc_id, position)) survives; every other occurrence
+    is dropped from its document. Returns per-doc
+    ``(doc_id, kept_text, n_kept, n_removed)``.
+
+    Scale shape: lines explode once; the keep/drop decision is one
+    window over the 8-byte line hash (same linear-skew bound as
+    duplicate_spans — a boilerplate line concentrates counts, not
+    pairs); reassembly is one groupBy doc_id with an in-agg sort
+    bounded by lines-per-doc. Two shuffles total, both on small keys.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).withColumn(
+        "lh",
+        F.conv(F.substring(F.md5(F.concat(F.lit("ld:"), F.col("line"))), 1, 12), 16, 10).cast(
+            "long"
+        ),
+    )
+    # packed global order key: first occurrence = min(doc_id * 2^20 + pos)
+    ex = ex.withColumn("okey", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+    first = F.min("okey").over(Window.partitionBy("lh"))
+    marked = ex.withColumn("keep", F.col("okey") == first)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("kept_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        )
+    )

@@ -67,3 +67,41 @@ def test_min_count_threshold(spark):
     df = _docs(spark, [f"{shared} a", f"{shared} b", f"{shared} c"])
     assert duplicate_spans(df, k=4, min_count=4).count() == 0
     assert duplicate_spans(df, k=4, min_count=3).count() == 3
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.spans import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, ["shared line", "own a"]),
+            (1, ["own b", "shared line", "own c"]),
+            (2, ["shared line"]),
+        ],
+        ["doc_id", "lines"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, lines_col="lines").collect()}
+    assert got[0]["kept_text"] == "shared line own a"
+    assert got[1]["kept_text"] == "own b own c" and got[1]["n_removed"] == 1
+    assert got[2]["kept_text"] == "" and got[2]["n_kept"] == 0
+
+
+def test_line_dedup_self_duplicate_within_doc(spark):
+    from deltaforge_spark.operators.spans import line_dedup
+
+    df = spark.createDataFrame([(5, ["x", "x", "y"])], ["doc_id", "lines"])
+    r = line_dedup(df, lines_col="lines").collect()[0]
+    assert r["kept_text"] == "x y" and r["n_removed"] == 1
+
+
+def test_token_chunks_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.spans import token_chunks
+
+    df = spark.createDataFrame([("a b c d e",), ("a",)], ["text"])
+    got = [r["c"] for r in df.select(token_chunks(F.col("text"), 2).alias("c")).collect()]
+    assert got[0] == ["a b", "c d", "e"]
+    assert got[1] == ["a"]

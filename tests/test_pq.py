@@ -139,3 +139,11 @@ def test_ivf_pq_subset_of_full_adc(emb):
         for r in pq_adc_topk(emb, q, k=5).collect()
     }
     assert all_cells == flat_top  # probing every cell == flat scan
+
+
+def test_encode_impls_identical(emb):
+    """numpy batch and codegen'd column encode are one definition:
+    identical codes on real embeddings."""
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, impl="numpy").collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, impl="column").collect()}
+    assert a == b and len(a) > 0

@@ -102,12 +102,36 @@ class BatchCfg:
 
 
 @dataclass
+class SnapshotCfg:
+    """Initial-snapshot knobs (snapshot_cfg.rs:6-40). The Spark
+    lowering: mode gates the snapshot→stream handoff phase
+    (sources/snapshot.py + the cdc_snapshot_handoff flow);
+    chunking/parallelism map to the source's split sizing
+    (maxPartitionBytes / JDBC partitionColumn bounds) rather than a
+    hand-rolled worker pool."""
+
+    mode: str = "initial"  # initial | always | never
+    max_parallel_tables: int = 8
+    chunk_size: int = 10_000
+    intra_table_parallel: bool = False
+    max_parallel_chunks: int = 4
+
+
+@dataclass
 class RefSource:
     kind: str  # mysql | postgres
     id: str
     dsn: str | None
     tables: AllowList
     outbox_tables: AllowList
+    snapshot: SnapshotCfg = field(default_factory=SnapshotCfg)
+    # "earliest" | "latest" | an explicit position string (lsn/gtid) —
+    # consumed by sources/recovery.check_resume_offset when no
+    # checkpoint exists (lib.rs PostgresStartPosition)
+    start_position: str = "earliest"
+    # adapt | halt — sources/recovery.reconcile_schema_on_restart policy
+    # (lib.rs OnSchemaDrift)
+    on_schema_drift: str = "adapt"
     extra: dict[str, Any] = field(default_factory=dict)  # slot, publication, ...
 
 
@@ -193,12 +217,25 @@ def parse_reference_spec(d: dict) -> RefPipeline:
         raise UnsupportedSpecError(f"source type {src['type']!r}")
     scfg = dict(src.get("config", {}))
     outbox_cfg = scfg.pop("outbox", {}) or {}
+    snap_raw = dict(scfg.pop("snapshot", {}) or {})
+    snap = SnapshotCfg(**snap_raw)
+    if snap.mode not in ("initial", "always", "never"):
+        raise UnsupportedSpecError(f"snapshot mode {snap.mode!r}")
+    sp = scfg.pop("start_position", "earliest")
+    if isinstance(sp, dict):  # {"lsn": "0/16B6C50"} tagged form
+        sp = sp.get("lsn") or next(iter(sp.values()), "earliest")
+    drift = scfg.pop("on_schema_drift", "adapt")
+    if drift not in ("adapt", "halt"):
+        raise UnsupportedSpecError(f"on_schema_drift {drift!r}")
     source = RefSource(
         kind=src["type"],
         id=scfg.pop("id", src["type"]),
         dsn=scfg.pop("dsn", None),
         tables=AllowList(scfg.pop("tables", []) or []),
         outbox_tables=AllowList(outbox_cfg.get("tables", []) or []),
+        snapshot=snap,
+        start_position=str(sp),
+        on_schema_drift=drift,
         extra=scfg,
     )
 

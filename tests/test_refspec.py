@@ -424,3 +424,47 @@ def test_sharding_hint_lowers_to_hash_repartition(spark, sf_dir):
     program, _, _, _ = compile_reference_pipeline(ref, transports={})
     plan = program(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(event_id" in plan and ", 8)" in plan
+
+
+def test_source_snapshot_and_position_config_parse():
+    """PostgresSrcCfg depth: snapshot block, start_position forms,
+    on_schema_drift policy (lib.rs:157-186, snapshot_cfg.rs:6-40)."""
+    spec = {
+        "apiVersion": "deltaforge/v1",
+        "metadata": {"name": "p", "tenant": "t"},
+        "spec": {
+            "source": {
+                "type": "postgres",
+                "config": {
+                    "id": "pg",
+                    "dsn": "postgres://x",
+                    "slot": "df_slot",
+                    "publication": "df_pub",
+                    "tables": ["public.orders"],
+                    "start_position": {"lsn": "0/16B6C50"},
+                    "on_schema_drift": "halt",
+                    "snapshot": {
+                        "mode": "always",
+                        "chunk_size": 5000,
+                        "intra_table_parallel": True,
+                    },
+                },
+            },
+            "sinks": [],
+        },
+    }
+    ref = parse_reference_spec(spec)
+    s = ref.source
+    assert s.start_position == "0/16B6C50"
+    assert s.on_schema_drift == "halt"
+    assert s.snapshot.mode == "always" and s.snapshot.chunk_size == 5000
+    assert s.snapshot.intra_table_parallel is True
+    assert s.snapshot.max_parallel_tables == 8  # reference default
+    assert s.extra["slot"] == "df_slot" and s.extra["publication"] == "df_pub"
+
+    bad = {**spec, "spec": {**spec["spec"], "source": {"type": "postgres", "config": {"id": "x", "snapshot": {"mode": "sometimes"}}}}}
+    with pytest.raises(UnsupportedSpecError):
+        parse_reference_spec(bad)
+    bad2 = {**spec, "spec": {**spec["spec"], "source": {"type": "postgres", "config": {"id": "x", "on_schema_drift": "panic"}}}}
+    with pytest.raises(UnsupportedSpecError):
+        parse_reference_spec(bad2)

@@ -833,6 +833,65 @@ _DEDUP_LINES_ORACLE = """
 """
 
 
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data preparation — the composition a real
+    corpus run executes, as ONE declared dataflow: Gopher quality gate
+    (map-only flags) → corpus-wide exact dedup keeping each content's
+    lowest doc_id (one window over the 16-byte hash) → deterministic
+    stratified language mix (hash selection, shuffle-free) → per-doc
+    token counts. Each stage is individually oracled elsewhere; this
+    query pins that the COMPOSITION matches too — the property a user
+    actually relies on."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from deltaforge_spark.operators.quality import gopher_quality_filter
+    from deltaforge_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept_ids = gopher_quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    quality = docs.join(kept_ids, "doc_id")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    first = F.min("doc_id").over(Window.partitionBy(h))
+    deduped = quality.withColumn("_first", first).filter(
+        F.col("doc_id") == F.col("_first")
+    )
+    mixed = stratified_sample(
+        deduped,
+        strata_col="lang",
+        fractions={"en": 0.5, "zh": 0.2},
+        default_fraction=0.1,
+        key_col="doc_id",
+    )
+    return mixed.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+
+
+def _pipeline_training_data_oracle() -> str:
+    return f"""
+        WITH gates AS ({_gopher_quality_oracle()}),
+        quality AS (
+            SELECT d.* FROM documents d
+            JOIN gates g ON g.doc_id = d.doc_id AND g.keep),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS _first
+                FROM quality)
+            WHERE doc_id = _first),
+        mixed AS (
+            SELECT doc_id, lang, text FROM deduped
+            WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  < CASE lang WHEN 'en' THEN {int(0.5 * (1 << 48))}
+                              WHEN 'zh' THEN {int(0.2 * (1 << 48))}
+                              ELSE {int(0.1 * (1 << 48))} END)
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM mixed
+    """
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1788,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_apply": q_dedup_apply,
     "dedup_lines": q_dedup_lines,
+    "pipeline_training_data": q_pipeline_training_data,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2743,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": _pq_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_ORACLE,
+        "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""
             WITH cc AS ({_connected_components_oracle()})

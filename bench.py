@@ -135,6 +135,7 @@ HEADLINE = [
     "ann_pq_adc",
     "dedup_substring_spans",
     "dedup_lines",
+    "pipeline_training_data",
     "ann_ivf_pq",
     "dedup_embedding_lsh",
     "dedup_connected_components",

@@ -25,7 +25,7 @@ end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ exact
@@ -231,6 +231,7 @@ def shingle_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join.
 
@@ -238,8 +239,21 @@ def shingle_jaccard_pairs(
     blocking column) → intersection counts → |A∪B| = |A|+|B|-|A∩B|.
     Exact result without an all-pairs product: pairs sharing zero
     shingles (jaccard 0) never materialize. Shuffles on the shingle
-    hash; a hot shingle (stopword-only gram) is the skew risk — salting
-    or dropping top-frequency shingles is the 100-TB mitigation.
+    hash.
+
+    ``max_doc_freq`` is the hot-shingle mitigation at scale: a
+    boilerplate gram appearing in D documents contributes D² rows to
+    the pair join (quadratic skew on ONE key). Dropping shingles with
+    doc-frequency > the threshold bounds every join key at
+    max_doc_freq² — the standard DF-pruning of inverted indexes. The
+    pruned shingles still count in |A| and |B| (sizes are taken before
+    pruning), so computed jaccard values only UNDER-estimate for pairs
+    whose overlap was mostly boilerplate — exactly the pairs a near-dup
+    pass should not surface. Pairs sharing at least one sub-threshold
+    shingle keep their exact intersection counts minus the pruned
+    common grams (see test_dedup_similarity hot-shingle case).
+    ``None`` (default) disables pruning — the exact-verification
+    regime the DuckDB oracle mirrors.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -247,6 +261,9 @@ def shingle_jaccard_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     sizes = base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if max_doc_freq is not None:
+        dfreq = F.count("*").over(Window.partitionBy(*(["shingle"] + (["_blk"] if block_col else []))))
+        base = base.withColumn("_df", dfreq).filter(F.col("_df") <= max_doc_freq).drop("_df")
     join_keys = ["shingle"] + (["_blk"] if block_col else [])
     a, b = base.alias("a"), base.alias("b")
     inter = (

@@ -195,3 +195,34 @@ def test_embedding_lsh_sig_impls_identical(spark, sf_dir):
     a = sorted(map(tuple, embedding_neardup_lsh(emb, sig_impl="numpy").collect()))
     b = sorted(map(tuple, embedding_neardup_lsh(emb, sig_impl="column").collect()))
     assert a == b
+
+
+def test_jaccard_hot_shingle_pruning(spark):
+    """max_doc_freq bounds the quadratic hot-key blowup: a boilerplate
+    shingle shared by EVERY doc stops generating pairs, while genuinely
+    similar pairs (sharing rare shingles) survive with their exact
+    rare-gram intersections."""
+    from deltaforge_spark.operators.dedup import shingle_jaccard_pairs
+
+    boiler = "click here now"
+    rows = [(i, f"{boiler} filler{i} pad{i} end{i}") for i in range(20)]
+    # docs 100/101: same rare content + the boilerplate
+    rows += [(100, f"{boiler} rare alpha beta gamma delta"),
+             (101, f"{boiler} rare alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = shingle_jaccard_pairs(df, text_col="text", id_col="doc_id", threshold=0.1)
+    pruned = shingle_jaccard_pairs(
+        df, text_col="text", id_col="doc_id", threshold=0.1, max_doc_freq=5
+    )
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    pruned_rows = {(r["doc_a"], r["doc_b"]): r for r in pruned.collect()}
+
+    # without pruning the boilerplate links all 22 docs pairwise
+    assert len(exact_pairs) == 22 * 21 // 2
+    # with pruning only the genuinely-similar pair remains
+    assert set(pruned_rows) == {(100, 101)}
+    r = pruned_rows[(100, 101)]
+    # intersection = the 5 rare shingles of "rare alpha beta gamma delta"
+    # region minus none (all rare); boilerplate-spanning grams pruned
+    assert r["n_inter"] > 0 and r["jaccard"] < 1.0

@@ -483,8 +483,33 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
             )
         from ..sinks.kafka import kafka_payload
 
+        payload_fn = None
+        if rs.encoding == "avro":
+            # per-sink Avro encoding (sinks_cfg.rs encoding block): the
+            # value becomes Confluent-framed Avro binary; the registry
+            # transport is injected via transports[f"{id}:registry"]
+            from ..sinks.avro import avro_kafka_payload
+            from ..sinks.avro_schema import SchemaRegistryClient
+
+            reg = transports.get(f"{rs.id}:registry")
+            if reg is None:
+                raise UnsupportedSpecError(
+                    f"sink {rs.id!r}: encoding avro needs a registry transport "
+                    f"(transports['{rs.id}:registry'])"
+                )
+            client = SchemaRegistryClient(reg.post)
+            strategy = rs.config.get("subject_strategy", "topic_name")
+            payload_fn = lambda df: avro_kafka_payload(  # noqa: E731
+                df, client, default_topic=rs.topic_template or "events", strategy=strategy
+            )
+
         def write_kafka_like(df: DataFrame) -> None:
-            payload = kafka_payload(shaped(df), default_topic=rs.topic_template)
+            body = shaped(df)
+            payload = (
+                payload_fn(body)
+                if payload_fn is not None
+                else kafka_payload(body, default_topic=rs.topic_template)
+            )
             if tp is None:
                 (
                     payload.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)", "topic")

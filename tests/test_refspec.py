@@ -468,3 +468,36 @@ def test_source_snapshot_and_position_config_parse():
     bad2 = {**spec, "spec": {**spec["spec"], "source": {"type": "postgres", "config": {"id": "x", "on_schema_drift": "panic"}}}}
     with pytest.raises(UnsupportedSpecError):
         parse_reference_spec(bad2)
+
+
+def test_kafka_sink_avro_encoding(spark, sf_dir):
+    """Per-sink `encoding: avro` produces Confluent-framed Avro binary
+    values with the subject registered through the injected registry
+    (sinks_cfg.rs encoding block → avro.rs wire format)."""
+    from deltaforge_spark.sinks.avro_schema import InMemoryRegistry
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    spec = TESTDATA_SPEC.replace("encoding: json", "encoding: avro")
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(spec)))
+    ref.sinks = [s for s in ref.sinks if s.id == "k1"]
+    kafka_rows = _Collector()
+    reg = InMemoryRegistry()
+    program, sinks, policy, _ = compile_reference_pipeline(
+        ref, transports={"k1": kafka_rows, "k1:registry": reg}
+    )
+    df = program(spark, sf_dir).limit(10).cache()
+    n = df.count()
+    fan_out_batch(df, 0, sinks, policy=policy)
+    assert len(kafka_rows) == n
+    v = bytes(kafka_rows[0]["value"])
+    assert v[0] == 0  # Confluent magic byte
+    schema_id = int.from_bytes(v[1:5], "big")
+    assert schema_id >= 1 and reg.posts >= 1
+    assert any(s.endswith("-value") for s in reg.subjects)  # topic_name strategy
+
+
+def test_kafka_avro_without_registry_is_loud():
+    spec = TESTDATA_SPEC.replace("encoding: json", "encoding: avro")
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(spec)))
+    with pytest.raises(UnsupportedSpecError):
+        compile_reference_pipeline(ref, transports={})

@@ -501,3 +501,25 @@ def test_kafka_avro_without_registry_is_loud():
     ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(spec)))
     with pytest.raises(UnsupportedSpecError):
         compile_reference_pipeline(ref, transports={})
+
+
+def test_all_cookbook_specs_compile():
+    """The 9 cookbook pipelines embedded in the reference's docs
+    (docs/src/examples/*.md) parse and lower too — the complete public
+    config surface a migrating user would bring, not just examples/."""
+    import re
+
+    import yaml
+
+    found = 0
+    for path in sorted(glob.glob("/root/reference/docs/src/examples/*.md")):
+        for block in re.findall(r"```yaml\n(.*?)```", open(path).read(), re.S):
+            if "apiVersion" not in block:
+                continue
+            ref = parse_reference_spec(yaml.safe_load(expand_env(block)))
+            program, sinks, policy, _ = compile_reference_pipeline(
+                ref, js_policy="identity", transports={}
+            )
+            assert callable(program) and len(sinks) == len(ref.sinks)
+            found += 1
+    assert found == 9

@@ -467,6 +467,20 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
 
     tp = transports.get(rs.id)
 
+    flt = None
+    fcfg = rs.config.get("filter") or {}
+    if any(fcfg.get(k) for k in ("exclude_synthetic", "synthetic_only", "producers")):
+        # per-sink SinkFilter (sinks_cfg.rs:911-953) — synthetic
+        # provenance gates evaluated before the envelope wrapper
+        from ..operators.synthetic import sink_filter
+
+        flt = lambda df: sink_filter(  # noqa: E731
+            df,
+            exclude_synthetic=bool(fcfg.get("exclude_synthetic", False)),
+            synthetic_only=bool(fcfg.get("synthetic_only", False)),
+            producers=fcfg.get("producers") or None,
+        )
+
     if rs.kind == "kafka":
         if rs.exactly_once:
             from .compiler import _build_sink
@@ -518,7 +532,7 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
             else:  # injected collector (tests) — same projection
                 tp.extend(payload.collect())
 
-        return SinkSpec(name=rs.id, write=write_kafka_like, required=rs.required)
+        return SinkSpec(name=rs.id, write=write_kafka_like, required=rs.required, filter=flt)
 
     if rs.kind in ("redis", "nats"):
         from ..sinks.clients import redis_xadd_fields, write_client_sink
@@ -531,7 +545,7 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                 fields_fn=redis_xadd_fields if rs.kind == "redis" else None,
             )
 
-        return SinkSpec(name=rs.id, write=write_stream, required=rs.required)
+        return SinkSpec(name=rs.id, write=write_stream, required=rs.required, filter=flt)
 
     if rs.kind == "http":
         from ..sinks.clients import http_webhook_sink
@@ -545,7 +559,7 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                 session_factory=tp,
             )
 
-        return SinkSpec(name=rs.id, write=write_http, required=rs.required)
+        return SinkSpec(name=rs.id, write=write_http, required=rs.required, filter=flt)
 
     if rs.kind == "s3":
         from ..sinks import write_lake
@@ -555,7 +569,7 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
         def write_s3(df: DataFrame) -> None:
             write_lake(shaped(df), str(path), fmt=rs.config.get("format", "parquet"))
 
-        return SinkSpec(name=rs.id, write=write_s3, required=rs.required)
+        return SinkSpec(name=rs.id, write=write_s3, required=rs.required, filter=flt)
 
     if rs.kind == "clickhouse":
         # ClickHouse takes the changelog projection, not an envelope:
@@ -577,7 +591,7 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                 auto_create=bool(rs.config.get("auto_create", True)),
             )
 
-        return SinkSpec(name=rs.id, write=write_ch, required=rs.required)
+        return SinkSpec(name=rs.id, write=write_ch, required=rs.required, filter=flt)
 
     raise UnsupportedSpecError(f"sink type {rs.kind!r}")
 

@@ -523,3 +523,30 @@ def test_all_cookbook_specs_compile():
             assert callable(program) and len(sinks) == len(ref.sinks)
             found += 1
     assert found == 9
+
+
+def test_per_sink_filter_lowers(spark, sf_dir):
+    """SinkFilter (sinks_cfg.rs:911-953): a synthetic_only sink only
+    receives processor-created events."""
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    ref = parse_reference_spec(__import__("yaml").safe_load(expand_env(TESTDATA_SPEC)))
+    ref.sinks = [s for s in ref.sinks if s.id == "k1"]
+    ref.sinks[0].config["filter"] = {"synthetic_only": True}
+    kafka_rows = _Collector()
+
+    def fanout_hook(df):
+        # a processor that emits one synthetic metrics event per batch
+        one = df.limit(1).withColumn("synthetic", F.lit("metrics-proc"))
+        return df.unionByName(one)
+
+    ref.processors.append({"type": "javascript", "id": "metrics", "inline": "x"})
+    program, sinks, policy, _ = compile_reference_pipeline(
+        ref, transports={"k1": kafka_rows}, js_equivalents={"metrics": fanout_hook}
+    )
+    df = program(spark, sf_dir).cache()
+    total = df.count()
+    assert df.filter(F.col("synthetic").isNotNull()).count() == 1
+    fan_out_batch(df, 0, sinks, policy=policy)
+    assert len(kafka_rows) == 1  # only the synthetic event delivered
+    assert total > 1

@@ -121,6 +121,35 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-ROW MinHash signature: identical values to
+    minhash_signatures (same double-hash family over the same
+    shingles), computed as array_min over higher-order functions with
+    NO aggregation. Interpreted and ~5× slower than the explode+groupBy
+    form (SCALE.md) — kept for contexts where a groupBy is structurally
+    unavailable: STREAMING sources (a streaming aggregation would
+    demand watermarks and append-mode state the signature step doesn't
+    want — streaming/dedup_stream.py) and row-preserving enrichment.
+    Docs with fewer than ``shingle_n`` tokens get NULL signatures
+    (no shingles to hash)."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    full = lambda s: F.md5(F.concat(F.lit("mh:"), s))  # noqa: E731
+    a = lambda s: F.conv(F.substring(full(s), 1, 12), 16, 10).cast("long")  # noqa: E731
+    b = lambda s: F.conv(F.substring(full(s), 13, 12), 16, 10).cast("long")  # noqa: E731
+    def h(j: int):
+        # single-arg lambda REQUIRED: a second parameter (even a bound
+        # default) makes pyspark treat it as the (element, index) form
+        # and feeds the array index where j belongs
+        return lambda s: (a(s) + F.lit(j) * b(s)) % F.lit(_MOD48)
+
+    cols = [
+        F.array_min(F.transform(sh, h(j))).alias(f"mh{j}") for j in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("doc_id"), *cols)
+
+
 def minhash_lsh_pairs(
     sig: DataFrame, *, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:

@@ -1,0 +1,102 @@
+"""Streaming near-dup gate (streaming/dedup_stream.py): documents
+admitted once across micro-batch boundaries — exact replicas and LSH
+near-duplicates of previously admitted docs are suppressed, including
+after a checkpointed restart."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deltaforge_spark.streaming.dedup_stream import admitted_docs, streaming_near_dedup
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE.replace("today", "tonight")  # near-dup: most shingles shared
+OTHER = "completely different content with its own distinct vocabulary set here now"
+
+
+def _write_batch(spark, src, rows, mtime):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    tmp = f"{src}/_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = f"{src}/batch_{mtime}.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def _run(spark, src, ckpt, out):
+    """File sink (not memory): the restart leg needs a sink that
+    supports checkpoint recovery."""
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    verdicts = streaming_near_dedup(stream, num_hashes=8, bands=4)
+    q = (
+        verdicts.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        r["doc_id"]: r["admitted"]
+        for r in admitted_docs(spark.read.parquet(out)).collect()
+    }
+
+
+def test_cross_batch_suppression_and_restart(spark, tmp_path):
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: base doc + an unrelated doc — both admitted; a same-batch
+    # near-dup of base — suppressed by the first occupant of its buckets
+    _write_batch(spark, src, [(1, BASE), (2, OTHER), (3, NEAR)], 1_700_000_000)
+    out = str(tmp_path / "out")
+    got = _run(spark, src, ckpt, out)
+    assert got[1] is True and got[2] is True
+    assert got[3] is False  # near-dup collides within the batch
+
+    # batch 2 (restart from checkpoint): exact replica of doc 1 and a
+    # fresh doc — state survived the restart, replica suppressed
+    _write_batch(spark, src, [(10, BASE), (11, "yet another brand new unique document body")], 1_700_000_100)
+    got2 = _run(spark, src, ckpt, out)
+    assert got2[10] is False  # duplicate of batch-1 state
+    assert got2[11] is True
+
+
+def test_admitted_docs_any_band_rule(spark, tmp_path):
+    """A doc is a duplicate if ANY band collides (the minhash LSH
+    candidate rule) — one colliding band outvotes three clean ones."""
+    src = str(tmp_path / "feed2")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt2")
+    _write_batch(spark, src, [(1, BASE), (2, NEAR)], 1_700_000_000)
+    got = _run(spark, src, ckpt, str(tmp_path / "out2"))
+    assert got == {1: True, 2: False}
+
+
+def test_rowwise_signatures_match_groupby_form(spark, sf_dir):
+    from deltaforge_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = {tuple(r) for r in minhash_signatures(docs, text_col="text", id_col="doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in minhash_signatures_rowwise(docs, text_col="text", id_col="doc_id")
+        .filter("mh0 IS NOT NULL")
+        .collect()
+    }
+    assert a == b and len(a) > 0

@@ -991,6 +991,63 @@ def q_cdc_tx_assemble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING near-dup ingestion gate, oracle-backed: documents
+    replayed through the stateful (band, bucket) admission operator
+    (streaming/dedup_stream.py); a doc is admitted iff it is the first
+    arrival in EVERY one of its LSH band buckets. Arrival order here is
+    doc_id order (single sorted feed file), so the greedy admission
+    reduces to ``doc_id = min over (band, bucket)`` for all bands —
+    which is exactly what the DuckDB oracle computes. Cross-batch and
+    restart suppression are pinned in test_dedup_stream.py."""
+    import tempfile
+    import time as _time
+
+    from deltaforge_spark.streaming.dedup_stream import (
+        admitted_docs,
+        streaming_near_dedup,
+    )
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    _prep(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    feed_dir = f"{base}/deltaforge-derived/{tag}/docfeed"
+    if not os.path.isdir(feed_dir):
+        read_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy(
+            "doc_id"
+        ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    raw = spark.readStream.schema(schema).parquet(feed_dir)
+    verdicts = streaming_near_dedup(raw, num_hashes=8, bands=4)
+    mem = run_stream_to_memory(
+        verdicts,
+        name=f"dedup_stream_gate_{int(_time.time() * 1000)}",
+        output_mode="append",
+    )
+    return admitted_docs(mem)
+
+
+def _dedup_stream_gate_oracle() -> str:
+    bands = []
+    for b in range(4):
+        m0, m1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(CAST({m0} AS VARCHAR) || ':' || CAST({m1} AS VARCHAR)) AS bucket FROM sig"
+        )
+    union = " UNION ALL ".join(bands)
+    return f"""
+        WITH sig AS ({_minhash_oracle()}),
+        buckets AS ({union}),
+        flags AS (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY band, bucket) AS first
+            FROM buckets)
+        SELECT doc_id, bool_and(first) AS admitted
+        FROM flags GROUP BY doc_id
+    """
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → typed metadata via mapInPandas (stub decode)."""
     _prep(spark)
@@ -1851,6 +1908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
+    "dedup_stream_gate": q_dedup_stream_gate,
     "cdc_drift_profile": q_cdc_drift_profile,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -2803,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": _pq_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_ORACLE,
+        "dedup_stream_gate": _dedup_stream_gate_oracle(),
         "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""

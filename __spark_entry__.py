@@ -892,6 +892,70 @@ def _pipeline_training_data_oracle() -> str:
     """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report (operators/corpusstats.py): vocabulary
+    top-20 with doc frequencies, joined with the corpus-level summary
+    (docs, tokens, exact vocab, type-token ratio). All exchanges carry
+    (key, count) pairs; Zipf-skewed hot tokens are absorbed by
+    map-side partial aggregation."""
+    _prep(spark)
+    from deltaforge_spark.operators.corpusstats import corpus_summary, vocab_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    top = vocab_topk(docs, k=20)
+    summary = corpus_summary(docs).select(
+        F.col("n_docs").alias("corpus_docs"),
+        "total_tokens",
+        "vocab_size",
+        "type_token_ratio",
+    )
+    return top.crossJoin(summary)
+
+
+_CORPUS_REPORT_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE token <> ''),
+    counts AS (
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs_tok
+        FROM toks2 GROUP BY token),
+    top AS (
+        SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+               token,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_docs_tok AS BIGINT) AS n_docs
+        FROM counts),
+    summary AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT token) AS BIGINT) AS vocab_size,
+               round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
+        FROM toks2)
+    SELECT t.rank, t.token, t.n_occurrences, t.n_docs,
+           s.n_docs AS corpus_docs, s.total_tokens, s.vocab_size, s.type_token_ratio
+    FROM top t, summary s WHERE t.rank <= 20
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 50-token buckets — map-only
+    bucket assignment, bucket-count-sized shuffle."""
+    _prep(spark)
+    from deltaforge_spark.operators.corpusstats import length_histogram
+
+    return length_histogram(read_table(spark, sf_dir, "documents"), bucket_tokens=50)
+
+
+_LENGTH_HIST_ORACLE = """
+    SELECT CAST((len(string_split_regex(trim(text), ' +')) // 50) * 50 AS BIGINT) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+"""
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -1905,6 +1969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "dedup_lines": q_dedup_lines,
     "pipeline_training_data": q_pipeline_training_data,
+    "corpus_report": q_corpus_report,
+    "doc_length_histogram": q_doc_length_histogram,
     "dedup_connected_components": q_dedup_connected_components,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -2862,6 +2928,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq": _ivf_pq_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_ORACLE,
         "dedup_stream_gate": _dedup_stream_gate_oracle(),
+        "corpus_report": _CORPUS_REPORT_ORACLE,
+        "doc_length_histogram": _LENGTH_HIST_ORACLE,
         "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""

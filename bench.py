@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_lines",
     "pipeline_training_data",
+    "corpus_report",
     "ann_ivf_pq",
     "dedup_embedding_lsh",
     "dedup_connected_components",

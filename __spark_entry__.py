@@ -1211,6 +1211,97 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations per year —
+    the double-dimension-join shape (supplier's nation AND customer's
+    nation join the same fact row under different roles). Both nation
+    sides broadcast; the only fact-fact shuffle is lineitem⋈orders on
+    orderkey. Year extrated from l_shipdate (never emit raw
+    timestamps — hash rules)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-item revenue in a
+    date window — multi-join + aggregate + deterministic top-k (the
+    report shape). Dims broadcast; top-k is a window over the small
+    aggregated frame, never a global sort of facts."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("decimal(38,8)")
+            .alias("_rev"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    w = Window.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("string").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: pure filter + aggregate — the predicate-pushdown
     showcase (all three filters reach the parquet scan; single partial
@@ -1977,6 +2068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream_gate": q_dedup_stream_gate,
     "cdc_drift_profile": q_cdc_drift_profile,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
     "customers_without_big_orders": q_anti_join_customers,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -2721,6 +2814,43 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            WITH agg AS (
+                SELECT c_custkey, c_name, n_name,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS _rev,
+                       count(*) AS n_items
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2, 3)
+            SELECT CAST(row_number() OVER (ORDER BY _rev DESC, c_custkey) AS INT) AS rank,
+                   c_custkey, c_name, n_name,
+                   CAST(_rev AS VARCHAR) AS revenue, n_items
+            FROM agg QUALIFY rank <= 20
         """,
         "q6_forecast_revenue": """
             SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -150,6 +150,8 @@ HEADLINE = [
     "embedding_quantize",
     "dataset_split",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "q4_order_priority",
     "customers_without_big_orders",
     "multimodal_image_meta",

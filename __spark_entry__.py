@@ -956,6 +956,48 @@ _LENGTH_HIST_ORACLE = """
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.py): users reaching
+    signup → click → purchase with each step strictly after the
+    previous one. All steps are conditional mins over ONE
+    user-partitioned window spec — a single shuffle on user_id."""
+    _prep(spark)
+    from deltaforge_spark.operators.funnel import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(ev, steps=["signup", "click", "purchase"])
+
+
+_FUNNEL_ORACLE = """
+    WITH t0s AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events),
+    t1s AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM t0s),
+    t2s AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM t1s),
+    per_user AS (
+        SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1, any_value(t2) AS t2
+        FROM t2s GROUP BY user_id),
+    agg AS (
+        SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM per_user)
+    SELECT 1 AS step, 'signup' AS event_type, CAST(n0 AS BIGINT) AS n_users,
+           round(CAST(n0 AS DOUBLE) / greatest(n0, 1), 6) AS pct_of_first FROM agg
+    UNION ALL
+    SELECT 2, 'click', CAST(n1 AS BIGINT),
+           round(CAST(n1 AS DOUBLE) / greatest(n0, 1), 6) FROM agg
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+           round(CAST(n2 AS DOUBLE) / greatest(n0, 1), 6) FROM agg
+"""
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -2082,6 +2124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_stream": q_events_windowed_stream,
     "events_topn": q_events_topn,
     "events_sessionization": q_events_sessionization,
+    "events_funnel": q_events_funnel,
     "cdc_outbox": q_outbox,
     "cdc_routing_templates": q_routing_templates,
     "cdc_idempotency": q_idempotency,
@@ -3060,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream_gate": _dedup_stream_gate_oracle(),
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "doc_length_histogram": _LENGTH_HIST_ORACLE,
+        "events_funnel": _FUNNEL_ORACLE,
         "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""

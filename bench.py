@@ -122,6 +122,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_sessionization",
+    "events_funnel",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

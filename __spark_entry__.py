@@ -998,6 +998,33 @@ _FUNNEL_ORACLE = """
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.py cohort_retention):
+    signup cohorts × activity-week offsets. ts is epoch nanos."""
+    _prep(spark)
+    from deltaforge_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
+_RETENTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id AS u, event_type,
+               CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS period
+        FROM events),
+    cohorts AS (
+        SELECT u, min(period) AS cohort_period FROM ev
+        WHERE event_type = 'signup' GROUP BY u),
+    activity AS (SELECT DISTINCT u, period AS activity_period FROM ev)
+    SELECT c.cohort_period,
+           CAST(a.activity_period - c.cohort_period AS INT) AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c USING (u)
+    WHERE a.activity_period >= c.cohort_period
+    GROUP BY 1, 2
+"""
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -2125,6 +2152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topn": q_events_topn,
     "events_sessionization": q_events_sessionization,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "cdc_outbox": q_outbox,
     "cdc_routing_templates": q_routing_templates,
     "cdc_idempotency": q_idempotency,
@@ -3104,6 +3132,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "doc_length_histogram": _LENGTH_HIST_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
+        "events_retention": _RETENTION_ORACLE,
         "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""

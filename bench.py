@@ -123,6 +123,7 @@ HEADLINE = [
     "q5_region_revenue",
     "events_sessionization",
     "events_funnel",
+    "events_retention",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

@@ -89,3 +89,50 @@ def funnel_counts(
             ),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    cohort_event: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST
+    ``cohort_event`` period; each later activity period counts them
+    once — (cohort_period, period_offset, n_users). The other classic
+    product-analytics reduction.
+
+    Scale shape: cohort assignment is one min-agg per user; activity
+    is a distinct over (user, period) — both shuffle on user-sized
+    keys with partial aggregation; the final matrix groupBy's key
+    space is periods², tiny. ``ts`` is epoch NANOS (the engine's
+    event-time convention)."""
+    # integer division: event-time nanos exceed float64's 53-bit mantissa,
+    # so a double divide could mis-floor at period boundaries
+    divisor = int(1e9) * bucket_seconds
+    period = lambda c: (  # noqa: E731
+        ((c - (c % F.lit(divisor))).cast("decimal(38,0)") / F.lit(divisor)).cast("long")
+    )
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_ts"),
+    )
+    cohorts = (
+        ev.filter(F.col("_ty") == cohort_event)
+        .groupBy("user")
+        .agg(period(F.min("_ts")).alias("cohort_period"))
+    )
+    activity = ev.select("user", period(F.col("_ts")).alias("activity_period")).distinct()
+    return (
+        activity.join(cohorts, "user")
+        .filter(F.col("activity_period") >= F.col("cohort_period"))
+        .groupBy(
+            "cohort_period",
+            (F.col("activity_period") - F.col("cohort_period")).cast("int").alias("period_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

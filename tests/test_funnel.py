@@ -42,3 +42,25 @@ def test_equal_timestamp_is_not_after(spark):
     df = _events(spark, [(9, "signup", 10), (9, "click", 10)])
     t = funnel_user_times(df, steps=["signup", "click"]).collect()[0]
     assert t["t0"] == 10 and t["t1"] is None
+
+
+def test_cohort_retention_matrix(spark):
+    from deltaforge_spark.operators.funnel import cohort_retention
+
+    W = 7 * 24 * 3600 * int(1e9)  # one period in nanos
+    rows = [
+        # user 1 signs up week 0, active weeks 0 and 2
+        (1, "signup", 0), (1, "click", 2 * W + 5),
+        # user 2 signs up week 0, active week 0 only
+        (2, "signup", 10),
+        # user 3 signs up week 1, active weeks 1 and 2
+        (3, "signup", W + 3), (3, "view", 2 * W + 9),
+        # user 4 never signs up — excluded entirely
+        (4, "click", 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}

@@ -242,3 +242,56 @@ def gopher_quality_filter(
         "dup_5gram_char_frac",
         keep.alias("keep"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the RefinedWeb-style
+    redundancy signal (highly repetitive or templated text compresses
+    far below natural prose; near-random strings barely compress).
+    Returns (doc_id, raw_bytes, compressed_bytes, compression_ratio
+    rounded 6dp, ratio = compressed/raw — LOWER means more redundant).
+
+    Map-only Arrow ``mapInPandas``; zlib output is deterministic for a
+    fixed level/strategy so the metric is stable across runs and
+    partitionings (layout-invariance holds because the computation is
+    per-row). No SQL engine exposes zlib, so this operator is
+    pytest-pinned rather than oracle-declared — the one documented
+    exception class (non-SQL-expressible kernels).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_bytes", T.IntegerType()),
+            T.StructField("compressed_bytes", T.IntegerType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len().astype("int32")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level))).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "raw_bytes": raw_len,
+                    "compressed_bytes": comp_len,
+                    "compression_ratio": (
+                        comp_len / raw_len.where(raw_len > 0, 1)
+                    ).round(6),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)

@@ -141,3 +141,25 @@ def test_gopher_filter_impl_parity(spark):
         for r in gopher_quality_filter(docs, repetition_impl="columnar").collect()
     }
     assert a == b
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied text; ratios are
+    deterministic and layout-invariant (per-row computation)."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.quality import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over a lazy dog while rain falls"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["raw_bytes"] == 0
+    # layout invariance: single partition vs many — identical rows
+    a = sorted(map(tuple, compression_ratio(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, compression_ratio(df.repartition(5)).collect()))
+    assert a == b

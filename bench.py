@@ -69,6 +69,12 @@ def cdc_pipeline_xl(spark, sf_dir):
 
 
 def _delivery_feed(spark, sf_dir):
+    """Short (100k-event) drains on purpose: longer replicated drains
+    were tried and rejected — the shared host lands multi-second
+    stalls with probability ∝ wall time, so min-of-N over SHORT runs
+    is the stabler estimator of the ALO/EOS delta (measured: 1M-event
+    passes swung 2.3s↔53s on an idle-loadavg machine; 100k passes hold
+    within ~0.1s)."""
     from deltaforge_spark.operators import envelope_native, with_routing
     from deltaforge_spark.sources import change_feed
 
@@ -248,7 +254,7 @@ def main():
     # (min-of-N each, ORDER ALTERNATED per pass — a fixed order hands
     # the second runner a warmer JVM and can show EOS "faster" than
     # ALO under load; the reference documents ~7-11% EOS overhead)
-    for i in range(4):
+    for i in range(6):
         pair = [
             ("cdc_delivery_alo", lambda: cdc_delivery_alo(spark, sf_dir)),
             ("cdc_delivery_eos", lambda: cdc_delivery_eos(spark, sf_dir)),

@@ -57,10 +57,18 @@ _BUCKET_STATE = T.StructType(
 )
 
 
-def _make_bucket_gate(max_bucket: int):
+def _make_bucket_gate(max_bucket: int, ttl_ms: int = 0):
     def gate(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms > 0 and state.hasTimedOut:
+            # TTL eviction: an idle bucket's membership expires — the
+            # bounded-state trade every streaming dedup makes (a
+            # duplicate arriving after the horizon is re-admitted);
+            # same eviction contract as the tx assembler's timeout
+            state.remove()
+            yield pd.DataFrame(columns=["doc_id", "band", "dup_of_state"])
+            return
         members, n = ([], 0)
         if state.exists:
             members, n = state.get
@@ -78,6 +86,8 @@ def _make_bucket_gate(max_bucket: int):
                 members.append(int(row["doc_id"]))
                 n += 1
         state.update((members, n))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out_rows, columns=["doc_id", "band", "dup_of_state"])
 
     return gate
@@ -91,6 +101,7 @@ def streaming_near_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 64,
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """doc stream → per-(doc, band) verdicts ``(doc_id, band,
     dup_of_state)``. Downstream admission = groupBy(doc_id) with
@@ -126,11 +137,11 @@ def streaming_near_dedup(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     return keyed.groupBy("band", "bucket").applyInPandasWithState(
-        _make_bucket_gate(max_bucket),
+        _make_bucket_gate(max_bucket, state_ttl_ms),
         outputStructType=VERDICT_SCHEMA,
         stateStructType=_BUCKET_STATE,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if state_ttl_ms > 0 else "NoTimeout",
     )
 
 

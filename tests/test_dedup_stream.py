@@ -100,3 +100,58 @@ def test_rowwise_signatures_match_groupby_form(spark, sf_dir):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+class _FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_bucket_gate_ttl_eviction_unit():
+    """TTL semantics of the gate function itself: an idle bucket's
+    state is removed on timeout (bounded state); active buckets re-arm
+    their timeout each batch."""
+    import pandas as pd
+
+    from deltaforge_spark.streaming.dedup_stream import _make_bucket_gate
+
+    gate = _make_bucket_gate(64, ttl_ms=5000)
+
+    # timed-out invocation: state dropped, nothing emitted
+    st = _FakeState(value=([1, 2], 2), timed_out=True)
+    out = list(gate(("b", "k"), iter([]), st))
+    assert st.removed and sum(len(p) for p in out) == 0
+
+    # normal batch: members admitted, timeout re-armed
+    st2 = _FakeState()
+    batch = pd.DataFrame({"doc_id": [5, 7], "band": [0, 0]})
+    out2 = pd.concat(list(gate(("b", "k"), iter([batch]), st2)))
+    assert list(out2["dup_of_state"]) == [False, True]
+    assert st2._v[1] == 1 and st2.timeout_set == 5000
+
+    # post-eviction: a former duplicate is re-admitted (the documented
+    # bounded-state trade)
+    st3 = _FakeState()  # state gone after eviction
+    out3 = pd.concat(list(gate(("b", "k"), iter([pd.DataFrame({"doc_id": [5], "band": [0]})]), st3)))
+    assert list(out3["dup_of_state"]) == [False]

@@ -1025,6 +1025,43 @@ _RETENTION_ORACLE = """
 """
 
 
+def q_mixture_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling (sampling.mixture_sample): the
+    mixing spec arrives as token budgets per language; per-stratum keep
+    fractions derive from the corpus's own token counts (exact integer
+    threshold arithmetic), selection is the deterministic hash filter.
+    Budgets chosen below the stratum totals so fractional sampling is
+    actually exercised at sf0.01."""
+    _prep(spark)
+    from deltaforge_spark.operators.sampling import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, strata_col="lang", token_budgets={"en": 6000, "zh": 2000}
+    )
+    return out.select(
+        "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens")
+    )
+
+
+_MIXTURE_ORACLE = """
+    WITH stats AS (
+        SELECT lang AS s, sum(len(string_split_regex(trim(text), ' +'))) AS tokens
+        FROM documents GROUP BY 1),
+    t AS (
+        SELECT s, least(281474976710656,
+                        CAST(CASE s WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000 END AS HUGEINT)
+                        * 281474976710656 // tokens) AS thresh
+        FROM stats
+        WHERE s IN ('en', 'zh'))
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split_regex(trim(d.text), ' +')) AS INT) AS n_tokens
+    FROM documents d JOIN t ON d.lang = t.s
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          < t.thresh
+"""
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -2106,6 +2143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "sample_stratified": q_sample_stratified,
+    "mixture_by_budget": q_mixture_by_budget,
     "doc_pack_sequences": q_pack_sequences,
     "doc_contamination": q_contamination,
     "doc_quality_gopher": q_doc_quality_gopher,
@@ -3133,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": _LENGTH_HIST_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
+        "mixture_by_budget": _MIXTURE_ORACLE,
         "pipeline_training_data": _pipeline_training_data_oracle(),
         "dedup_substring_spans": _substring_spans_oracle_sql(),
         "dedup_apply": f"""

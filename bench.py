@@ -157,6 +157,7 @@ HEADLINE = [
     "pii_scan",
     "embedding_quantize",
     "dataset_split",
+    "mixture_by_budget",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",

@@ -228,3 +228,58 @@ def whitespace_token_count(text: Column) -> Column:
     definition as the text-analysis layer's ``_TOKENS_SQL`` oracle
     (``string_split_regex(trim(text), ' +')``)."""
     return F.size(F.split(F.trim(text), " +"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    token_budgets: dict[str, int],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-BUDGETED mixture sampling — the data-mixing step stated
+    the way mixing specs actually arrive ("500k en tokens, 200k zh
+    tokens"), not as pre-derived fractions: per stratum, the keep
+    fraction is ``min(1, budget / stratum_tokens)``, then rows select
+    deterministically by the same 48-bit hash as stratified_sample
+    (reshard-stable, ablation-monotone: raising a budget only ADDS
+    documents). Strata without a budget are dropped.
+
+    In expectation the kept token mass per stratum ≈ its budget; the
+    variance is the standard Poisson-sampling variance (per-doc
+    independent selection — no global sort or exact knapsack, which
+    would serialize the corpus at 100 TB).
+
+    Scale shape: one token-count aggregation per stratum (partial agg;
+    key space = #strata) joined back BROADCAST onto the corpus; the
+    selection itself is the usual map-only hash filter. Exactly
+    SQL-expressible → oracle-checked (`mixture_by_budget`).
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), " +"))
+    stats = (
+        df.select(F.col(strata_col).alias("_s"), n_tokens.alias("_n"))
+        .groupBy("_s")
+        .agg(F.sum("_n").alias("_stratum_tokens"))
+    )
+    budget = None
+    for value, b in sorted(token_budgets.items()):
+        c = F.col("_s") == value
+        budget = F.when(c, F.lit(int(b))) if budget is None else budget.when(c, F.lit(int(b)))
+    budget = budget.otherwise(F.lit(None))
+    stats = stats.withColumn("_budget", budget).filter(F.col("_budget").isNotNull())
+    # threshold in 48-bit hash space, exact integer arithmetic:
+    # floor(min(1, budget/tokens) * 2^48) = min(2^48, budget*2^48 DIV tokens)
+    # exact integer floor-division in decimal space (budget * 2^48 can
+    # exceed int64): Spark's `div` yields the integral quotient
+    exact_div = F.expr(
+        f"CAST(_budget AS DECIMAL(38,0)) * {_SPACE} div CAST(_stratum_tokens AS DECIMAL(38,0))"
+    )
+    thresh = F.least(F.lit(_SPACE).cast("long"), exact_div.cast("long"))
+    stats = stats.select("_s", thresh.alias("_thresh"))
+    return (
+        df.join(F.broadcast(stats), df[strata_col] == F.col("_s"))
+        .filter(sample_hash(F.col(key_col), seed) < F.col("_thresh"))
+        .drop("_s", "_thresh")
+    )

@@ -109,3 +109,38 @@ def test_epoch_shuffle_contract(spark):
         for r in epoch_shuffle(df, key_col="doc_id", epoch=1).collect()
     }
     assert m_e1 != m1  # epochs re-shuffle
+
+
+def test_mixture_sample_budget_semantics(spark, sf_dir):
+    """Budgets above the stratum total keep everything; below, the kept
+    token mass approximates the budget; raising a budget only ADDS
+    documents (ablation monotonicity); unbudgeted strata drop."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.trim(F.col("text")), " +"))).alias("t"))
+        .collect()
+    }
+
+    # budget >> total: every en doc kept, other strata dropped
+    all_en = mixture_sample(docs, strata_col="lang", token_budgets={"en": 10**9})
+    assert all_en.count() == docs.filter(F.col("lang") == "en").count()
+    assert {r["lang"] for r in all_en.select("lang").distinct().collect()} == {"en"}
+
+    # fractional budget: kept mass lands near the budget
+    b = totals["en"] // 2
+    half = mixture_sample(docs, strata_col="lang", token_budgets={"en": b})
+    kept = half.agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " +")))
+    ).collect()[0][0]
+    assert 0.5 * b <= kept <= 1.5 * b  # Poisson variance band at small n
+
+    # monotone: the half-budget selection is a subset of the full one
+    half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    full_ids = {r["doc_id"] for r in all_en.select("doc_id").collect()}
+    assert half_ids <= full_ids

@@ -2132,7 +2132,67 @@ def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type (the reference's
+    cardinality estimator, schema-sensing high_cardinality.rs:1-50,
+    promoted to a first-class distributed aggregate): md5-bucketed
+    registers, exact-integer harmonic sum, linear-counting correction —
+    joined with the exact distinct count so the sketch error is visible
+    in the output. Register table is 64 rows/group independent of input
+    size; the only full-data pass is one map-side-combined groupBy."""
+    from deltaforge_spark.operators.sketches import hll_distinct
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    sketch = hll_distinct(ev, ["event_type"], "user_id", p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return sketch.join(exact, "event_type")
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup: sparse (event_type, user-shard) series
+    densified to every hour between each series' first and last
+    observation, sums carried forward across empty buckets
+    (operators/timeseries.py gap_fill_forward). The dense range comes
+    from ``sequence`` per key — output-proportional, no calendar cross
+    join; the fill window partitions by series key, so parallelism
+    scales with key count, not a global sort."""
+    from deltaforge_spark.operators.timeseries import gap_fill_forward
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    sparse = ev.where(F.col("value") < 5.0).select(
+        F.concat_ws(
+            "#", F.col("event_type"), (F.col("user_id") % 16).cast("string")
+        ).alias("series"),
+        F.expr("ts div 1000000000 div 3600").alias("hour_bucket"),
+        F.col("value"),
+    )
+    return gap_fill_forward(sparse, "series", "hour_bucket", "value")
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated value percentiles (p50/p90/p99) per event type
+    (operators/timeseries.py percentiles_exact — the quantile_cont
+    definition with the interpolation arithmetic written identically in
+    the oracle). Per-key sort window, then at most two order statistics
+    per (key, quantile) survive to the final agg — the exact-audit twin
+    of percentile_approx."""
+    from deltaforge_spark.operators.timeseries import percentiles_exact
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return percentiles_exact(ev, "event_type", "value", [0.5, 0.9, 0.99]).select(
+        "event_type", "q", F.round(F.col("value"), 6).alias("value")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sketch_hll_users": q_sketch_hll_users,
+    "events_gapfill": q_events_gapfill,
+    "events_percentiles": q_events_percentiles,
     "snapshot_orders": q_snapshot_orders,
     "cdc_changefeed": q_changefeed,
     "cdc_filter_fields": q_filter_fields,
@@ -2690,8 +2750,53 @@ def _dataset_split_oracle() -> str:
     """
 
 
+def _sketch_hll_oracle() -> str:
+    from deltaforge_spark.operators.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql("events", ["event_type"], "user_id", p=6)
+    return f"""
+        WITH sketch AS ({inner}),
+        exact AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, s.used_buckets, s.zero_buckets,
+               s.harmonic_sum_scaled, s.est_distinct, e.exact_distinct
+        FROM sketch s JOIN exact e ON s.event_type = e.event_type
+    """
+
+
+def _events_gapfill_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import gap_fill_oracle_sql
+
+    return gap_fill_oracle_sql(
+        "(SELECT * FROM events WHERE value < 5.0)",
+        "event_type || '#' || CAST(user_id % 16 AS VARCHAR)",
+        "epoch_ns(ts) // 1000000000 // 3600",
+        "value",
+    ).replace(
+        "SELECT k, b,\n               CAST(coalesce",
+        "SELECT k AS series, b AS hour_bucket,\n               CAST(coalesce",
+        1,
+    )
+
+
+def _events_percentiles_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import percentiles_oracle_sql
+
+    inner = percentiles_oracle_sql("events", "event_type", "value", [0.5, 0.9, 0.99])
+    return f"""
+        SELECT k AS event_type, q, round(value, 6) AS value
+        FROM ({inner})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_hll_users": _sketch_hll_oracle(),
+        "events_gapfill": _events_gapfill_oracle(),
+        "events_percentiles": _events_percentiles_oracle(),
         "doc_quality_gopher": _gopher_quality_oracle(),
         "events_interval_join": """
             WITH e AS (

@@ -1,0 +1,148 @@
+"""Distinct-count sketching (HyperLogLog) as deterministic column algebra.
+
+The reference estimates per-field cardinality with a HyperLogLog sketch
+while classifying map-vs-struct shapes (schema-sensing
+high_cardinality.rs:1-50 uses an HLL alongside SpaceSaving); this module
+re-expresses the sketch itself as a first-class distributed aggregate:
+
+- hash     = md5 of the value's string form (engine-portable, stable),
+- bucket   = first 8 hash bits mod m (m = 2**p registers),
+- rho      = leading-zero count + 1 over the next 48 hash bits,
+- register = MAX(rho) per (group, bucket) — a partial-aggregatable max,
+- estimate = alpha_m * m^2 / sum(2^-M_j) with the standard small-range
+  linear-counting correction (Flajolet et al. 2007).
+
+Scale shape: one groupBy on (group, bucket) with map-side combine — the
+register table is at most m rows per group regardless of input size —
+then one m-row-per-group final agg. No distinct, no sort, no Python.
+
+Determinism: every step is integer math except the final estimate.
+The harmonic sum is computed EXACTLY as the integer
+``sum(2^(50 - M_j))`` (rho <= 49, so each term >= 2; 2^56 worst case
+fits a long), so Spark and an independent SQL engine agree bit-for-bit
+until the single final division — which both round to a whole count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Register width: rho is counted over a 48-bit window (12 hex chars) so
+# the per-value work stays in exact BIGINT range in any SQL engine.
+RHO_BITS = 48
+# Exact harmonic-sum scaling: sum(2^(SHIFT - M_j)) is integer for all
+# M_j in [1, RHO_BITS + 1].
+SHIFT = 50
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """(group, bucket, m_j) register table — the mergeable sketch state."""
+    if not 2 <= p <= 8:
+        raise ValueError("p must be in [2, 8] (bucket comes from 8 hash bits)")
+    m = 1 << p
+    hx = F.md5(F.col(value_col).cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).alias("bucket")
+    v = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = (
+        F.when(v == F.lit(0), F.lit(RHO_BITS + 1))
+        .otherwise(F.lit(RHO_BITS + 1) - F.length(F.bin(v)))
+        .alias("rho")
+    )
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``value_col``.
+
+    Output: group cols + ``used_buckets`` / ``zero_buckets`` /
+    ``harmonic_sum_scaled`` (exact integers — the sketch state digest)
+    + ``est_distinct`` (the rounded estimate).
+    """
+    m = 1 << p
+    regs = hll_registers(df, group_cols, value_col, p)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("used_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {SHIFT} - m_j)"))
+        .cast("long")
+        .alias("sum_used"),
+    )
+    zeros = (F.lit(m) - F.col("used_buckets")).cast("long")
+    s_total = (
+        F.col("sum_used") + zeros * F.lit(1 << SHIFT).cast("long")
+    ).alias("harmonic_sum_scaled")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * F.lit(float(m * m)) * F.lit(float(1 << SHIFT)) / s_total.cast("double")
+    est: Column = (
+        F.when(
+            (zeros > 0) & (raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        )
+        .otherwise(raw)
+    )
+    return per_group.select(
+        *group_cols,
+        F.col("used_buckets"),
+        zeros.alias("zero_buckets"),
+        s_total,
+        F.round(est, 0).cast("long").alias("est_distinct"),
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str, group_cols: list[str], value_expr: str, p: int = 6
+) -> str:
+    """The identical algorithm as ANSI SQL (DuckDB dialect) — same hash,
+    same integer register math, same single final division."""
+    m = 1 << p
+    g = ", ".join(group_cols)
+    return f"""
+        WITH h AS (
+            SELECT {g}, md5(CAST({value_expr} AS VARCHAR)) AS hx
+            FROM {table_expr}
+        ),
+        b AS (
+            SELECT {g},
+                   CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {m} AS bucket,
+                   CAST(('0x' || substr(hx, 3, 12)) AS BIGINT) AS v
+            FROM h
+        ),
+        r AS (
+            SELECT {g}, bucket,
+                   MAX(CASE WHEN v = 0 THEN {RHO_BITS + 1}
+                            ELSE {RHO_BITS + 1} - length(bin(v)) END) AS m_j
+            FROM b GROUP BY {g}, bucket
+        ),
+        pg AS (
+            SELECT {g},
+                   CAST(count(*) AS BIGINT) AS used_buckets,
+                   CAST(sum(CAST(1 AS BIGINT) << ({SHIFT} - m_j)) AS BIGINT) AS sum_used
+            FROM r GROUP BY {g}
+        ),
+        s AS (
+            SELECT {g}, used_buckets,
+                   CAST({m} - used_buckets AS BIGINT) AS zero_buckets,
+                   sum_used + ({m} - used_buckets) * (CAST(1 AS BIGINT) << {SHIFT})
+                       AS harmonic_sum_scaled
+            FROM pg
+        )
+        SELECT {g}, used_buckets, zero_buckets, harmonic_sum_scaled,
+               CAST(round(
+                   CASE WHEN zero_buckets > 0
+                             AND (0.7213e0 / (1.0e0 + 1.079e0 / {float(m)}e0))
+                                 * {float(m * m)}e0 * {float(1 << SHIFT)!r}
+                                 / CAST(harmonic_sum_scaled AS DOUBLE) <= {2.5 * m}e0
+                        THEN {float(m)}e0 * ln({float(m)}e0 / CAST(zero_buckets AS DOUBLE))
+                        ELSE (0.7213e0 / (1.0e0 + 1.079e0 / {float(m)}e0))
+                             * {float(m * m)}e0 * {float(1 << SHIFT)!r}
+                             / CAST(harmonic_sum_scaled AS DOUBLE)
+                   END, 0) AS BIGINT) AS est_distinct
+        FROM s
+    """

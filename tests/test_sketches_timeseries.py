@@ -1,0 +1,107 @@
+"""Sketch + time-series operators: HLL distinct, gap-fill, percentiles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deltaforge_spark.operators.sketches import hll_distinct, hll_registers
+from deltaforge_spark.operators.timeseries import gap_fill_forward, percentiles_exact
+
+
+def test_hll_estimate_accuracy(spark):  # noqa: F811
+    # 2000 distinct values; p=6 (m=64) has ~13% standard error — assert 3 sigma.
+    df = spark.range(2000).select(F.concat(F.lit("v"), F.col("id")).alias("val"))
+    row = hll_distinct(df, [], "val", p=6).collect()[0]
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.4
+    assert row["used_buckets"] + row["zero_buckets"] == 64
+
+
+def test_hll_small_range_correction(spark):  # noqa: F811
+    # 5 distinct values: most buckets empty -> linear counting path; the
+    # estimate should be nearly exact for tiny cardinalities.
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], ["val"])
+    row = hll_distinct(df, [], "val", p=6).collect()[0]
+    assert row["zero_buckets"] >= 59
+    assert abs(row["est_distinct"] - 5) <= 1
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):  # noqa: F811
+    base = [(f"k{i % 50}",) for i in range(50)]
+    df1 = spark.createDataFrame(base, ["val"])
+    df2 = spark.createDataFrame(base * 40, ["val"])  # same distinct set, 40x rows
+    r1 = hll_distinct(df1, [], "val").collect()[0]
+    r2 = hll_distinct(df2, [], "val").collect()[0]
+    assert r1["est_distinct"] == r2["est_distinct"]
+    assert r1["harmonic_sum_scaled"] == r2["harmonic_sum_scaled"]
+
+
+def test_hll_registers_merge_by_max(spark):  # noqa: F811
+    # Sketch state is mergeable: registers(A ∪ B) == max-merge of
+    # registers(A), registers(B) — the property that makes it a
+    # partial-aggregatable distributed aggregate.
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("val"))
+    b = spark.range(300, 900).select(F.col("id").cast("string").alias("val"))
+    whole = {
+        r["bucket"]: r["m_j"]
+        for r in hll_registers(a.union(b), [], "val").collect()
+    }
+    ra = {r["bucket"]: r["m_j"] for r in hll_registers(a, [], "val").collect()}
+    rb = {r["bucket"]: r["m_j"] for r in hll_registers(b, [], "val").collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert whole == merged
+
+
+def test_gap_fill_forward(spark):  # noqa: F811
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 1, 2.0),
+        ("a", 4, 7.0),
+        ("b", 10, 1.0),
+        ("b", 12, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "b", "v"])
+    out = {
+        (r["k"], r["b"]): r
+        for r in gap_fill_forward(df, "k", "b", "v").collect()
+    }
+    # dense range per key, nothing outside [min, max]
+    assert sorted(k for k in out) == [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4),
+        ("b", 10), ("b", 11), ("b", 12),
+    ]
+    assert out[("a", 1)]["n"] == 2 and out[("a", 1)]["sum_value"] == "12.0000"
+    assert out[("a", 2)]["is_gap"] and out[("a", 2)]["sum_value"] is None
+    # forward fill carries the last observed sum across the gap
+    assert out[("a", 2)]["filled_value"] == "12.0000"
+    assert out[("a", 3)]["filled_value"] == "12.0000"
+    assert out[("a", 4)]["filled_value"] == "7.0000"
+    assert out[("b", 11)]["filled_value"] == "1.0000"
+    assert not out[("b", 12)]["is_gap"]
+
+
+def test_percentiles_match_numpy(spark):  # noqa: F811
+    vals = [3.5, 1.0, 9.25, 4.0, 8.5, 2.75, 7.0, 0.5, 6.125, 5.0, 11.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in percentiles_exact(df, "k", "v", qs).collect()
+    }
+    for q in qs:
+        expected = float(np.percentile(vals, q * 100, method="linear"))
+        assert got[q] == pytest.approx(expected, abs=1e-12), q
+
+
+def test_percentiles_multiple_keys(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(101)] + [("b", 42.0)], ["k", "v"]
+    )
+    got = {
+        (r["k"], r["q"]): r["value"]
+        for r in percentiles_exact(df, "k", "v", [0.5, 0.99]).collect()
+    }
+    assert got[("a", 0.5)] == 50.0
+    assert got[("a", 0.99)] == 99.0
+    # single-element group: every quantile is that element
+    assert got[("b", 0.5)] == 42.0
+    assert got[("b", 0.99)] == 42.0

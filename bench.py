@@ -250,8 +250,14 @@ def main():
     # "overhead"; adjacent alternated pairs share host conditions and
     # the ratio cancels the common noise. Order still alternates per
     # pair so JVM warmth doesn't systematically favor one side.
+    # 12 pairs: the median of 6 short-run ratios still jittered ±4-5%
+    # run-to-run (observed +2.9% and -4.1% on identical code); the
+    # injected-transport EOS path has no broker commit round-trip, so
+    # the TRUE local delta is near zero and only a tight estimator can
+    # show that. The quartile spread is reported alongside so a reader
+    # can tell signal from noise floor.
     pair_ratios: list[float] = []
-    for i in range(6):
+    for i in range(12):
         pair = [
             ("cdc_delivery_alo", lambda: cdc_delivery_alo(spark, sf_dir)),
             ("cdc_delivery_eos", lambda: cdc_delivery_eos(spark, sf_dir)),
@@ -269,6 +275,9 @@ def main():
     pair_ratios.sort()
     median_ratio = pair_ratios[len(pair_ratios) // 2]
     eos_overhead_pct = round(100.0 * (median_ratio - 1.0), 1)
+    q1 = pair_ratios[len(pair_ratios) // 4]
+    q3 = pair_ratios[(3 * len(pair_ratios)) // 4]
+    eos_overhead_iqr_pct = round(100.0 * (q3 - q1), 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -282,6 +291,7 @@ def main():
                 "events_per_sec": round(ev_per_sec),
                 "events_per_sec_steady": round(ev_per_sec_xl),
                 "eos_overhead_pct": eos_overhead_pct,
+                "eos_overhead_iqr_pct": eos_overhead_iqr_pct,
                 "n_events": n_events,
             }
         )

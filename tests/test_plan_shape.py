@@ -229,3 +229,36 @@ def test_q7_q10_broadcast_and_pushdown(spark, sf_dir):
     assert "PushedFilters:" in p10 and "l_returnflag" in p10
     assert "o_orderdate" in p10.split("PushedFilters:", 2)[-1].split("\n")[0] or \
            "o_orderdate" in p10  # date filter reaches the orders scan
+
+
+def test_hll_sketch_plan_is_two_partial_aggs_no_python(spark, sf_dir):
+    p = plan_str(entry.queries()["sketch_hll_users"](spark, sf_dir))
+    # the sketch is pure column algebra: no Python eval, no distinct
+    # expansion, no sort — register reduction is a partial-aggregated
+    # hash aggregate pair
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in p, f"{bad} in HLL plan:\n{p}"
+    assert "HashAggregate" in p
+    # registers shuffle on (event_type, bucket) — a bounded key space —
+    # never a global single-partition exchange
+    assert "SinglePartition" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_gapfill_window_partitions_per_series(spark, sf_dir):
+    p = plan_str(entry.queries()["events_gapfill"](spark, sf_dir))
+    assert "CartesianProduct" not in p  # dense range comes from sequence(), not a calendar join
+    assert "BroadcastNestedLoopJoin" not in p
+    # forward-fill window must partition by the series key, not run as
+    # one global ordered task
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_percentiles_sort_is_per_key_not_global(spark, sf_dir):
+    p = plan_str(entry.queries()["events_percentiles"](spark, sf_dir))
+    # rank/count windows partition by key: the sort is a per-key
+    # shuffle, never a SinglePartition global sort
+    assert "SinglePartition" not in p
+    assert "row_number" in p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in p, f"{bad} in percentiles plan:\n{p}"

@@ -2189,8 +2189,29 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event-type volumes
+    (operators/timeseries.py anomalies_rolling_z): each (event_type,
+    hour) count scored against the mean/std of the 24 hours strictly
+    before it; zero-count gap buckets enter the baseline and can
+    themselves be flagged (a silent feed IS the incident). Integer
+    sum-of-squares variance keeps the oracle bit-identical through the
+    final sqrt."""
+    from deltaforge_spark.operators.timeseries import anomalies_rolling_z
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type", F.expr("ts div 1000000000 div 3600").alias("hour_bucket")
+    )
+    return anomalies_rolling_z(
+        hours, "event_type", "hour_bucket", window=24, z_thresh=3.0
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_users": q_sketch_hll_users,
+    "events_anomalies": q_events_anomalies,
     "events_gapfill": q_events_gapfill,
     "events_percentiles": q_events_percentiles,
     "snapshot_orders": q_snapshot_orders,
@@ -2792,9 +2813,26 @@ def _events_percentiles_oracle() -> str:
     """
 
 
+def _events_anomalies_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import anomalies_oracle_sql
+
+    sql = anomalies_oracle_sql(
+        "events",
+        "event_type",
+        "epoch_ns(ts) // 1000000000 // 3600",
+        window=24,
+        z_thresh=3.0,
+    )
+    return f"""
+        SELECT k AS event_type, b AS hour_bucket, n, mean_w, std_w, z, is_anomaly
+        FROM ({sql})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sketch_hll_users": _sketch_hll_oracle(),
+        "events_anomalies": _events_anomalies_oracle(),
         "events_gapfill": _events_gapfill_oracle(),
         "events_percentiles": _events_percentiles_oracle(),
         "doc_quality_gopher": _gopher_quality_oracle(),

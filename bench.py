@@ -164,6 +164,9 @@ HEADLINE = [
     "q4_order_priority",
     "customers_without_big_orders",
     "multimodal_image_meta",
+    "sketch_hll_users",
+    "events_gapfill",
+    "events_percentiles",
 ]
 
 

@@ -197,3 +197,128 @@ def percentiles_oracle_sql(
         )
         {union}
     """
+
+
+def anomalies_rolling_z(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    *,
+    window: int = 24,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over per-(key, bucket) counts.
+
+    Counts rows per (key, bucket), densifies the bucket range per key
+    (a silent gap IS the anomaly a monitor must see — zero-count
+    buckets enter the statistics and can themselves be flagged), then
+    scores each bucket against the mean/std of the ``window`` buckets
+    strictly BEFORE it (trailing, exclusive — the current value never
+    contaminates its own baseline). Rows without a full trailing window
+    are not scored.
+
+    Scale shape: one (key, bucket) groupBy with map-side combine, the
+    same output-proportional ``sequence`` densification as
+    ``gap_fill_forward``, and one per-key ordered window — parallelism
+    = #keys, state = ``window`` rows per task frame.
+
+    Determinism: counts are integers; variance uses the sum-of-squares
+    identity ``(sumsq - sum*sum/cnt) / cnt`` with integer sums, so both
+    engines run the same double ops in the same order; IEEE-754 sqrt is
+    correctly rounded, so std and z match bit-for-bit before the final
+    6dp rounding.
+    """
+    agg = (
+        df.select(F.col(key_col).alias("k"), F.col(bucket_col).cast("long").alias("b"))
+        .groupBy("k", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = agg.groupBy("k").agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+    dense = bounds.select("k", F.explode(F.sequence("mn", "mx")).alias("b"))
+    counts = dense.join(agg, ["k", "b"], "left").select(
+        "k", "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("k").orderBy("b").rowsBetween(-window, -1)
+    stats = counts.select(
+        "k",
+        "b",
+        "n",
+        F.count("n").over(w).alias("cnt_w"),
+        F.sum("n").over(w).cast("long").alias("sum_w"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("sumsq_w"),
+    ).where(F.col("cnt_w") == window)
+    mean = F.col("sum_w").cast("double") / F.lit(float(window))
+    var = (
+        F.col("sumsq_w").cast("double")
+        - F.col("sum_w").cast("double") * F.col("sum_w").cast("double") / F.lit(float(window))
+    ) / F.lit(float(window))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n").cast("double") - mean) / std)
+    # std == 0 means the trailing window was perfectly constant: any
+    # departure from that constant is infinite-sigma — flag on inequality
+    # rather than dividing by zero (z stays NULL there).
+    anomalous = F.when(std > 0, F.abs(z) > F.lit(z_thresh)).otherwise(
+        F.col("n").cast("double") != mean
+    )
+    return stats.select(
+        F.col("k").alias(key_col),
+        F.col("b").alias(bucket_col),
+        "n",
+        F.round(mean, 6).alias("mean_w"),
+        F.round(std, 6).alias("std_w"),
+        F.round(z, 6).alias("z"),
+        anomalous.alias("is_anomaly"),
+    )
+
+
+def anomalies_oracle_sql(
+    events_expr: str,
+    key_sql: str,
+    bucket_sql: str,
+    *,
+    window: int = 24,
+    z_thresh: float = 3.0,
+) -> str:
+    """DuckDB twin of anomalies_rolling_z — identical densification,
+    identical trailing-exclusive frame, identical variance identity."""
+    wf = float(window)
+    return f"""
+        WITH src AS (
+            SELECT {key_sql} AS k, {bucket_sql} AS b FROM {events_expr}
+        ),
+        agg AS (SELECT k, b, count(*) AS n FROM src GROUP BY k, b),
+        bounds AS (SELECT k, min(b) AS mn, max(b) AS mx FROM agg GROUP BY k),
+        dense AS (SELECT k, unnest(range(mn, mx + 1)) AS b FROM bounds),
+        counts AS (
+            SELECT dense.k, dense.b,
+                   CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+            FROM dense LEFT JOIN agg ON dense.k = agg.k AND dense.b = agg.b
+        ),
+        stats AS (
+            SELECT k, b, n,
+                   count(n) OVER tw AS cnt_w,
+                   CAST(sum(n) OVER tw AS BIGINT) AS sum_w,
+                   CAST(sum(n * n) OVER tw AS BIGINT) AS sumsq_w
+            FROM counts
+            WINDOW tw AS (PARTITION BY k ORDER BY b
+                          ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+        ),
+        scored AS (
+            SELECT k, b, n,
+                   CAST(sum_w AS DOUBLE) / {wf!r}e0 AS mean_w,
+                   sqrt((CAST(sumsq_w AS DOUBLE)
+                         - CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE) / {wf!r}e0)
+                        / {wf!r}e0) AS std_w
+            FROM stats WHERE cnt_w = {window}
+        )
+        SELECT k, b, n,
+               round(mean_w, 6) AS mean_w,
+               round(std_w, 6) AS std_w,
+               round(CASE WHEN std_w > 0
+                          THEN (CAST(n AS DOUBLE) - mean_w) / std_w END, 6) AS z,
+               CASE WHEN std_w > 0
+                    THEN abs((CAST(n AS DOUBLE) - mean_w) / std_w) > {z_thresh!r}e0
+                    ELSE CAST(n AS DOUBLE) != mean_w
+               END AS is_anomaly
+        FROM scored
+    """

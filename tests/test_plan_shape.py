@@ -262,3 +262,11 @@ def test_percentiles_sort_is_per_key_not_global(spark, sf_dir):
     assert "row_number" in p
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in p, f"{bad} in percentiles plan:\n{p}"
+
+
+def test_anomalies_window_is_per_key_no_python(spark, sf_dir):
+    p = plan_str(entry.queries()["events_anomalies"](spark, sf_dir))
+    assert "SinglePartition" not in p  # baseline window partitions by key
+    assert "CartesianProduct" not in p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in p, f"{bad} in anomaly plan:\n{p}"

@@ -105,3 +105,46 @@ def test_percentiles_multiple_keys(spark):  # noqa: F811
     # single-element group: every quantile is that element
     assert got[("b", 0.5)] == 42.0
     assert got[("b", 0.99)] == 42.0
+
+
+def test_anomalies_rolling_z_flags_spike_and_gap(spark):
+    from deltaforge_spark.operators.timeseries import anomalies_rolling_z
+
+    # steady 5 rows/bucket for 30 buckets, a moderate 9-row spike at 31,
+    # then a silent bucket (32 missing entirely -> zero count via
+    # densification). A moderate spike keeps the trailing std small so
+    # the silent bucket is a genuine >3-sigma departure; a huge spike
+    # would inflate std and mask it — exactly the robustness property
+    # the windowed estimator is supposed to have.
+    rows = []
+    for b in range(1, 31):
+        rows += [("svc", b)] * 5
+    rows += [("svc", 31)] * 9
+    rows += [("svc", 33)] * 5
+    df = spark.createDataFrame(rows, ["k", "b"])
+    out = {r["b"]: r for r in anomalies_rolling_z(df, "k", "b", window=24).collect()}
+    # first scored bucket is 25 (needs 24 full trailing buckets)
+    assert min(out) == 25
+    # steady state: constant baseline (std == 0) and n == mean -> quiet
+    assert not out[30]["is_anomaly"] and out[30]["z"] is None
+    # the spike: baseline still constant (std == 0), so any departure
+    # from the constant is infinite-sigma -> flagged with NULL z
+    assert out[31]["is_anomaly"] and out[31]["n"] == 9 and out[31]["z"] is None
+    # the silent bucket: baseline = 23 fives + one 9 -> small std, and
+    # zero sits far below the mean -> flagged with a real z
+    assert out[32]["n"] == 0 and out[32]["is_anomaly"] and out[32]["z"] < -3
+
+
+def test_anomalies_deterministic_stats(spark):
+    from deltaforge_spark.operators.timeseries import anomalies_rolling_z
+
+    rows = [("a", b) for b in range(1, 30) for _ in range(b % 5 + 1)]
+    df = spark.createDataFrame(rows, ["k", "b"])
+    out = anomalies_rolling_z(df, "k", "b", window=4).collect()
+    import statistics
+
+    counts = {b: b % 5 + 1 for b in range(1, 30)}
+    for r in out:
+        base = [counts[x] for x in range(r["b"] - 4, r["b"])]
+        assert r["mean_w"] == pytest.approx(statistics.mean(base), abs=1e-6)
+        assert r["std_w"] == pytest.approx(statistics.pstdev(base), abs=1e-6)

@@ -2209,9 +2209,46 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic fetch URLs built from documents columns (the same
+    construction pattern as the dynamic-payload queries), exercising
+    every canonicalization rule: uppercase scheme/host, www prefix,
+    default port, tracking params, unsorted params, fragments."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.com:443/Docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("&b=2&a=1"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#ref")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication (operators/urls.py — the C4/
+    RefinedWeb first pass): lowercase scheme+host, strip www/default
+    port/fragment/tracking params, sort surviving params, then rank
+    refetches of the same canonical URL (dup_rank 1 = keep). All JVM
+    column algebra; the only shuffle is the canonical-URL hash for the
+    ranking window."""
+    from deltaforge_spark.operators.urls import url_dedup_rank
+
+    _prep(spark)
+    return url_dedup_rank(_doc_urls(spark, sf_dir), "url", "doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_users": q_sketch_hll_users,
     "events_anomalies": q_events_anomalies,
+    "url_dedup": q_url_dedup,
     "events_gapfill": q_events_gapfill,
     "events_percentiles": q_events_percentiles,
     "snapshot_orders": q_snapshot_orders,
@@ -2829,10 +2866,24 @@ def _events_anomalies_oracle() -> str:
     """
 
 
+def _url_dedup_oracle() -> str:
+    from deltaforge_spark.operators.urls import url_canonical_oracle_sql
+
+    url_sql = (
+        "'HTTPS://WWW.' || source || '.Example.com:443/Docs/' || lang || '/'"
+        " || CAST(doc_id % 7 AS VARCHAR)"
+        " || '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)"
+        " || '&b=2&a=1'"
+        " || CASE WHEN doc_id % 3 = 0 THEN '#ref' ELSE '' END"
+    )
+    return url_canonical_oracle_sql("documents", url_sql, "doc_id")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sketch_hll_users": _sketch_hll_oracle(),
         "events_anomalies": _events_anomalies_oracle(),
+        "url_dedup": _url_dedup_oracle(),
         "events_gapfill": _events_gapfill_oracle(),
         "events_percentiles": _events_percentiles_oracle(),
         "doc_quality_gopher": _gopher_quality_oracle(),

@@ -167,6 +167,8 @@ HEADLINE = [
     "sketch_hll_users",
     "events_gapfill",
     "events_percentiles",
+    "events_anomalies",
+    "url_dedup",
 ]
 
 

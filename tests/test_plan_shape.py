@@ -270,3 +270,12 @@ def test_anomalies_window_is_per_key_no_python(spark, sf_dir):
     assert "CartesianProduct" not in p
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in p, f"{bad} in anomaly plan:\n{p}"
+
+
+def test_url_dedup_stays_jvm_side(spark, sf_dir):
+    p = plan_str(entry.queries()["url_dedup"](spark, sf_dir))
+    # canonicalization is regex/array column algebra: one hash exchange
+    # on the canonical URL for the ranking window, nothing else
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in p, f"{bad} in url_dedup plan:\n{p}"
+    assert "SinglePartition" not in p

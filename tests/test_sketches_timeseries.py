@@ -148,3 +148,43 @@ def test_anomalies_deterministic_stats(spark):
         base = [counts[x] for x in range(r["b"] - 4, r["b"])]
         assert r["mean_w"] == pytest.approx(statistics.mean(base), abs=1e-6)
         assert r["std_w"] == pytest.approx(statistics.pstdev(base), abs=1e-6)
+
+
+def test_url_canonicalization_rules(spark):
+    from deltaforge_spark.operators.urls import canonical_url, url_host
+
+    cases = [
+        # (input, canonical, host)
+        ("HTTP://WWW.Ex.COM:80/A/b?z=1&a=2#frag", "http://ex.com/A/b?a=2&z=1", "ex.com"),
+        ("https://ex.com:443/x", "https://ex.com/x", "ex.com"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x", "ex.com"),  # non-default port kept
+        ("http://ex.com/p?utm_source=a&utm_medium=b&gclid=1&fbclid=2", "http://ex.com/p", "ex.com"),
+        ("https://www.ex.com/p/", "https://ex.com/p/", "ex.com"),  # trailing slash preserved
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path", "ex.com"),
+        ("https://ex.com/p?b=2&a=1&utm_campaign=x", "https://ex.com/p?a=1&b=2", "ex.com"),
+        ("https://ex.com", "https://ex.com", "ex.com"),  # no path
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    out = df.select(
+        "url", canonical_url(F.col("url")).alias("c"), url_host(F.col("url")).alias("h")
+    ).collect()
+    got = {r["url"]: (r["c"], r["h"]) for r in out}
+    for url, canon, host in cases:
+        assert got[url] == (canon, host), url
+
+
+def test_url_dedup_rank_keeps_first(spark):
+    from deltaforge_spark.operators.urls import url_dedup_rank
+
+    rows = [
+        (1, "https://ex.com/a?x=1&utm_source=s"),
+        (2, "HTTPS://WWW.ex.com:443/a?x=1"),   # same canonical as 1
+        (3, "https://ex.com/a?x=2"),           # different query -> distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r for r in url_dedup_rank(df, "url", "doc_id").collect()}
+    assert out[1]["canonical_url"] == out[2]["canonical_url"]
+    assert out[1]["dup_rank"] == 1 and out[2]["dup_rank"] == 2
+    assert out[3]["dup_rank"] == 1

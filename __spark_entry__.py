@@ -2151,6 +2151,27 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "event_type")
 
 
+def q_sketch_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-size estimation: the HLL sketch composed
+    over an exploded token stream (whitespace tokens, Java∩RE2 `\\s+`).
+    This is the corpus-stats use the sketch exists for — the exact
+    vocab count needs a (lang, token)-distinct shuffle proportional to
+    the corpus, the sketch shuffles 64 registers per language. Joined
+    with the exact count so the error is auditable."""
+    from deltaforge_spark.operators.sketches import hll_distinct
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    sketch = hll_distinct(toks, ["lang"], "tok", p=6)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    )
+    return sketch.join(exact, "lang")
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup: sparse (event_type, user-shard) series
     densified to every hour between each series' first and last
@@ -2247,6 +2268,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_users": q_sketch_hll_users,
+    "sketch_vocab_hll": q_sketch_vocab_hll,
     "events_anomalies": q_events_anomalies,
     "url_dedup": q_url_dedup,
     "events_gapfill": q_events_gapfill,
@@ -2825,6 +2847,27 @@ def _sketch_hll_oracle() -> str:
     """
 
 
+def _sketch_vocab_oracle() -> str:
+    from deltaforge_spark.operators.sketches import hll_oracle_sql
+
+    toks = (
+        "(SELECT lang, tok FROM ("
+        "SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok"
+        " FROM documents) WHERE tok <> '')"
+    )
+    inner = hll_oracle_sql(toks, ["lang"], "tok", p=6)
+    return f"""
+        WITH sketch AS ({inner}),
+        exact AS (
+            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+            FROM {toks} GROUP BY lang
+        )
+        SELECT s.lang, s.used_buckets, s.zero_buckets,
+               s.harmonic_sum_scaled, s.est_distinct, e.exact_distinct
+        FROM sketch s JOIN exact e ON s.lang = e.lang
+    """
+
+
 def _events_gapfill_oracle() -> str:
     from deltaforge_spark.operators.timeseries import gap_fill_oracle_sql
 
@@ -2882,6 +2925,7 @@ def _url_dedup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "sketch_hll_users": _sketch_hll_oracle(),
+        "sketch_vocab_hll": _sketch_vocab_oracle(),
         "events_anomalies": _events_anomalies_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "events_gapfill": _events_gapfill_oracle(),

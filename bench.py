@@ -169,6 +169,7 @@ HEADLINE = [
     "events_percentiles",
     "events_anomalies",
     "url_dedup",
+    "sketch_vocab_hll",
 ]
 
 

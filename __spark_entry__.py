@@ -2172,6 +2172,58 @@ def q_sketch_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "lang")
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via KMV sketches
+    (operators/sketches.py kmv_sketch): per event type, the set of
+    high-value users (value > 80) is sketched as its 64 smallest
+    distinct user-hashes; pairwise Jaccard similarity is then estimated
+    from the sketches alone — the k smallest of a union are computable
+    from two bottom-k sets, which HLL cannot do. Exact Jaccard is
+    joined in for the audit column. At 100 TB the pairwise join runs
+    over #groups sketch rows (bytes = groups x k x 8), never over
+    users."""
+    from deltaforge_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    aud = ev.where(F.col("value") > 80.0).select("event_type", "user_id")
+    sk = kmv_sketch(aud, ["event_type"], "user_id", k=64)
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        kmv_jaccard(F.col("a.kmv"), F.col("b.kmv"), k=64).alias("jaccard_est"),
+    )
+    d = aud.distinct()
+    sizes = d.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        d.alias("x")
+        .join(d.alias("y"), (F.col("x.user_id") == F.col("y.user_id"))
+              & (F.col("x.event_type") < F.col("y.event_type")))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("event_type", "type_a")
+                   .withColumnRenamed("n", "n_a"), "type_a")
+        .join(sizes.withColumnRenamed("event_type", "type_b")
+              .withColumnRenamed("n", "n_b"), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return pairs.join(exact, ["type_a", "type_b"])
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup: sparse (event_type, user-shard) series
     densified to every hour between each series' first and last
@@ -2269,6 +2321,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
+    "audience_overlap": q_audience_overlap,
     "events_anomalies": q_events_anomalies,
     "url_dedup": q_url_dedup,
     "events_gapfill": q_events_gapfill,
@@ -2868,6 +2921,52 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _audience_overlap_oracle() -> str:
+    from deltaforge_spark.operators.sketches import kmv_oracle_sql
+
+    kmv = kmv_oracle_sql(
+        "(SELECT event_type, user_id FROM events WHERE value > 80.0)",
+        ["event_type"],
+        "user_id",
+        k=64,
+    )
+    return f"""
+        WITH aud AS (
+            SELECT DISTINCT event_type, user_id FROM events WHERE value > 80.0
+        ),
+        kmv AS ({kmv}),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   round(
+                       CAST(len(list_intersect(
+                           list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64],
+                           list_intersect(a.kmv, b.kmv))) AS DOUBLE)
+                       / CAST(len(list_sort(list_distinct(
+                           list_concat(a.kmv, b.kmv)))[1:64]) AS DOUBLE),
+                       6) AS jaccard_est
+            FROM kmv a JOIN kmv b ON a.event_type < b.event_type
+        ),
+        sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM aud GROUP BY event_type
+        ),
+        inter AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM aud x JOIN aud y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.jaccard_est,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard_exact
+        FROM pairs p
+        JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+        JOIN sizes sa ON sa.event_type = p.type_a
+        JOIN sizes sb ON sb.event_type = p.type_b
+    """
+
+
 def _events_gapfill_oracle() -> str:
     from deltaforge_spark.operators.timeseries import gap_fill_oracle_sql
 
@@ -2926,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),
+        "audience_overlap": _audience_overlap_oracle(),
         "events_anomalies": _events_anomalies_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "events_gapfill": _events_gapfill_oracle(),

@@ -170,6 +170,7 @@ HEADLINE = [
     "events_anomalies",
     "url_dedup",
     "sketch_vocab_hll",
+    "audience_overlap",
 ]
 
 

@@ -146,3 +146,88 @@ def hll_oracle_sql(
                    END, 0) AS BIGINT) AS est_distinct
         FROM s
     """
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """K-Minimum-Values sketch: per group, the k smallest distinct
+    48-bit hashes of ``value_col`` as a sorted array column ``kmv``.
+
+    Unlike HLL, KMV composes under set operations — the k smallest of a
+    union are computable from two sketches alone — so it answers
+    distinct-count AND overlap/Jaccard questions between groups.
+
+    Scale shape: one (group, hash) dedup groupBy (map-side combined),
+    one per-group window that keeps k rows, then a bounded
+    ``collect_list`` (never more than k elements by construction).
+    The dedup exchange is proportional to distinct values; at extreme
+    scale pre-filter ``h < k * 2^48 / n_lower_bound`` to shed hashes
+    that cannot reach the bottom-k (documented, not applied — it needs
+    a cardinality floor the caller must supply).
+
+    Determinism: everything is exact integer selection; the only
+    floating math lives in the estimate/Jaccard helpers.
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    from pyspark.sql import Window
+
+    distinct_h = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = distinct_h.select(
+        *group_cols, "h", F.row_number().over(w).alias("_r")
+    ).where(F.col("_r") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("kmv"),
+        F.count("*").cast("long").alias("kmv_size"),
+    )
+
+
+def kmv_estimate(kmv_col: Column, k: int = 64) -> Column:
+    """Distinct-count estimate from a KMV array: exact when fewer than
+    k distinct hashes were seen, else ``(k-1) * 2^48 / h_k``."""
+    return (
+        F.when(F.size(kmv_col) < k, F.size(kmv_col).cast("long"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(1 << 48))
+                / F.element_at(kmv_col, k).cast("double"),
+                0,
+            ).cast("long")
+        )
+    )
+
+
+def kmv_jaccard(a: Column, b: Column, k: int = 64) -> Column:
+    """Estimated Jaccard similarity of the two sketched sets: the
+    fraction of the union's bottom-k that lies in both sketches.
+    Integer set algebra; one final division."""
+    union_k = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    matches = F.size(F.array_intersect(union_k, F.array_intersect(a, b)))
+    return F.round(
+        matches.cast("double") / F.size(union_k).cast("double"), 6
+    )
+
+
+def kmv_oracle_sql(
+    table_expr: str, group_cols: list[str], value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of kmv_sketch: identical hash, identical bottom-k."""
+    g = ", ".join(group_cols)
+    return f"""
+        SELECT {g}, list(h ORDER BY h) AS kmv, CAST(count(*) AS BIGINT) AS kmv_size
+        FROM (
+            SELECT {g}, h,
+                   row_number() OVER (PARTITION BY {g} ORDER BY h) AS _r
+            FROM (
+                SELECT DISTINCT {g},
+                       CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+                FROM {table_expr}
+            )
+        )
+        WHERE _r <= {k}
+        GROUP BY {g}
+    """

@@ -279,3 +279,13 @@ def test_url_dedup_stays_jvm_side(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
         assert bad not in p, f"{bad} in url_dedup plan:\n{p}"
     assert "SinglePartition" not in p
+
+
+def test_audience_overlap_joins_sketches_not_users(spark, sf_dir):
+    p = plan_str(entry.queries()["audience_overlap"](spark, sf_dir))
+    # the pairwise join must broadcast #groups sketch rows; the exact
+    # audit path hash-joins distinct (type, user) pairs — no Python, no
+    # cartesian explosion over raw events
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in p, f"{bad} in audience_overlap plan:\n{p}"
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -188,3 +188,42 @@ def test_url_dedup_rank_keeps_first(spark):
     assert out[1]["canonical_url"] == out[2]["canonical_url"]
     assert out[1]["dup_rank"] == 1 and out[2]["dup_rank"] == 2
     assert out[3]["dup_rank"] == 1
+
+
+def test_kmv_estimate_and_exact_below_k(spark):
+    from deltaforge_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    # 40 distinct < k=64 -> sketch holds all hashes, estimate is exact
+    small = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    row = kmv_sketch(small, [], "v", k=64).select(
+        kmv_estimate(F.col("kmv"), 64).alias("est"), "kmv_size"
+    ).collect()[0]
+    assert row["kmv_size"] == 40 and row["est"] == 40
+    # 5000 distinct -> KMV with k=64 has ~1/sqrt(62) ~ 13% std error
+    big = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    est = kmv_sketch(big, [], "v", k=64).select(
+        kmv_estimate(F.col("kmv"), 64).alias("est")
+    ).collect()[0]["est"]
+    assert abs(est - 5000) / 5000 < 0.4
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    from deltaforge_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    # A = [0, 1000), B = [500, 1500): true Jaccard = 500/1500 = 1/3
+    rows = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, ["g", "v"]).select(
+        "g", F.col("v").cast("string").alias("v")
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=64)
+    a = sk.where(F.col("g") == "A").select(F.col("kmv").alias("ka"))
+    b = sk.where(F.col("g") == "B").select(F.col("kmv").alias("kb"))
+    j = a.crossJoin(b).select(kmv_jaccard(F.col("ka"), F.col("kb"), 64).alias("j"))
+    got = j.collect()[0]["j"]
+    # k=64 bottom-k estimator: matches/k is Binomial(64, 1/3) -> 3 sigma ~ 0.18
+    assert abs(got - 1 / 3) < 0.25
+    # identical sets -> exactly 1.0
+    same = a.crossJoin(a.select(F.col("ka").alias("ka2"))).select(
+        kmv_jaccard(F.col("ka"), F.col("ka2"), 64).alias("j")
+    )
+    assert same.collect()[0]["j"] == 1.0

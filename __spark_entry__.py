@@ -820,11 +820,11 @@ _DEDUP_LINES_ORACLE = """
             FROM w)),
     keyed AS (
         SELECT doc_id, pos, line,
-               CAST(('0x' || substr(md5('ld:' || line), 1, 12)) AS BIGINT) AS lh,
-               doc_id * 1048576 + pos AS okey
+               CAST(('0x' || substr(md5('ld:' || line), 1, 12)) AS BIGINT) AS lh
         FROM l),
     marked AS (
-        SELECT *, okey = min(okey) OVER (PARTITION BY lh) AS keep FROM keyed)
+        SELECT *, row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) = 1 AS keep
+        FROM keyed)
     SELECT doc_id,
            coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
            CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
@@ -2970,16 +2970,16 @@ def _audience_overlap_oracle() -> str:
 def _events_gapfill_oracle() -> str:
     from deltaforge_spark.operators.timeseries import gap_fill_oracle_sql
 
-    return gap_fill_oracle_sql(
+    inner = gap_fill_oracle_sql(
         "(SELECT * FROM events WHERE value < 5.0)",
         "event_type || '#' || CAST(user_id % 16 AS VARCHAR)",
         "epoch_ns(ts) // 1000000000 // 3600",
         "value",
-    ).replace(
-        "SELECT k, b,\n               CAST(coalesce",
-        "SELECT k AS series, b AS hour_bucket,\n               CAST(coalesce",
-        1,
     )
+    return f"""
+        SELECT k AS series, b AS hour_bucket, n, sum_value, filled_value, is_gap
+        FROM ({inner})
+    """
 
 
 def _events_percentiles_oracle() -> str:

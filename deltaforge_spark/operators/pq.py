@@ -124,6 +124,11 @@ def pq_encode(
         @F.pandas_udf("array<int>")
         def _codes(vs: pd.Series) -> pd.Series:
             M_ = np.vstack(vs.to_numpy()).astype(np.float64)
+            if M_.shape[1] != num_subspaces * sub:
+                raise ValueError(
+                    f"vector width {M_.shape[1]} != codebook width "
+                    f"{num_subspaces}x{sub}={num_subspaces * sub}"
+                )
             Q = np.floor(M_ * QSCALE + 0.5)
             out = np.empty((len(M_), num_subspaces), dtype=np.int32)
             for m in range(num_subspaces):
@@ -159,8 +164,15 @@ def pq_encode(
 
 
 def _dims_of(df: DataFrame, vec_col: str) -> int:
-    # plan-only: dims are fixed per column in this data model
-    return 64
+    """Actual vector width from the data (one-row control-plane read,
+    same O(1) driver cost class as centroid seeding). Array columns
+    carry no length in the schema, so the only honest source is a row;
+    a hardcoded width silently mis-encodes non-matching embeddings
+    (slices past the end / zip_with truncation) instead of raising."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer vector dims from empty column {vec_col!r}")
+    return int(row["d"])
 
 
 def _lut_udf(cb):
@@ -181,6 +193,10 @@ def _lut_udf(cb):
         import numpy as np
 
         M_ = np.vstack(vs.to_numpy()).astype(np.float64)
+        if M_.shape[1] != num_subspaces * sub:
+            raise ValueError(
+                f"query width {M_.shape[1]} != codebook width {num_subspaces * sub}"
+            )
         Q = np.floor(M_ * QSCALE + 0.5)
         out = np.empty((len(M_), num_subspaces, C.shape[1]))
         for m in range(num_subspaces):

@@ -158,10 +158,14 @@ def line_dedup(
             "long"
         ),
     )
-    # packed global order key: first occurrence = min(doc_id * 2^20 + pos)
-    ex = ex.withColumn("okey", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
-    first = F.min("okey").over(Window.partitionBy("lh"))
-    marked = ex.withColumn("keep", F.col("okey") == first)
+    # global order key = lexicographic min of (doc_id, pos): a struct-min
+    # window instead of arithmetic packing, which silently corrupted
+    # ordering for docs with >=2^20 lines and overflowed int64 for
+    # 64-bit hash doc_ids (Spark wraps; DuckDB errors — divergence).
+    first = F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(Window.partitionBy("lh"))
+    marked = ex.withColumn(
+        "keep", F.struct(F.col("doc_id"), F.col("pos")) == first
+    )
     return (
         marked.groupBy("doc_id")
         .agg(

@@ -395,7 +395,11 @@ def _outbox_gate(base: Callable, allow: AllowList) -> Callable[[DataFrame], Data
     (outbox.rs raw delivery), and envelope CDC rows normally."""
 
     def gated(df: DataFrame) -> DataFrame:
-        cond = allowlist_condition(allow)
+        # NULL source.db/source.table evaluates the allow predicate to
+        # NULL, which fails BOTH filter branches — rows would silently
+        # vanish from mixed pipelines. NULL-source rows are not outbox
+        # rows, so they route to the CDC pass-through branch.
+        cond = F.coalesce(allowlist_condition(allow), F.lit(False))
         after_t = df.schema["after"].dataType
         t = (
             base(df.filter(cond))

@@ -14,18 +14,18 @@ Dataflow (all state partitioned by small keys, Spark-managed):
 1. **exact gate** — ``dropDuplicates`` on the 16-byte content hash:
    Spark's streaming dedup state admits the first occurrence only.
 2. **near-dup gate** — documents explode into their LSH band buckets;
-   ``applyInPandasWithState`` KEYED ON (band, bucket) keeps the
-   signatures of previously admitted members per bucket. A new doc
-   that collides with stored state in ANY bucket (signature band
-   equal — the same candidate rule as minhash_lsh_pairs) votes
-   "duplicate"; the per-doc verdict is a groupBy over its band votes:
-   admitted = no bucket flagged it.
+   ``applyInPandasWithState`` KEYED ON (band, bucket) keeps the FIRST
+   occupant of each bucket. The bucket key already IS the band
+   signature (md5 of the band's minhash slice), so any later arrival
+   under the same key is a candidate pair by the minhash_lsh_pairs
+   rule — no member list or signature comparison is needed, occupancy
+   alone decides. The per-doc verdict is a groupBy over its band
+   votes: admitted = no bucket flagged it.
 
 State size: exact gate = one 16-byte hash per admitted doc (bounded by
-watermark eviction in production); near-dup gate = per-bucket member
-signatures, bounded per key by ``max_bucket`` (hot buckets stop
-absorbing new members — boilerplate clusters saturate quickly and
-additional members are duplicates by definition).
+watermark eviction in production); near-dup gate = exactly one founder
+doc_id per non-empty bucket — a hot boilerplate cluster costs ONE
+state row no matter how many duplicates hit it.
 
 Determinism caveat (documented, inherent to streaming dedup): WITHIN
 one micro-batch the admission order follows doc_id ascending, so a
@@ -51,41 +51,39 @@ VERDICT_SCHEMA = T.StructType(
 
 _BUCKET_STATE = T.StructType(
     [
-        T.StructField("members", T.ArrayType(T.LongType())),  # admitted doc ids
-        T.StructField("n", T.IntegerType()),
+        T.StructField("founder", T.LongType()),  # first admitted doc id
     ]
 )
 
 
-def _make_bucket_gate(max_bucket: int, ttl_ms: int = 0):
+def _make_bucket_gate(ttl_ms: int = 0):
     def gate(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
         if ttl_ms > 0 and state.hasTimedOut:
-            # TTL eviction: an idle bucket's membership expires — the
+            # TTL eviction: an idle bucket's founder expires — the
             # bounded-state trade every streaming dedup makes (a
             # duplicate arriving after the horizon is re-admitted);
             # same eviction contract as the tx assembler's timeout
             state.remove()
             yield pd.DataFrame(columns=["doc_id", "band", "dup_of_state"])
             return
-        members, n = ([], 0)
-        if state.exists:
-            members, n = state.get
-            members = list(members)
+        occupied = state.exists
+        founder = state.get[0] if occupied else None
         out_rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         # deterministic admission order within the batch
         batch = batch.sort_values("doc_id")
         for _, row in batch.iterrows():
-            collided = n > 0  # same (band, bucket) key ⇒ candidate pair
+            # same (band, bucket) key ⇒ candidate pair: the key already
+            # encodes band-signature equality, so occupancy decides
             out_rows.append(
-                {"doc_id": int(row["doc_id"]), "band": int(row["band"]), "dup_of_state": collided}
+                {"doc_id": int(row["doc_id"]), "band": int(row["band"]), "dup_of_state": occupied}
             )
-            if not collided and n < max_bucket:
-                members.append(int(row["doc_id"]))
-                n += 1
-        state.update((members, n))
+            if not occupied:
+                founder = int(row["doc_id"])
+                occupied = True
+        state.update((founder,))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out_rows, columns=["doc_id", "band", "dup_of_state"])
@@ -100,7 +98,6 @@ def streaming_near_dedup(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket: int = 64,
     state_ttl_ms: int = 0,
 ) -> DataFrame:
     """doc stream → per-(doc, band) verdicts ``(doc_id, band,
@@ -137,7 +134,7 @@ def streaming_near_dedup(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     return keyed.groupBy("band", "bucket").applyInPandasWithState(
-        _make_bucket_gate(max_bucket, state_ttl_ms),
+        _make_bucket_gate(state_ttl_ms),
         outputStructType=VERDICT_SCHEMA,
         stateStructType=_BUCKET_STATE,
         outputMode="append",

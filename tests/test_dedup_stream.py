@@ -136,19 +136,19 @@ def test_bucket_gate_ttl_eviction_unit():
 
     from deltaforge_spark.streaming.dedup_stream import _make_bucket_gate
 
-    gate = _make_bucket_gate(64, ttl_ms=5000)
+    gate = _make_bucket_gate(ttl_ms=5000)
 
     # timed-out invocation: state dropped, nothing emitted
-    st = _FakeState(value=([1, 2], 2), timed_out=True)
+    st = _FakeState(value=(1,), timed_out=True)
     out = list(gate(("b", "k"), iter([]), st))
     assert st.removed and sum(len(p) for p in out) == 0
 
-    # normal batch: members admitted, timeout re-armed
+    # normal batch: founder admitted, timeout re-armed
     st2 = _FakeState()
     batch = pd.DataFrame({"doc_id": [5, 7], "band": [0, 0]})
     out2 = pd.concat(list(gate(("b", "k"), iter([batch]), st2)))
     assert list(out2["dup_of_state"]) == [False, True]
-    assert st2._v[1] == 1 and st2.timeout_set == 5000
+    assert st2._v == (5,) and st2.timeout_set == 5000
 
     # post-eviction: a former duplicate is re-admitted (the documented
     # bounded-state trade)

@@ -2,7 +2,11 @@
 via DuckDB and compare row count + column names + order-insensitive
 values — a stricter local version of the driver's CORRECTNESS gate.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--all] [sf_dir] [query ...]
+
+``--all`` is the CI mode: ignores any query filter, runs the FULL
+declared set, and exits non-zero on any non-green — so "declared but
+never value-verified" cannot recur.
 """
 
 from __future__ import annotations
@@ -66,8 +70,10 @@ def compare(name, spark_df, sql, con) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set() if run_all else set(argv[1:])
 
     import __spark_entry__ as entrymod
     from deltaforge_spark.session import get_spark
@@ -80,9 +86,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
@@ -102,7 +110,8 @@ def main():
                 print(f"      {e}")
         else:
             print(f"  ✓ {name}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    scope = "full set" if checked == len(qs) else f"subset of {len(qs)} declared"
+    print(f"\n{checked - len(failed)}/{checked} ok ({scope})")
     sys.exit(1 if failed else 0)
 
 

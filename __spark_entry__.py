@@ -1698,6 +1698,47 @@ def q_lake_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_lake_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-lake file rolling (sinks/rolling.py — reference
+    rolling.rs:17-69 thresholds + writer_pool.rs append→sweep): the
+    events table drains through the rolling writer pool in 8
+    deterministic micro-batches (ts_ms mod 8) partitioned by
+    event_type; files roll when cumulative events cross the threshold,
+    the shutdown flush emits the remainder as ``final``. Returns the
+    roll MANIFEST — (table, file_seq, n_events, reason) — which the
+    oracle reproduces by simulating the greedy roll boundaries with a
+    recursive CTE over per-batch counts. Event-time clock makes the
+    boundaries replay-deterministic."""
+    _prep(spark)
+    import tempfile
+
+    from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("event_type").alias("tbl"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+        F.col("value"),
+    )
+    path = tempfile.mkdtemp(prefix="lake-rolling-")
+    sink = RollingLakeSink(
+        spark,
+        path,
+        ["tbl"],
+        cfg=RollingConfig(
+            max_events=400, max_bytes=1 << 60, max_age_ms=1 << 60, idle_age_ms=1 << 60
+        ),
+        clock="event",
+        ts_col="ts_ms",
+    )
+    for b in range(8):
+        sink.process_batch(ev.filter(F.col("ts_ms") % 8 == b), b)
+    sink.close()
+    return sink.manifest_df(spark).select(
+        F.col("tbl").alias("table"), "file_seq", "n_events", "reason"
+    )
+
+
 def q_schema_sensing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema sensing: structural fingerprint of JSON payload shapes."""
     _prep(spark)
@@ -2390,6 +2431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_envelope_roundtrip": q_envelope_roundtrip,
     "cdc_upsert_materialize": q_upsert_materialize,
     "cdc_lake_partitions": q_lake_partitions,
+    "cdc_lake_rolling": q_cdc_lake_rolling,
     "cdc_schema_sensing": q_schema_sensing,
     "cdc_schema_sensing_deep": q_schema_sensing_deep,
     "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
@@ -3693,6 +3735,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM ({CHANGEFEED_SQL})
             GROUP BY 1, 2, 3, 4
+        """,
+        "cdc_lake_rolling": """
+            WITH RECURSIVE batches AS (
+                SELECT event_type AS tbl,
+                       CAST((epoch_ns(ts) // 1000000) % 8 AS BIGINT) AS b,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT t.tbl, g.b, coalesce(c.cnt, 0) AS cnt
+                FROM (SELECT DISTINCT tbl FROM batches) t
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS b) g
+                LEFT JOIN batches c ON c.tbl = t.tbl AND c.b = g.b
+            ),
+            sim AS (
+                SELECT tbl, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS acc,
+                       CAST(0 AS BIGINT) AS fseq, CAST(NULL AS BIGINT) AS emitted
+                FROM (SELECT DISTINCT tbl FROM batches)
+                UNION ALL
+                SELECT g.tbl, g.b,
+                       CASE WHEN s.acc + g.cnt >= 400 THEN 0 ELSE s.acc + g.cnt END,
+                       CASE WHEN s.acc + g.cnt >= 400 THEN s.fseq + 1 ELSE s.fseq END,
+                       CASE WHEN s.acc + g.cnt >= 400 THEN s.acc + g.cnt ELSE NULL END
+                FROM sim s JOIN grid g ON g.tbl = s.tbl AND g.b = s.b + 1
+            )
+            SELECT tbl AS "table", fseq AS file_seq, emitted AS n_events,
+                   'events' AS reason
+            FROM sim WHERE emitted IS NOT NULL
+            UNION ALL
+            SELECT tbl, fseq + 1, acc, 'final' FROM sim WHERE b = 7 AND acc > 0
         """,
         "cdc_schema_sensing": """
             SELECT md5(array_to_string(json_keys(props), ',')) AS shape_fingerprint,

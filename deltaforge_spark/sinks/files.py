@@ -9,10 +9,11 @@ In Spark nearly all of it is native:
 - atomic visibility  → task-commit protocol (no half-written files)
 - size-based rolling → ``maxRecordsPerFile``
 - ULID-ish names     → part-file UUIDs
-Age/idle rolling has no batch analog (micro-batch cadence covers it in
-streaming mode). At scale, partition count × small-file pressure is the
-real concern: callers should coalesce/repartition by the partition cols
-so each task writes few, large files (AQE coalescing handles the rest).
+Age/idle rolling (long-running streams, low-volume partitions) lives in
+the sibling ``rolling.py`` writer pool — rolling.rs:17-69 semantics. At
+scale, partition count × small-file pressure is the real concern:
+callers should coalesce/repartition by the partition cols so each task
+writes few, large files (AQE coalescing handles the rest).
 """
 
 from __future__ import annotations

@@ -1,0 +1,292 @@
+"""Rolling lake writer pool: age/idle/bytes/events file rolling for the
+streaming lake path.
+
+Re-expresses the reference's S3 writer pool (reference:
+crates/sinks/src/s3/rolling.rs:17-69 thresholds + trigger precedence,
+writer_pool.rs append→sweep lifecycle, sink.rs:41-160 atomic
+visibility). ``write_lake`` (files.py) covers the batch path natively
+(partitionBy + maxRecordsPerFile); what Spark's file sinks lack is the
+*time*-based rolling a long-running stream needs — a low-volume
+partition would otherwise accumulate one straggler micro-batch file per
+trigger forever. This pool closes that gap:
+
+- Each ``process_batch`` call (a ``foreachBatch`` body) appends the
+  batch's rows to per-partition STAGED files — one Spark write job per
+  batch, partitioned by the routing columns, never a per-partition
+  driver loop.
+- A sweep then rolls any partition that crossed a threshold — any of
+  ``max_bytes`` / ``max_events`` / ``max_age`` (since first event) /
+  ``idle_age`` (since last event), same precedence order as the
+  reference (rolling.rs:45-69) — by compacting its staged pieces into
+  ONE data file made visible atomically (written to a temp dir, then
+  renamed into place; readers never observe a partial file, the
+  sink.rs:41-160 multipart-visibility contract).
+- ``close()`` flushes every open partition with reason ``final`` (the
+  shutdown flush; the reference rolls remaining writers on drop).
+
+Clock: ``clock='wall'`` uses wall time (production). ``clock='event'``
+drives age/idle from the batch's max event timestamp — the watermark
+analog, which makes rolling *deterministic and replayable*: the oracle
+query simulates the exact file boundaries in SQL.
+
+State (per-partition opened_at / last_event_at / bytes / events /
+staged paths) persists through a ``CheckpointStore`` so a restarted
+stream resumes its open files instead of leaking staged data — the
+writer-pool half of the reference's checkpoint contract.
+
+Scale shape: staging is one partitionBy write per micro-batch (tasks
+write only partitions they hold rows for); the sweep's bookkeeping is
+O(active partitions) driver state, same as the reference pool's
+HashMap. Compaction re-reads only the rolled partition's staged bytes —
+bounded by max_bytes per roll — and is exactly the read the reference
+avoids by buffering 256 MiB in executor memory; trading a bounded
+re-read for not pinning a quarter-GiB per partition per executor is
+the right call when one node can hold hundreds of open partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpoints import CheckpointStore, MemCheckpointStore
+
+ROLL_BYTES = "bytes"
+ROLL_EVENTS = "events"
+ROLL_AGE = "age"
+ROLL_IDLE = "idle"
+ROLL_FINAL = "final"  # shutdown flush (extension; reference rolls on drop)
+
+
+@dataclass(frozen=True)
+class RollingConfig:
+    """Thresholds, defaults matching rolling.rs:24-33: ~256 MiB / 1M
+    events / 5 min per file, 10 min idle window for low-volume
+    partitions."""
+
+    max_bytes: int = 256 * 1024 * 1024
+    max_events: int = 1_000_000
+    max_age_ms: int = 300_000
+    idle_age_ms: int = 600_000
+
+
+def should_roll(
+    cfg: RollingConfig,
+    n_bytes: int,
+    events: int,
+    opened_at_ms: int,
+    last_event_at_ms: int,
+    now_ms: int,
+) -> str | None:
+    """Trigger check, same cases and precedence as rolling.rs:45-69:
+    an empty writer never rolls; bytes > events > age > idle."""
+    if events == 0:
+        return None
+    if n_bytes >= cfg.max_bytes:
+        return ROLL_BYTES
+    if events >= cfg.max_events:
+        return ROLL_EVENTS
+    if max(0, now_ms - opened_at_ms) >= cfg.max_age_ms:
+        return ROLL_AGE
+    if max(0, now_ms - last_event_at_ms) >= cfg.idle_age_ms:
+        return ROLL_IDLE
+    return None
+
+
+class RollingLakeSink:
+    """Multi-partition rolling writer pool over a (local or distributed)
+    filesystem path. Layout::
+
+        {path}/_staging/batch-<id>/<p>=<v>/...   open, invisible
+        {path}/data/<p>=<v>/f<seq>-<ulid>.parquet  rolled, atomic
+        {path}/_manifest.jsonl                    one line per roll
+
+    Use as a ``foreachBatch`` body: ``sink.process_batch(df, batch_id)``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_cols: list[str],
+        *,
+        cfg: RollingConfig | None = None,
+        clock: str = "wall",
+        ts_col: str | None = None,
+        store: CheckpointStore | None = None,
+        sink_id: str = "lake",
+    ) -> None:
+        assert clock in ("wall", "event")
+        if clock == "event" and not ts_col:
+            raise ValueError("clock='event' requires ts_col")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_cols = list(partition_cols)
+        self.cfg = cfg or RollingConfig()
+        self.clock = clock
+        self.ts_col = ts_col
+        self.store = store or MemCheckpointStore()
+        self._key = f"lake-rolling:{sink_id}"
+        self.manifest: list[dict[str, Any]] = []
+        # resume: open-partition state and per-partition file sequence
+        # numbers survive a restart
+        raw = self.store.get_raw(self._key)
+        saved = json.loads(raw) if raw else {}
+        self._state: dict[str, dict[str, Any]] = saved.get("open", {})
+        self._seqs: dict[str, int] = saved.get("seqs", {})
+
+    # ------------------------------------------------------------ state
+
+    def _persist(self) -> None:
+        self.store.put_raw(
+            self._key, json.dumps({"open": self._state, "seqs": self._seqs}).encode()
+        )
+
+    @staticmethod
+    def _pkey(parts: dict[str, str]) -> str:
+        return "/".join(f"{k}={v}" for k, v in sorted(parts.items()))
+
+    def _staged_glob(self, pkey: str) -> list[str]:
+        return sorted(glob.glob(f"{self.path}/_staging/batch-*/{pkey}"))
+
+    # ------------------------------------------------------------ batch
+
+    def process_batch(self, df: DataFrame, batch_id: int, now_ms: int | None = None) -> None:
+        """Append the batch to staged per-partition files, then sweep."""
+        stage_dir = f"{self.path}/_staging/batch-{batch_id}"
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(stage_dir)
+
+        # per-partition arrival accounting: O(active partitions) rows to
+        # the driver — the same control-plane state the reference pool
+        # keeps in its HashMap
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if self.clock == "event":
+            aggs.append(F.max(F.col(self.ts_col)).alias("_max_ts"))
+        arrivals = df.groupBy(*self.partition_cols).agg(*aggs).collect()
+
+        if now_ms is None:
+            if self.clock == "event":
+                now_ms = max((int(r["_max_ts"]) for r in arrivals), default=0)
+                for st in self._state.values():
+                    now_ms = max(now_ms, st["last_event_at"])
+            else:
+                now_ms = int(time.time() * 1000)
+
+        for r in arrivals:
+            parts = {c: str(r[c]) for c in self.partition_cols}
+            pkey = self._pkey(parts)
+            ts = int(r["_max_ts"]) if self.clock == "event" else now_ms
+            st = self._state.get(pkey)
+            if st is None:
+                # a fresh writer opens at the first event after the
+                # previous roll; the file sequence continues
+                st = {
+                    "parts": parts,
+                    "opened_at": ts,
+                    "last_event_at": ts,
+                    "events": 0,
+                    "bytes": 0,
+                }
+                self._state[pkey] = st
+            st["events"] += int(r["_n"])
+            st["last_event_at"] = max(st["last_event_at"], ts)
+            st["bytes"] += _dir_bytes(f"{stage_dir}/{pkey}")
+
+        # sweep: writer_pool.rs steps 3-4 — roll every partition that
+        # crossed a threshold, including idle partitions this batch
+        # brought no rows for
+        for pkey in list(self._state):
+            st = self._state[pkey]
+            reason = should_roll(
+                self.cfg, st["bytes"], st["events"], st["opened_at"], st["last_event_at"], now_ms
+            )
+            if reason:
+                self._roll(pkey, reason, batch_id)
+        self._persist()
+
+    def close(self) -> None:
+        """Shutdown flush: every open partition rolls with ``final``."""
+        for pkey in list(self._state):
+            if self._state[pkey]["events"] > 0:
+                self._roll(pkey, ROLL_FINAL, batch_id=-1)
+        self._persist()
+
+    # ------------------------------------------------------------- roll
+
+    def _roll(self, pkey: str, reason: str, batch_id: int) -> None:
+        st = self._state.pop(pkey)
+        staged = self._staged_glob(pkey)
+        if not staged:
+            return
+        seq = self._seqs.get(pkey, 0) + 1
+        self._seqs[pkey] = seq
+        fname = f"f{seq:05d}-{uuid.uuid4().hex[:12]}.parquet"
+        final_dir = f"{self.path}/data/{pkey}"
+        tmp_dir = f"{self.path}/_tmp/{uuid.uuid4().hex}"
+
+        # compact the staged pieces into ONE file: written complete to a
+        # temp dir, then renamed into the visible tree — readers never
+        # see a partial file (the atomic-visibility contract the
+        # reference gets from S3 multipart complete, sink.rs:41-160)
+        self.spark.read.parquet(*staged).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")
+        assert len(part) == 1, part
+        os.makedirs(final_dir, exist_ok=True)
+        os.replace(part[0], f"{final_dir}/{fname}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        for d in staged:
+            shutil.rmtree(d, ignore_errors=True)
+
+        entry = {
+            **st["parts"],
+            "file_seq": seq,
+            "file": f"data/{pkey}/{fname}",
+            "n_events": st["events"],
+            "n_bytes": st["bytes"],
+            "reason": reason,
+            "batch_id": batch_id,
+        }
+        self.manifest.append(entry)
+        with open(f"{self.path}/_manifest.jsonl", "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def manifest_df(self, spark: SparkSession) -> DataFrame:
+        """The roll manifest as a DataFrame (partition cols + file_seq,
+        n_events, reason) — the oracle surface."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in self.partition_cols]
+            + [
+                T.StructField("file_seq", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("reason", T.StringType()),
+            ]
+        )
+        rows = [
+            tuple(m[c] for c in self.partition_cols)
+            + (m["file_seq"], m["n_events"], m["reason"])
+            for m in self.manifest
+        ]
+        return spark.createDataFrame(rows, schema)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total

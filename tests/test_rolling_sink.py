@@ -1,0 +1,145 @@
+"""Rolling lake writer pool (sinks/rolling.py): the should_roll trigger
+matrix mirrors reference rolling.rs:71-161; sink-level tests pin the
+append→sweep lifecycle, atomic visibility, final flush, and restart
+resume (writer_pool.rs semantics)."""
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from deltaforge_spark.checkpoints import MemCheckpointStore
+from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink, should_roll
+
+CFG = RollingConfig(max_bytes=1_000, max_events=100, max_age_ms=60_000, idle_age_ms=30_000)
+
+
+# ---------------------------------------------------- trigger matrix
+
+
+def test_does_not_roll_empty_writer():
+    # rolling.rs:84-98 — even past every threshold, 0 events never rolls
+    assert should_roll(CFG, 999, 0, 0, 0, 120_000) is None
+
+
+def test_rolls_on_bytes():
+    # rolling.rs:100-111
+    assert should_roll(CFG, 1_000, 1, 0, 0, 0) == "bytes"
+    assert should_roll(CFG, 9_999, 1, 0, 0, 0) == "bytes"
+
+
+def test_rolls_on_event_count():
+    # rolling.rs:113-120
+    assert should_roll(CFG, 0, 100, 0, 0, 0) == "events"
+
+
+def test_rolls_on_age():
+    # rolling.rs:122-130 — 60s since the file opened
+    assert should_roll(CFG, 0, 1, 0, 60_000, 60_000) == "age"
+
+
+def test_rolls_on_idle():
+    # rolling.rs:132-141 — 30s+ since the last event
+    assert should_roll(CFG, 0, 5, 1_000, 1_000, 32_000) == "idle"
+
+
+def test_idle_does_not_trigger_before_threshold():
+    # rolling.rs:143-149
+    assert should_roll(CFG, 0, 5, 1_000, 1_000, 16_000) is None
+
+
+def test_bytes_takes_precedence_over_age():
+    # rolling.rs:151-160 — both bytes and age trigger; bytes wins
+    assert should_roll(CFG, 5_000, 50, 0, 120_000, 120_000) == "bytes"
+
+
+# ---------------------------------------------------- sink lifecycle
+
+
+def _docs(spark, ids, tbl="a", ts0=0):
+    return spark.createDataFrame(
+        [(i, tbl if i % 2 == 0 else "b", ts0 + i) for i in ids], ["id", "tbl", "ts"]
+    )
+
+
+def test_events_rolling_and_final_flush(spark, tmp_path):
+    """Cumulative event counts roll at the threshold; close() flushes
+    the remainder with reason 'final'; every input row lands in exactly
+    one visible file."""
+    sink = RollingLakeSink(
+        spark,
+        str(tmp_path / "lake"),
+        ["tbl"],
+        cfg=RollingConfig(max_events=6, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40),
+        clock="event",
+        ts_col="ts",
+    )
+    # 3 batches x 4 rows = 12 rows, 2 per table per batch
+    for b in range(3):
+        sink.process_batch(_docs(spark, range(b * 4, b * 4 + 4)), b)
+    sink.close()
+
+    reasons = [(m["tbl"], m["reason"], m["n_events"]) for m in sink.manifest]
+    # each table accumulates 2/batch: hits 6 at batch 2 -> 'events' roll
+    assert ("a", "events", 6) in reasons and ("b", "events", 6) in reasons
+    assert all(r != "final" for _, r, _ in reasons)  # nothing left over
+
+    visible = spark.read.parquet(str(tmp_path / "lake" / "data"))
+    assert visible.count() == 12
+    # no partial/staged data visible, staging fully drained
+    assert glob.glob(str(tmp_path / "lake" / "_staging" / "batch-*" / "tbl=*")) == []
+
+
+def test_idle_partition_rolls_without_new_rows(spark, tmp_path):
+    """A low-volume partition with no rows in later batches still rolls
+    once event-time advances past idle_age (writer_pool.rs step 4)."""
+    sink = RollingLakeSink(
+        spark,
+        str(tmp_path / "lake"),
+        ["tbl"],
+        cfg=RollingConfig(max_events=1 << 40, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1_000),
+        clock="event",
+        ts_col="ts",
+    )
+    only_a = spark.createDataFrame([(1, "a", 100)], ["id", "tbl", "ts"])
+    sink.process_batch(only_a, 0)
+    assert sink.manifest == []  # age 0 < idle threshold
+    only_b = spark.createDataFrame([(2, "b", 5_000)], ["id", "tbl", "ts"])
+    sink.process_batch(only_b, 1)  # event time advances to 5000
+    idle_rolls = [m for m in sink.manifest if m["reason"] == "idle"]
+    assert [(m["tbl"], m["n_events"]) for m in idle_rolls] == [("a", 1)]
+
+
+def test_file_seq_continues_after_roll_and_restart(spark, tmp_path):
+    """The per-partition file sequence survives both a roll and a sink
+    restart from the same checkpoint store (resume contract)."""
+    store = MemCheckpointStore()
+    cfg = RollingConfig(max_events=2, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40)
+    path = str(tmp_path / "lake")
+    sink = RollingLakeSink(spark, path, ["tbl"], cfg=cfg, clock="event", ts_col="ts", store=store)
+    two = spark.createDataFrame([(1, "a", 1), (2, "a", 2)], ["id", "tbl", "ts"])
+    sink.process_batch(two, 0)
+    assert [m["file_seq"] for m in sink.manifest] == [1]
+
+    # restart: a NEW sink over the same store and path
+    sink2 = RollingLakeSink(spark, path, ["tbl"], cfg=cfg, clock="event", ts_col="ts", store=store)
+    sink2.process_batch(two.withColumn("id", F.col("id") + 10), 1)
+    assert [m["file_seq"] for m in sink2.manifest] == [2]
+    files = sorted(os.path.basename(p) for p in glob.glob(f"{path}/data/tbl=a/*.parquet"))
+    assert files[0].startswith("f00001-") and files[1].startswith("f00002-")
+
+
+def test_manifest_jsonl_matches_memory(spark, tmp_path):
+    sink = RollingLakeSink(
+        spark,
+        str(tmp_path / "lake"),
+        ["tbl"],
+        cfg=RollingConfig(max_events=1, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40),
+        clock="event",
+        ts_col="ts",
+    )
+    sink.process_batch(spark.createDataFrame([(1, "a", 1)], ["id", "tbl", "ts"]), 0)
+    with open(tmp_path / "lake" / "_manifest.jsonl") as f:
+        on_disk = [json.loads(line) for line in f]
+    assert on_disk == sink.manifest

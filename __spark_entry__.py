@@ -541,6 +541,26 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_dedup_cc_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_connected_components, computed by the
+    O(log n)-round large-star/small-star alternation (dedup.py
+    connected_components_logstar) — the variant that stays bounded on
+    DEEP components (line-dedup chains, redirect graphs) where plain
+    min-label propagation needs O(diameter) rounds. Shares the
+    transitive-closure oracle: both must produce identical labels."""
+    from deltaforge_spark.operators.dedup import (
+        connected_components_logstar,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    edges = minhash_lsh_pairs(sig, num_hashes=8, bands=4)
+    return connected_components_logstar(edges)
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: bucket corpus and queries by deterministic
     hyperplane signatures (md5-derived ±1 planes), exact re-rank inside
@@ -2404,6 +2424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "doc_length_histogram": q_doc_length_histogram,
     "dedup_connected_components": q_dedup_connected_components,
+    "dedup_cc_logstar": q_dedup_cc_logstar,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
     "dedup_stream_gate": q_dedup_stream_gate,
@@ -3177,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'tags__k' || CAST(event_id % 64 AS VARCHAR), '1' FROM events
         """,
         "dedup_connected_components": _connected_components_oracle(),
+        "dedup_cc_logstar": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (
                 SELECT 'r' AS op, CAST(event_id AS VARCHAR) AS event_id

@@ -252,6 +252,127 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
 
 
+def connected_components_logstar(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 40,
+    _rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, vs the O(diameter)
+    of plain min-label propagation (``connected_components``).
+
+    Use this variant when components can be DEEP: line-dedup chains,
+    URL redirect graphs, co-citation paths. Near-dup LSH clusters are
+    cliques-ish (diameter ~2), where the plain propagator's cheaper
+    rounds win — it stays the default.
+
+    Per round, on directed edges (u, v):
+    - **large-star**: each node u computes m = min(Γ(u) ∪ {u}) over its
+      full neighborhood and re-points every STRICTLY LARGER neighbor at
+      m: emit (v, m) for v ∈ Γ(u), v > u. Halves the depth of tall
+      trees while never connecting two different components.
+    - **small-star**: edges first orient larger→smaller; each node
+      re-points its smaller neighbors (and itself) at the minimum:
+      emit (v, m) for v ∈ N⁻(u) ∪ {u} \\ {m}. Flattens the shallow
+      trees large-star leaves behind.
+
+    Fixpoint: the edge set is a union of stars rooted at each
+    component's global minimum; labels read directly off the edges.
+
+    Scale shape per round: two groupBy/join pairs on node id (same key,
+    exchange-reusable) + a distinct; edge multiplicity is bounded by
+    the distinct, driver state is one (count, checksum) row per round.
+    Lineage barrier: each round ``localCheckpoint``s its edge set.
+    Unlike the plain propagator (whose round plan embeds the previous
+    labels ONCE, so persist+probe suffices), a star round embeds the
+    previous edge set ~4× (sym twice through the self-join, again
+    through the groupBy) — with only a cache barrier, ANALYSIS cost
+    grows 4^rounds and stalls the driver long before execution starts;
+    the checkpoint truncates the logical plan itself.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def star_min(nbrs: DataFrame) -> DataFrame:
+        # m(u) = min(neighbors ∪ {u}), one groupBy on u
+        return (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+
+    prev = e
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star over the symmetric neighborhood
+        sym = prev.union(prev.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lm = star_min(sym)
+        large = (
+            sym.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star over larger→smaller edges
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        sm = star_min(directed)
+        pointed = directed.join(sm, "u").select(
+            F.col("v").alias("node"), F.col("m")
+        )
+        selfrows = sm.select(F.col("u").alias("node"), F.col("m"))
+        small = (
+            pointed.unionByName(selfrows)
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # plan-truncating round barrier
+        )
+        # convergence probe: (count, order-free checksum) of the edge
+        # set. bit_xor, not sum: order-free like sum but cannot
+        # overflow under ANSI arithmetic (the edge set is distinct, so
+        # XOR cancellation needs a hash collision, not a duplicate row)
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        prev = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+
+    # fixpoint edges are (node → component-min) stars; roots label
+    # themselves. Keep every node that appeared in the input edge set.
+    nodes = e.select(F.col("u").alias("doc_id")).union(
+        e.select(F.col("v").alias("doc_id"))
+    ).distinct()
+    # groupBy-min instead of a bare projection: at the fixpoint each
+    # node has exactly one outgoing edge, but if max_iter cut the loop
+    # early a node may still carry several — min keeps the result a
+    # function of doc_id either way
+    labels = prev.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("canonical_id")
+    )
+    out = nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id")
+    )
+    e.unpersist()
+    return out
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     *,

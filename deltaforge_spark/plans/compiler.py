@@ -199,6 +199,7 @@ def _build_processor(p: dict) -> Callable[[DataFrame], DataFrame]:
 def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
     kind = s["type"]
     name = s.get("name", kind)
+    transport_conf = None
     flt = None
     if any(k in s for k in ("exclude_synthetic", "synthetic_only", "producers")):
         flt = lambda df: sink_filter(  # noqa: E731
@@ -217,7 +218,10 @@ def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
         from ..sinks.kafka import write_kafka
 
         write = lambda df: write_kafka(  # noqa: E731
-            df, bootstrap=s["bootstrap"], default_topic=s.get("topic")
+            df,
+            bootstrap=s["bootstrap"],
+            default_topic=s.get("topic"),
+            client_conf=s.get("client_conf"),
         )
     elif kind == "kafka_eos":
         # exactly-once tier (sinks/kafka_eos.py): transactional per-
@@ -226,13 +230,29 @@ def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
         from ..sinks.kafka_eos import (
             confluent_producer_factory,
             file_broker_producer_factory,
+            resolve_producer_config,
             write_kafka_eos,
         )
 
+        # the tuning surface (performance.md:58-76): defaults + user
+        # client_conf overrides resolve HERE, once, and ride to every
+        # per-partition producer
+        transport_conf = resolve_producer_config(
+            brokers=s.get("bootstrap", ""),
+            sink_id=name,
+            pipeline=pipeline,
+            exactly_once=True,
+            client_conf=s.get("client_conf"),
+        )
         factory = (
-            file_broker_producer_factory(s["spool_dir"])
+            file_broker_producer_factory(s["spool_dir"], config=transport_conf)
             if "spool_dir" in s
-            else confluent_producer_factory(s["bootstrap"])
+            else confluent_producer_factory(
+                s["bootstrap"],
+                sink_id=name,
+                pipeline=pipeline,
+                client_conf=s.get("client_conf"),
+            )
         )
         payload_fn = None
         if s.get("encoding") == "avro":
@@ -260,7 +280,13 @@ def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
         write = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
     else:
         raise ValueError(f"unknown sink type {kind!r}")
-    return SinkSpec(name=name, write=write, required=s.get("required", True), filter=flt)
+    return SinkSpec(
+        name=name,
+        write=write,
+        required=s.get("required", True),
+        filter=flt,
+        transport_conf=transport_conf,
+    )
 
 
 # ------------------------------------------------------------ program

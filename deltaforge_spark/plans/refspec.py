@@ -489,15 +489,33 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
         if rs.exactly_once:
             from .compiler import _build_sink
 
-            return _build_sink(
+            built = _build_sink(
                 {
                     "type": "kafka_eos",
                     "name": rs.id,
                     "required": rs.required,
                     "topic": rs.topic_template,
+                    # the producer tuning surface (performance.md:58-76);
+                    # resolves defaults-then-overrides in _build_sink
+                    **(
+                        {"client_conf": rs.config["client_conf"]}
+                        if rs.config.get("client_conf")
+                        else {}
+                    ),
                     **({"spool_dir": tp} if isinstance(tp, str) else {"bootstrap": rs.config.get("brokers", "")}),
                 },
                 pipeline,
+            )
+            # the envelope/routing wrapper applies regardless of the
+            # delivery tier — write_kafka_eos projects topic/key/value
+            # from the SHAPED frame (previously bypassed: any
+            # spec-compiled EOS sink failed on the missing `value` col)
+            return SinkSpec(
+                name=built.name,
+                write=lambda df: built.write(shaped(df)),
+                required=built.required,
+                filter=flt,
+                transport_conf=built.transport_conf,
             )
         from ..sinks.kafka import kafka_payload
 

@@ -36,6 +36,10 @@ class SinkSpec:
     required: bool = True
     # per-sink event filter (reference sinks/src/filter.rs)
     filter: Callable[[DataFrame], DataFrame] | None = None
+    # resolved transport settings (e.g. the Kafka producer config after
+    # defaults + client_conf overrides) — introspectable by tests and
+    # the control plane, not consumed by the write path itself
+    transport_conf: dict | None = None
 
 
 @dataclass

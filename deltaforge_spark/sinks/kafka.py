@@ -56,12 +56,24 @@ def kafka_payload(
     )
 
 
-def write_kafka(df: DataFrame, *, bootstrap: str, default_topic: str | None = None) -> None:
-    """The actual write (requires a broker; untested in this container)."""
+def write_kafka(
+    df: DataFrame,
+    *,
+    bootstrap: str,
+    default_topic: str | None = None,
+    client_conf: dict | None = None,
+) -> None:
+    """The actual write (requires a broker; untested in this container).
+    ``client_conf`` entries (performance.md:58-76 tuning, e.g.
+    ``linger.ms``) are applied last as ``kafka.*`` writer options — the
+    same defaults-then-overrides layering as the EOS producer."""
     payload = kafka_payload(df, default_topic=default_topic)
-    (
+    writer = (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("kafka.compression.type", "lz4")
-        .save()
+        .option("kafka.linger.ms", "5")
     )
+    for k, v in (client_conf or {}).items():
+        writer = writer.option(f"kafka.{k}", str(v))
+    writer.save()

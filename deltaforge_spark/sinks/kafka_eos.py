@@ -56,6 +56,59 @@ class SinkRetryableError(Exception):
     should replay (reference SinkError::Backpressure / Connect)."""
 
 
+def resolve_producer_config(
+    *,
+    brokers: str,
+    sink_id: str,
+    pipeline: str,
+    exactly_once: bool,
+    client_conf: dict | None = None,
+) -> dict[str, str]:
+    """The reference's producer config layering (kafka.rs:176-236):
+    connection → batching/compression → reliability timeouts (bounded
+    by transaction.timeout.ms when transactional) → delivery-mode
+    settings → **user ``client_conf`` overrides applied LAST** (the
+    performance.md:58-76 tuning surface, e.g. ``linger.ms: "0"`` for
+    drain workloads). Returns the flat rdkafka-style map; every value
+    stringified like ClientConfig::set."""
+    cfg: dict[str, str] = {
+        "bootstrap.servers": brokers,
+        "client.id": f"deltaforge-{sink_id}",
+        "socket.keepalive.enable": "true",
+        "compression.type": "lz4",
+        "linger.ms": "5",
+        "batch.size": "65536",
+        "enable.idempotence": "true",
+        "acks": "all",
+        "max.in.flight.requests.per.connection": "5",
+        "retry.backoff.ms": "100",
+        "statistics.interval.ms": "5000",
+    }
+    if exactly_once:
+        cfg.update(
+            {
+                "transaction.timeout.ms": "60000",
+                "message.timeout.ms": "30000",
+                "delivery.timeout.ms": "30000",
+                "request.timeout.ms": "15000",
+                "transactional.id": f"deltaforge-{pipeline}-{sink_id}",
+                "retries": "1000000",
+            }
+        )
+    else:
+        cfg.update(
+            {
+                "message.timeout.ms": "60000",
+                "delivery.timeout.ms": "120000",
+                "request.timeout.ms": "30000",
+                "retries": "10",
+            }
+        )
+    for k, v in (client_conf or {}).items():
+        cfg[str(k)] = str(v)
+    return cfg
+
+
 def transactional_id(pipeline: str, sink_id: str, partition_id: int) -> str:
     """Stable across restarts per (pipeline, sink, partition) —
     kafka.rs:213 txn_id plus the Spark partition dimension."""
@@ -152,28 +205,32 @@ def write_kafka_eos(
     payload.foreachPartition(run)
 
 
-def confluent_producer_factory(bootstrap: str, **overrides):
+def confluent_producer_factory(
+    bootstrap: str,
+    *,
+    sink_id: str = "kafka",
+    pipeline: str = "cdc",
+    client_conf: dict | None = None,
+    **overrides,
+):
     """Adapter over confluent-kafka (gated: not in this container),
-    configured with the reference's transactional producer settings
-    (kafka.rs:195-232: lz4, 5ms linger, 60s transaction timeout,
-    idempotence, acks=all, unbounded retries)."""
+    configured through ``resolve_producer_config`` — the reference's
+    defaults (kafka.rs:195-232: lz4, 5ms linger, 60s transaction
+    timeout, idempotence, acks=all, unbounded retries) with user
+    ``client_conf`` overrides applied last."""
 
     def factory(txn_id: str):
         from confluent_kafka import KafkaException, Producer  # gated import
 
-        conf = {
-            "bootstrap.servers": bootstrap,
-            "transactional.id": txn_id,
-            "enable.idempotence": True,
-            "acks": "all",
-            "compression.type": "lz4",
-            "linger.ms": 5,
-            "transaction.timeout.ms": 60000,
-            "message.timeout.ms": 30000,
-            "request.timeout.ms": 15000,
-            "retry.backoff.ms": 100,
-            **overrides,
-        }
+        conf = resolve_producer_config(
+            brokers=bootstrap,
+            sink_id=sink_id,
+            pipeline=pipeline,
+            exactly_once=True,
+            client_conf={**(client_conf or {}), **overrides},
+        )
+        # the per-partition id supersedes the resolver's pipeline-level id
+        conf["transactional.id"] = txn_id
         p = Producer(conf)
 
         def _wrap(e):
@@ -368,10 +425,15 @@ class _FileTxnProducer:
         self.buffer = None
 
 
-def file_broker_producer_factory(state_dir: str):
-    """Picklable factory for use inside foreachPartition workers."""
+def file_broker_producer_factory(state_dir: str, config: dict | None = None):
+    """Picklable factory for use inside foreachPartition workers.
+    ``config`` (a resolved producer config) rides on each producer as
+    ``.config`` so spec round-trip tests can assert the tuning surface
+    reaches the transport without a real broker."""
 
     def factory(txn_id: str):
-        return FileTransactionalBroker(state_dir).producer(txn_id)
+        p = FileTransactionalBroker(state_dir).producer(txn_id)
+        p.config = dict(config or {})
+        return p
 
     return factory

@@ -1275,6 +1275,44 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(docs, max_w=512, max_h=512)
 
 
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verified to the pixel: seeded P6 PPM
+    payloads (multimodal.py synth_ppm_bytes — dims and every pixel byte
+    are closed-form in doc_id) parsed by the real decode_ppm (magic,
+    ASCII header, offset math), reporting dims + decoded pixel-plane
+    sum. A wrong header offset or truncated slice changes pixel_sum, so
+    the oracle catches decoder bugs, not just projection bugs."""
+    from deltaforge_spark.operators.multimodal import decode_ppm_meta, with_synth_payload
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_ppm_meta(with_synth_payload(docs, kind="ppm"))
+
+
+def q_multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over REAL decoded pixels: fit-within geometry then
+    nearest-neighbor resample (src_y = i*h//oh) of the decoded PPM
+    plane; out_pixel_sum pins every resampled byte against the oracle's
+    arithmetic reconstruction."""
+    from deltaforge_spark.operators.multimodal import resize_ppm_images, with_synth_payload
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_ppm_images(with_synth_payload(docs, kind="ppm"), max_w=8, max_h=8)
+
+
+def q_multimodal_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window features over seeded FULL-RANGE u8 PCM
+    (multimodal.py synth_pcm_bytes): unlike ASCII text payloads (always
+    < 128), seeded samples cross the midline, so the zero-crossing
+    logic is actually exercised by the oracle comparison."""
+    from deltaforge_spark.operators.multimodal import audio_energy_windows, with_synth_payload
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_energy_windows(with_synth_payload(docs, kind="pcm"), window_bytes=64)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out inside mapInPandas (64-byte frames)."""
     _prep(spark)
@@ -2438,6 +2476,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_ppm_decode": q_multimodal_ppm_decode,
+    "multimodal_ppm_resize": q_multimodal_ppm_resize,
+    "multimodal_pcm_windows": q_multimodal_pcm_windows,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_windowed": q_events_windowed,
@@ -3616,6 +3657,69 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, window_idx, wlen,
                        list_transform(range(1, wlen + 1),
                                       i -> ord(substr(text, start0 + i, 1))) AS vals
+                FROM wins
+            )
+            SELECT doc_id, window_idx, wlen AS n_samples,
+                   CAST(list_sum(vals) AS BIGINT) AS sum_energy,
+                   CAST(len(list_filter(range(1, wlen),
+                        i -> (vals[i] < 128) <> (vals[i+1] < 128))) AS INT) AS zero_crossings
+            FROM samples
+        """,
+        "multimodal_ppm_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(8 + doc_id % 9 AS INT) AS w,
+                       CAST(8 + doc_id % 7 AS INT) AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   -- header 'P6\\n' + 'w h\\n' + '255\\n', then w*h*3 pixels
+                   CAST(3 + length(CAST(w AS VARCHAR)) + 1
+                          + length(CAST(h AS VARCHAR)) + 1 + 4
+                          + w * h * 3 AS INT) AS n_bytes,
+                   w AS width, h AS height, 'PPM' AS format,
+                   CAST(list_sum(list_transform(range(w * h * 3),
+                        k -> (doc_id * 31 + k) % 251)) AS BIGINT) AS pixel_sum
+            FROM dims
+        """,
+        "multimodal_ppm_resize": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(8 + doc_id % 9 AS INT) AS w,
+                       CAST(8 + doc_id % 7 AS INT) AS h
+                FROM documents
+            ),
+            geo AS (
+                SELECT doc_id, w, h,
+                       CAST(greatest(1, trunc(w * least(8.0 / w, 8.0 / h, 1.0))) AS INT) AS ow,
+                       CAST(greatest(1, trunc(h * least(8.0 / w, 8.0 / h, 1.0))) AS INT) AS oh
+                FROM dims
+            )
+            SELECT doc_id, w AS src_width, h AS src_height,
+                   ow AS out_width, oh AS out_height,
+                   CAST(list_sum(flatten(list_transform(range(oh), i ->
+                        list_transform(range(ow), j ->
+                            (doc_id*31 + ((i*h // oh)*w + (j*w // ow))*3    ) % 251
+                          + (doc_id*31 + ((i*h // oh)*w + (j*w // ow))*3 + 1) % 251
+                          + (doc_id*31 + ((i*h // oh)*w + (j*w // ow))*3 + 2) % 251
+                        )))) AS BIGINT) AS out_pixel_sum
+            FROM geo
+        """,
+        "multimodal_pcm_windows": """
+            WITH d AS (
+                SELECT doc_id, CAST(64 + doc_id % 128 AS INT) AS n FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, n, CAST(w AS INT) AS window_idx,
+                       CAST(w * 64 AS INT) AS s0,
+                       CAST(least(64, n - w * 64) AS INT) AS wlen
+                FROM d,
+                     LATERAL (SELECT unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS w) t
+            ),
+            samples AS (
+                SELECT doc_id, window_idx, wlen,
+                       list_transform(range(wlen),
+                                      i -> (doc_id * 7 + (s0 + i) * 13) % 256) AS vals
                 FROM wins
             )
             SELECT doc_id, window_idx, wlen AS n_samples,

@@ -234,3 +234,180 @@ def resize_images(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(run, RESIZE_META_SCHEMA)
+
+
+# ------------------------------------------------ deterministic codec
+#
+# A REAL container format with REAL decode logic, over synthetic
+# payloads seeded from doc_id — so the decode step itself (magic
+# check, ASCII header parse, offset math, pixel plane slicing) is
+# oracle-checkable, not just the downstream projection. PPM P6 is the
+# simplest real image container (magic + ASCII dims + raw RGB); the
+# PCM twin seeds raw u8 samples. Both generators use closed-form
+# per-byte formulas a SQL oracle reproduces exactly.
+
+PPM_MAXVAL = 255
+_PIX_MOD = 251  # prime < 256: every residue is a valid u8 sample
+
+
+def synth_ppm_bytes(doc_id: int) -> bytes:
+    """Seeded P6 image: w = 8 + id%9, h = 8 + id%7, pixel byte k =
+    (id*31 + k) % 251 over the w*h*3 RGB plane."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    header = f"P6\n{w} {h}\n{PPM_MAXVAL}\n".encode()
+    n = w * h * 3
+    import numpy as np
+
+    px = ((doc_id * 31 + np.arange(n, dtype=np.int64)) % _PIX_MOD).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def synth_pcm_bytes(doc_id: int) -> bytes:
+    """Seeded u8 PCM: n = 64 + id%128 samples, s[i] = (id*7 + i*13) %
+    256 — full-range values, so midline zero-crossings actually occur
+    (ASCII text payloads never cross 128, leaving that logic untested)."""
+    import numpy as np
+
+    n = 64 + doc_id % 128
+    s = ((doc_id * 7 + np.arange(n, dtype=np.int64) * 13) % 256).astype(np.uint8)
+    return s.tobytes()
+
+
+def with_synth_payload(
+    df: DataFrame, *, kind: str, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Attach a seeded synthetic media column (kind: 'ppm' | 'pcm') —
+    an Arrow-batched pandas_udf, map-only."""
+    gen = {"ppm": synth_ppm_bytes, "pcm": synth_pcm_bytes}[kind]
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: gen(int(i)))
+
+    return df.withColumn(out_col, _gen(F.col(id_col)))
+
+
+class PpmDecodeError(ValueError):
+    pass
+
+
+def decode_ppm(payload: bytes):
+    """REAL P6 parser: magic, whitespace-separated ASCII dims + maxval,
+    then exactly w*h*3 raw bytes. Returns (width, height, pixels:
+    np.ndarray[u8, w*h*3]). Raises PpmDecodeError on malformed input —
+    truncated pixel planes must fail loudly, not yield short arrays."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise PpmDecodeError("bad magic: not a P6 PPM")
+    # header: three ASCII ints after the magic, any whitespace runs
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise PpmDecodeError("malformed header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte terminates the header
+    w, h, maxval = fields
+    if maxval != PPM_MAXVAL:
+        raise PpmDecodeError(f"unsupported maxval {maxval}")
+    n = w * h * 3
+    body = payload[pos : pos + n]
+    if len(body) != n:
+        raise PpmDecodeError(f"truncated pixel plane: {len(body)} of {n} bytes")
+    return w, h, np.frombuffer(body, dtype=np.uint8)
+
+
+PPM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_ppm_meta(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode-verifying metadata: dims from the REAL header parse plus
+    the decoded pixel-plane sum — a wrong header offset or a truncated
+    slice changes pixel_sum, so the oracle catches decoder bugs, not
+    just projection bugs. Map-only mapInPandas."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, px = decode_ppm(b)
+                out.append(
+                    (int(doc_id), len(b), w, h, "PPM", int(px.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "width", "height", "format", "pixel_sum"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, PPM_META_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_pixel_sum", T.LongType()),
+    ]
+)
+
+
+def resize_ppm_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_w: int = 8,
+    max_h: int = 8,
+) -> DataFrame:
+    """REAL resize over REAL decoded pixels: fit-within geometry (same
+    exact math as resize_images), then nearest-neighbor resample with
+    integer source mapping src_y = i*h // oh, src_x = j*w // ow — every
+    output byte is a specific decoded input byte, and the reported
+    out_pixel_sum verifies the whole decode→resample path bit-for-bit
+    against the SQL oracle. Map-only mapInPandas, numpy per batch."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_ppm(bytes(payload))
+                scale = min(max_w / w, max_h / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                img = px.reshape(h, w, 3)
+                ys = (np.arange(oh) * h) // oh
+                xs = (np.arange(ow) * w) // ow
+                resized = img[np.ix_(ys, xs)]
+                out.append(
+                    (int(doc_id), w, h, ow, oh, int(resized.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "out_width", "out_height", "out_pixel_sum",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, PPM_RESIZE_SCHEMA)

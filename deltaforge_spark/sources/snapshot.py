@@ -238,3 +238,91 @@ def run_snapshot(
             progress.mark_done(t)
         ran.append(t)
     return ran
+
+
+# --------------------------------------------------- JDBC split planning
+
+
+def pk_chunks(
+    min_pk: int | None, max_pk: int | None, chunk_size: int
+) -> list[tuple[int, int]]:
+    """The reference's PK-range chunk plan, exactly (mysql_snapshot.rs
+    :441-507 ``by_pk``): half-open ``[cursor, cursor+chunk)`` ranges
+    from ``min_pk``, advancing by ``chunk_size`` while ``cursor <=
+    max_pk``. An empty table (NULL bounds) plans zero chunks; the last
+    chunk may extend past ``max_pk`` (the reference's loop does too —
+    the WHERE range simply matches fewer rows)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if min_pk is None or max_pk is None or min_pk > max_pk:
+        return []
+    chunks = []
+    cursor = min_pk
+    while cursor <= max_pk:
+        chunks.append((cursor, cursor + chunk_size))
+        cursor += chunk_size
+    return chunks
+
+
+def jdbc_chunk_predicates(
+    pk_col: str, min_pk: int | None, max_pk: int | None, chunk_size: int
+) -> list[str]:
+    """The chunk plan as ``spark.read.jdbc(predicates=[...])`` WHERE
+    clauses — one Spark partition per reference chunk, bit-identical
+    boundaries (Spark's own partitionColumn/lowerBound/upperBound path
+    uses equal STRIDES over the bound span, which differs from the
+    reference's fixed-size chunks when the span isn't divisible)."""
+    return [
+        f"{pk_col} >= {lo} AND {pk_col} < {hi}"
+        for lo, hi in pk_chunks(min_pk, max_pk, chunk_size)
+    ]
+
+
+def jdbc_snapshot_options(
+    pk_col: str, min_pk: int, max_pk: int, chunk_size: int
+) -> dict[str, str]:
+    """The stride-based alternative: Spark-native
+    partitionColumn/lowerBound/upperBound options sized so each stride
+    is AT MOST ``chunk_size`` rows of PK space. upperBound is exclusive
+    in spirit (Spark clamps the last stride with an unbounded ``>=``
+    predicate, so coverage is total regardless); numPartitions =
+    ceil(span / chunk). Prefer ``jdbc_chunk_predicates`` when chunk
+    boundaries must match the reference's resume bookkeeping."""
+    span = max_pk - min_pk + 1
+    num = max(1, -(-span // chunk_size))
+    return {
+        "partitionColumn": pk_col,
+        "lowerBound": str(min_pk),
+        "upperBound": str(max_pk + 1),
+        "numPartitions": str(num),
+    }
+
+
+def read_jdbc_snapshot(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    pk_col: str,
+    *,
+    chunk_size: int = 50_000,
+    properties: dict | None = None,
+):
+    """Chunk-parallel JDBC table read behind the same API as the
+    parquet path (gated: no database in this container — the split
+    PLANNING above is unit-tested; this assembles the actual reader).
+    Bounds probe = the reference's ``SELECT MIN(pk), MAX(pk)`` (one
+    1-row query), then one Spark partition per chunk predicate."""
+    props = properties or {}
+    bounds = spark.read.jdbc(
+        url, f"(SELECT MIN({pk_col}) AS mn, MAX({pk_col}) AS mx FROM {table}) b",
+        properties=props,
+    ).first()
+    preds = jdbc_chunk_predicates(
+        pk_col,
+        None if bounds is None else bounds["mn"],
+        None if bounds is None else bounds["mx"],
+        chunk_size,
+    )
+    if not preds:  # empty table: plain read preserves schema
+        return spark.read.jdbc(url, table, properties=props)
+    return spark.read.jdbc(url, table, predicates=preds, properties=props)

@@ -148,3 +148,96 @@ def test_corpus_stats_shapes(spark, sf_dir):
     assert sum(r["total_tokens"] for r in hist) == s["total_tokens"] or True  # tokenizers differ on empties
     for r in hist:
         assert r["bucket_start"] % 50 == 0
+
+
+# ------------------------------------------- deterministic PPM/PCM codec
+
+
+def test_decode_ppm_roundtrip_and_errors():
+    """The real P6 parser: roundtrips the seeded encoder, and fails
+    loudly on bad magic / truncated pixel planes (a short slice must
+    never yield a short array silently)."""
+    import numpy as np
+    import pytest
+
+    from deltaforge_spark.operators.multimodal import (
+        PpmDecodeError,
+        decode_ppm,
+        synth_ppm_bytes,
+    )
+
+    for doc_id in (0, 1, 7, 12345):
+        b = synth_ppm_bytes(doc_id)
+        w, h, px = decode_ppm(b)
+        assert (w, h) == (8 + doc_id % 9, 8 + doc_id % 7)
+        assert len(px) == w * h * 3
+        assert int(px[0]) == (doc_id * 31) % 251
+        assert int(px[-1]) == (doc_id * 31 + w * h * 3 - 1) % 251
+
+    with pytest.raises(PpmDecodeError, match="magic"):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(PpmDecodeError, match="truncated"):
+        decode_ppm(synth_ppm_bytes(3)[:-5])
+    with pytest.raises(PpmDecodeError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(12))
+    # multi-digit dims with extra whitespace parse like any P6 reader
+    w, h, px = decode_ppm(b"P6\n12  3\n255\n" + bytes(12 * 3 * 3))
+    assert (w, h) == (12, 3) and int(np.sum(px)) == 0
+
+
+def test_resize_ppm_nearest_neighbor_exact(spark):
+    """Every output byte of the resample is a specific decoded input
+    byte (src = i*h//oh): checked against a pure-numpy model."""
+    import numpy as np
+
+    from deltaforge_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm_images,
+        synth_ppm_bytes,
+        with_synth_payload,
+    )
+
+    ids = [0, 5, 11, 44]
+    df = with_synth_payload(
+        spark.createDataFrame([(i,) for i in ids], ["doc_id"]), kind="ppm"
+    )
+    got = {r["doc_id"]: r for r in resize_ppm_images(df, max_w=8, max_h=8).collect()}
+    for i in ids:
+        w, h, px = decode_ppm(synth_ppm_bytes(i))
+        s = min(8 / w, 8 / h, 1.0)
+        ow, oh = max(1, int(w * s)), max(1, int(h * s))
+        img = px.reshape(h, w, 3)
+        model = img[np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)]
+        r = got[i]
+        assert (r["out_width"], r["out_height"]) == (ow, oh)
+        assert r["out_pixel_sum"] == int(model.sum(dtype=np.int64))
+
+
+def test_pcm_windows_cross_midline(spark):
+    """Seeded PCM actually exercises zero crossings (ASCII payloads
+    never do) and matches a brute-force python model."""
+    from deltaforge_spark.operators.multimodal import (
+        audio_energy_windows,
+        synth_pcm_bytes,
+        with_synth_payload,
+    )
+
+    ids = [0, 9, 100]
+    df = with_synth_payload(
+        spark.createDataFrame([(i,) for i in ids], ["doc_id"]), kind="pcm"
+    )
+    rows = audio_energy_windows(df, window_bytes=64).collect()
+    got = {(r["doc_id"], r["window_idx"]): r for r in rows}
+    any_crossings = 0
+    for i in ids:
+        s = list(synth_pcm_bytes(i))
+        for w0 in range(0, len(s), 64):
+            win = s[w0 : w0 + 64]
+            below = [v < 128 for v in win]
+            zc = sum(1 for a, b in zip(below, below[1:]) if a != b)
+            r = got[(i, w0 // 64)]
+            assert r["n_samples"] == len(win)
+            assert r["sum_energy"] == sum(win)
+            assert r["zero_crossings"] == zc
+            any_crossings += zc
+    assert any_crossings > 0

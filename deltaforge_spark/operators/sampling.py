@@ -72,7 +72,12 @@ def stratified_sample(
 
 
 def epoch_shuffle(
-    df: DataFrame, *, key_col: str, epoch: int = 0, seed: str = "shuf"
+    df: DataFrame,
+    *,
+    key_col: str,
+    epoch: int = 0,
+    seed: str = "shuf",
+    manifest_path: str | None = None,
 ) -> DataFrame:
     """Deterministic training-order shuffle: a reproducible permutation
     of the corpus per epoch, as the input rows + ``shuffle_rank``.
@@ -129,13 +134,18 @@ def epoch_shuffle(
         # Materialize while the sorted input is cached: the offsets were
         # computed for THIS physical partitioning, and a recompute after
         # unpersist could re-sample different range boundaries, shifting
-        # partition ids under the offsets map. The checkpoint is the
-        # barrier (load-bearing, not an optimization). On a cluster,
-        # prefer writing the ranked manifest to storage at this point —
-        # localCheckpoint lives on executor-local disks and does not
-        # survive executor loss.
-        out = out.localCheckpoint(eager=True)
-        return out
+        # partition ids under the offsets map. The barrier is
+        # load-bearing, not an optimization. TWO barrier tiers:
+        # - manifest_path (the cluster default): write the ranked
+        #   manifest to durable storage and read it back — survives
+        #   executor loss, and the epoch order becomes an artifact every
+        #   training job replays identically;
+        # - localCheckpoint (local/dev fallback): executor-local disks,
+        #   cheaper, but gone with the executor.
+        if manifest_path is not None:
+            out.write.mode("overwrite").parquet(manifest_path)
+            return spark.read.parquet(manifest_path)
+        return out.localCheckpoint(eager=True)
     finally:
         sorted_df.unpersist()
 

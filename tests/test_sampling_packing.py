@@ -144,3 +144,25 @@ def test_mixture_sample_budget_semantics(spark, sf_dir):
     half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
     full_ids = {r["doc_id"] for r in all_en.select("doc_id").collect()}
     assert half_ids <= full_ids
+
+
+def test_epoch_shuffle_manifest_barrier_identical(spark, tmp_path):
+    """The durable manifest barrier (cluster default) yields exactly
+    the ranks the localCheckpoint path yields, and the manifest is a
+    replayable artifact on storage."""
+    import glob
+
+    from deltaforge_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], ["doc_id", "text"])
+    local = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle(df, key_col="doc_id").collect()}
+    mpath = str(tmp_path / "epoch0")
+    durable = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in epoch_shuffle(df, key_col="doc_id", manifest_path=mpath).collect()
+    }
+    assert local == durable
+    assert glob.glob(f"{mpath}/part-*.parquet")
+    # the artifact replays without recomputation
+    again = {r["doc_id"]: r["shuffle_rank"] for r in spark.read.parquet(mpath).collect()}
+    assert again == local

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Full local gate, in escalating cost order. A declared query whose
+# oracle fails at any tier blocks the commit — "declared but never
+# value-verified" cannot recur (the fast tier catches SQL-side
+# regressions in seconds; the --all tier value-checks every query).
+#
+#   tools/ci.sh fast   # seconds : oracle SQL parses + unit guards
+#   tools/ci.sh all    # minutes : pytest + full DuckDB value-check
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+tier="${1:-fast}"
+
+python -m pytest tests/test_oracle_sql_valid.py -q
+
+if [ "$tier" = "all" ]; then
+    python -m pytest tests/ -x -q
+    python tools/check.py --all /root/testdata/sf0.001
+fi

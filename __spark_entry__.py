@@ -2271,6 +2271,35 @@ def q_sketch_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "lang")
 
 
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (sketches.py bloom_build/probe —
+    the pre-filter a 100 TB dedup or decontamination pass runs before
+    any join): per-event-type filters over user ids, probed with the
+    signup audience. Reports claims vs exact truth per filter —
+    n_false_positive > 0 is EXPECTED (the Bloom trade), n_true ==
+    claimed∩present pins the no-false-negative guarantee. Every bit
+    position is closed-form md5 math, so the oracle reproduces the
+    filter bit-for-bit."""
+    from deltaforge_spark.operators.sketches import bloom_build, bloom_probe
+
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    bits = bloom_build(ut, ["event_type"], "user_id")
+    probes = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    claims = bloom_probe(probes, bits, "user_id", filter_group_cols=["event_type"])
+    truth = ut.withColumn("present", F.lit(True))
+    j = claims.join(truth, ["event_type", "user_id"], "left")
+    return j.groupBy(F.col("event_type").alias("filter_type")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0)).alias("n_claimed"),
+        F.sum(F.when(F.col("present").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("claimed") & F.col("present").isNull(), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation via KMV sketches
     (operators/sketches.py kmv_sketch): per event type, the set of
@@ -2421,6 +2450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
+    "sketch_bloom_membership": q_sketch_bloom_membership,
     "events_anomalies": q_events_anomalies,
     "url_dedup": q_url_dedup,
     "events_gapfill": q_events_gapfill,
@@ -3130,6 +3160,51 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),
         "audience_overlap": _audience_overlap_oracle(),
+        "sketch_bloom_membership": """
+            WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+            probes AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+            ),
+            bits AS (
+                SELECT DISTINCT event_type,
+                       CAST(('0x' || substr(md5('bf' || i || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 4096 AS pos
+                FROM ut, (SELECT unnest(range(3)) AS i) t
+            ),
+            ppos AS (
+                SELECT user_id, i,
+                       CAST(('0x' || substr(md5('bf' || i || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 4096 AS pos
+                FROM probes, (SELECT unnest(range(3)) AS i) t
+            ),
+            hits AS (
+                SELECT DISTINCT b.event_type, pp.user_id, pp.i
+                FROM ppos pp JOIN bits b ON b.pos = pp.pos
+            ),
+            per AS (
+                SELECT event_type, user_id, count(*) AS nhit
+                FROM hits GROUP BY 1, 2
+            ),
+            allp AS (
+                SELECT t.event_type, p.user_id
+                FROM (SELECT DISTINCT event_type FROM ut) t CROSS JOIN probes p
+            ),
+            claims AS (
+                SELECT a.event_type, a.user_id,
+                       coalesce(per.nhit, 0) = 3 AS claimed
+                FROM allp a LEFT JOIN per
+                  ON per.event_type = a.event_type AND per.user_id = a.user_id
+            )
+            SELECT c.event_type AS filter_type,
+                   CAST(count(*) AS BIGINT) AS n_probes,
+                   CAST(count(*) FILTER (WHERE claimed) AS BIGINT) AS n_claimed,
+                   CAST(count(*) FILTER (WHERE u.user_id IS NOT NULL) AS BIGINT) AS n_true,
+                   CAST(count(*) FILTER (WHERE claimed AND u.user_id IS NULL) AS BIGINT)
+                       AS n_false_positive
+            FROM claims c LEFT JOIN ut u
+              ON u.event_type = c.event_type AND u.user_id = c.user_id
+            GROUP BY 1
+        """,
         "events_anomalies": _events_anomalies_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "events_gapfill": _events_gapfill_oracle(),

@@ -231,3 +231,93 @@ def kmv_oracle_sql(
         WHERE _r <= {k}
         GROUP BY {g}
     """
+
+
+# ------------------------------------------------------------ Bloom filter
+#
+# Mergeable membership sketch — the pre-filter a 100 TB dedup or
+# decontamination pass runs before any join: a Bloom filter of the
+# already-seen keys (or the benchmark set) turns "join everything"
+# into "join the few candidates the filter claims". Represented as a
+# (group, bit_position) relation rather than a packed bitmap: unions
+# merge by DISTINCT, membership probes are an equi-join on the
+# position key, and an independent SQL engine reproduces every bit —
+# the same engine-portable-determinism stance as the HLL above (the
+# reference's sketching lives in schema-sensing high_cardinality.rs;
+# the membership variant is beyond-reference, like KMV).
+#
+# Guarantees (the Bloom contract, verified by tests + oracle):
+# - NO false negatives: a key that was inserted is always claimed.
+# - False positives at the theoretical (1 - e^{-kn/m})^k rate.
+
+BLOOM_M = 4096  # bits per filter
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(value: Column, i: int, m: int) -> Column:
+    """Bit position of hash function i: 48 md5 bits mod m — exactly
+    reproducible as SQL (same '0x'-prefix conv idiom as the HLL)."""
+    hx = F.md5(F.concat(F.lit(f"bf{i}:"), value.cast("string")))
+    return F.conv(F.substring(hx, 1, 12), 16, 10).cast("long") % m
+
+
+def bloom_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(group..., pos) — the set bits of each group's filter. One
+    explode (k rows per input) + one distinct: at most m rows per group
+    survive regardless of input size; map-side combine absorbs heavy
+    keys. Filters over different groups (or different days) merge by
+    plain union + distinct — the mergeability a backfill needs."""
+    positions = F.array(*[_bloom_pos(F.col(value_col), i, m) for i in range(k)])
+    return (
+        df.select(*group_cols, F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    probe_col: str,
+    *,
+    filter_group_cols: list[str],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership of each probe value against EVERY filter group:
+    returns (filter groups..., <probe_col>, claimed) where claimed ⇔
+    all k bit positions are set in that group's filter.
+
+    Scale shape: probes explode to k rows, equi-join ``bits`` on the
+    position key (hash-partitioned, no broadcast of the big side), then
+    a count-equals-k groupBy keyed on (groups, probe). The only
+    non-equi join is (filter-groups × probes) to re-introduce
+    claimed=false rows — and that side is one row per FILTER (a
+    broadcast dimension), never per filter bit or per input key."""
+    ppos = probes.select(
+        F.col(probe_col),
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col(probe_col), i, m) for i in range(k)])
+        ).alias("_i", "pos"),
+    )
+    groups = bits.select(*filter_group_cols).distinct()
+    # every (probe, hashfn) pair must find its bit in the group: join on
+    # pos hits only set bits; the groups frame (tiny: one row per
+    # filter) re-introduces misses so count() counts per group
+    hits = ppos.join(bits, "pos").select(*filter_group_cols, probe_col, "_i").distinct()
+    per = (
+        hits.groupBy(*filter_group_cols, probe_col)
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+    )
+    all_pairs = groups.crossJoin(probes.select(probe_col).distinct())
+    return all_pairs.join(per, [*filter_group_cols, probe_col], "left").select(
+        *filter_group_cols,
+        probe_col,
+        (F.coalesce(F.col("_nhit"), F.lit(0)) == k).alias("claimed"),
+    )

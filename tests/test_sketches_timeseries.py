@@ -227,3 +227,56 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
         kmv_jaccard(F.col("ka"), F.col("ka2"), 64).alias("j")
     )
     assert same.collect()[0]["j"] == 1.0
+
+
+# ------------------------------------------------------------- Bloom filter
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """The Bloom contract: every inserted key is claimed (zero false
+    negatives — the property dedup correctness rests on); false
+    positives exist and stay within ~3x of the theoretical rate."""
+    import math
+
+    from deltaforge_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [(f"g", f"user{i}") for i in range(800)]
+    df = spark.createDataFrame(members, ["g", "uid"])
+    bits = bloom_build(df, ["g"], "uid")
+
+    # members + disjoint non-members
+    probe_rows = [(f"user{i}",) for i in range(800)] + [
+        (f"ghost{i}",) for i in range(800)
+    ]
+    probes = spark.createDataFrame(probe_rows, ["uid"])
+    got = {
+        r["uid"]: r["claimed"]
+        for r in bloom_probe(probes, bits, "uid", filter_group_cols=["g"]).collect()
+    }
+    assert all(got[f"user{i}"] for i in range(800)), "false negative!"
+    fp = sum(1 for i in range(800) if got[f"ghost{i}"]) / 800
+    theory = (1 - math.exp(-BLOOM_K * 800 / BLOOM_M)) ** BLOOM_K
+    assert fp <= 3 * theory + 0.02, (fp, theory)
+
+
+def test_bloom_merge_is_union_of_bits(spark):
+    """Mergeability: bloom(A ∪ B) == distinct(bloom(A) ∪ bloom(B)) —
+    the property an incremental backfill relies on."""
+    from deltaforge_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(50)], ["g", "uid"])
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(50)], ["g", "uid"])
+    whole = {tuple(r) for r in bloom_build(a.union(b), ["g"], "uid").collect()}
+    merged = {
+        tuple(r)
+        for r in bloom_build(a, ["g"], "uid")
+        .union(bloom_build(b, ["g"], "uid"))
+        .distinct()
+        .collect()
+    }
+    assert whole == merged and len(whole) > 0

@@ -171,6 +171,8 @@ HEADLINE = [
     "url_dedup",
     "sketch_vocab_hll",
     "audience_overlap",
+    "sketch_bloom_membership",
+    "dedup_cc_logstar",
 ]
 
 

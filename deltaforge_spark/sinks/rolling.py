@@ -143,12 +143,19 @@ class RollingLakeSink:
         saved = json.loads(raw) if raw else {}
         self._state: dict[str, dict[str, Any]] = saved.get("open", {})
         self._seqs: dict[str, int] = saved.get("seqs", {})
+        # replay fence: foreachBatch ids are monotonic; a replayed batch
+        # re-stages its (idempotent, overwrite-mode) files but must not
+        # double-count arrivals
+        self._last_batch: int | None = saved.get("last_batch")
 
     # ------------------------------------------------------------ state
 
     def _persist(self) -> None:
         self.store.put_raw(
-            self._key, json.dumps({"open": self._state, "seqs": self._seqs}).encode()
+            self._key,
+            json.dumps(
+                {"open": self._state, "seqs": self._seqs, "last_batch": self._last_batch}
+            ).encode(),
         )
 
     @staticmethod
@@ -161,17 +168,33 @@ class RollingLakeSink:
     # ------------------------------------------------------------ batch
 
     def process_batch(self, df: DataFrame, batch_id: int, now_ms: int | None = None) -> None:
-        """Append the batch to staged per-partition files, then sweep."""
+        """Append the batch to staged per-partition files, then sweep.
+        Replay-safe: a re-delivered batch id overwrites its own staged
+        files (idempotent) without re-counting arrivals, and a roll
+        that fails mid-compaction leaves state untouched so the
+        micro-batch retry re-attempts the same roll."""
         stage_dir = f"{self.path}/_staging/batch-{batch_id}"
-        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(stage_dir)
+        replay = self._last_batch is not None and batch_id <= self._last_batch
+        # On replay, surviving staged dirs are exactly the not-yet-rolled
+        # partitions; re-creating a batch dir a completed roll already
+        # consumed would re-introduce (duplicate) its rows at the next
+        # roll. Overwriting a dir that still exists is harmless (same
+        # deterministic batch).
+        if not (replay and os.path.isdir(stage_dir)):
+            df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(stage_dir)
 
         # per-partition arrival accounting: O(active partitions) rows to
         # the driver — the same control-plane state the reference pool
-        # keeps in its HashMap
+        # keeps in its HashMap. Counted AT MOST ONCE per batch id: the
+        # fence advances in memory immediately, so a sweep failure +
+        # foreachBatch retry re-attempts the roll without re-counting.
         aggs = [F.count(F.lit(1)).alias("_n")]
         if self.clock == "event":
             aggs.append(F.max(F.col(self.ts_col)).alias("_max_ts"))
-        arrivals = df.groupBy(*self.partition_cols).agg(*aggs).collect()
+        arrivals = [] if replay else df.groupBy(*self.partition_cols).agg(*aggs).collect()
+        self._last_batch = batch_id if self._last_batch is None else max(
+            self._last_batch, batch_id
+        )
 
         if now_ms is None:
             if self.clock == "event":
@@ -223,12 +246,11 @@ class RollingLakeSink:
     # ------------------------------------------------------------- roll
 
     def _roll(self, pkey: str, reason: str, batch_id: int) -> None:
-        st = self._state.pop(pkey)
         staged = self._staged_glob(pkey)
         if not staged:
+            self._state.pop(pkey)
             return
         seq = self._seqs.get(pkey, 0) + 1
-        self._seqs[pkey] = seq
         fname = f"f{seq:05d}-{uuid.uuid4().hex[:12]}.parquet"
         final_dir = f"{self.path}/data/{pkey}"
         tmp_dir = f"{self.path}/_tmp/{uuid.uuid4().hex}"
@@ -236,8 +258,12 @@ class RollingLakeSink:
         # compact the staged pieces into ONE file: written complete to a
         # temp dir, then renamed into the visible tree — readers never
         # see a partial file (the atomic-visibility contract the
-        # reference gets from S3 multipart complete, sink.rs:41-160)
-        self.spark.read.parquet(*staged).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        # reference gets from S3 multipart complete, sink.rs:41-160).
+        # State mutates only AFTER the rename: a compaction failure
+        # (store outage) raises with counters and staged files intact,
+        # so the replayed micro-batch re-attempts the same roll — the
+        # reference's at-least-once-at-file-granularity stance
+        self._compact(staged, tmp_dir)
         part = glob.glob(f"{tmp_dir}/part-*.parquet")
         assert len(part) == 1, part
         os.makedirs(final_dir, exist_ok=True)
@@ -245,6 +271,8 @@ class RollingLakeSink:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         for d in staged:
             shutil.rmtree(d, ignore_errors=True)
+        st = self._state.pop(pkey)
+        self._seqs[pkey] = seq
 
         entry = {
             **st["parts"],
@@ -258,6 +286,11 @@ class RollingLakeSink:
         self.manifest.append(entry)
         with open(f"{self.path}/_manifest.jsonl", "a") as f:
             f.write(json.dumps(entry) + "\n")
+
+    def _compact(self, staged: list[str], tmp_dir: str) -> None:
+        """One-file compaction of the staged pieces (seam for outage
+        injection in chaos tests)."""
+        self.spark.read.parquet(*staged).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
 
     def manifest_df(self, spark: SparkSession) -> DataFrame:
         """The roll manifest as a DataFrame (partition cols + file_seq,

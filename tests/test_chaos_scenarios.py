@@ -226,3 +226,52 @@ spec:
     )
     _run_until_done(pipe, spark)
     assert set(delivered.delivered()) == {0, 2}
+
+
+def test_lake_rolling_outage_retry_no_loss_no_double_count(spark, tmp_path):
+    """S3-outage analog (reference chaos s3_outage scenario) for the
+    rolling writer pool: a compaction failure mid-roll raises with the
+    partition's counters and staged files INTACT, the replayed batch
+    skips re-counting (idempotent staging) but re-attempts the roll,
+    and every input row lands exactly once in the visible tree."""
+    import pytest
+
+    from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink
+
+    sink = RollingLakeSink(
+        spark,
+        str(tmp_path / "lake"),
+        ["tbl"],
+        cfg=RollingConfig(
+            max_events=4, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40
+        ),
+        clock="event",
+        ts_col="ts",
+    )
+    batch = spark.createDataFrame(
+        [(i, "a", i) for i in range(4)], ["id", "tbl", "ts"]
+    )
+
+    # inject a store outage on the first compaction
+    real = sink._compact
+    calls = {"n": 0}
+
+    def flaky(staged, tmp_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("injected object-store outage")
+        real(staged, tmp_dir)
+
+    sink._compact = flaky
+    with pytest.raises(IOError, match="outage"):
+        sink.process_batch(batch, 0)
+    # counters survived the failed roll; nothing visible yet
+    assert sink._state["tbl=a"]["events"] == 4
+    assert sink.manifest == []
+
+    # foreachBatch replays batch 0: no double count, roll succeeds
+    sink.process_batch(batch, 0)
+    assert [(m["tbl"], m["n_events"], m["reason"]) for m in sink.manifest] == [
+        ("a", 4, "events")
+    ]
+    assert spark.read.parquet(str(tmp_path / "lake" / "data")).count() == 4

@@ -110,3 +110,33 @@ def test_stratified_sample_layout_invariant(spark, sf_dir):
         )
         outs.append(_rows(out.select("doc_id")))
     assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
+def test_bloom_probe_layout_invariant(spark):
+    """Bloom claims are a pure function of the data — identical under
+    any input partitioning."""
+    from deltaforge_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(300)], ["g", "uid"]
+    )
+    probes = spark.createDataFrame([(f"u{i}",) for i in range(0, 600, 3)], ["uid"])
+
+    def run(m, p):
+        bits = bloom_build(m, ["g"], "uid")
+        return {
+            (r["g"], r["uid"], r["claimed"])
+            for r in bloom_probe(p, bits, "uid", filter_group_cols=["g"]).collect()
+        }
+
+    assert run(members, probes) == run(members.repartition(13), probes.repartition(7))
+
+
+def test_cc_logstar_layout_invariant(spark):
+    from deltaforge_spark.operators.dedup import connected_components_logstar
+
+    edges = [(i * 17 % 101, (i + 1) * 17 % 101) for i in range(60)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    a = {tuple(r) for r in connected_components_logstar(df).collect()}
+    b = {tuple(r) for r in connected_components_logstar(df.repartition(11)).collect()}
+    assert a == b and len(a) > 0

@@ -289,3 +289,53 @@ def test_audience_overlap_joins_sketches_not_users(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
         assert bad not in p, f"{bad} in audience_overlap plan:\n{p}"
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_bloom_probe_joins_on_position_key_no_big_cartesian(spark, sf_dir):
+    """The bloom probe's big join is an equi-join on the bit-position
+    key (hash or broadcast-HASH, never a nested-loop over members);
+    the only nested-loop is the (filters x probes) dimension frame —
+    one row per FILTER. And the whole path stays JVM-side."""
+    from deltaforge_spark.operators.sketches import bloom_build, bloom_probe
+    from deltaforge_spark.sources.snapshot import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    bits = bloom_build(ut, ["event_type"], "user_id")
+    probes = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    p = plan_str(bloom_probe(probes, bits, "user_id", filter_group_cols=["event_type"]))
+    assert "HashJoin" in p  # the pos-key join is hash-based
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # nested-loop appears at most for the tiny filter-dimension cross
+    # join, and that side must be broadcast
+    if "NestedLoop" in p:
+        assert "BroadcastNestedLoopJoin" in p
+
+
+def test_cc_logstar_round_is_hash_keyed_no_python(spark):
+    """One star round: groupBy/join on the node id key, JVM-side."""
+    from deltaforge_spark.operators.dedup import connected_components_logstar
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["doc_a", "doc_b"]
+    )
+    out = connected_components_logstar(edges)
+    p = plan_str(out)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ppm_decode_is_map_only_arrow(spark, sf_dir):
+    """Codec decode: exactly the one deliberate Arrow boundary, zero
+    exchanges — binaries never shuffle."""
+    from deltaforge_spark.operators.multimodal import decode_ppm_meta, with_synth_payload
+    from deltaforge_spark.sources.snapshot import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    p = plan_str(decode_ppm_meta(with_synth_payload(docs, kind="ppm")))
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    # read_table's input-spreading round-robin is the only allowed
+    # exchange; the decode itself must add no KEYED shuffle
+    assert "hashpartitioning" not in p, f"decode path shuffles on a key:\n{p}"
+    # "Exchange (n)" = one tree node in formatted explain
+    assert p.count("Exchange (") <= 1, f"decode adds exchanges:\n{p}"

@@ -263,6 +263,25 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(corpus, bench, n=5)
 
 
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (decontamination.py fuzzy_contamination):
+    corpus docs whose MinHash-estimated Jaccard vs any benchmark doc
+    reaches 0.5 — the paraphrase/near-copy leak the exact n-gram pass
+    misses. The benchmark stands in as LIGHTLY-EDITED copies of every
+    37th doc (three tokens appended — the edit breaks every tail 8-gram
+    but barely moves Jaccard, exactly the leak shape). Benchmark
+    buckets AND signatures broadcast; the corpus signs once and never
+    self-joins."""
+    from deltaforge_spark.operators.decontamination import fuzzy_contamination
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zqx zqy zqz"))
+    )
+    return fuzzy_contamination(docs, bench, threshold=0.5)
+
+
 def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality filter (operators/quality.py): per-row gates
     (word count / mean word length / symbol ratio / alpha fraction /
@@ -2468,6 +2487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_by_budget": q_mixture_by_budget,
     "doc_pack_sequences": q_pack_sequences,
     "doc_contamination": q_contamination,
+    "doc_contamination_fuzzy": q_contamination_fuzzy,
     "doc_quality_gopher": q_doc_quality_gopher,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_epoch_shuffle": q_doc_epoch_shuffle,
@@ -2668,6 +2688,60 @@ def _minhash_oracle() -> str:
         f"FROM ({_SHINGLES_SQL})"
     )
     return f"SELECT doc_id, {mins} FROM ({halves}) GROUP BY doc_id"
+
+
+def _sig_sql(src_sql: str) -> str:
+    """MinHash signature SQL over any (doc_id, text) source — the same
+    shingle/double-hash pipeline as _minhash_oracle, parameterized."""
+    mod = 1 << 48
+    mins = ", ".join(f"min((a + {j} * b) % {mod}) AS mh{j}" for j in range(8))
+    shingles = (
+        "SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 "
+        "THEN list_transform(range(1, len(w) - 1), "
+        "i -> array_to_string(list_slice(w, i, i + 2), ' ')) ELSE [] END)) AS shingle "
+        f"FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ({src_sql}))"
+    )
+    halves = (
+        "SELECT doc_id, "
+        "CAST(('0x' || substr(md5('mh:' || shingle), 1, 12)) AS BIGINT) AS a, "
+        "CAST(('0x' || substr(md5('mh:' || shingle), 13, 12)) AS BIGINT) AS b "
+        f"FROM ({shingles})"
+    )
+    return f"SELECT doc_id, {mins} FROM ({halves}) GROUP BY doc_id"
+
+
+def _fuzzy_contamination_oracle() -> str:
+    """Same signatures, same band buckets, same agreement estimator as
+    fuzzy_contamination — benchmark = every 37th doc, lightly edited."""
+    bandsel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket "
+        "FROM {src}"
+        for b in range(4)
+    )
+    agree = " + ".join(f"(CASE WHEN c.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(8))
+    c_sig = _sig_sql("SELECT doc_id, text FROM documents")
+    b_sig = _sig_sql(
+        "SELECT doc_id, text || ' zqx zqy zqz' AS text FROM documents WHERE doc_id % 37 = 0"
+    )
+    return f"""
+        WITH c AS ({c_sig}),
+        b AS ({b_sig}),
+        cb AS ({bandsel.format(src='c')}),
+        bb AS ({bandsel.format(src='b')}),
+        cand AS (
+            SELECT DISTINCT cb.doc_id, bb.doc_id AS bench_id
+            FROM cb JOIN bb ON cb.band = bb.band AND cb.bucket = bb.bucket),
+        est AS (
+            SELECT cand.doc_id, ({agree}) / 8.0 AS j
+            FROM cand
+            JOIN c ON c.doc_id = cand.doc_id
+            JOIN b ON b.doc_id = cand.bench_id)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bench_matches,
+               round(max(j), 6) AS max_jaccard_est
+        FROM est WHERE j >= 0.5 GROUP BY doc_id
+    """
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -3618,6 +3692,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus JOIN bench USING (gram_hash)
             GROUP BY 1 ORDER BY doc_id
         """,
+        "doc_contamination_fuzzy": _fuzzy_contamination_oracle(),
         "dedup_simhash": _simhash_oracle(16),
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES_SQL}),

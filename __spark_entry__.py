@@ -1369,6 +1369,104 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of ECONOMY-part revenue
+    sold into AMERICA-region customers in 1996-97, the yearly share
+    supplied by NATION_3. Two nation-dim roles (supplier + customer
+    side), all dims broadcast, one fact-fact shuffle; exact DECIMAL
+    sums with one final double division rounded 6dp."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    vol = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    zero = F.lit(0).cast("decimal(38,8)")
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("sn.n_name") == "NATION_3", vol).otherwise(zero))
+        .cast("decimal(38,8)")
+        .alias("_num"),
+        F.sum(vol).cast("decimal(38,8)").alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: PROMO parts' percentage of
+    March-1996 revenue. Broadcast part dim; exact DECIMAL sums, one
+    final double division rounded 6dp."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    vol = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    zero = F.lit(0).cast("decimal(38,8)")
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+        .cast("decimal(38,8)")
+        .alias("_num"),
+        F.sum(vol).cast("decimal(38,8)").alias("_den"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+        ).alias("promo_pct")
+    )
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity (adapted: nation keys
+    stand in for phone country codes, which this schema lacks): per
+    target nation, count + total balance of above-average-balance
+    customers who never ordered. The average threshold compares
+    EXACTLY via cross-multiplication (bal * cnt > total) — no double
+    average to diverge between engines; the no-order set is a
+    broadcast anti-join."""
+    _prep(spark)
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(0, 1, 2))
+    orders = read_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(38,2)").alias("_total"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    rich = cust.join(F.broadcast(stats)).filter(bal * F.col("_cnt") > F.col("_total"))
+    lonely = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return lonely.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(bal).cast("decimal(38,2)").cast("string").alias("totacctbal"),
+    )
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 5-way join through region/nation (broadcast dims)."""
     _prep(spark)
@@ -2519,6 +2617,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_drift_profile": q_cdc_drift_profile,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
     "customers_without_big_orders": q_anti_join_customers,
@@ -3515,6 +3616,73 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8)) AS vol,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN vol ELSE CAST(0 AS DECIMAL(38,8)) END)
+                              AS DECIMAL(38,8)) AS DOUBLE)
+                         / CAST(CAST(sum(vol) AS DECIMAL(38,8)) AS DOUBLE), 6) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8)) AS vol,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            )
+            SELECT round(100e0 *
+                   CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN vol ELSE CAST(0 AS DECIMAL(38,8)) END)
+                        AS DECIMAL(38,8)) AS DOUBLE)
+                   / CAST(CAST(sum(vol) AS DECIMAL(38,8)) AS DOUBLE), 6) AS promo_pct
+            FROM j
+        """,
+        "q22_sales_opportunity": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                       c_acctbal
+                FROM customer WHERE c_nationkey IN (0, 1, 2)
+            ),
+            stats AS (
+                SELECT CAST(sum(bal) AS DECIMAL(38,2)) AS total,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM c WHERE c_acctbal > 0
+            ),
+            rich AS (
+                SELECT c.* FROM c CROSS JOIN stats
+                WHERE bal * cnt > total
+            ),
+            lonely AS (
+                SELECT * FROM rich
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
+            )
+            SELECT c_nationkey AS nation_key,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(CAST(sum(bal) AS DECIMAL(38,2)) AS VARCHAR) AS totacctbal
+            FROM lonely GROUP BY 1
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -173,6 +173,9 @@ HEADLINE = [
     "audience_overlap",
     "sketch_bloom_membership",
     "dedup_cc_logstar",
+    "q8_market_share",
+    "q22_sales_opportunity",
+    "doc_contamination_fuzzy",
 ]
 
 

@@ -339,3 +339,22 @@ def test_ppm_decode_is_map_only_arrow(spark, sf_dir):
     assert "hashpartitioning" not in p, f"decode path shuffles on a key:\n{p}"
     # "Exchange (n)" = one tree node in formatted explain
     assert p.count("Exchange (") <= 1, f"decode adds exchanges:\n{p}"
+
+
+def test_q8_broadcasts_all_dims_one_fact_shuffle(spark, sf_dir):
+    """Q8's six dimension joins must all be broadcast (two nation
+    roles included); only the lineitem-orders fact join may shuffle."""
+    p = plan_str(entry.queries()["q8_market_share"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 5, p
+    assert "CartesianProduct" not in p
+    # the part filter reaches the scan
+    assert "PushedFilters:" in p and "EqualTo(p_type,ECONOMY)" in p
+
+
+def test_q22_anti_join_and_exact_threshold(spark, sf_dir):
+    """Q22: the no-order set is a broadcast anti join; the average
+    threshold never materializes a double average (cross-multiplied
+    decimals)."""
+    p = plan_str(entry.queries()["q22_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "avg(" not in p.lower().replace("havg", "")

@@ -143,3 +143,62 @@ def test_manifest_jsonl_matches_memory(spark, tmp_path):
     with open(tmp_path / "lake" / "_manifest.jsonl") as f:
         on_disk = [json.loads(line) for line in f]
     assert on_disk == sink.manifest
+
+
+def test_rolling_sink_behind_real_streaming_query(spark, tmp_path):
+    """End-to-end through an ACTUAL Structured Streaming query: file
+    stream → writeStream.foreachBatch(rolling pool) — the production
+    wiring, not a hand-driven batch loop. Every streamed row lands
+    exactly once in the visible tree, staging drains, the manifest
+    accounts for all rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.checkpoints import MemCheckpointStore
+    from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tbl", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    rows = [(i, "a" if i % 2 == 0 else "b", i) for i in range(40)]
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(in_dir)
+
+    lake = str(tmp_path / "lake")
+    sink = RollingLakeSink(
+        spark,
+        lake,
+        ["tbl"],
+        cfg=RollingConfig(
+            max_events=8, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40
+        ),
+        clock="event",
+        ts_col="ts",
+        store=MemCheckpointStore(),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink.process_batch(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink.close()
+
+    visible = spark.read.parquet(f"{lake}/data")
+    assert visible.count() == 40
+    assert sorted(r["id"] for r in visible.collect()) == list(range(40))
+    assert sum(m["n_events"] for m in sink.manifest) == 40
+    assert {m["reason"] for m in sink.manifest} <= {"events", "final"}
+    import glob as _g
+
+    assert _g.glob(f"{lake}/_staging/batch-*/tbl=*") == []

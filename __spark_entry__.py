@@ -2563,7 +2563,104 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_rank(_doc_urls(spark, sf_dir), "url", "doc_id")
 
 
+def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pgoutput wire decode (closes the SURVEY §7.2 PG boundary):
+    orders → pgoutput byte stream (R/B/I/U/D/C messages in the public
+    protocol layout; op mix by o_orderstatus: F→delete, P→update with
+    before image, else insert; one tx per 64-orderkey block) →
+    distributed decode: map-only message parse, broadcast relation
+    catalog, order-free tx stamping via Begin↔Commit LSN equi-join +
+    bucketized interval join on seq (sources/pgoutput.py; reference
+    postgres_event.rs:166-334, postgres_object.rs:50-340). The oracle
+    recomputes every expected image straight from the parquet table, so
+    the whole byte path — tuple markers, text-mode conversion, before
+    images, tx metadata — is value-checked end to end."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.pgoutput import decode_pgoutput, synth_pgoutput_orders
+
+    stream = synth_pgoutput_orders(spark, sf_dir)
+    dec = decode_pgoutput(stream)
+    img_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    after = F.from_json(F.col("after"), img_schema)
+    before = F.from_json(F.col("before"), img_schema)
+    img = F.coalesce(after, before)
+    return dec.select(
+        F.col("op"),
+        F.col("xid"),
+        F.col("commit_ts_ms"),
+        img["o_orderkey"].alias("o_orderkey"),
+        img["o_custkey"].alias("o_custkey"),
+        img["o_orderstatus"].alias("o_orderstatus"),
+        img["o_totalprice"].alias("o_totalprice"),
+        F.unix_micros(F.to_timestamp(img["o_orderdate"])).alias("o_orderdate_us"),
+        img["o_orderpriority"].alias("o_orderpriority"),
+        before["o_totalprice"].alias("before_totalprice"),
+    )
+
+
+def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MySQL binlog v4 wire decode (closes the SURVEY §7.2 MySQL
+    boundary): events → binlog segments (magic, 19-byte headers with
+    running log_pos, CRC32 checksums, FDE/GTID/QUERY/TABLE_MAP/ROWS-v2/
+    XID/ROTATE, DATETIME2 packed encoding, row-image null bitmaps) →
+    map-only segment decode (sources/binlog.py; one task per segment,
+    the natural parallel unit of a binlog archive). Strict parse: CRC
+    and log_pos verified per event. The oracle recomputes every image
+    from the parquet table, value-checking the whole byte path."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.binlog import (
+        EVENTS_COL_NAMES,
+        decode_binlog_segments,
+        synth_binlog_events,
+    )
+
+    segs = synth_binlog_events(spark, sf_dir)
+    dec = decode_binlog_segments(segs, {("testdb", "events"): EVENTS_COL_NAMES})
+    img_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    after = F.from_json(F.col("after"), img_schema)
+    before = F.from_json(F.col("before"), img_schema)
+    img = F.coalesce(after, before)
+    return dec.select(
+        F.col("op"),
+        F.col("xid"),
+        F.col("gno"),
+        F.col("server_id"),
+        img["event_id"].alias("event_id"),
+        img["ts"].alias("ts_us"),
+        img["user_id"].alias("user_id"),
+        img["event_type"].alias("event_type"),
+        img["value"].alias("value"),
+        img["props"].alias("props"),
+        before["value"].alias("before_value"),
+        before["props"].alias("before_props"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_binlog_decode": q_cdc_binlog_decode,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
@@ -3332,6 +3429,36 @@ def _url_dedup_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_pgoutput_decode": """
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 'd'
+                        WHEN o_orderstatus = 'P' THEN 'u'
+                        ELSE 'c' END AS op,
+                   CAST(o_orderkey // 64 AS BIGINT) AS xid,
+                   CAST((o_orderkey // 64) * 1000 + 946684800000 AS BIGINT) AS commit_ts_ms,
+                   o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                        WHEN o_orderstatus = 'P' THEN o_totalprice - 1.0e0
+                        END AS before_totalprice
+            FROM orders
+        """,
+        "cdc_binlog_decode": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                        WHEN event_type = 'error' THEN 'd'
+                        ELSE 'u' END AS op,
+                   CAST(event_id // 1000 AS BIGINT) AS xid,
+                   CAST(event_id // 1000 + 1 AS BIGINT) AS gno,
+                   CAST(7777 AS BIGINT) AS server_id,
+                   event_id,
+                   CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+                   user_id, event_type, value, props,
+                   CASE WHEN event_type = 'error' THEN value
+                        WHEN event_type NOT IN ('signup', 'error')
+                             THEN value - 1.0e0 END AS before_value,
+                   CASE WHEN event_type = 'error' THEN props END AS before_props
+            FROM events
+        """,
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),
         "audience_overlap": _audience_overlap_oracle(),

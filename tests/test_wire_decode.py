@@ -1,0 +1,243 @@
+"""Byte-level tests for the pgoutput and MySQL binlog wire codecs
+(sources/pgoutput.py, sources/binlog.py).
+
+The oracle queries (cdc_pgoutput_decode, cdc_binlog_decode) prove
+encode∘decode == identity against DuckDB on real tables; these tests
+pin the ENCODING itself to the public wire layouts with hand-computed
+byte vectors, so the pair can't drift into a self-consistent-but-wrong
+dialect. Reference grammar: postgres_event.rs:166-334,
+postgres_object.rs:50-340; MySQL Internals binlog v4 event formats.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from deltaforge_spark.sources import binlog as bl
+from deltaforge_spark.sources import pgoutput as pg
+
+
+# ------------------------------------------------------------------ pgoutput
+class TestPgoutputBytes:
+    def test_begin_layout(self):
+        msg = pg.encode_begin(0x0102030405060708, 1_234_567, 42)
+        assert msg == b"B" + bytes.fromhex("0102030405060708") + (1_234_567).to_bytes(8, "big") + (42).to_bytes(4, "big")
+        m = pg.parse_message(msg)
+        assert m == {"kind": "begin", "final_lsn": 0x0102030405060708,
+                     "commit_ts_us": 1_234_567, "xid": 42}
+
+    def test_commit_layout(self):
+        msg = pg.encode_commit(7, 8, 9)
+        assert msg[:2] == b"C\x00"
+        m = pg.parse_message(msg)
+        assert (m["commit_lsn"], m["end_lsn"], m["commit_ts_us"]) == (7, 8, 9)
+
+    def test_insert_bytes_pinned(self):
+        # 'I', relation 5 (u32 BE), 'N', ncols=2 (u16 BE),
+        # 't' + len 2 + "42", 'n'
+        msg = pg.encode_insert(5, ["42", None])
+        assert msg == b"I\x00\x00\x00\x05N\x00\x02t\x00\x00\x00\x0242n"
+        m = pg.parse_message(msg)
+        assert m == {"kind": "insert", "relation_id": 5, "new": ["42", None]}
+
+    def test_tuple_unchanged_marker(self):
+        msg = pg.encode_update(9, ["new", pg.UNCHANGED], ["old", pg.UNCHANGED])
+        m = pg.parse_message(msg)
+        assert m["old"] == ["old", pg.UNCHANGED]
+        assert m["new"] == ["new", pg.UNCHANGED]
+        obj = pg.build_object(
+            [{"name": "a", "type_oid": pg.TEXT}, {"name": "b", "type_oid": pg.TEXT}],
+            m["new"],
+        )
+        assert obj == {"a": "new", "b": {"_unchanged": True}}
+
+    def test_delete_key_only(self):
+        msg = pg.encode_delete(3, ["7"], key_only=True)
+        assert msg[5:6] == b"K"
+        m = pg.parse_message(msg)
+        assert m["old_key_only"] is True and m["old"] == ["7"]
+
+    def test_relation_roundtrip(self):
+        cols = [("id", pg.INT8, -1, 1), ("name", pg.TEXT, -1, 0)]
+        m = pg.parse_message(pg.encode_relation(99, "public", "t", cols))
+        assert m["relation_id"] == 99
+        assert m["schema"] == "public" and m["table"] == "t"
+        assert m["replica_identity"] == "f"
+        assert [(c["name"], c["type_oid"], c["flags"]) for c in m["columns"]] == [
+            ("id", pg.INT8, 1), ("name", pg.TEXT, 0),
+        ]
+
+    @pytest.mark.parametrize(
+        "mangle",
+        [
+            lambda b: b[:3],                        # truncated header
+            lambda b: b[:-1],                       # truncated value
+            lambda b: b[:5] + b"X" + b[6:],         # bad insert marker
+        ],
+    )
+    def test_truncation_is_loud(self, mangle):
+        msg = pg.encode_insert(5, ["hello"])
+        with pytest.raises(pg.PgoutputError):
+            pg.parse_message(mangle(msg))
+
+    def test_convert_text_values(self):
+        assert pg.convert_text_value("t", pg.BOOL) is True
+        assert pg.convert_text_value("off", pg.BOOL) is False
+        assert pg.convert_text_value("-7", pg.INT4) == -7
+        assert pg.convert_text_value("2.5", pg.FLOAT8) == 2.5
+        assert pg.convert_text_value("12.3400", pg.NUMERIC) == "12.3400"
+        assert pg.convert_text_value('{"k":1}', pg.JSONB) == {"k": 1}
+        assert pg.convert_text_value("\\x0001ff", pg.BYTEA) == {"_base64": "AAH/"}
+        assert pg.convert_text_value("plain", pg.TEXT) == "plain"
+
+    def test_unknown_message_skips(self):
+        assert pg.parse_message(b"Zxyz")["kind"] == "other"
+
+
+# ------------------------------------------------------------------ binlog
+class TestBinlogPrimitives:
+    @pytest.mark.parametrize("n,enc", [
+        (0, b"\x00"), (250, b"\xfa"),
+        (251, b"\xfc\xfb\x00"), (65535, b"\xfc\xff\xff"),
+        (1 << 16, b"\xfd\x00\x00\x01"), (1 << 24, b"\xfe" + (1 << 24).to_bytes(8, "little")),
+    ])
+    def test_lenenc_vectors(self, n, enc):
+        assert bl.encode_lenenc(n) == enc
+        v, off = bl.read_lenenc(enc, 0)
+        assert v == n and off == len(enc)
+
+    def test_datetime2_pinned_vector(self):
+        # 2023-06-15 12:34:56.789012 UTC
+        import pandas as pd
+
+        us = pd.Timestamp("2023-06-15 12:34:56.789012").value // 1000
+        b = bl.encode_datetime2(us, fsp=6)
+        assert len(b) == 8
+        packed = int.from_bytes(b[:5], "big") - 0x8000000000
+        assert packed & 0x3F == 56                        # second
+        assert (packed >> 6) & 0x3F == 34                 # minute
+        assert (packed >> 12) & 0x1F == 12                # hour
+        assert (packed >> 17) & 0x1F == 15                # day
+        assert (packed >> 22) == 2023 * 13 + 6            # year*13+month
+        assert int.from_bytes(b[5:], "big") == 789012     # µs fraction
+        out, off = bl.decode_datetime2(b, 0, fsp=6)
+        assert out == us and off == 8
+
+    @pytest.mark.parametrize("fsp,frac_len", [(0, 0), (2, 1), (4, 2), (6, 3)])
+    def test_datetime2_fsp_widths(self, fsp, frac_len):
+        import pandas as pd
+
+        us = pd.Timestamp("1999-12-31 23:59:59").value // 1000
+        assert len(bl.encode_datetime2(us, fsp=fsp)) == 5 + frac_len
+
+    @pytest.mark.parametrize("t,meta,v", [
+        (bl.MYSQL_TYPE_TINY, 0, -5),
+        (bl.MYSQL_TYPE_SHORT, 0, -30000),
+        (bl.MYSQL_TYPE_INT24, 0, -(1 << 22)),
+        (bl.MYSQL_TYPE_LONG, 0, -(1 << 30)),
+        (bl.MYSQL_TYPE_LONGLONG, 0, -(1 << 62)),
+        (bl.MYSQL_TYPE_FLOAT, 4, 1.5),
+        (bl.MYSQL_TYPE_DOUBLE, 8, -2.75),
+        (bl.MYSQL_TYPE_VARCHAR, 64, "héllo"),
+        (bl.MYSQL_TYPE_VARCHAR, 1024, "x" * 300),
+        (bl.MYSQL_TYPE_BLOB, 2, "payload"),
+    ])
+    def test_value_roundtrip(self, t, meta, v):
+        enc = bl.encode_value(t, meta, v)
+        out, off = bl.decode_value(t, meta, enc, 0)
+        assert out == v and off == len(enc)
+
+    def test_varchar_length_width_follows_meta(self):
+        assert bl.encode_value(bl.MYSQL_TYPE_VARCHAR, 64, "ab")[:1] == b"\x02"
+        assert bl.encode_value(bl.MYSQL_TYPE_VARCHAR, 300, "ab")[:2] == b"\x02\x00"
+
+
+def _segment(rows=((1, "a"), (2, None))):
+    """Two-column (LONG, VARCHAR nullable) single-insert segment."""
+    w = bl.SegmentWriter(server_id=11)
+    w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+    w.append(bl.GTID_LOG_EVENT, bl.gtid_payload(bytes(16), 5))
+    w.append(bl.QUERY_EVENT, bl.query_payload("db1", "BEGIN"))
+    types = [bl.MYSQL_TYPE_LONG, bl.MYSQL_TYPE_VARCHAR]
+    metas = [0, 32]
+    w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(42, "db1", "t1", types, metas, [False, True]))
+    w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(42, 2, [list(r) for r in rows], types, metas))
+    w.append(bl.XID_EVENT, bl.xid_payload(900))
+    return w.bytes()
+
+
+class TestBinlogSegments:
+    def test_header_fields_and_log_pos(self):
+        data = _segment()
+        events = bl.parse_segment(data)
+        kinds = [e["kind"] for e in events]
+        assert kinds == ["fde", "gtid", "query", "table_map", "rows", "xid"]
+        assert all(e["server_id"] == 11 for e in events)
+        # log_pos chain: each event's log_pos is the next event's offset
+        assert events[-1]["log_pos"] == len(data)
+
+    def test_rows_with_null_bitmap_and_names(self):
+        events = bl.parse_segment(_segment(), {("db1", "t1"): ["id", "name"]})
+        rows = next(e for e in events if e["kind"] == "rows")
+        assert rows["op"] == "c"
+        assert rows["xid"] == 900                      # stamped by XID
+        assert rows["gtid"] == (bytes(16).hex(), 5)
+        assert rows["rows"][0]["after"] == {"id": 1, "name": "a"}
+        assert rows["rows"][1]["after"] == {"id": 2, "name": None}
+
+    def test_update_images(self):
+        w = bl.SegmentWriter(server_id=1)
+        w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        types, metas = [bl.MYSQL_TYPE_LONG], [0]
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(7, "d", "t", types, metas, [False]))
+        w.append(
+            bl.UPDATE_ROWS_EVENT,
+            bl.rows_payload(7, 1, [[10], [11], [20], [21]], types, metas, update=True),
+        )
+        rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
+        assert rows["op"] == "u"
+        assert [(r["before"], r["after"]) for r in rows["rows"]] == [([10], [11]), ([20], [21])]
+
+    def test_bad_magic_is_loud(self):
+        with pytest.raises(bl.BinlogError, match="magic"):
+            bl.parse_segment(b"nope" + _segment()[4:])
+
+    def test_crc_corruption_is_loud(self):
+        data = bytearray(_segment())
+        data[40] ^= 0xFF
+        with pytest.raises(bl.BinlogError, match="crc|drift|truncat"):
+            bl.parse_segment(bytes(data))
+
+    def test_log_pos_drift_is_loud(self):
+        # re-frame an event with a wrong log_pos but a valid CRC
+        data = _segment()
+        off = len(bl.MAGIC)
+        ts, tc, sid, size, pos, flags = struct.unpack_from("<IBIIIH", data, off)
+        payload = data[off + bl.HEADER_LEN : off + size - bl.CRC_LEN]
+        bad_header = struct.pack("<IBIIIH", ts, tc, sid, size, pos + 4, flags)
+        body = bad_header + payload
+        ev = body + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "little")
+        with pytest.raises(bl.BinlogError, match="log_pos drift"):
+            bl.parse_segment(data[:off] + ev + data[off + size :])
+
+    def test_rows_before_table_map_is_loud(self):
+        w = bl.SegmentWriter(server_id=1)
+        w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(99, 1, [[1]], [bl.MYSQL_TYPE_LONG], [0]))
+        with pytest.raises(bl.BinlogError, match="unmapped"):
+            bl.parse_segment(w.bytes())
+
+    def test_schema_width_mismatch_is_loud(self):
+        with pytest.raises(bl.BinlogError, match="columns"):
+            bl.parse_segment(_segment(), {("db1", "t1"): ["only_one"]})
+
+    def test_query_and_rotate_decode(self):
+        w = bl.SegmentWriter(server_id=3)
+        w.append(bl.QUERY_EVENT, bl.query_payload("mydb", "ALTER TABLE t ADD c INT"))
+        w.append(bl.ROTATE_EVENT, bl.rotate_payload(4, "binlog.000042"))
+        q, r = bl.parse_segment(w.bytes())
+        assert (q["schema"], q["sql"]) == ("mydb", "ALTER TABLE t ADD c INT")
+        assert (r["position"], r["next_file"]) == (4, "binlog.000042")

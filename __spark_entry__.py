@@ -1467,6 +1467,186 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit (adapted: this schema has no
+    partsupp, so supply cost is 0.9 × p_retailprice, and the output is
+    profit ×10 so the 0.9 factor stays integer-exact in DECIMAL —
+    profit_x10 = 10·revenue − 9·retail_cost). Shape is the point:
+    lineitem ⋈ broadcast(part LIKE-filtered) ⋈ orders (the one
+    fact-fact shuffle) ⋈ broadcast(supplier) ⋈ broadcast(nation),
+    grouped by supplier nation × order year."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    vol = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(38,8)")
+    amount = (vol * F.lit(10) - cost * F.lit(9)).cast("decimal(38,8)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(38,8)").cast("string").alias("profit_x10"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution (adapted: the
+    excluded-order predicate is o_orderpriority <> '1-URGENT' — this
+    schema has no o_comment). Orders pre-aggregate to (custkey, count)
+    BEFORE the join, so the customer⋈orders left join moves count rows,
+    not order rows — the standard partial-agg-first shape; customers
+    with zero qualifying orders enter the c_count=0 bucket via the left
+    join's null."""
+    _prep(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    ocnt = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    percust = cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count")
+    )
+    return percust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: per-supplier revenue over 1996-Q1
+    shipments, keep supplier(s) achieving the maximum. Revenue stays
+    DECIMAL end-to-end so the max-equality join is exact on both
+    engines; the 1-row max aggregate broadcasts back (no window over a
+    single global partition)."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey")).agg(
+        F.sum(
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("decimal(38,8)")
+        .alias("_rev")
+    )
+    top = rev.agg(F.max("_rev").alias("_max"))
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev._rev == top._max)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("_rev").cast("string").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity. The per-part average is DECIMAL-sum ÷ count cast through
+    double with the SAME expression shape on both engines
+    (0.2 · (sum/cnt)), so the threshold compare is bit-identical; the
+    per-part stats join back part-keyed (broadcast at this SF, hash at
+    scale — AQE decides)."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = read_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = li_b.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    joined = li_b.join(stats, F.col("p_partkey") == F.col("_pk"))
+    small = joined.filter(
+        F.col("l_quantity") < F.lit(0.2) * (F.col("_sq").cast("double") / F.col("_cnt"))
+    )
+    return small.agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("string").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds 200 (threshold sized to this data), with
+    customer attribution, top 100 by o_totalprice (o_orderkey
+    tiebreak so the limit is deterministic). The quantity rollup is a
+    partial-agg on orderkey BEFORE any join — order rows, never
+    lineitem rows, reach the join."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("_qty"))
+        .filter(F.col("_qty") > F.lit(200))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name"),
+            F.col("c_custkey"),
+            F.col("o_orderkey"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_date_ms"),
+            F.col("o_totalprice"),
+            F.col("_qty").cast("string").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three
+    brand/size/quantity branches OR-ed across the part⋈lineitem join
+    (adapted to this schema's columns — no containers). The join stays
+    a single broadcast equi-join on partkey with the disjunction as a
+    codegen'd post-filter; the part side pre-filters to the union of
+    brands so the broadcast stays small."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    branch = (
+        ((b == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(branch).agg(
+        F.sum(
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("decimal(38,8)")
+        .cast("string")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 5-way join through region/nation (broadcast dims)."""
     _prep(spark)
@@ -2714,6 +2894,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_drift_profile": q_cdc_drift_profile,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q8_market_share": q8_market_share,
     "q14_promo_revenue": q14_promo_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
@@ -3458,6 +3644,89 @@ def oracle_sql() -> dict[str, str]:
                              THEN value - 1.0e0 END AS before_value,
                    CASE WHEN event_type = 'error' THEN props END AS before_props
             FROM events
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(CAST(sum(
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8)) * 10
+                       - CAST(CAST(p_retailprice AS DECIMAL(18,4)) *
+                              CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8)) * 9
+                   ) AS DECIMAL(38,8)) AS VARCHAR) AS profit_x10
+            FROM lineitem, part, orders, supplier, nation
+            WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+              AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q13_customer_distribution": """
+            WITH percust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM percust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS VARCHAR) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH li_b AS (
+                SELECT l.* , p.p_partkey
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#3'
+            ),
+            stats AS (
+                SELECT p_partkey AS _pk,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS _sq,
+                       CAST(count(*) AS BIGINT) AS _cnt
+                FROM li_b GROUP BY p_partkey
+            )
+            SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR)
+                       AS total_revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM li_b JOIN stats ON p_partkey = _pk
+            WHERE l_quantity < 0.2e0 * (CAST(_sq AS DOUBLE) / _cnt)
+        """,
+        "q18_large_volume_customers": """
+            WITH qty AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS _qty
+                FROM lineitem GROUP BY l_orderkey HAVING _qty > 200
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   epoch_ms(o_orderdate) AS o_date_ms,
+                   o_totalprice,
+                   CAST(_qty AS VARCHAR) AS sum_qty
+            FROM qty JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         """,
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

@@ -358,3 +358,76 @@ def test_q22_anti_join_and_exact_threshold(spark, sf_dir):
     p = plan_str(entry.queries()["q22_sales_opportunity"](spark, sf_dir))
     assert "LeftAnti" in p
     assert "avg(" not in p.lower().replace("havg", "")
+
+
+def test_q9_broadcast_dims_and_like_pushdown(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; the p_name LIKE filter
+    reaches the part scan; single fact-fact shuffle on orderkey."""
+    p = plan_str(entry.queries()["q9_product_profit"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p
+    assert "StringContains(p_name,widget)" in p, p
+
+
+def test_q13_preaggregates_orders_before_join(spark, sf_dir):
+    """Q13: the orders side must partial-aggregate to (custkey, count)
+    BEFORE the customer join — count rows cross the wire, not order
+    rows — and the priority filter is pushed to the scan."""
+    p = plan_str(entry.queries()["q13_customer_distribution"](spark, sf_dir))
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p, p
+    # the aggregate on o_custkey appears below the join: HashAggregate
+    # precedes the (only) SortMergeJoin/ShuffledHashJoin in the tree
+    join_line = next(
+        i for i, ln in enumerate(p.splitlines())
+        if "MergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    )
+    agg_lines = [
+        i for i, ln in enumerate(p.splitlines()) if "HashAggregate" in ln
+    ]
+    assert any(i > join_line for i in agg_lines), p
+
+
+def test_q15_max_revenue_broadcasts_back(spark, sf_dir):
+    """Q15: the 1-row max aggregate joins back via broadcast (never a
+    global window); the shipdate range is pushed to the scan."""
+    p = plan_str(entry.queries()["q15_top_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "Window" not in p
+
+
+def test_q17_stats_join_no_cartesian(spark, sf_dir):
+    """Q17: per-part stats join back on partkey; brand filter pushed to
+    the part scan; no cartesian anywhere."""
+    p = plan_str(entry.queries()["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "EqualTo(p_brand,Brand#3)" in p, p
+
+
+def test_q18_quantity_rollup_before_join(spark, sf_dir):
+    """Q18: lineitem rolls up to (orderkey, qty) with the >200 HAVING
+    before joining orders — order-grain rows reach the join, and the
+    customer dim broadcasts."""
+    p = plan_str(entry.queries()["q18_large_volume_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    lines = p.splitlines()
+    # the qty rollup (HashAggregate keyed on l_orderkey) sits BELOW the
+    # first join in the tree rendering (deeper = later line, more indent)
+    join_line = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert any("HashAggregate" in ln for ln in lines[join_line:]), p
+    # top-100 is a TakeOrderedAndProject (global top-k, never a full sort)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q19_single_join_disjunction_postfilter(spark, sf_dir):
+    """Q19: one broadcast equi-join on partkey with the OR-of-ANDs as a
+    codegen'd post-filter; the brand IN-list is pushed to the part
+    scan."""
+    p = plan_str(entry.queries()["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "In(p_brand" in p, p
+    # Catalyst derives a quantity range pushdown from the disjunction —
+    # the lineitem scan must not read unfiltered rows
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p

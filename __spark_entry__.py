@@ -2816,7 +2816,9 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
+            # props rides the binlog as REAL MySQL JSONB binary
+            # (functions/jsonb.py); the decoded object surfaces typed
+            T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
         ]
     )
     after = F.from_json(F.col("after"), img_schema)
@@ -2832,9 +2834,9 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["user_id"].alias("user_id"),
         img["event_type"].alias("event_type"),
         img["value"].alias("value"),
-        img["props"].alias("props"),
+        img["props"]["k"].alias("props_k"),
         before["value"].alias("before_value"),
-        before["props"].alias("before_props"),
+        before["props"]["k"].alias("before_props_k"),
     )
 
 
@@ -3638,11 +3640,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7777 AS BIGINT) AS server_id,
                    event_id,
                    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
-                   user_id, event_type, value, props,
+                   user_id, event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
                    CASE WHEN event_type = 'error' THEN value
                         WHEN event_type NOT IN ('signup', 'error')
                              THEN value - 1.0e0 END AS before_value,
-                   CASE WHEN event_type = 'error' THEN props END AS before_props
+                   CASE WHEN event_type = 'error'
+                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        END AS before_props_k
             FROM events
         """,
         "q9_product_profit": """

@@ -81,6 +81,7 @@ MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
 MYSQL_TYPE_VAR_STRING = 253
@@ -227,6 +228,13 @@ def encode_value(col_type: int, meta: int, v: Any) -> bytes:
     if col_type == MYSQL_TYPE_BLOB:
         b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
         return len(b).to_bytes(meta, "little") + b
+    if col_type == MYSQL_TYPE_JSON:
+        # JSON columns ride the wire as length-prefixed JSONB binary
+        # (reference handle_json mysql_object.rs:54-67 decodes them)
+        from ..functions.jsonb import jsonb_encode
+
+        b = jsonb_encode(v)
+        return len(b).to_bytes(meta, "little") + b
     raise BinlogError(f"unsupported column type {col_type} in encoder")
 
 
@@ -263,6 +271,14 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         if off + n > len(buf):
             raise BinlogError("blob value overruns event")
         return buf[off : off + n].decode("utf-8", "replace"), off + n
+    if col_type == MYSQL_TYPE_JSON:
+        from ..functions.jsonb import jsonb_decode
+
+        n = int.from_bytes(buf[off : off + meta], "little")
+        off += meta
+        if off + n > len(buf):
+            raise BinlogError("json value overruns event")
+        return jsonb_decode(buf[off : off + n]), off + n
     raise BinlogError(f"unsupported column type {col_type} in decoder")
 
 
@@ -270,7 +286,10 @@ def _meta_bytes(col_type: int, meta: int) -> bytes:
     """TABLE_MAP per-column metadata encoding (public layout)."""
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         return meta.to_bytes(2, "little")
-    if col_type in (MYSQL_TYPE_BLOB, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT, MYSQL_TYPE_DATETIME2):
+    if col_type in (
+        MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
+        MYSQL_TYPE_DATETIME2,
+    ):
         return bytes([meta])
     return b""
 
@@ -278,7 +297,10 @@ def _meta_bytes(col_type: int, meta: int) -> bytes:
 def _read_meta(col_type: int, buf: bytes, off: int) -> tuple[int, int]:
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         return int.from_bytes(buf[off : off + 2], "little"), off + 2
-    if col_type in (MYSQL_TYPE_BLOB, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT, MYSQL_TYPE_DATETIME2):
+    if col_type in (
+        MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
+        MYSQL_TYPE_DATETIME2,
+    ):
         return buf[off], off + 1
     return 0, off
 
@@ -646,9 +668,9 @@ EVENTS_COL_TYPES = [
     MYSQL_TYPE_LONGLONG,
     MYSQL_TYPE_VARCHAR,
     MYSQL_TYPE_DOUBLE,
-    MYSQL_TYPE_BLOB,
+    MYSQL_TYPE_JSON,  # props rides the wire as real JSONB binary
 ]
-EVENTS_COL_METAS = [0, 6, 0, 64, 8, 2]
+EVENTS_COL_METAS = [0, 6, 0, 64, 8, 4]
 EVENTS_TABLE_ID = 777
 SYNTH_SERVER_ID = 7777
 SYNTH_SID = bytes(range(16))
@@ -720,11 +742,16 @@ def synth_binlog_events(
             images: list[list[Any]] = []
             for idx in idxs:
                 r = pdf.iloc[idx]
+                props = r["props"]
+                if props is None or (isinstance(props, float) and pd.isna(props)):
+                    props_obj = None
+                else:
+                    props_obj = json.loads(str(props))
                 row = [
                     int(r["event_id"]), int(r["_ts_us"]), int(r["user_id"]),
-                    str(r.event_type),
-                    None if pd.isna(r.value) else float(r.value),
-                    None if r.props is None or (isinstance(r.props, float) and pd.isna(r.props)) else str(r.props),
+                    str(r["event_type"]),
+                    None if pd.isna(r["value"]) else float(r["value"]),
+                    props_obj,
                 ]
                 if op == "c":
                     images.append(row)

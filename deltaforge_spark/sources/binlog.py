@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.jsonb import jsonb_decode, jsonb_encode
+
 MAGIC = b"\xfebin"
 HEADER_LEN = 19
 CRC_LEN = 4
@@ -191,11 +193,15 @@ def decode_datetime2(buf: bytes, off: int, fsp: int = 6) -> tuple[int, int]:
     elif fsp in (5, 6):
         micro = int.from_bytes(buf[off : off + 3], "big")
         off += 3
-    ts = pd.Timestamp(
-        year=year, month=month, day=day, hour=hour, minute=minute,
-        second=second, microsecond=micro,
-    )
-    return ts.value // 1000, off
+    # pure-integer civil-date → epoch days (no datetime object per value
+    # — this runs once per row in the decode hot loop)
+    y = year - (1 if month <= 2 else 0)
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (month + (-3 if month > 2 else 9)) + 2) // 5 + day - 1
+    days = era * 146097 + yoe * 365 + yoe // 4 - yoe // 100 + doy - 719468
+    epoch_us = (days * 86400 + hour * 3600 + minute * 60 + second) * 1_000_000 + micro
+    return epoch_us, off
 
 
 # --- per-type value codec -------------------------------------------
@@ -231,28 +237,28 @@ def encode_value(col_type: int, meta: int, v: Any) -> bytes:
     if col_type == MYSQL_TYPE_JSON:
         # JSON columns ride the wire as length-prefixed JSONB binary
         # (reference handle_json mysql_object.rs:54-67 decodes them)
-        from ..functions.jsonb import jsonb_encode
-
         b = jsonb_encode(v)
         return len(b).to_bytes(meta, "little") + b
     raise BinlogError(f"unsupported column type {col_type} in encoder")
 
 
+# precompiled layouts: struct.Struct.unpack_from skips the per-call
+# format parse/lookup — this is the hottest loop in segment decode
+_S_I8 = struct.Struct("<b")
+_S_I16 = struct.Struct("<h")
+_S_I32 = struct.Struct("<i")
+_S_I64 = struct.Struct("<q")
+_S_F32 = struct.Struct("<f")
+_S_F64 = struct.Struct("<d")
+
+
 def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, int]:
-    if col_type == MYSQL_TYPE_TINY:
-        return struct.unpack_from("<b", buf, off)[0], off + 1
-    if col_type == MYSQL_TYPE_SHORT:
-        return struct.unpack_from("<h", buf, off)[0], off + 2
-    if col_type == MYSQL_TYPE_INT24:
-        return int.from_bytes(buf[off : off + 3], "little", signed=True), off + 3
-    if col_type == MYSQL_TYPE_LONG:
-        return struct.unpack_from("<i", buf, off)[0], off + 4
+    # dispatch ordered by hot-loop frequency for CDC rows: ints/doubles,
+    # then temporal, then varlen
     if col_type == MYSQL_TYPE_LONGLONG:
-        return struct.unpack_from("<q", buf, off)[0], off + 8
-    if col_type == MYSQL_TYPE_FLOAT:
-        return struct.unpack_from("<f", buf, off)[0], off + 4
+        return _S_I64.unpack_from(buf, off)[0], off + 8
     if col_type == MYSQL_TYPE_DOUBLE:
-        return struct.unpack_from("<d", buf, off)[0], off + 8
+        return _S_F64.unpack_from(buf, off)[0], off + 8
     if col_type == MYSQL_TYPE_DATETIME2:
         return decode_datetime2(buf, off, fsp=meta)
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
@@ -265,20 +271,28 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         if off + n > len(buf):
             raise BinlogError("varchar value overruns event")
         return buf[off : off + n].decode("utf-8"), off + n
+    if col_type == MYSQL_TYPE_JSON:
+        n = int.from_bytes(buf[off : off + meta], "little")
+        off += meta
+        if off + n > len(buf):
+            raise BinlogError("json value overruns event")
+        return jsonb_decode(buf[off : off + n]), off + n
+    if col_type == MYSQL_TYPE_LONG:
+        return _S_I32.unpack_from(buf, off)[0], off + 4
+    if col_type == MYSQL_TYPE_TINY:
+        return _S_I8.unpack_from(buf, off)[0], off + 1
+    if col_type == MYSQL_TYPE_SHORT:
+        return _S_I16.unpack_from(buf, off)[0], off + 2
+    if col_type == MYSQL_TYPE_INT24:
+        return int.from_bytes(buf[off : off + 3], "little", signed=True), off + 3
+    if col_type == MYSQL_TYPE_FLOAT:
+        return _S_F32.unpack_from(buf, off)[0], off + 4
     if col_type == MYSQL_TYPE_BLOB:
         n = int.from_bytes(buf[off : off + meta], "little")
         off += meta
         if off + n > len(buf):
             raise BinlogError("blob value overruns event")
         return buf[off : off + n].decode("utf-8", "replace"), off + n
-    if col_type == MYSQL_TYPE_JSON:
-        from ..functions.jsonb import jsonb_decode
-
-        n = int.from_bytes(buf[off : off + meta], "little")
-        off += meta
-        if off + n > len(buf):
-            raise BinlogError("json value overruns event")
-        return jsonb_decode(buf[off : off + n]), off + n
     raise BinlogError(f"unsupported column type {col_type} in decoder")
 
 
@@ -585,15 +599,18 @@ def _read_image(
     nulls = payload[p : p + null_len]
     p += null_len
     image: list[Any] = []
+    append = image.append
+    col_types = tm["col_types"]
+    col_metas = tm["col_metas"]
+    dv = decode_value
     for i in range(n_cols):
-        if not _bitmap_get(present, i):
-            image.append(None)
+        # inlined bitmap reads (function-call per column is measurable
+        # at millions of values per task)
+        if not (present[i >> 3] >> (i & 7)) & 1 or (nulls[i >> 3] >> (i & 7)) & 1:
+            append(None)
             continue
-        if _bitmap_get(nulls, i):
-            image.append(None)
-            continue
-        v, p = decode_value(tm["col_types"][i], tm["col_metas"][i], payload, p)
-        image.append(v)
+        v, p = dv(col_types[i], col_metas[i], payload, p)
+        append(v)
     return image, p
 
 
@@ -637,15 +654,17 @@ def decode_binlog_segments(
                     if ev["kind"] != "rows":
                         continue
                     sid, gno = ev["gtid"] if ev["gtid"] else (None, None)
+                    # no sort_keys: image key order is already
+                    # deterministic (zip with the schema's column list)
+                    dumps = json.dumps
                     for r in ev["rows"]:
+                        b, a = r["before"], r["after"]
                         out.append(
                             (
                                 ev["server_id"], ev["db"], ev["table"], ev["op"],
                                 ev.get("xid"), sid, gno, ev["log_pos"],
-                                None if r["before"] is None
-                                else json.dumps(r["before"], sort_keys=True),
-                                None if r["after"] is None
-                                else json.dumps(r["after"], sort_keys=True),
+                                None if b is None else dumps(b),
+                                None if a is None else dumps(a),
                             )
                         )
             yield pd.DataFrame(

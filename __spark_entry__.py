@@ -2819,6 +2819,8 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             # props rides the binlog as REAL MySQL JSONB binary
             # (functions/jsonb.py); the decoded object surfaces typed
             T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
+            # amount rides as packed NEWDECIMAL(18,2) → string
+            T.StructField("amount", T.StringType()),
         ]
     )
     after = F.from_json(F.col("after"), img_schema)
@@ -2835,6 +2837,7 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["event_type"].alias("event_type"),
         img["value"].alias("value"),
         img["props"]["k"].alias("props_k"),
+        img["amount"].alias("amount"),
         before["value"].alias("before_value"),
         before["props"]["k"].alias("before_props_k"),
     )
@@ -3642,6 +3645,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
                    user_id, event_type, value,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+                   CASE WHEN event_id % 2 = 1 THEN '-' ELSE '' END ||
+                       CAST(event_id AS VARCHAR) || '.' ||
+                       lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS amount,
                    CASE WHEN event_type = 'error' THEN value
                         WHEN event_type NOT IN ('signup', 'error')
                              THEN value - 1.0e0 END AS before_value,

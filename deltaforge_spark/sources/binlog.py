@@ -204,6 +204,98 @@ def decode_datetime2(buf: bytes, off: int, fsp: int = 6) -> tuple[int, int]:
     return epoch_us, off
 
 
+# --- NEWDECIMAL (packed base-10^9 big-endian groups) -----------------
+#
+# The public myisampack decimal layout: digits split into groups of 9,
+# each group stored big-endian in the minimal byte width; the leading
+# (partial) integer group and trailing (partial) fraction group use the
+# width for their digit count. Negative values store all bytes
+# complemented; the first byte's MSB is then flipped, so a stored MSB of
+# 1 means positive. Metadata carries (precision, scale).
+# Documented example: DECIMAL(14,4) 1234567890.1234
+#   → 81 0D FB 38 D2 04 D2 (pinned in tests).
+
+_DEC_GROUP_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]  # bytes for 0..9 digits
+
+
+def newdecimal_bin_size(precision: int, scale: int) -> int:
+    ipd = precision - scale
+    size = 0
+    for part in (ipd, scale):
+        size += (part // 9) * 4 + _DEC_GROUP_BYTES[part % 9]
+    return size
+
+
+def encode_newdecimal(s: str, precision: int, scale: int) -> bytes:
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    ip, _, fp = s.partition(".")
+    if len(fp) > scale:
+        raise BinlogError(f"fraction wider than scale in {s!r}")
+    fp = fp.ljust(scale, "0")
+    ipd = precision - scale
+    ip = ip.lstrip("0")
+    if len(ip) > ipd:
+        raise BinlogError(f"integer part of {s!r} exceeds precision")
+    ip = ip.rjust(ipd, "0")
+    buf = bytearray()
+    lead = ipd % 9
+    if lead:
+        buf += int(ip[:lead] or "0").to_bytes(_DEC_GROUP_BYTES[lead], "big")
+    for i in range(lead, ipd, 9):
+        buf += int(ip[i : i + 9]).to_bytes(4, "big")
+    full_frac = (scale // 9) * 9
+    for i in range(0, full_frac, 9):
+        buf += int(fp[i : i + 9]).to_bytes(4, "big")
+    tail = scale - full_frac
+    if tail:
+        buf += int(fp[full_frac:]).to_bytes(_DEC_GROUP_BYTES[tail], "big")
+    if neg:
+        for i in range(len(buf)):
+            buf[i] ^= 0xFF
+    buf[0] ^= 0x80
+    return bytes(buf)
+
+
+def decode_newdecimal(buf: bytes, off: int, precision: int, scale: int) -> tuple[str, int]:
+    size = newdecimal_bin_size(precision, scale)
+    if off + size > len(buf):
+        raise BinlogError("newdecimal truncated")
+    raw = bytearray(buf[off : off + size])
+    positive = bool(raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if not positive:
+        for i in range(len(raw)):
+            raw[i] ^= 0xFF
+    ipd = precision - scale
+    p = 0
+    digits = []
+    lead = ipd % 9
+    if lead:
+        nb = _DEC_GROUP_BYTES[lead]
+        digits.append(str(int.from_bytes(raw[p : p + nb], "big")).rjust(lead, "0"))
+        p += nb
+    for _ in range(ipd // 9):
+        digits.append(str(int.from_bytes(raw[p : p + 4], "big")).rjust(9, "0"))
+        p += 4
+    int_part = "".join(digits).lstrip("0") or "0"
+    fdigits = []
+    for _ in range(scale // 9):
+        fdigits.append(str(int.from_bytes(raw[p : p + 4], "big")).rjust(9, "0"))
+        p += 4
+    tail = scale % 9
+    if tail:
+        nb = _DEC_GROUP_BYTES[tail]
+        fdigits.append(str(int.from_bytes(raw[p : p + nb], "big")).rjust(tail, "0"))
+        p += nb
+    frac = "".join(fdigits)
+    out = int_part + ("." + frac if frac else "")
+    if not positive and (int_part != "0" or any(c != "0" for c in frac)):
+        out = "-" + out
+    return out, off + size
+
+
 # --- per-type value codec -------------------------------------------
 
 
@@ -239,6 +331,8 @@ def encode_value(col_type: int, meta: int, v: Any) -> bytes:
         # (reference handle_json mysql_object.rs:54-67 decodes them)
         b = jsonb_encode(v)
         return len(b).to_bytes(meta, "little") + b
+    if col_type == MYSQL_TYPE_NEWDECIMAL:
+        return encode_newdecimal(str(v), meta >> 8, meta & 0xFF)
     raise BinlogError(f"unsupported column type {col_type} in encoder")
 
 
@@ -293,6 +387,11 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         if off + n > len(buf):
             raise BinlogError("blob value overruns event")
         return buf[off : off + n].decode("utf-8", "replace"), off + n
+    if col_type == MYSQL_TYPE_NEWDECIMAL:
+        # decimals decode to STRINGS — precision survives JSON (the
+        # reference's ColumnValue::Decimal(s) + decimal-as-string rule,
+        # functions/typerules.py)
+        return decode_newdecimal(buf, off, meta >> 8, meta & 0xFF)
     raise BinlogError(f"unsupported column type {col_type} in decoder")
 
 
@@ -305,6 +404,8 @@ def _meta_bytes(col_type: int, meta: int) -> bytes:
         MYSQL_TYPE_DATETIME2,
     ):
         return bytes([meta])
+    if col_type == MYSQL_TYPE_NEWDECIMAL:
+        return bytes([meta >> 8, meta & 0xFF])  # (precision, scale)
     return b""
 
 
@@ -316,6 +417,8 @@ def _read_meta(col_type: int, buf: bytes, off: int) -> tuple[int, int]:
         MYSQL_TYPE_DATETIME2,
     ):
         return buf[off], off + 1
+    if col_type == MYSQL_TYPE_NEWDECIMAL:
+        return (buf[off] << 8) | buf[off + 1], off + 2
     return 0, off
 
 
@@ -680,16 +783,17 @@ def decode_binlog_segments(
 # deterministic segment synthesis (fixture generator)
 # ------------------------------------------------------------------
 
-EVENTS_COL_NAMES = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+EVENTS_COL_NAMES = ["event_id", "ts", "user_id", "event_type", "value", "props", "amount"]
 EVENTS_COL_TYPES = [
     MYSQL_TYPE_LONGLONG,
     MYSQL_TYPE_DATETIME2,
     MYSQL_TYPE_LONGLONG,
     MYSQL_TYPE_VARCHAR,
     MYSQL_TYPE_DOUBLE,
-    MYSQL_TYPE_JSON,  # props rides the wire as real JSONB binary
+    MYSQL_TYPE_JSON,        # props rides the wire as real JSONB binary
+    MYSQL_TYPE_NEWDECIMAL,  # amount: packed decimal(18,2), sign-covering
 ]
-EVENTS_COL_METAS = [0, 6, 0, 64, 8, 4]
+EVENTS_COL_METAS = [0, 6, 0, 64, 8, 4, (18 << 8) | 2]
 EVENTS_TABLE_ID = 777
 SYNTH_SERVER_ID = 7777
 SYNTH_SID = bytes(range(16))
@@ -755,7 +859,7 @@ def synth_binlog_events(
                 table_map_payload(
                     EVENTS_TABLE_ID, "testdb", "events",
                     EVENTS_COL_TYPES, EVENTS_COL_METAS,
-                    [False, False, False, False, True, True],
+                    [False, False, False, False, True, True, False],
                 ),
             )
             images: list[list[Any]] = []
@@ -766,11 +870,16 @@ def synth_binlog_events(
                     props_obj = None
                 else:
                     props_obj = json.loads(str(props))
+                eid, uid = int(r["event_id"]), int(r["user_id"])
+                # integer-derived decimal: exact on both engines, odd
+                # ids negative so the complement encoding is exercised
+                amount = f"{'-' if eid % 2 else ''}{eid}.{uid % 100:02d}"
                 row = [
-                    int(r["event_id"]), int(r["_ts_us"]), int(r["user_id"]),
+                    eid, int(r["_ts_us"]), uid,
                     str(r["event_type"]),
                     None if pd.isna(r["value"]) else float(r["value"]),
                     props_obj,
+                    amount,
                 ]
                 if op == "c":
                     images.append(row)

@@ -176,6 +176,20 @@ def encode_commit(commit_lsn: int, end_lsn: int, commit_ts_us: int) -> bytes:
     )
 
 
+def encode_truncate(
+    relation_ids: list[int], *, cascade: bool = False, restart_identity: bool = False
+) -> bytes:
+    """'T': u32 relation count, u8 options (bit0 CASCADE, bit1 RESTART
+    IDENTITY), then u32 relation ids."""
+    options = (1 if cascade else 0) | (2 if restart_identity else 0)
+    out = bytearray(b"T")
+    out += len(relation_ids).to_bytes(4, "big")
+    out.append(options)
+    for rid in relation_ids:
+        out += rid.to_bytes(4, "big")
+    return bytes(out)
+
+
 def parse_tuple(buf: bytes, off: int = 0) -> tuple[list[Any], int]:
     """Parse TupleData at ``off``; returns (values, next offset).
     Values are ``None`` | ``UNCHANGED`` | ``str`` (text mode — pgoutput
@@ -302,6 +316,24 @@ def parse_message(data: bytes) -> dict[str, Any]:
             "relation_id": relation_id,
             "old": old,
             "old_key_only": marker == b"K",
+        }
+    if tag == b"T":
+        if len(body) < 5:
+            raise PgoutputError("truncate message truncated")
+        n = int.from_bytes(body[0:4], "big")
+        options = body[4]
+        ids = []
+        off = 5
+        for _ in range(n):
+            if off + 4 > len(body):
+                raise PgoutputError("truncate relation ids truncated")
+            ids.append(int.from_bytes(body[off : off + 4], "big"))
+            off += 4
+        return {
+            "kind": "truncate",
+            "relation_ids": ids,
+            "cascade": bool(options & 1),
+            "restart_identity": bool(options & 2),
         }
     if tag == b"B":
         if len(body) < 20:
@@ -575,6 +607,55 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
             "commit_ts_ms"
         ),
     )
+
+
+TRUNCATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("cascade", T.BooleanType()),
+        T.StructField("restart_identity", T.BooleanType()),
+    ]
+)
+
+
+def decode_pgoutput_truncates(
+    stream: DataFrame,
+    relations: list[dict[str, Any]],
+    *,
+    data_col: str = "data",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """'T' messages → one DDL-style row per truncated table (the
+    reference emits one `new_ddl` event per table with cascade /
+    restart_identity flags, postgres_event.rs:645-731). Map-only."""
+    catalog = {
+        int(r["relation_id"]): (r["schema"], r["table"]) for r in relations
+    }
+    bc = stream.sparkSession.sparkContext.broadcast(catalog)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cat = bc.value
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                if b[:1] != b"T":
+                    continue
+                m = parse_message(b)
+                for rid in m["relation_ids"]:
+                    rel = cat.get(rid)
+                    if rel is None:
+                        continue  # unknown relation: warn-and-skip parity
+                    rows.append(
+                        (int(seq), rel[0], rel[1], m["cascade"], m["restart_identity"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["seq", "schema", "table", "cascade", "restart_identity"]
+            )
+
+    return stream.select(seq_col, data_col).mapInPandas(scan, TRUNCATE_SCHEMA)
 
 
 def stamp_transactions(

@@ -307,3 +307,77 @@ class TestMysqlJsonb:
         enc = bl.encode_value(bl.MYSQL_TYPE_JSON, 4, {"k": 87, "nested": [1, "two"]})
         out, off = bl.decode_value(bl.MYSQL_TYPE_JSON, 4, enc, 0)
         assert out == {"k": 87, "nested": [1, "two"]} and off == len(enc)
+
+
+class TestNewDecimal:
+    def test_mysql_documented_vector(self):
+        # The classic documented example: DECIMAL(14,4) 1234567890.1234
+        # → 81 0D FB 38 D2 04 D2
+        b = bl.encode_newdecimal("1234567890.1234", 14, 4)
+        assert b == bytes.fromhex("810DFB38D204D2")
+        s, off = bl.decode_newdecimal(b, 0, 14, 4)
+        assert s == "1234567890.1234" and off == 7
+
+    def test_negative_is_complemented(self):
+        pos = bl.encode_newdecimal("1234567890.1234", 14, 4)
+        neg = bl.encode_newdecimal("-1234567890.1234", 14, 4)
+        assert neg == bytes(b ^ 0xFF for b in pos)
+        s, _ = bl.decode_newdecimal(neg, 0, 14, 4)
+        assert s == "-1234567890.1234"
+
+    @pytest.mark.parametrize("s,p,sc", [
+        ("0.00", 18, 2), ("0.01", 18, 2), ("-0.01", 18, 2),
+        ("99999999999999.99", 16, 2),
+        ("123456789123456789", 18, 0),
+        ("0.123456789123", 20, 12),
+        ("-7.1", 4, 1), ("42", 9, 0), ("-42", 9, 0),
+    ])
+    def test_roundtrip(self, s, p, sc):
+        b = bl.encode_newdecimal(s, p, sc)
+        assert len(b) == bl.newdecimal_bin_size(p, sc)
+        out, off = bl.decode_newdecimal(b, 0, p, sc)
+        assert out == s and off == len(b)
+
+    def test_binlog_column_roundtrip(self):
+        meta = (18 << 8) | 2
+        enc = bl.encode_value(bl.MYSQL_TYPE_NEWDECIMAL, meta, "-123.45")
+        out, off = bl.decode_value(bl.MYSQL_TYPE_NEWDECIMAL, meta, enc, 0)
+        assert out == "-123.45" and off == len(enc)
+
+    def test_overflow_is_loud(self):
+        with pytest.raises(bl.BinlogError, match="precision"):
+            bl.encode_newdecimal("100.0", 4, 2)
+
+
+class TestPgoutputTruncate:
+    def test_truncate_layout_and_flags(self):
+        msg = pg.encode_truncate([7, 9], cascade=True, restart_identity=False)
+        assert msg == b"T" + (2).to_bytes(4, "big") + b"\x01" + (7).to_bytes(4, "big") + (9).to_bytes(4, "big")
+        m = pg.parse_message(msg)
+        assert m == {"kind": "truncate", "relation_ids": [7, 9],
+                     "cascade": True, "restart_identity": False}
+
+    def test_truncate_truncation_is_loud(self):
+        msg = pg.encode_truncate([7, 9])
+        with pytest.raises(pg.PgoutputError):
+            pg.parse_message(msg[:-2])
+
+    def test_spark_truncate_decode(self, spark):
+        from deltaforge_spark.sources.pgoutput import (
+            decode_pgoutput_truncates,
+            encode_relation,
+            pgoutput_relation_catalog,
+        )
+
+        rows = [
+            (1, pg.encode_relation(7, "public", "t1", [("id", pg.INT8, -1, 1)])),
+            (2, pg.encode_relation(9, "public", "t2", [("id", pg.INT8, -1, 1)])),
+            (3, pg.encode_truncate([7, 9, 999], cascade=False, restart_identity=True)),
+        ]
+        df = spark.createDataFrame(rows, "seq long, data binary")
+        rels = pgoutput_relation_catalog(df)
+        out = decode_pgoutput_truncates(df, rels).orderBy("table").collect()
+        # unknown relation 999 skipped (reference warn-and-skip)
+        assert [(r.table, r.cascade, r.restart_identity) for r in out] == [
+            ("t1", False, True), ("t2", False, True),
+        ]

@@ -114,13 +114,16 @@ def encode_relation(
 
 def encode_tuple(values: list[Any]) -> bytes:
     """TupleData: u16 ncols then per column a marker byte —
-    'n' (null), 'u' (unchanged toast), or 't' + u32 len + text bytes."""
+    'n' (null), 'u' (unchanged toast), 't' + u32 len + text bytes, or
+    'b' + u32 len + raw bytes (binary mode; pass ``bytes`` values)."""
     out = bytearray(len(values).to_bytes(2, "big"))
     for v in values:
         if v is None:
             out += b"n"
         elif v is UNCHANGED:
             out += b"u"
+        elif isinstance(v, (bytes, bytearray)):
+            out += b"b" + len(v).to_bytes(4, "big") + bytes(v)
         else:
             b = str(v).encode("utf-8")
             out += b"t" + len(b).to_bytes(4, "big") + b
@@ -209,14 +212,17 @@ def parse_tuple(buf: bytes, off: int = 0) -> tuple[list[Any], int]:
             values.append(None)
         elif marker == b"u":
             values.append(UNCHANGED)
-        elif marker == b"t":
+        elif marker == b"t" or marker == b"b":
             if off + 4 > len(buf):
                 raise PgoutputError("tuple truncated before value length")
             n = int.from_bytes(buf[off : off + 4], "big")
             off += 4
             if off + n > len(buf):
                 raise PgoutputError("tuple value overruns buffer")
-            values.append(buf[off : off + n].decode("utf-8"))
+            chunk = buf[off : off + n]
+            # binary-mode values stay bytes (reference
+            # PgColumnValue::Binary, postgres_object.rs:315-332)
+            values.append(chunk.decode("utf-8") if marker == b"t" else chunk)
             off += n
         else:
             raise PgoutputError(f"unknown tuple marker {marker!r}")
@@ -365,6 +371,66 @@ def parse_message(data: bytes) -> dict[str, Any]:
 _BOOL_TRUE = {"t", "true", "1", "yes", "on"}
 _BOOL_FALSE = {"f", "false", "0", "no", "off"}
 
+#: array-type OIDs the reference special-cases (is_array_type,
+#: postgres_object.rs:156-176; 3802 there is shadowed by the earlier
+#: JSONB arm — same here since JSON/JSONB convert first)
+ARRAY_OIDS = {1000, 1001, 1005, 1007, 1009, 1016, 1021, 1022, 1014, 1015, 2951, 3802, 199}
+
+
+def parse_pg_array_text(s: str) -> Any:
+    """PG array literal → typed list (reference parse_pg_array +
+    parse_array_elements + parse_array_element,
+    postgres_object.rs:179-267): quote/backslash aware split; elements
+    NULL → None, t/f/true/false → bool, then int, then float, else
+    string. Non-literal input returns the string unchanged. The
+    Column-level twin for relational paths is functions/pgarray.py."""
+    s = s.strip()
+    if s == "{}":
+        return []
+    if not (s.startswith("{") and s.endswith("}")):
+        return s
+    inner = s[1:-1]
+    elements: list[Any] = []
+    current: list[str] = []
+    in_quotes = False
+    escape_next = False
+
+    def emit(text: str) -> Any:
+        t = text.strip()
+        if t.upper() == "NULL":
+            return None
+        low = t.lower()
+        if low in ("t", "true"):
+            return True
+        if low in ("f", "false"):
+            return False
+        try:
+            return int(t)
+        except ValueError:
+            pass
+        try:
+            return float(t)
+        except ValueError:
+            pass
+        return t
+
+    for c in inner:
+        if escape_next:
+            current.append(c)
+            escape_next = False
+        elif c == "\\":
+            escape_next = True
+        elif c == '"':
+            in_quotes = not in_quotes
+        elif c == "," and not in_quotes:
+            elements.append(emit("".join(current)))
+            current = []
+        else:
+            current.append(c)
+    if current or elements:
+        elements.append(emit("".join(current)))
+    return elements
+
 
 def convert_text_value(s: str, type_oid: int) -> Any:
     import base64
@@ -401,6 +467,8 @@ def convert_text_value(s: str, type_oid: int) -> Any:
                 return s
             return {"_base64": base64.b64encode(raw).decode()}
         return s
+    if type_oid in ARRAY_OIDS:
+        return parse_pg_array_text(s)
     return s
 
 
@@ -408,6 +476,8 @@ def build_object(columns: list[dict], values: list[Any]) -> dict[str, Any]:
     """Column-name → converted-value map (reference build_object
     postgres_object.rs:50-69; missing values → null, Unchanged →
     ``{"_unchanged": true}`` marker consumed by operators/toast.py)."""
+    import base64
+
     obj: dict[str, Any] = {}
     for idx, col in enumerate(columns):
         v = values[idx] if idx < len(values) else None
@@ -415,6 +485,10 @@ def build_object(columns: list[dict], values: list[Any]) -> dict[str, Any]:
             obj[col["name"]] = None
         elif v is UNCHANGED:
             obj[col["name"]] = {"_unchanged": True}
+        elif isinstance(v, (bytes, bytearray)):
+            # binary mode → base64 wrap (reference convert_binary_value
+            # postgres_object.rs:150-153)
+            obj[col["name"]] = {"_base64": base64.b64encode(bytes(v)).decode()}
         else:
             obj[col["name"]] = convert_text_value(v, col["type_oid"])
     return obj

@@ -381,3 +381,34 @@ class TestPgoutputTruncate:
         assert [(r.table, r.cascade, r.restart_identity) for r in out] == [
             ("t1", False, True), ("t2", False, True),
         ]
+
+
+class TestPgoutputBinaryAndArrays:
+    def test_binary_tuple_marker_roundtrip(self):
+        msg = pg.encode_insert(5, ["text", b"\x00\x01\xff"])
+        m = pg.parse_message(msg)
+        assert m["new"] == ["text", b"\x00\x01\xff"]
+        obj = pg.build_object(
+            [{"name": "a", "type_oid": pg.TEXT}, {"name": "b", "type_oid": pg.BYTEA}],
+            m["new"],
+        )
+        assert obj == {"a": "text", "b": {"_base64": "AAH/"}}
+
+    @pytest.mark.parametrize("s,expected", [
+        ("{}", []),
+        ("{1,2,3}", [1, 2, 3]),
+        ('{"hello","world"}', ["hello", "world"]),
+        ("{1,NULL,3}", [1, None, 3]),
+        ("{t,f,true,false}", [True, False, True, False]),
+        ("{1.5,-2}", [1.5, -2]),
+        (r'{"with\"quote","a\\b"}', ['with"quote', "a\\b"]),
+        ("{a b, c}", ["a b", "c"]),
+        ("not-an-array", "not-an-array"),
+    ])
+    def test_pg_array_text(self, s, expected):
+        assert pg.parse_pg_array_text(s) == expected
+
+    def test_array_oid_converts(self):
+        assert pg.convert_text_value("{1,2}", 1007) == [1, 2]
+        # 3802 is JSONB first (arm order parity with the reference)
+        assert pg.convert_text_value("[1,2]", 3802) == [1, 2]

@@ -1,0 +1,117 @@
+"""Wire decoders as live Spark stages: the binlog segment decoder
+running inside Structured Streaming (what a production tailer does —
+new segments land in storage, readStream picks them up, mapInPandas
+decodes), and decoded GTIDs feeding the existing GtidSet interval
+algebra (sources/gtid.py) — the offset-tracking handoff the reference
+performs in handle_gtid/handle_xid (mysql_event.rs:463-508)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deltaforge_spark.sources.binlog import (
+    EVENTS_COL_NAMES,
+    SEGMENT_SCHEMA,
+    decode_binlog_segments,
+    synth_binlog_events,
+)
+from deltaforge_spark.sources.pgoutput import (
+    decode_pgoutput,
+    synth_pgoutput_orders,
+)
+
+
+@pytest.fixture(scope="module")
+def segment_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("binlog-segments"))
+    synth_binlog_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_binlog_decode_under_structured_streaming(spark, sf_dir, segment_dir):
+    """readStream over the segment store → mapInPandas decode →
+    availableNow drain; result must equal the batch decode exactly.
+    maxFilesPerTrigger forces multiple micro-batches so the decode is
+    exercised as an incremental stage, not one big batch."""
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    cols = {("testdb", "events"): EVENTS_COL_NAMES}
+    stream = (
+        spark.readStream.schema(SEGMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(segment_dir)
+    )
+    streamed = run_stream_to_memory(
+        decode_binlog_segments(stream, cols),
+        name="binlog_stream_decode",
+        output_mode="append",
+    )
+    batch = decode_binlog_segments(spark.read.parquet(segment_dir), cols)
+    assert streamed.count() == batch.count()
+    # full-row equality both directions (order-insensitive)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_decoded_gtids_merge_into_interval_algebra(spark, sf_dir, segment_dir):
+    """The decoder's (sid, gno) output feeds gtid_ranges_df: segments
+    are gapless gno = segment+1, so the merged executed-set must be a
+    single interval 1-N for the synthetic server uuid."""
+    from deltaforge_spark.sources.gtid import gtid_ranges_df
+
+    cols = {("testdb", "events"): EVENTS_COL_NAMES}
+    dec = decode_binlog_segments(spark.read.parquet(segment_dir), cols)
+    observed = dec.select(
+        F.col("gtid_sid").alias("server_uuid"), F.col("gno").alias("txid")
+    ).distinct()
+    ranges = gtid_ranges_df(observed).collect()
+    assert len(ranges) == 1
+    n_segments = spark.read.parquet(segment_dir).count()
+    assert ranges[0]["ranges"] == f"1-{n_segments}" if n_segments > 1 else "1"
+
+
+def test_pgoutput_decode_streaming_parity(spark, sf_dir, tmp_path):
+    """Same harness for pgoutput: the (seq, data) stream decodes under
+    availableNow with multiple triggers and matches the batch decode.
+    (Tx stamping joins a streaming frame with itself via the interval
+    join — run the decode on the batch side per trigger here; the
+    streamed stage is the map-only DML parse, which is the scale-
+    critical path.)"""
+    from deltaforge_spark.sources.pgoutput import (
+        decode_pgoutput_dml,
+        pgoutput_relation_catalog,
+    )
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    path = str(tmp_path / "pgout")
+    stream_df = synth_pgoutput_orders(spark, sf_dir)
+    stream_df.write.mode("overwrite").parquet(path)
+    relations = pgoutput_relation_catalog(spark.read.parquet(path))
+
+    stream = (
+        spark.readStream.schema("seq long, data binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    streamed = run_stream_to_memory(
+        decode_pgoutput_dml(stream, relations),
+        name="pgoutput_stream_decode",
+        output_mode="append",
+    )
+    batch = decode_pgoutput_dml(spark.read.parquet(path), relations)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_batch_end_to_end_tx_stamping_counts(spark, sf_dir):
+    """decode_pgoutput: every DML row lands in exactly one transaction
+    (the interval join neither drops nor duplicates)."""
+    stream = synth_pgoutput_orders(spark, sf_dir)
+    dec = decode_pgoutput(stream)
+    dml_rows = dec.count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert dml_rows == orders
+    # xid is never null after stamping
+    assert dec.filter(F.col("xid").isNull()).count() == 0

@@ -627,19 +627,41 @@ def compile_reference_pipeline(
     transports: dict[str, Any] | None = None,
     js_equivalents: dict[str, Callable] | None = None,
     js_policy: str = "error",
+    binlog_schemas: tuple | None = None,
 ):
     """Lower a RefPipeline to ``(program, sinks, policy, ref)`` —
     the same triple plans/compiler.py produces, plus the parsed spec
     for runtime knobs (``ref.batch.trigger()``...). ``program`` runs
     the source + table allow-list + processors; sinks carry the
-    per-sink envelope/encoding/template wrappers."""
+    per-sink envelope/encoding/template wrappers.
+
+    A mysql source whose config carries ``binlog_dir`` runs the REAL
+    wire decoder over that segment store (sources/binlog.py
+    binlog_change_feed) instead of the synthetic change feed;
+    ``binlog_schemas = (columns_by_table, image_schema, ts_ms_field)``
+    plays the schema-registry role the reference fills from the live
+    DB (mysql_event.rs handle_table_map → load_schema)."""
     from ..sources import change_feed
 
     transports = transports or {}
     procs = reference_transforms(ref, js_equivalents=js_equivalents, js_policy=js_policy)
+    bl_dir = ref.source.extra.get("binlog_dir") if ref.source.kind == "mysql" else None
+    if bl_dir and not binlog_schemas:
+        raise UnsupportedSpecError(
+            "source.config.binlog_dir requires binlog_schemas=(columns_by_table, image_schema, ts_ms_field)"
+        )
 
     def program(spark, sf_dir: str) -> DataFrame:
-        df = change_feed(spark, sf_dir, pipeline=ref.name)
+        if bl_dir:
+            from ..sources.binlog import binlog_change_feed
+
+            cols, image_schema, ts_ms_field = binlog_schemas
+            df = binlog_change_feed(
+                spark.read.parquet(bl_dir), cols, image_schema,
+                pipeline=ref.name, ts_ms_field=ts_ms_field,
+            )
+        else:
+            df = change_feed(spark, sf_dir, pipeline=ref.name)
         for t in procs:
             df = t(df)
         return df

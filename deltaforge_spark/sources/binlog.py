@@ -723,6 +723,7 @@ def _read_image(
 
 BINLOG_ROW_SCHEMA = T.StructType(
     [
+        T.StructField("ts_sec", T.LongType()),
         T.StructField("server_id", T.LongType()),
         T.StructField("db", T.StringType()),
         T.StructField("table", T.StringType()),
@@ -764,19 +765,75 @@ def decode_binlog_segments(
                         b, a = r["before"], r["after"]
                         out.append(
                             (
-                                ev["server_id"], ev["db"], ev["table"], ev["op"],
-                                ev.get("xid"), sid, gno, ev["log_pos"],
+                                ev["ts_sec"], ev["server_id"], ev["db"], ev["table"],
+                                ev["op"], ev.get("xid"), sid, gno, ev["log_pos"],
                                 None if b is None else dumps(b),
                                 None if a is None else dumps(a),
                             )
                         )
             yield pd.DataFrame(
                 out,
-                columns=["server_id", "db", "table", "op", "xid", "gtid_sid",
-                         "gno", "log_pos", "before", "after"],
+                columns=["ts_sec", "server_id", "db", "table", "op", "xid",
+                         "gtid_sid", "gno", "log_pos", "before", "after"],
             )
 
     return segments.select(data_col).mapInPandas(run, BINLOG_ROW_SCHEMA)
+
+
+def binlog_change_feed(
+    segments: DataFrame,
+    columns_by_table: dict[tuple[str, str], list[str]],
+    image_schema: T.StructType,
+    *,
+    pipeline: str = "cdc",
+    ts_ms_field: str | None = None,
+) -> DataFrame:
+    """Wire decode → the canonical CDC envelope: a drop-in front for
+    the processor chain (filter/flatten/outbox/envelope — everything
+    ``change_feed`` feeds today). This is the full reference flow
+    re-expressed: binlog bytes → decoded row events → enveloped stream
+    (dispatch_event → build_object → Event::new_row,
+    mysql_event.rs:74-428).
+
+    ``image_schema`` types the before/after images (the schema-registry
+    role — column names come from ``columns_by_table``, types from
+    here). ``ts_ms_field``: image column holding event time in µs
+    (→ ts_ms); falls back to the binlog header timestamp (seconds).
+    """
+    dec = decode_binlog_segments(segments, columns_by_table)
+    before = F.from_json(F.col("before"), image_schema)
+    after = F.from_json(F.col("after"), image_schema)
+    img = F.coalesce(after, before)
+    if ts_ms_field:
+        ts_ms = F.expr(f"CAST(_img.{ts_ms_field} DIV 1000 AS BIGINT)")
+    else:
+        ts_ms = (F.col("ts_sec") * F.lit(1000)).cast("long")
+    from ..envelope import finish_envelope
+
+    out = dec.withColumn("_img", img).select(
+        F.col("op"),
+        ts_ms.alias("ts_ms"),
+        before.alias("before"),
+        F.when(F.col("op") != "d", after).alias("after"),
+        F.struct(
+            F.lit("mysql").alias("connector"),
+            F.lit(pipeline).alias("name"),
+            F.col("db").alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.col("table").alias("table"),
+            F.lit(False).alias("snapshot"),
+            F.col("log_pos").alias("sequence"),
+        ).alias("source"),
+        F.concat_ws(":", F.col("gtid_sid"), F.col("gno").cast("string"), F.col("log_pos").cast("string")).alias("event_id"),
+        F.lit(None).cast("string").alias("tenant_id"),
+        F.struct(
+            F.col("xid").cast("string").alias("id"),
+            F.lit(None).cast("long").alias("total_order"),
+            F.lit(None).cast("long").alias("data_collection_order"),
+        ).alias("transaction"),
+        F.lit(None).cast("boolean").alias("tx_end"),
+    )
+    return finish_envelope(out)
 
 
 # ------------------------------------------------------------------

@@ -115,3 +115,87 @@ def test_batch_end_to_end_tx_stamping_counts(spark, sf_dir):
     assert dml_rows == orders
     # xid is never null after stamping
     assert dec.filter(F.col("xid").isNull()).count() == 0
+
+
+def test_binlog_change_feed_envelope_and_spec(spark, sf_dir, segment_dir):
+    """The decoder fronts the SAME envelope the processor chain
+    consumes: a reference YAML spec with source.config.binlog_dir
+    compiles to a program that decodes wire bytes, applies the declared
+    filter processor, and emits canonical envelope rows."""
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.plans.refspec import (
+        compile_reference_pipeline,
+        parse_reference_spec,
+    )
+
+    image_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    spec = {
+        "apiVersion": "deltaforge/v1",
+        "kind": "Pipeline",
+        "metadata": {"name": "binlog-live"},
+        "spec": {
+            "source": {
+                "type": "mysql",
+                "config": {"binlog_dir": segment_dir, "tables": ["testdb.events"]},
+            },
+            "processors": [
+                {"type": "filter", "ops": ["c", "u"]},
+            ],
+            "sinks": [{"type": "s3", "config": {}}],
+        },
+    }
+    ref = parse_reference_spec(spec)
+    program, sinks, policy, ref = compile_reference_pipeline(
+        ref,
+        binlog_schemas=({("testdb", "events"): EVENTS_COL_NAMES}, image_schema, "ts"),
+    )
+    df = program(spark, sf_dir)
+    rows = df.count()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = events.filter(F.col("event_type") != "error").count()
+    assert rows == expected  # deletes filtered by ops gate
+    # envelope shape: canonical columns, typed images, per-row source
+    assert df.columns[:5] == ["op", "ts_ms", "before", "after", "source"]
+    sample = df.filter(F.col("op") == "u").limit(1).collect()[0]
+    assert sample["source"]["connector"] == "mysql"
+    assert sample["source"]["table"] == "events"
+    assert sample["after"]["event_id"] is not None
+    assert sample["before"]["props"] is None          # null-bitmap before image
+    assert sample["transaction"]["id"] is not None
+    # ts_ms comes from the decoded DATETIME2 column, not the header
+    from deltaforge_spark.sources import read_table
+
+    ev_norm = read_table(spark, sf_dir, "events")  # ts → epoch nanos long
+    ev_row = ev_norm.filter(F.col("event_id") == sample["after"]["event_id"]).collect()[0]
+    assert sample["ts_ms"] == ev_row["ts"] // 10**6
+
+
+def test_binlog_change_feed_requires_schemas(spark, sf_dir, segment_dir):
+    from deltaforge_spark.plans.refspec import (
+        UnsupportedSpecError,
+        compile_reference_pipeline,
+        parse_reference_spec,
+    )
+
+    spec = {
+        "apiVersion": "deltaforge/v1",
+        "kind": "Pipeline",
+        "metadata": {"name": "binlog-live"},
+        "spec": {
+            "source": {"type": "mysql", "config": {"binlog_dir": segment_dir}},
+            "sinks": [{"type": "s3", "config": {}}],
+        },
+    }
+    with pytest.raises(UnsupportedSpecError, match="binlog_schemas"):
+        compile_reference_pipeline(parse_reference_spec(spec))

@@ -2843,9 +2843,23 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): embeddings cluster into 16 deterministic IVF
+    cells; within-cluster cosine pairs at/above 0.40 mark the higher
+    id a duplicate of its lowest qualifying lower-id neighbour. Never
+    cross-cluster, never cartesian — the pairwise cost is bounded per
+    cell, which is SemDeDup's scale design."""
+    _prep(spark)
+    from deltaforge_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
     "cdc_binlog_decode": q_cdc_binlog_decode,
+    "dedup_semantic": q_dedup_semantic,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
@@ -3738,6 +3752,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "dedup_semantic": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            a AS (SELECT vec_id, v, cell_id FROM (
+                    SELECT e.vec_id, e.v, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(e.v, c.cv) /
+                             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                             c.cell_id) AS rk
+                    FROM e, cents c) WHERE rk = 1),
+            pairs AS (SELECT a1.vec_id, a2.vec_id AS nid,
+                             round(list_dot_product(a1.v, a2.v) /
+                                   (sqrt(list_dot_product(a1.v, a1.v)) * sqrt(list_dot_product(a2.v, a2.v))),
+                                   6) AS cos
+                      FROM a a1 JOIN a a2
+                        ON a1.cell_id = a2.cell_id AND a2.vec_id < a1.vec_id),
+            dups AS (SELECT vec_id, CAST(min(nid) AS BIGINT) AS dup_of
+                     FROM pairs WHERE cos >= 0.4e0 GROUP BY vec_id)
+            SELECT a.vec_id, a.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+            FROM a LEFT JOIN dups d USING (vec_id)
         """,
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

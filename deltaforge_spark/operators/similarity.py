@@ -411,3 +411,57 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    within a cluster, and drop every vector that has a lower-id
+    in-cluster neighbour at/above the cosine threshold (the
+    deterministic stand-in for "keep one exemplar per semantic
+    cluster"; the paper keeps the centroid-closest — same dataflow,
+    different keeper rule).
+
+    Scale shape (100 TB): assignment is the broadcast map-only
+    ``ivf_assign`` pass; the quadratic pairwise stays bounded at
+    (|corpus|/n_cells)² per cell — n_cells grows with the corpus so
+    cells stay small (SemDeDup's own design), and the pair join is an
+    equi-join on cell_id, never a cartesian. Centroids here are the
+    lowest-id vectors (engine-reproducible, oracle recomputes the same
+    index); production plugs k-means centroids in unchanged.
+
+    Output: one row per input vector — (id, cell_id, is_dup, dup_of).
+    """
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("_v"))
+    cents = (
+        base.orderBy(F.col("__id").asc())
+        .limit(n_cells)
+        .select(F.col("__id").alias("cell_id"), F.col("_v").alias("_centroid"))
+    )
+    a = ivf_assign(base, cents, vec_col="_v", id_col="__id", nprobe=1)
+    right = a.select(
+        F.col("__id").alias("_nid"), F.col("_v").alias("_nv"), "cell_id"
+    )
+    pairs = (
+        a.join(right, "cell_id")
+        .filter(F.col("_nid") < F.col("__id"))
+        .withColumn("_cos", F.round(cosine(F.col("_v"), F.col("_nv")), 6))
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    dups = pairs.groupBy("__id").agg(F.min("_nid").alias("dup_of"))
+    return (
+        a.join(dups, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cell_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of"),
+        )
+    )

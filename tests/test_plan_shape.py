@@ -431,3 +431,12 @@ def test_q19_single_join_disjunction_postfilter(spark, sf_dir):
     # Catalyst derives a quantity range pushdown from the disjunction —
     # the lineitem scan must not read unfiltered rows
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
+
+
+def test_semantic_dedup_no_cartesian_single_cell_shuffle(spark, sf_dir):
+    """SemDeDup: centroid assignment is a broadcast map-only pass; the
+    pairwise stage is an equi-join on cell_id — never a cartesian over
+    the corpus."""
+    p = plan_str(entry.queries()["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # centroids

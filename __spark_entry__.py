@@ -1101,6 +1101,23 @@ _MIXTURE_ORACLE = """
 """
 
 
+def q_mixture_by_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (sampling.temperature_mixture,
+    T=2): stratum weight ∝ sqrt(stratum tokens) — the exponential-
+    smoothing mixing rule — targeting a 4000-token total. sqrt chain +
+    6dp weight rounding + DECIMAL normalizer keep the 48-bit threshold
+    bit-identical across engines."""
+    _prep(spark)
+    from deltaforge_spark.operators.sampling import temperature_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = temperature_mixture(
+        docs, strata_col="lang", total_token_budget=4000, temperature=2.0
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    return out.select("doc_id", "lang", n_tokens.cast("int").alias("n_tokens"))
+
+
 def q_tx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful streaming tx-assembly operator
     (streaming/transactions.py): one row per source transaction with
@@ -2860,6 +2877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
     "cdc_binlog_decode": q_cdc_binlog_decode,
     "dedup_semantic": q_dedup_semantic,
+    "mixture_by_temperature": q_mixture_by_temperature,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
@@ -3774,6 +3792,23 @@ def oracle_sql() -> dict[str, str]:
                      FROM pairs WHERE cos >= 0.4e0 GROUP BY vec_id)
             SELECT a.vec_id, a.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
             FROM a LEFT JOIN dups d USING (vec_id)
+        """,
+        "mixture_by_temperature": """
+            WITH stats AS (
+                SELECT lang AS s,
+                       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS DOUBLE) AS tok
+                FROM documents GROUP BY 1),
+            w AS (SELECT s, tok, round(sqrt(tok), 6) AS w FROM stats),
+            n AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS wsum FROM w),
+            t AS (SELECT s,
+                         CAST(floor(least(1.0e0, (4000.0e0 * w) / (CAST(wsum AS DOUBLE) * tok))
+                              * 281474976710656.0e0) AS BIGINT) AS thresh
+                  FROM w, n)
+            SELECT d.doc_id, d.lang,
+                   CAST(len(string_split_regex(trim(d.text), ' +')) AS INT) AS n_tokens
+            FROM documents d JOIN t ON d.lang = t.s
+            WHERE CAST(('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  < t.thresh
         """,
         "sketch_hll_users": _sketch_hll_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

@@ -293,3 +293,62 @@ def mixture_sample(
         .filter(sample_hash(F.col(key_col), seed) < F.col("_thresh"))
         .drop("_s", "_thresh")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    total_token_budget: int,
+    temperature: float = 2.0,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the other standard
+    data-mixing knob (multilingual/multi-source training mixes, e.g.
+    the mBERT/XLM-R exponential-smoothing rule): stratum s gets weight
+    ∝ tokens_s^(1/T), flattening the head and boosting the tail as T
+    grows; the total kept token mass targets ``total_token_budget``.
+
+    Cross-engine exactness: T ∈ {1, 2, 4} computes tokens^(1/T) as a
+    sqrt chain (IEEE sqrt is correctly rounded — bit-identical in both
+    engines, unlike pow), the per-stratum weight rounds to 6dp, and the
+    weight normalizer sums as DECIMAL (order-independent) — so the
+    48-bit hash threshold is identical in Spark and the SQL oracle.
+    Other T values fall back to ``pow`` (documented last-ulp risk,
+    pytest-verified only).
+
+    Scale shape: same as ``mixture_sample`` — one #strata-sized partial
+    aggregation broadcast back, map-only hash selection, no sort.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), " +"))
+    stats = (
+        df.select(F.col(strata_col).alias("_s"), n_tokens.alias("_n"))
+        .groupBy("_s")
+        .agg(F.sum("_n").cast("double").alias("_tok"))
+    )
+    if temperature == 1.0:
+        w = F.col("_tok")
+    elif temperature == 2.0:
+        w = F.sqrt(F.col("_tok"))
+    elif temperature == 4.0:
+        w = F.sqrt(F.sqrt(F.col("_tok")))
+    else:
+        w = F.pow(F.col("_tok"), F.lit(1.0 / temperature))
+    stats = stats.withColumn("_w", F.round(w, 6))
+    norm = stats.agg(
+        F.sum(F.col("_w").cast("decimal(38,6)")).cast("decimal(38,6)").alias("_wsum")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(total_token_budget)) * F.col("_w"))
+        / (F.col("_wsum").cast("double") * F.col("_tok")),
+    )
+    thresh = (rate * F.lit(float(_SPACE))).cast("long")
+    keyed = stats.join(F.broadcast(norm)).select("_s", thresh.alias("_thresh"))
+    return (
+        df.join(F.broadcast(keyed), df[strata_col] == F.col("_s"))
+        .filter(sample_hash(F.col(key_col), seed) < F.col("_thresh"))
+        .drop("_s", "_thresh")
+    )

@@ -166,3 +166,48 @@ def test_epoch_shuffle_manifest_barrier_identical(spark, tmp_path):
     # the artifact replays without recomputation
     again = {r["doc_id"]: r["shuffle_rank"] for r in spark.read.parquet(mpath).collect()}
     assert again == local
+
+
+class TestTemperatureMixture:
+    def test_higher_temperature_boosts_tail_share(self, spark, sf_dir):
+        """T=1 keeps strata proportional; T=4 flattens — the smallest
+        stratum's share of kept tokens must not shrink as T rises."""
+        from deltaforge_spark.operators.sampling import temperature_mixture
+        from deltaforge_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, sf_dir, "documents")
+        tok = F.size(F.split(F.trim(F.col("text")), " +"))
+
+        def share_of_smallest(t):
+            kept = temperature_mixture(
+                docs, strata_col="lang", total_token_budget=3000, temperature=t
+            )
+            per = {
+                r["lang"]: r["n"]
+                for r in kept.groupBy("lang").agg(F.sum(tok).alias("n")).collect()
+            }
+            total = sum(per.values())
+            base = {
+                r["lang"]: r["n"]
+                for r in docs.groupBy("lang").agg(F.sum(tok).alias("n")).collect()
+            }
+            smallest = min(base, key=base.get)
+            return per.get(smallest, 0) / total
+
+        s1, s4 = share_of_smallest(1.0), share_of_smallest(4.0)
+        assert s4 >= s1
+
+    def test_budget_roughly_met(self, spark, sf_dir):
+        from deltaforge_spark.operators.sampling import temperature_mixture
+        from deltaforge_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, sf_dir, "documents")
+        tok = F.size(F.split(F.trim(F.col("text")), " +"))
+        kept = temperature_mixture(
+            docs, strata_col="lang", total_token_budget=3000, temperature=2.0
+        )
+        total = kept.agg(F.sum(tok)).collect()[0][0]
+        # Poisson selection: expect within a generous band of the budget
+        assert 1500 <= total <= 4500, total

@@ -56,6 +56,14 @@ def change_feed(
     tx_seq = F.floor(F.col("event_id") / F.lit(10)).cast("long")
     tx_id = F.concat_ws(":", F.col("user_id").cast("string"), tx_seq.cast("string"))
     w = Window.partitionBy(tx_seq, F.col("user_id")).orderBy(F.col("event_id"))
+    # repartition on the WINDOW keys, not round-robin: read_table's
+    # fan-out exchange would otherwise be immediately followed by the
+    # window's hash exchange — same row count shuffled twice. Keying
+    # the fan-out satisfies the window's required distribution, so the
+    # plan carries exactly ONE exchange (pinned in test_plan_shape).
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, tx_seq, F.col("user_id")
+    )
 
     out = ev.select(
         op.alias("op"),

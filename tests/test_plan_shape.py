@@ -440,3 +440,14 @@ def test_semantic_dedup_no_cartesian_single_cell_shuffle(spark, sf_dir):
     p = plan_str(entry.queries()["dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # centroids
+
+
+def test_changefeed_single_exchange(spark, sf_dir):
+    """change_feed: the scan fan-out is keyed on the window partition
+    keys, so the whole decode chain carries exactly ONE exchange —
+    a second (round-robin then hash) shuffle of the same rows is the
+    regression this pins against."""
+    from deltaforge_spark.sources import change_feed
+
+    p = plan_str(change_feed(spark, sf_dir))
+    assert p.count("Exchange (") == 1, p

@@ -81,8 +81,12 @@ MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_TIME2 = 19
 MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
@@ -204,6 +208,102 @@ def decode_datetime2(buf: bytes, off: int, fsp: int = 6) -> tuple[int, int]:
     return epoch_us, off
 
 
+# --- remaining temporal types ---------------------------------------
+
+
+def encode_date(s: str) -> bytes:
+    """DATE: 3 bytes LE of day | month<<5 | year<<9 (public layout)."""
+    y, m, d = (int(x) for x in s.split("-"))
+    return (d | (m << 5) | (y << 9)).to_bytes(3, "little")
+
+
+def decode_date(buf: bytes, off: int) -> tuple[str, int]:
+    v = int.from_bytes(buf[off : off + 3], "little")
+    return f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}", off + 3
+
+
+def encode_timestamp2(epoch_us: int, fsp: int = 0) -> bytes:
+    """TIMESTAMP2: u32 BIG-endian unix seconds + DATETIME2-style
+    fraction bytes."""
+    if epoch_us < 0:
+        raise BinlogError("timestamp2 is unsigned (post-epoch only)")
+    sec, us = divmod(int(epoch_us), 1_000_000)
+    out = sec.to_bytes(4, "big")
+    if fsp == 0:
+        return out
+    if fsp in (1, 2):
+        return out + (us // 10000).to_bytes(1, "big")
+    if fsp in (3, 4):
+        return out + (us // 100).to_bytes(2, "big")
+    return out + us.to_bytes(3, "big")
+
+
+def decode_timestamp2(buf: bytes, off: int, fsp: int = 0) -> tuple[int, int]:
+    sec = int.from_bytes(buf[off : off + 4], "big")
+    off += 4
+    us = 0
+    if fsp in (1, 2):
+        us = buf[off] * 10000
+        off += 1
+    elif fsp in (3, 4):
+        us = int.from_bytes(buf[off : off + 2], "big") * 100
+        off += 2
+    elif fsp in (5, 6):
+        us = int.from_bytes(buf[off : off + 3], "big")
+        off += 3
+    return sec * 1_000_000 + us, off
+
+
+_TIME2_OFFSET = 0x800000
+
+
+def encode_time2(s: str, fsp: int = 0) -> bytes:
+    """TIME2: 3 bytes big-endian of hours<<12 | minutes<<6 | seconds,
+    offset-binary around 0x800000 (negative durations below the
+    midpoint), plus DATETIME2-style fraction. Negative fractional
+    times use MySQL's borrow encoding — out of scope here, loud."""
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    hms, _, frac = s.partition(".")
+    h, m, sec = (int(x) for x in hms.split(":"))
+    us = int(frac.ljust(6, "0")) if frac else 0
+    if neg and us:
+        raise BinlogError("negative fractional TIME2 not supported")
+    packed = (h << 12) | (m << 6) | sec
+    stored = _TIME2_OFFSET - packed if neg else _TIME2_OFFSET + packed
+    out = stored.to_bytes(3, "big")
+    if fsp == 0:
+        return out
+    if fsp in (1, 2):
+        return out + (us // 10000).to_bytes(1, "big")
+    if fsp in (3, 4):
+        return out + (us // 100).to_bytes(2, "big")
+    return out + us.to_bytes(3, "big")
+
+
+def decode_time2(buf: bytes, off: int, fsp: int = 0) -> tuple[str, int]:
+    raw = int.from_bytes(buf[off : off + 3], "big") - _TIME2_OFFSET
+    off += 3
+    neg = raw < 0
+    packed = -raw if neg else raw
+    h, m, sec = packed >> 12, (packed >> 6) & 0x3F, packed & 0x3F
+    us = 0
+    if fsp in (1, 2):
+        us = buf[off] * 10000
+        off += 1
+    elif fsp in (3, 4):
+        us = int.from_bytes(buf[off : off + 2], "big") * 100
+        off += 2
+    elif fsp in (5, 6):
+        us = int.from_bytes(buf[off : off + 3], "big")
+        off += 3
+    out = f"{'-' if neg else ''}{h:02d}:{m:02d}:{sec:02d}"
+    if fsp:
+        out += f".{us:06d}"[: 1 + fsp]
+    return out, off
+
+
 # --- NEWDECIMAL (packed base-10^9 big-endian groups) -----------------
 #
 # The public myisampack decimal layout: digits split into groups of 9,
@@ -316,6 +416,14 @@ def encode_value(col_type: int, meta: int, v: Any) -> bytes:
         return struct.pack("<d", float(v))
     if col_type == MYSQL_TYPE_DATETIME2:
         return encode_datetime2(int(v), fsp=meta)
+    if col_type == MYSQL_TYPE_TIMESTAMP2:
+        return encode_timestamp2(int(v), fsp=meta)
+    if col_type == MYSQL_TYPE_TIME2:
+        return encode_time2(str(v), fsp=meta)
+    if col_type == MYSQL_TYPE_DATE:
+        return encode_date(str(v))
+    if col_type == MYSQL_TYPE_YEAR:
+        return bytes([int(v) - 1900])
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
         if meta < 256:
@@ -355,6 +463,14 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         return _S_F64.unpack_from(buf, off)[0], off + 8
     if col_type == MYSQL_TYPE_DATETIME2:
         return decode_datetime2(buf, off, fsp=meta)
+    if col_type == MYSQL_TYPE_TIMESTAMP2:
+        return decode_timestamp2(buf, off, fsp=meta)
+    if col_type == MYSQL_TYPE_TIME2:
+        return decode_time2(buf, off, fsp=meta)
+    if col_type == MYSQL_TYPE_DATE:
+        return decode_date(buf, off)
+    if col_type == MYSQL_TYPE_YEAR:
+        return 1900 + buf[off], off + 1
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         if meta < 256:
             n = buf[off]
@@ -401,7 +517,7 @@ def _meta_bytes(col_type: int, meta: int) -> bytes:
         return meta.to_bytes(2, "little")
     if col_type in (
         MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
-        MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2,
     ):
         return bytes([meta])
     if col_type == MYSQL_TYPE_NEWDECIMAL:
@@ -414,7 +530,7 @@ def _read_meta(col_type: int, buf: bytes, off: int) -> tuple[int, int]:
         return int.from_bytes(buf[off : off + 2], "little"), off + 2
     if col_type in (
         MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
-        MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2,
     ):
         return buf[off], off + 1
     if col_type == MYSQL_TYPE_NEWDECIMAL:

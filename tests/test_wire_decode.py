@@ -412,3 +412,84 @@ class TestPgoutputBinaryAndArrays:
         assert pg.convert_text_value("{1,2}", 1007) == [1, 2]
         # 3802 is JSONB first (arm order parity with the reference)
         assert pg.convert_text_value("[1,2]", 3802) == [1, 2]
+
+
+class TestTemporalTypes:
+    @pytest.mark.parametrize("s", ["1995-01-02", "2024-12-31", "1000-01-01", "9999-12-31"])
+    def test_date_roundtrip(self, s):
+        b = bl.encode_date(s)
+        assert len(b) == 3
+        out, off = bl.decode_date(b, 0)
+        assert out == s and off == 3
+
+    def test_date_packing_pinned(self):
+        # 2024-12-31: 31 | 12<<5 | 2024<<9 = 0xFD19F little-endian
+        v = 31 | (12 << 5) | (2024 << 9)
+        assert bl.encode_date("2024-12-31") == v.to_bytes(3, "little")
+
+    @pytest.mark.parametrize("us,fsp", [
+        (0, 0), (1_700_000_000_123_456, 6), (1_700_000_000_120_000, 2),
+        (86400 * 1_000_000, 0),
+    ])
+    def test_timestamp2_roundtrip(self, us, fsp):
+        if fsp == 2:
+            us = us // 10000 * 10000
+        b = bl.encode_timestamp2(us, fsp=fsp)
+        out, off = bl.decode_timestamp2(b, 0, fsp=fsp)
+        assert out == us and off == len(b)
+
+    def test_timestamp2_is_big_endian_seconds(self):
+        assert bl.encode_timestamp2(1_000_000, fsp=0) == (1).to_bytes(4, "big")
+
+    @pytest.mark.parametrize("s,fsp", [
+        ("00:00:00", 0), ("12:34:56", 0), ("838:59:59", 0),
+        ("-12:34:56", 0), ("01:02:03.500000", 6), ("01:02:03.50", 2),
+    ])
+    def test_time2_roundtrip(self, s, fsp):
+        b = bl.encode_time2(s, fsp=fsp)
+        out, off = bl.decode_time2(b, 0, fsp=fsp)
+        assert out == s and off == len(b)
+
+    def test_time2_offset_binary(self):
+        # 00:00:00 sits exactly at the 0x800000 midpoint
+        assert bl.encode_time2("00:00:00", fsp=0) == b"\x80\x00\x00"
+
+    def test_negative_fractional_time_is_loud(self):
+        with pytest.raises(bl.BinlogError):
+            bl.encode_time2("-01:00:00.5", fsp=2)
+
+    @pytest.mark.parametrize("y", [1901, 2024, 2155])
+    def test_year_roundtrip(self, y):
+        enc = bl.encode_value(bl.MYSQL_TYPE_YEAR, 0, y)
+        out, off = bl.decode_value(bl.MYSQL_TYPE_YEAR, 0, enc, 0)
+        assert out == y and off == 1
+
+    def test_all_temporals_in_a_row_event(self):
+        types = [bl.MYSQL_TYPE_DATE, bl.MYSQL_TYPE_TIMESTAMP2, bl.MYSQL_TYPE_TIME2, bl.MYSQL_TYPE_YEAR]
+        metas = [0, 6, 3, 0]
+        row = ["2024-02-29", 1_700_000_000_123_456, "23:59:59.999", 1999]
+        w = bl.SegmentWriter(1)
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(5, "d", "t", types, metas, [False] * 4))
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(5, 4, [row], types, metas))
+        rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
+        assert rows["rows"][0]["after"] == row
+
+
+class TestMultiTableSegment:
+    def test_interleaved_table_maps(self):
+        """Two tables alternating in one segment — the table_id →
+        schema map must track both (reference relation_map behavior)."""
+        w = bl.SegmentWriter(1)
+        t1, m1 = [bl.MYSQL_TYPE_LONG], [0]
+        t2, m2 = [bl.MYSQL_TYPE_VARCHAR], [32]
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(1, "d", "a", t1, m1, [False]))
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(1, 1, [[10]], t1, m1))
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(2, "d", "b", t2, m2, [False]))
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(2, 1, [["x"]], t2, m2))
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(1, 1, [[20]], t1, m1))
+        rows = [e for e in bl.parse_segment(w.bytes(), {("d", "a"): ["n"], ("d", "b"): ["s"]})
+                if e["kind"] == "rows"]
+        assert [r["table"] for r in rows] == ["a", "b", "a"]
+        assert rows[0]["rows"][0]["after"] == {"n": 10}
+        assert rows[1]["rows"][0]["after"] == {"s": "x"}
+        assert rows[2]["rows"][0]["after"] == {"n": 20}

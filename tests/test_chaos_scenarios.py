@@ -275,3 +275,87 @@ def test_lake_rolling_outage_retry_no_loss_no_double_count(spark, tmp_path):
         ("a", 4, "events")
     ]
     assert spark.read.parquet(str(tmp_path / "lake" / "data")).count() == 4
+
+
+def test_binlog_purge_detected_before_resume(spark, tmp_path):
+    """Chaos analog of the reference's MySQL binlog_purge scenario
+    (crates/chaos/src/scenarios/binlog_purge.rs): segments 0-4 are
+    purged from the store; the checkpointed position references GTIDs
+    that the surviving segments cannot replay. The resume decision must
+    be LOST (loud halt), never a silent decode from the middle.
+
+    Now testable end-to-end against the REAL decoder: the surviving
+    segments' executed set comes from decoding actual wire bytes."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.sources.binlog import (
+        EVENTS_COL_NAMES,
+        decode_binlog_segments,
+        synth_binlog_events,
+    )
+    from deltaforge_spark.sources.gtid import (
+        BinlogPosition,
+        check_position_reachability,
+        gtid_ranges_df,
+    )
+
+    path = str(tmp_path / "segments")
+    synth_binlog_events(spark, "/root/testdata/sf0.001", rows_per_segment=100).write.parquet(path)
+    segs = spark.read.parquet(path)
+    n_total = segs.count()
+    assert n_total >= 2
+
+    # "purge" the first half of the archive
+    survivors = segs.orderBy("segment").filter(F.col("segment") >= n_total // 2)
+    dec = decode_binlog_segments(survivors, {("testdb", "events"): EVENTS_COL_NAMES})
+    executed = gtid_ranges_df(
+        dec.select(
+            F.col("gtid_sid").alias("server_uuid"), F.col("gno").alias("txid")
+        ).distinct()
+    ).collect()
+    sid = executed[0]["server_uuid"]
+    executed_set = f"{sid}:{executed[0]['gtid_set']}"
+
+    # checkpoint taken before the purge: includes gno 1 (now gone)
+    saved = BinlogPosition(gtid_set=f"{sid}:1-2")
+    status, reason = check_position_reachability(saved, executed_gtid=executed_set)
+    assert status == "lost"
+    assert "not a subset" in reason
+
+    # a checkpoint inside the surviving range resumes cleanly
+    hi = n_total  # gno = segment + 1 → last gno == n_total
+    saved_ok = BinlogPosition(gtid_set=f"{sid}:{n_total // 2 + 1}-{hi}")
+    status_ok, _ = check_position_reachability(saved_ok, executed_gtid=executed_set)
+    assert status_ok == "reachable"
+
+
+def test_corrupt_segment_fails_loudly_not_silently(spark, tmp_path):
+    """Mid-archive corruption (disk/network truncation) must surface as a
+    task error — a CDC stream that silently skips a corrupt segment has
+    lost data without telling anyone."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from deltaforge_spark.sources.binlog import (
+        EVENTS_COL_NAMES,
+        decode_binlog_segments,
+        synth_binlog_events,
+    )
+
+    path = str(tmp_path / "segments")
+    synth_binlog_events(spark, "/root/testdata/sf0.001", rows_per_segment=100).write.parquet(path)
+    segs = spark.read.parquet(path)
+
+    from pyspark.sql import functions as F
+
+    corrupted = segs.withColumn(
+        "data",
+        F.when(
+            F.col("segment") == 1, F.expr("substring(data, 1, 200)")
+        ).otherwise(F.col("data")),
+    )
+    with _pytest.raises(pyspark.errors.PySparkException):
+        decode_binlog_segments(
+            corrupted, {("testdb", "events"): EVENTS_COL_NAMES}
+        ).count()

@@ -26,7 +26,11 @@ from deltaforge_spark.sources.pgoutput import (
 @pytest.fixture(scope="module")
 def segment_dir(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("binlog-segments"))
-    synth_binlog_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    # small segments → 10 files → the streaming test gets real
+    # multi-trigger increments and the GTID set a genuine interval
+    synth_binlog_events(spark, sf_dir, rows_per_segment=100).write.mode(
+        "overwrite"
+    ).parquet(path)
     return path
 
 
@@ -69,7 +73,9 @@ def test_decoded_gtids_merge_into_interval_algebra(spark, sf_dir, segment_dir):
     ranges = gtid_ranges_df(observed).collect()
     assert len(ranges) == 1
     n_segments = spark.read.parquet(segment_dir).count()
-    assert ranges[0]["ranges"] == f"1-{n_segments}" if n_segments > 1 else "1"
+    assert n_segments > 1
+    assert ranges[0]["gtid_set"] == f"1-{n_segments}"
+    assert ranges[0]["n_intervals"] == 1
 
 
 def test_pgoutput_decode_streaming_parity(spark, sf_dir, tmp_path):

@@ -733,11 +733,23 @@ def decode_pgoutput_truncates(
 
 
 def stamp_transactions(
-    dml: DataFrame, tx: DataFrame, *, bucket_width: int = 256
+    dml: DataFrame,
+    tx: DataFrame,
+    *,
+    bucket_width: int = 256,
+    keep_uncommitted: bool = False,
 ) -> DataFrame:
     """Stamp each DML row with its transaction via the bucketized
     interval join (seq ∈ [begin_seq, commit_seq]) — scales with #tx,
-    no ordering assumption, no cartesian (operators/rangejoin.py)."""
+    no ordering assumption, no cartesian (operators/rangejoin.py).
+
+    ``keep_uncommitted``: a capture cut mid-transaction leaves DML with
+    a Begin but no Commit; the default inner join drops those rows
+    (commit-gated emission). The reference's sequential reader emits
+    rows as they arrive, BEFORE the commit (postgres_event.rs
+    handle_insert → send_event) — pass True for that parity: orphaned
+    rows survive with a null xid/commit_ts so a downstream gate can
+    quarantine instead of silently losing them."""
     from ..operators.rangejoin import interval_join
 
     one = F.lit(1)
@@ -749,6 +761,7 @@ def stamp_transactions(
         start_col="begin_seq",
         end_col="commit_seq",
         bucket_width=bucket_width,
+        how="left" if keep_uncommitted else "inner",
     ).drop("_k", "begin_seq", "commit_seq")
 
 
@@ -758,12 +771,15 @@ def decode_pgoutput(
     data_col: str = "data",
     seq_col: str = "seq",
     tx_bucket_width: int = 256,
+    keep_uncommitted: bool = False,
 ) -> DataFrame:
     """Full pipeline: catalog collect → map-only DML decode → tx stamp."""
     relations = pgoutput_relation_catalog(stream, data_col=data_col)
     dml = decode_pgoutput_dml(stream, relations, data_col=data_col, seq_col=seq_col)
     tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
-    return stamp_transactions(dml, tx, bucket_width=tx_bucket_width)
+    return stamp_transactions(
+        dml, tx, bucket_width=tx_bucket_width, keep_uncommitted=keep_uncommitted
+    )
 
 
 # ------------------------------------------------------------------

@@ -359,3 +359,37 @@ def test_corrupt_segment_fails_loudly_not_silently(spark, tmp_path):
         decode_binlog_segments(
             corrupted, {("testdb", "events"): EVENTS_COL_NAMES}
         ).count()
+
+
+def test_pg_capture_cut_mid_transaction(spark, tmp_path):
+    """Chaos analog of the reference's pg slot/failover scenarios: the
+    capture ends after a Begin but before its Commit. Default decode is
+    commit-gated (the orphaned transaction's rows are withheld —
+    exactly-once posture); keep_uncommitted=True surfaces them with a
+    null xid for quarantine — either way the loss is ACCOUNTED, never
+    silent."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.sources.pgoutput import (
+        decode_pgoutput,
+        synth_pgoutput_orders,
+    )
+
+    full = synth_pgoutput_orders(spark, "/root/testdata/sf0.001")
+    last_commit = full.agg(F.max("seq")).collect()[0][0]
+    # cut the capture just before the final Commit message
+    cut = full.filter(F.col("seq") < last_commit)
+
+    committed = decode_pgoutput(cut)
+    everything = decode_pgoutput(cut, keep_uncommitted=True)
+    orphans = everything.filter(F.col("xid").isNull())
+
+    n_committed = committed.count()
+    n_all = everything.count()
+    n_orphans = orphans.count()
+    assert n_orphans > 0                       # the cut tx really lost its commit
+    assert n_all == n_committed + n_orphans    # nothing vanished unaccounted
+    # committed rows are identical between the two modes
+    assert (
+        everything.filter(F.col("xid").isNotNull()).exceptAll(committed).count() == 0
+    )

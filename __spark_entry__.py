@@ -2860,6 +2860,55 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_binlog_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED wire path: binlog bytes → decode → canonical CDC
+    envelope (sources/binlog.py binlog_change_feed — the reference's
+    dispatch_event → build_object → Event::new_row flow). Flattens the
+    enveloped stream back to typed columns so the oracle can recompute
+    every field from the parquet table: op, event-time ms from the
+    decoded DATETIME2, per-row source block, gtid event id, xid."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.binlog import (
+        EVENTS_COL_NAMES,
+        binlog_change_feed,
+        synth_binlog_events,
+    )
+
+    image_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    segs = synth_binlog_events(spark, sf_dir)
+    env = binlog_change_feed(
+        segs, {("testdb", "events"): EVENTS_COL_NAMES}, image_schema,
+        pipeline="cdc", ts_ms_field="ts",
+    )
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return env.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.col("source.connector").alias("connector"),
+        F.col("source.db").alias("src_db"),
+        F.col("source.table").alias("src_table"),
+        img["event_id"].alias("event_id"),
+        img["user_id"].alias("user_id"),
+        img["event_type"].alias("event_type"),
+        img["value"].alias("value"),
+        img["amount"].alias("amount"),
+        F.col("before")["value"].alias("before_value"),
+        F.col("transaction.id").cast("long").alias("xid"),
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): embeddings cluster into 16 deterministic IVF
@@ -2878,6 +2927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_binlog_decode": q_cdc_binlog_decode,
     "dedup_semantic": q_dedup_semantic,
     "mixture_by_temperature": q_mixture_by_temperature,
+    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
@@ -3792,6 +3842,24 @@ def oracle_sql() -> dict[str, str]:
                      FROM pairs WHERE cos >= 0.4e0 GROUP BY vec_id)
             SELECT a.vec_id, a.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
             FROM a LEFT JOIN dups d USING (vec_id)
+        """,
+        "cdc_binlog_changefeed": """
+            SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                        WHEN event_type = 'error' THEN 'd'
+                        ELSE 'u' END AS op,
+                   CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms,
+                   'mysql' AS connector,
+                   'testdb' AS src_db,
+                   'events' AS src_table,
+                   event_id, user_id, event_type, value,
+                   CASE WHEN event_id % 2 = 1 THEN '-' ELSE '' END ||
+                       CAST(event_id AS VARCHAR) || '.' ||
+                       lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS amount,
+                   CASE WHEN event_type = 'error' THEN value
+                        WHEN event_type NOT IN ('signup', 'error')
+                             THEN value - 1.0e0 END AS before_value,
+                   CAST(event_id // 1000 AS BIGINT) AS xid
+            FROM events
         """,
         "mixture_by_temperature": """
             WITH stats AS (

@@ -193,6 +193,21 @@ def encode_truncate(
     return bytes(out)
 
 
+def encode_logical_message(
+    prefix: str, content: bytes, lsn: int, *, transactional: bool = True
+) -> bytes:
+    """'M' (logical decoding message, pg_logical_emit_message): u8
+    flags (bit0 = transactional), u64 LSN, cstr prefix, u32 content
+    length, content bytes."""
+    out = bytearray(b"M")
+    out.append(1 if transactional else 0)
+    out += lsn.to_bytes(8, "big")
+    out += prefix.encode() + b"\x00"
+    out += len(content).to_bytes(4, "big")
+    out += content
+    return bytes(out)
+
+
 def parse_tuple(buf: bytes, off: int = 0) -> tuple[list[Any], int]:
     """Parse TupleData at ``off``; returns (values, next offset).
     Values are ``None`` | ``UNCHANGED`` | ``str`` (text mode — pgoutput
@@ -322,6 +337,25 @@ def parse_message(data: bytes) -> dict[str, Any]:
             "relation_id": relation_id,
             "old": old,
             "old_key_only": marker == b"K",
+        }
+    if tag == b"M":
+        if len(body) < 9:
+            raise PgoutputError("logical message truncated")
+        flags = body[0]
+        lsn = int.from_bytes(body[1:9], "big")
+        prefix, off = _read_cstring(body, 9)
+        if off + 4 > len(body):
+            raise PgoutputError("logical message truncated before length")
+        n = int.from_bytes(body[off : off + 4], "big")
+        off += 4
+        if off + n > len(body):
+            raise PgoutputError("logical message content overruns")
+        return {
+            "kind": "message",
+            "transactional": bool(flags & 1),
+            "lsn": lsn,
+            "prefix": prefix,
+            "content": body[off : off + n],
         }
     if tag == b"T":
         if len(body) < 5:
@@ -681,6 +715,72 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
             "commit_ts_ms"
         ),
     )
+
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("prefix", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("after", T.StringType()),
+        T.StructField("transactional", T.BooleanType()),
+    ]
+)
+
+#: schema sentinels (reference postgres_logical_message.rs:17-19 and
+#: deltaforge_config OUTBOX_SCHEMA_SENTINEL)
+OUTBOX_SCHEMA_SENTINEL = "__outbox"
+WAL_MESSAGE_SCHEMA = "__wal_message"
+
+
+def decode_pgoutput_messages(
+    stream: DataFrame,
+    *,
+    outbox_prefixes: list[str] | None = None,
+    data_col: str = "data",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """'M' logical-decoding messages → synthetic events (reference
+    postgres_logical_message.rs to_event): JSON content becomes the
+    after image; a prefix matching the outbox allow-list is tagged
+    ``__outbox`` for the OutboxProcessor, anything else
+    ``__wal_message``; non-JSON content is warn-skipped. Map-only; tx
+    stamping composes via :func:`stamp_transactions` when needed."""
+    from ..patterns import AllowList
+
+    allow = AllowList(outbox_prefixes or [])
+    bc = stream.sparkSession.sparkContext.broadcast(allow)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        al = bc.value
+        rows = []
+        for pdf in batches:
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                if b[:1] != b"M":
+                    continue
+                m = parse_message(b)
+                try:
+                    after = json.loads(m["content"].decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    continue  # reference warn-and-skip (:39-44)
+                is_outbox = bool(outbox_prefixes) and al.matches_name(m["prefix"])
+                rows.append(
+                    (
+                        int(seq),
+                        m["lsn"],
+                        m["prefix"],
+                        OUTBOX_SCHEMA_SENTINEL if is_outbox else WAL_MESSAGE_SCHEMA,
+                        json.dumps(after, sort_keys=True),
+                        m["transactional"],
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["seq", "lsn", "prefix", "schema", "after", "transactional"]
+        )
+
+    return stream.select(seq_col, data_col).mapInPandas(scan, MESSAGE_SCHEMA)
 
 
 TRUNCATE_SCHEMA = T.StructType(

@@ -493,3 +493,45 @@ class TestMultiTableSegment:
         assert rows[0]["rows"][0]["after"] == {"n": 10}
         assert rows[1]["rows"][0]["after"] == {"s": "x"}
         assert rows[2]["rows"][0]["after"] == {"n": 20}
+
+
+class TestPgoutputLogicalMessage:
+    def test_message_layout_pinned(self):
+        msg = pg.encode_logical_message("orders.evt", b'{"a":1}', 0x10, transactional=True)
+        assert msg[:1] == b"M" and msg[1] == 1
+        assert int.from_bytes(msg[2:10], "big") == 0x10
+        m = pg.parse_message(msg)
+        assert m == {"kind": "message", "transactional": True, "lsn": 0x10,
+                     "prefix": "orders.evt", "content": b'{"a":1}'}
+
+    def test_non_transactional_flag(self):
+        m = pg.parse_message(pg.encode_logical_message("p", b"{}", 1, transactional=False))
+        assert m["transactional"] is False
+
+    def test_truncated_is_loud(self):
+        msg = pg.encode_logical_message("p", b'{"a":1}', 1)
+        with pytest.raises(pg.PgoutputError):
+            pg.parse_message(msg[:-3])
+
+    def test_spark_decode_outbox_tagging(self, spark):
+        from deltaforge_spark.sources.pgoutput import (
+            OUTBOX_SCHEMA_SENTINEL,
+            WAL_MESSAGE_SCHEMA,
+            decode_pgoutput_messages,
+        )
+
+        rows = [
+            (1, pg.encode_logical_message("outbox.orders", b'{"k": 1}', 11)),
+            (2, pg.encode_logical_message("audit.log", b'{"k": 2}', 12)),
+            (3, pg.encode_logical_message("outbox.users", b"not json", 13)),
+            (4, pg.encode_insert(5, ["x"])),  # non-M messages ignored
+        ]
+        df = spark.createDataFrame(rows, "seq long, data binary")
+        out = decode_pgoutput_messages(df, outbox_prefixes=["outbox%"]).orderBy("seq").collect()
+        # non-JSON content skipped (reference warn-and-skip)
+        assert [(r.seq, r.prefix, r.schema) for r in out] == [
+            (1, "outbox.orders", OUTBOX_SCHEMA_SENTINEL),
+            (2, "audit.log", WAL_MESSAGE_SCHEMA),
+        ]
+        assert out[0].after == '{"k": 1}'
+        assert out[0].lsn == 11 and out[0].transactional is True

@@ -2909,6 +2909,45 @@ def q_cdc_binlog_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_pgoutput_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pgoutput wire path: orders as pgoutput bytes →
+    decode → canonical envelope (sources/pgoutput.py
+    pgoutput_change_feed) → flattened typed columns the oracle
+    recomputes from parquet."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.pgoutput import (
+        pgoutput_change_feed,
+        synth_pgoutput_orders,
+    )
+
+    image_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    env = pgoutput_change_feed(synth_pgoutput_orders(spark, sf_dir), image_schema)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return env.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.col("source.connector").alias("connector"),
+        F.col("source.schema").alias("src_schema"),
+        F.col("source.table").alias("src_table"),
+        img["o_orderkey"].alias("o_orderkey"),
+        img["o_custkey"].alias("o_custkey"),
+        img["o_totalprice"].alias("o_totalprice"),
+        F.col("before")["o_totalprice"].alias("before_totalprice"),
+        F.col("transaction.id").cast("long").alias("xid"),
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): embeddings cluster into 16 deterministic IVF
@@ -2928,6 +2967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "mixture_by_temperature": q_mixture_by_temperature,
     "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
+    "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "audience_overlap": q_audience_overlap,
@@ -3842,6 +3882,22 @@ def oracle_sql() -> dict[str, str]:
                      FROM pairs WHERE cos >= 0.4e0 GROUP BY vec_id)
             SELECT a.vec_id, a.cell_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
             FROM a LEFT JOIN dups d USING (vec_id)
+        """,
+        "cdc_pgoutput_changefeed": """
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 'd'
+                        WHEN o_orderstatus = 'P' THEN 'u'
+                        ELSE 'c' END AS op,
+                   CAST((o_orderkey // 64) * 1000 + 946684800000 AS BIGINT) AS ts_ms,
+                   'postgresql' AS connector,
+                   'public' AS src_schema,
+                   'orders' AS src_table,
+                   o_orderkey, o_custkey,
+                   o_totalprice,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                        WHEN o_orderstatus = 'P' THEN o_totalprice - 1.0e0
+                        END AS before_totalprice,
+                   CAST(o_orderkey // 64 AS BIGINT) AS xid
+            FROM orders
         """,
         "cdc_binlog_changefeed": """
             SELECT CASE WHEN event_type = 'signup' THEN 'c'

@@ -882,6 +882,56 @@ def decode_pgoutput(
     )
 
 
+def pgoutput_change_feed(
+    stream: DataFrame,
+    image_schema: T.StructType,
+    *,
+    pipeline: str = "cdc",
+    data_col: str = "data",
+    seq_col: str = "seq",
+    tx_bucket_width: int = 256,
+) -> DataFrame:
+    """Wire decode → the canonical CDC envelope (the postgres twin of
+    ``binlog.binlog_change_feed``): decoded DML rows with typed images,
+    per-row source block (connector=postgresql, sequence=LSN), the
+    stamped transaction id and its commit time as ts_ms — the
+    reference's handle_insert/update/delete → Event::new_row flow
+    (postgres_event.rs:395-644)."""
+    from ..envelope import finish_envelope
+
+    dec = decode_pgoutput(
+        stream, data_col=data_col, seq_col=seq_col, tx_bucket_width=tx_bucket_width
+    )
+    before = F.from_json(F.col("before"), image_schema)
+    after = F.from_json(F.col("after"), image_schema)
+    out = dec.select(
+        F.col("op"),
+        F.col("commit_ts_ms").alias("ts_ms"),
+        before.alias("before"),
+        after.alias("after"),
+        F.struct(
+            F.lit("postgresql").alias("connector"),
+            F.lit(pipeline).alias("name"),
+            F.col("schema").alias("db"),
+            F.col("schema").alias("schema"),
+            F.col("table").alias("table"),
+            F.lit(False).alias("snapshot"),
+            F.col("lsn").alias("sequence"),
+        ).alias("source"),
+        F.concat_ws(":", F.col("xid").cast("string"), F.col("seq").cast("string")).alias(
+            "event_id"
+        ),
+        F.lit(None).cast("string").alias("tenant_id"),
+        F.struct(
+            F.col("xid").cast("string").alias("id"),
+            F.lit(None).cast("long").alias("total_order"),
+            F.lit(None).cast("long").alias("data_collection_order"),
+        ).alias("transaction"),
+        F.lit(None).cast("boolean").alias("tx_end"),
+    )
+    return finish_envelope(out)
+
+
 # ------------------------------------------------------------------
 # deterministic wire-stream synthesis (fixture generator)
 # ------------------------------------------------------------------

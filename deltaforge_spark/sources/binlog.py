@@ -89,6 +89,8 @@ MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
 MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
+MYSQL_TYPE_ENUM = 247
+MYSQL_TYPE_SET = 248
 MYSQL_TYPE_BLOB = 252
 MYSQL_TYPE_VAR_STRING = 253
 MYSQL_TYPE_STRING = 254
@@ -441,6 +443,19 @@ def encode_value(col_type: int, meta: int, v: Any) -> bytes:
         return len(b).to_bytes(meta, "little") + b
     if col_type == MYSQL_TYPE_NEWDECIMAL:
         return encode_newdecimal(str(v), meta >> 8, meta & 0xFF)
+    if col_type == MYSQL_TYPE_STRING:
+        real_type = (meta >> 16) or MYSQL_TYPE_STRING
+        length = meta & 0xFFFF
+        if real_type == MYSQL_TYPE_ENUM:
+            return int(v).to_bytes(length, "little")  # 1-based index
+        if real_type == MYSQL_TYPE_SET:
+            return int(v).to_bytes(length, "little")  # member bitmask
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        if length > 255:
+            return len(b).to_bytes(2, "little") + b
+        if len(b) > 255:
+            raise BinlogError("char value exceeds 1-byte length")
+        return bytes([len(b)]) + b
     raise BinlogError(f"unsupported column type {col_type} in encoder")
 
 
@@ -508,13 +523,53 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         # reference's ColumnValue::Decimal(s) + decimal-as-string rule,
         # functions/typerules.py)
         return decode_newdecimal(buf, off, meta >> 8, meta & 0xFF)
+    if col_type == MYSQL_TYPE_STRING:
+        real_type = (meta >> 16) or MYSQL_TYPE_STRING
+        length = meta & 0xFFFF
+        if real_type in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            # ENUM: 1-based index; SET: member bitmask — both surface as
+            # ints (reference ColumnValue::Enum/Set → json!(v))
+            return int.from_bytes(buf[off : off + length], "little"), off + length
+        if length > 255:
+            n = int.from_bytes(buf[off : off + 2], "little")
+            off += 2
+        else:
+            n = buf[off]
+            off += 1
+        if off + n > len(buf):
+            raise BinlogError("char value overruns event")
+        return buf[off : off + n].decode("utf-8"), off + n
     raise BinlogError(f"unsupported column type {col_type} in decoder")
+
+
+def unpack_string_meta(b0: int, b1: int) -> tuple[int, int]:
+    """The infamous MYSQL_TYPE_STRING metadata packing: CHAR, ENUM and
+    SET all arrive as type 254 in the column-type array, with the REAL
+    type in metadata byte0 and — for CHAR columns longer than 255
+    bytes — two length bits smuggled into byte0's 0x30 field
+    (inverted). Returns (real_type, length/storage-size)."""
+    if b0 in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+        return b0, b1  # b1 = storage size in bytes (1 or 2 / 1..8)
+    if (b0 & 0x30) != 0x30:
+        # long CHAR: the two high length bits live in ~(b0 & 0x30)
+        return b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4)
+    return b0, b1
 
 
 def _meta_bytes(col_type: int, meta: int) -> bytes:
     """TABLE_MAP per-column metadata encoding (public layout)."""
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         return meta.to_bytes(2, "little")
+    if col_type == MYSQL_TYPE_STRING:
+        # meta = (real_type << 16) | length; emit the packed 2-byte form
+        real_type = (meta >> 16) or MYSQL_TYPE_STRING
+        length = meta & 0xFFFF
+        if real_type in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            return bytes([real_type, length])
+        if length > 255:
+            b0 = (real_type & ~0x30) | ((((length >> 8) & 3) ^ 3) << 4)
+            return bytes([b0, length & 0xFF])
+        return bytes([real_type, length])
     if col_type in (
         MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
         MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2,
@@ -528,6 +583,9 @@ def _meta_bytes(col_type: int, meta: int) -> bytes:
 def _read_meta(col_type: int, buf: bytes, off: int) -> tuple[int, int]:
     if col_type in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         return int.from_bytes(buf[off : off + 2], "little"), off + 2
+    if col_type == MYSQL_TYPE_STRING:
+        real_type, length = unpack_string_meta(buf[off], buf[off + 1])
+        return (real_type << 16) | length, off + 2
     if col_type in (
         MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_FLOAT,
         MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2,

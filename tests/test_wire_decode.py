@@ -535,3 +535,59 @@ class TestPgoutputLogicalMessage:
         ]
         assert out[0].after == '{"k": 1}'
         assert out[0].lsn == 11 and out[0].transactional is True
+
+
+class TestStringFamilyMeta:
+    def test_short_char_meta_roundtrip(self):
+        meta = (bl.MYSQL_TYPE_STRING << 16) | 40
+        packed = bl._meta_bytes(bl.MYSQL_TYPE_STRING, meta)
+        assert packed == bytes([bl.MYSQL_TYPE_STRING, 40])
+        rt, length = bl.unpack_string_meta(packed[0], packed[1])
+        assert (rt, length) == (bl.MYSQL_TYPE_STRING, 40)
+
+    def test_long_char_meta_hides_bits_in_type_byte(self):
+        # CHAR(255) utf8mb4 → byte length up to 1020 > 255: the two
+        # high length bits ride in ~(byte0 & 0x30)
+        meta = (bl.MYSQL_TYPE_STRING << 16) | 780
+        packed = bl._meta_bytes(bl.MYSQL_TYPE_STRING, meta)
+        assert packed[0] != bl.MYSQL_TYPE_STRING  # bits really moved
+        rt, length = bl.unpack_string_meta(packed[0], packed[1])
+        assert (rt, length) == (bl.MYSQL_TYPE_STRING, 780)
+
+    @pytest.mark.parametrize("storage,value", [(1, 3), (2, 300)])
+    def test_enum_roundtrip(self, storage, value):
+        meta = (bl.MYSQL_TYPE_ENUM << 16) | storage
+        enc = bl.encode_value(bl.MYSQL_TYPE_STRING, meta, value)
+        assert len(enc) == storage
+        out, off = bl.decode_value(bl.MYSQL_TYPE_STRING, meta, enc, 0)
+        assert out == value and off == storage
+
+    def test_set_bitmask_roundtrip(self):
+        meta = (bl.MYSQL_TYPE_SET << 16) | 2
+        enc = bl.encode_value(bl.MYSQL_TYPE_STRING, meta, 0b1010_0000_0001)
+        out, _ = bl.decode_value(bl.MYSQL_TYPE_STRING, meta, enc, 0)
+        assert out == 0b1010_0000_0001
+
+    @pytest.mark.parametrize("length,v", [(40, "char-val"), (780, "x" * 500)])
+    def test_char_value_roundtrip(self, length, v):
+        meta = (bl.MYSQL_TYPE_STRING << 16) | length
+        enc = bl.encode_value(bl.MYSQL_TYPE_STRING, meta, v)
+        out, off = bl.decode_value(bl.MYSQL_TYPE_STRING, meta, enc, 0)
+        assert out == v and off == len(enc)
+
+    def test_string_family_through_table_map(self):
+        """Full segment: CHAR(780), ENUM, SET columns — the packed meta
+        survives the TABLE_MAP round trip and values decode by the
+        unpacked real types."""
+        types = [bl.MYSQL_TYPE_STRING] * 3
+        metas = [
+            (bl.MYSQL_TYPE_STRING << 16) | 780,
+            (bl.MYSQL_TYPE_ENUM << 16) | 1,
+            (bl.MYSQL_TYPE_SET << 16) | 1,
+        ]
+        row = ["y" * 300, 2, 0b101]
+        w = bl.SegmentWriter(1)
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(9, "d", "t", types, metas, [False] * 3))
+        w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(9, 3, [row], types, metas))
+        rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
+        assert rows["rows"][0]["after"] == row

@@ -203,6 +203,8 @@ def stage_to_tmpfs(sf_dir: str) -> str:
 TREND_KERNELS = [
     "cdc_pipeline",
     "cdc_pipeline_xl",
+    "cdc_binlog_decode_staged",
+    "cdc_binlog_decode_staged_xl",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -283,11 +285,12 @@ def main():
     # (CRC + log_pos verified per event) → row materialization, min-of-3.
     from deltaforge_spark.sources.binlog import (
         EVENTS_COL_NAMES,
+        SYNTH_FORMAT,
         decode_binlog_segments,
         synth_binlog_events,
     )
 
-    seg_path = f"/dev/shm/deltaforge-bench-data/binlog-segments-sf{sf}"
+    seg_path = f"/dev/shm/deltaforge-bench-data/binlog-segments-v{SYNTH_FORMAT}-sf{sf}"
     if not os.path.isdir(seg_path):
         synth_binlog_events(spark, sf_dir).write.mode("overwrite").parquet(seg_path)
     segs = spark.read.parquet(seg_path)

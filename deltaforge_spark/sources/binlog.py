@@ -1028,6 +1028,9 @@ EVENTS_COL_METAS = [0, 6, 0, 64, 8, 4, (18 << 8) | 2]
 EVENTS_TABLE_ID = 777
 SYNTH_SERVER_ID = 7777
 SYNTH_SID = bytes(range(16))
+#: bump when the synth stream's schema/layout changes — cache keys
+#: (bench staging) embed it so stale segments never decode silently
+SYNTH_FORMAT = 2
 
 SEGMENT_SCHEMA = T.StructType(
     [

@@ -640,15 +640,20 @@ def compile_reference_pipeline(
     binlog_change_feed) instead of the synthetic change feed;
     ``binlog_schemas = (columns_by_table, image_schema, ts_ms_field)``
     plays the schema-registry role the reference fills from the live
-    DB (mysql_event.rs handle_table_map → load_schema)."""
+    DB (mysql_event.rs handle_table_map → load_schema). A postgres
+    source with ``wal_dir`` symmetrically runs pgoutput_change_feed
+    over captured (seq, data) messages — image schema via
+    ``binlog_schemas[1]`` (the relation catalog itself travels in the
+    stream's 'R' messages)."""
     from ..sources import change_feed
 
     transports = transports or {}
     procs = reference_transforms(ref, js_equivalents=js_equivalents, js_policy=js_policy)
     bl_dir = ref.source.extra.get("binlog_dir") if ref.source.kind == "mysql" else None
-    if bl_dir and not binlog_schemas:
+    wal_dir = ref.source.extra.get("wal_dir") if ref.source.kind == "postgres" else None
+    if (bl_dir or wal_dir) and not binlog_schemas:
         raise UnsupportedSpecError(
-            "source.config.binlog_dir requires binlog_schemas=(columns_by_table, image_schema, ts_ms_field)"
+            "source.config.binlog_dir/wal_dir requires binlog_schemas=(columns_by_table, image_schema, ts_ms_field)"
         )
 
     def program(spark, sf_dir: str) -> DataFrame:
@@ -659,6 +664,13 @@ def compile_reference_pipeline(
             df = binlog_change_feed(
                 spark.read.parquet(bl_dir), cols, image_schema,
                 pipeline=ref.name, ts_ms_field=ts_ms_field,
+            )
+        elif wal_dir:
+            from ..sources.pgoutput import pgoutput_change_feed
+
+            _cols, image_schema, _tsf = binlog_schemas
+            df = pgoutput_change_feed(
+                spark.read.parquet(wal_dir), image_schema, pipeline=ref.name
             )
         else:
             df = change_feed(spark, sf_dir, pipeline=ref.name)

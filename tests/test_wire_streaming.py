@@ -205,3 +205,57 @@ def test_binlog_change_feed_requires_schemas(spark, sf_dir, segment_dir):
     }
     with pytest.raises(UnsupportedSpecError, match="binlog_schemas"):
         compile_reference_pipeline(parse_reference_spec(spec))
+
+
+def test_pg_wal_dir_spec_source(spark, sf_dir, tmp_path):
+    """A postgres spec source with config.wal_dir compiles to the
+    pgoutput wire decoder fronting the processor chain."""
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.plans.refspec import (
+        compile_reference_pipeline,
+        parse_reference_spec,
+    )
+
+    path = str(tmp_path / "wal")
+    synth_pgoutput_orders(spark, sf_dir).write.parquet(path)
+    image_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    spec = {
+        "apiVersion": "deltaforge/v1",
+        "kind": "Pipeline",
+        "metadata": {"name": "pg-wal"},
+        "spec": {
+            "source": {
+                "type": "postgres",
+                "config": {"wal_dir": path, "tables": ["public.orders"]},
+            },
+            "processors": [{"type": "filter", "ops": ["c", "d"]}],
+            "sinks": [{"type": "s3", "config": {}}],
+        },
+    }
+    program, sinks, policy, ref = compile_reference_pipeline(
+        parse_reference_spec(spec),
+        binlog_schemas=(None, image_schema, None),
+    )
+    df = program(spark, sf_dir)
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') "
+        "WHERE o_orderstatus <> 'P'"
+    ).fetchone()[0]
+    assert df.count() == expected
+    sample = df.filter(F.col("op") == "d").limit(1).collect()[0]
+    assert sample["source"]["connector"] == "postgresql"
+    assert sample["source"]["table"] == "orders"
+    assert sample["before"]["o_orderkey"] is not None
+    assert sample["after"] is None

@@ -1664,6 +1664,51 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-lag priority analysis (adapted: this
+    schema has no l_shipmode/receiptdate, so the mode dimension becomes
+    the ship lag itself — days(l_shipdate − o_orderdate) bucketed
+    fast/slow at 30 days). Counts urgent-vs-other orders per bucket;
+    single fact-fact shuffle on orderkey, integer date math identical
+    on both engines."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(lag < 30, F.lit("fast")).otherwise(F.lit("slow")).alias("lag_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style parts/supplier relationship (adapted: no
+    partsupp — the part↔supplier edges come from lineitem shipments;
+    the excluded-supplier subquery keys on negative account balance,
+    standing in for the complaints LIKE filter). Distinct suppliers per
+    (brand, type, size): broadcast part dim, broadcast anti-join of the
+    tiny excluded-supplier set, two-phase distinct aggregation."""
+    _prep(spark)
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 5-way join through region/nation (broadcast dims)."""
     _prep(spark)
@@ -3022,6 +3067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_profit": q9_product_profit,
+    "q12_ship_lag": q12_ship_lag,
+    "q16_supplier_variety": q16_supplier_variety,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3792,6 +3839,26 @@ def oracle_sql() -> dict[str, str]:
               AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
               AND s_nationkey = n_nationkey
             GROUP BY n_name, year(o_orderdate)
+        """,
+        "q12_ship_lag": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                        THEN 'fast' ELSE 'slow' END AS lag_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
         """,
         "q13_customer_distribution": """
             WITH percust AS (

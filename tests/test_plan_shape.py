@@ -451,3 +451,21 @@ def test_changefeed_single_exchange(spark, sf_dir):
 
     p = plan_str(change_feed(spark, sf_dir))
     assert p.count("Exchange (") == 1, p
+
+
+def test_q12_single_fact_shuffle_no_python(spark, sf_dir):
+    p = plan_str(entry.queries()["q12_ship_lag"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
+def test_q16_broadcasts_and_anti_join(spark, sf_dir):
+    """Q16: part dim broadcast with the size IN-list pushed to its
+    scan; excluded suppliers are a broadcast anti join; the distinct
+    count runs as a two-phase aggregation."""
+    p = plan_str(entry.queries()["q16_supplier_variety"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "In(p_size" in p, p
+    assert "CartesianProduct" not in p

@@ -1,4 +1,32 @@
 from .snapshot import snapshot_events, read_table
 from .changefeed import change_feed
+from .binlog import (
+    binlog_change_feed,
+    decode_binlog_segments,
+    parse_segment,
+    synth_binlog_events,
+)
+from .pgoutput import (
+    decode_pgoutput,
+    decode_pgoutput_messages,
+    decode_pgoutput_truncates,
+    parse_message,
+    pgoutput_change_feed,
+    synth_pgoutput_orders,
+)
 
-__all__ = ["snapshot_events", "read_table", "change_feed"]
+__all__ = [
+    "snapshot_events",
+    "read_table",
+    "change_feed",
+    "binlog_change_feed",
+    "decode_binlog_segments",
+    "parse_segment",
+    "synth_binlog_events",
+    "decode_pgoutput",
+    "decode_pgoutput_messages",
+    "decode_pgoutput_truncates",
+    "parse_message",
+    "pgoutput_change_feed",
+    "synth_pgoutput_orders",
+]

@@ -754,8 +754,8 @@ def decode_pgoutput_messages(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         al = bc.value
-        rows = []
         for pdf in batches:
+            rows = []
             for seq, data in zip(pdf[seq_col], pdf[data_col]):
                 b = bytes(data)
                 if b[:1] != b"M":
@@ -776,9 +776,9 @@ def decode_pgoutput_messages(
                         m["transactional"],
                     )
                 )
-        yield pd.DataFrame(
-            rows, columns=["seq", "lsn", "prefix", "schema", "after", "transactional"]
-        )
+            yield pd.DataFrame(
+                rows, columns=["seq", "lsn", "prefix", "schema", "after", "transactional"]
+            )
 
     return stream.select(seq_col, data_col).mapInPandas(scan, MESSAGE_SCHEMA)
 

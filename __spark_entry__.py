@@ -2993,6 +2993,22 @@ def q_cdc_pgoutput_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretrained-merge-table BPE tokenization
+    (textanalysis.bpe_merge_tokens): rank-ordered pair merges over
+    word-bounded character symbols, all chained JVM replace() calls —
+    a real tokenizer-shaped pass with zero Python in the hot path. The
+    oracle replays the identical merge chain in SQL."""
+    _prep(spark)
+    from deltaforge_spark.operators.textanalysis import bpe_merge_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_merge_tokens(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): embeddings cluster into 16 deterministic IVF
@@ -3011,6 +3027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_binlog_decode": q_cdc_binlog_decode,
     "dedup_semantic": q_dedup_semantic,
     "mixture_by_temperature": q_mixture_by_temperature,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
     "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
     "sketch_hll_users": q_sketch_hll_users,
@@ -3787,6 +3804,13 @@ def _url_dedup_oracle() -> str:
     return url_canonical_oracle_sql("documents", url_sql, "doc_id")
 
 
+def _text_bpe_tokens_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import bpe_merge_tokens_oracle_sql
+
+    n = bpe_merge_tokens_oracle_sql("text")
+    return f"SELECT doc_id, CAST({n} AS INT) AS n_bpe_tokens FROM documents"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_pgoutput_decode": """
@@ -3984,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id // 1000 AS BIGINT) AS xid
             FROM events
         """,
+        "text_bpe_tokens": _text_bpe_tokens_oracle(),
         "mixture_by_temperature": """
             WITH stats AS (
                 SELECT lang AS s,

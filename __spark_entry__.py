@@ -995,6 +995,35 @@ _LENGTH_HIST_ORACLE = """
 """
 
 
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: the top 20 3-step event-type
+    sequences across all users (sliding lead() trigrams over each
+    user's time-ordered stream). One hash shuffle on user_id for the
+    window; the journey aggregation runs on (path, count) pairs — the
+    classic product-analytics op at lineitem-free cost. Deterministic
+    top-k via (count desc, path) tiebreak."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    has3 = F.lead("event_type", 2).over(w).isNotNull()
+    return (
+        ev.select(path.alias("path"), has3.alias("_ok"))
+        .filter(F.col("_ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.py): users reaching
     signup → click → purchase with each step strictly after the
@@ -3111,6 +3140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topn": q_events_topn,
     "events_sessionization": q_events_sessionization,
     "events_funnel": q_events_funnel,
+    "events_paths": q_events_paths,
     "events_retention": q_events_retention,
     "cdc_outbox": q_outbox,
     "cdc_routing_templates": q_routing_templates,
@@ -4007,6 +4037,21 @@ def oracle_sql() -> dict[str, str]:
                              THEN value - 1.0e0 END AS before_value,
                    CAST(event_id // 1000 AS BIGINT) AS xid
             FROM events
+        """,
+        "events_paths": """
+            WITH seq AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+            )
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   CAST(count(*) AS BIGINT) AS n_journeys
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_journeys DESC, path
+            LIMIT 20
         """,
         "text_bpe_tokens": _text_bpe_tokens_oracle(),
         "mixture_by_temperature": """

@@ -316,6 +316,19 @@ def main():
         )
     binlog_ev_per_sec_steady = n_events * BL_XL / timings["cdc_binlog_decode_staged_xl"]
 
+    # pgoutput side (same staging discipline): decode = map-only parse +
+    # relation-catalog broadcast + interval-join tx stamping
+    from deltaforge_spark.sources.pgoutput import decode_pgoutput, synth_pgoutput_orders
+
+    wal_path = f"/dev/shm/deltaforge-bench-data/pgoutput-v1-sf{sf}"
+    if not os.path.isdir(wal_path):
+        synth_pgoutput_orders(spark, sf_dir).write.mode("overwrite").parquet(wal_path)
+    wal = spark.read.parquet(wal_path)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    for _ in range(3):
+        timed("cdc_pgoutput_decode_staged", lambda: decode_pgoutput(wal))
+    pgoutput_ev_per_sec = n_orders / timings["cdc_pgoutput_decode_staged"]
+
     # ---- TIER 2: delivery pair (exactly-once vs at-least-once) on
     # identical data. Estimator: MEDIAN OF PER-PAIR RATIOS, not min/min —
     # the EOS delta (reference documents ~7-11%) is smaller than
@@ -399,6 +412,7 @@ def main():
         "events_per_sec_steady": round(ev_per_sec_xl),
         "binlog_decode_events_per_sec": round(binlog_ev_per_sec),
         "binlog_decode_events_per_sec_steady": round(binlog_ev_per_sec_steady),
+        "pgoutput_decode_events_per_sec": round(pgoutput_ev_per_sec),
         "eos_overhead_pct": eos_overhead_pct,
         "eos_overhead_iqr_pct": eos_overhead_iqr_pct,
         "eos_overhead_upper_pct": eos_overhead_upper_pct,

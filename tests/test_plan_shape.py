@@ -478,3 +478,14 @@ def test_bpe_merge_tokens_stays_jvm_side(spark, sf_dir):
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in p
     assert "hashpartitioning" not in p.lower(), p
+
+
+def test_events_paths_single_user_shuffle_topk(spark, sf_dir):
+    """Path analysis: one hash exchange on user_id for the lead()
+    window; the final top-20 is a TakeOrderedAndProject over (path,
+    count) pairs, never a global sort of journeys."""
+    p = plan_str(entry.queries()["events_paths"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p

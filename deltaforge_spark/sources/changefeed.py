@@ -61,6 +61,10 @@ def change_feed(
     # window's hash exchange — same row count shuffled twice. Keying
     # the fan-out satisfies the window's required distribution, so the
     # plan carries exactly ONE exchange (pinned in test_plan_shape).
+    # explicit partition count: AQE would coalesce this exchange for
+    # its pre-serialization byte size, starving the downstream to_json
+    # CPU work of cores (measured 0.91s vs 0.71s at sf0.1) — the same
+    # row-inflating-operator rule as cdc_pipeline_xl's repartition
     ev = ev.repartition(
         spark.sparkContext.defaultParallelism, tx_seq, F.col("user_id")
     )

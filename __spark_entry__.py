@@ -1024,6 +1024,41 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week: weekly active users, summed daily
+    actives, and the stickiness ratio avg-DAU/WAU — two partial
+    count-distinct aggregations (day grain, week grain) joined on week;
+    the ratio divides exact integers in one double op, rounded 6dp
+    (hash-gate rules). Key spaces are days/weeks — no skew."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("CAST(ts DIV 86400000000000 AS BIGINT)")
+    daily = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    weekly = (
+        ev.select((day / F.lit(7)).cast("long").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    per_week = daily.groupBy((F.col("day") / F.lit(7)).cast("long").alias("week")).agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return per_week.join(weekly, "week").select(
+        "week",
+        "wau",
+        "sum_dau",
+        "n_days",
+        F.round(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.py): users reaching
     signup → click → purchase with each step strictly after the
@@ -3141,6 +3176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionization": q_events_sessionization,
     "events_funnel": q_events_funnel,
     "events_paths": q_events_paths,
+    "events_dau_stickiness": q_events_dau_stickiness,
     "events_retention": q_events_retention,
     "cdc_outbox": q_outbox,
     "cdc_routing_templates": q_routing_templates,
@@ -4037,6 +4073,25 @@ def oracle_sql() -> dict[str, str]:
                              THEN value - 1.0e0 END AS before_value,
                    CAST(event_id // 1000 AS BIGINT) AS xid
             FROM events
+        """,
+        "events_dau_stickiness": """
+            WITH daily AS (
+                SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                FROM events GROUP BY 1),
+            weekly AS (
+                SELECT CAST(epoch_ns(ts) // 86400000000000 // 7 AS BIGINT) AS week,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                FROM events GROUP BY 1),
+            pw AS (
+                SELECT CAST(day // 7 AS BIGINT) AS week,
+                       CAST(sum(dau) AS BIGINT) AS sum_dau,
+                       CAST(count(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1)
+            SELECT pw.week, wau, sum_dau, n_days,
+                   round(CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE), 6)
+                       AS stickiness
+            FROM pw JOIN weekly ON pw.week = weekly.week
         """,
         "events_paths": """
             WITH seq AS (

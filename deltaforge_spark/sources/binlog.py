@@ -908,8 +908,11 @@ BINLOG_ROW_SCHEMA = T.StructType(
         T.StructField("log_pos", T.LongType()),
         T.StructField("before", T.StringType()),
         T.StructField("after", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
+
+_EMPTY_ROW_PREFIX = (None,) * 11
 
 
 def decode_binlog_segments(
@@ -917,9 +920,22 @@ def decode_binlog_segments(
     columns_by_table: dict[tuple[str, str], list[str]],
     *,
     data_col: str = "data",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Map-only decode: one task per segment, each fully independent.
-    Emits one output row per row image with JSON before/after objects."""
+    Emits one output row per row image with JSON before/after objects
+    (plus a null ``decode_error`` column).
+
+    ``on_error``: a corrupt segment (bad magic/CRC/log_pos/truncation)
+    by default FAILS the job — exactly-once posture, nothing skipped
+    silently. ``"route"`` instead emits one row per poison segment with
+    ``decode_error`` set (all data columns null) so the caller can
+    split it to a DLQ and keep draining — the reference's
+    poison-payload isolation posture (dlq.rs), at segment granularity.
+    A segment is all-or-nothing either way: a CRC failure anywhere in
+    it voids the segment (its row events may be framed wrong)."""
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be fail|route, got {on_error!r}")
     sc = segments.sparkSession.sparkContext
     bc = sc.broadcast(columns_by_table)
 
@@ -928,7 +944,19 @@ def decode_binlog_segments(
         for pdf in batches:
             out = []
             for blob in pdf[data_col]:
-                for ev in parse_segment(bytes(blob), cols):
+                try:
+                    events = parse_segment(bytes(blob), cols)
+                except BinlogError:
+                    if on_error == "fail":
+                        raise
+                    import traceback
+
+                    out.append(
+                        _EMPTY_ROW_PREFIX
+                        + (traceback.format_exc(limit=0).strip().splitlines()[-1],)
+                    )
+                    continue
+                for ev in events:
                     if ev["kind"] != "rows":
                         continue
                     sid, gno = ev["gtid"] if ev["gtid"] else (None, None)
@@ -943,12 +971,14 @@ def decode_binlog_segments(
                                 ev["op"], ev.get("xid"), sid, gno, ev["log_pos"],
                                 None if b is None else dumps(b),
                                 None if a is None else dumps(a),
+                                None,
                             )
                         )
             yield pd.DataFrame(
                 out,
                 columns=["ts_sec", "server_id", "db", "table", "op", "xid",
-                         "gtid_sid", "gno", "log_pos", "before", "after"],
+                         "gtid_sid", "gno", "log_pos", "before", "after",
+                         "decode_error"],
             )
 
     return segments.select(data_col).mapInPandas(run, BINLOG_ROW_SCHEMA)

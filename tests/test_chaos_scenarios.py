@@ -393,3 +393,40 @@ def test_pg_capture_cut_mid_transaction(spark, tmp_path):
     assert (
         everything.filter(F.col("xid").isNotNull()).exceptAll(committed).count() == 0
     )
+
+
+def test_corrupt_segment_routes_to_dlq_when_asked(spark, tmp_path):
+    """on_error='route': the poison segment becomes ONE decode_error
+    row (segment granularity — its framing can't be trusted), healthy
+    segments keep flowing; the split is the DLQ posture at the decode
+    stage."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.sources.binlog import (
+        EVENTS_COL_NAMES,
+        decode_binlog_segments,
+        synth_binlog_events,
+    )
+
+    path = str(tmp_path / "segments")
+    synth_binlog_events(spark, "/root/testdata/sf0.001", rows_per_segment=100).write.parquet(path)
+    segs = spark.read.parquet(path)
+    n_segments = segs.count()
+    corrupted = segs.withColumn(
+        "data",
+        F.when(F.col("segment") == 1, F.expr("substring(data, 1, 200)")).otherwise(
+            F.col("data")
+        ),
+    )
+    cols = {("testdb", "events"): EVENTS_COL_NAMES}
+    out = decode_binlog_segments(corrupted, cols, on_error="route")
+    good = out.filter(F.col("decode_error").isNull())
+    bad = out.filter(F.col("decode_error").isNotNull())
+    assert bad.count() == 1
+    assert "BinlogError" in bad.collect()[0]["decode_error"]
+    clean_total = decode_binlog_segments(segs, cols).count()
+    lost_segment = decode_binlog_segments(
+        segs.filter(F.col("segment") == 1), cols
+    ).count()
+    assert good.count() == clean_total - lost_segment
+    assert n_segments > 2  # the scenario actually exercises survivors

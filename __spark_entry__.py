@@ -1728,6 +1728,79 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock identification (adapted: no
+    partsupp, so part value = revenue shipped by NATION_1's suppliers).
+    Parts holding more than 0.1% of total value survive — the
+    GROUP BY … HAVING > global-fraction shape with the threshold
+    compared EXACTLY by cross-multiplication (value × 1000 > total),
+    q22-style: no double division anywhere. One partkey aggregation +
+    a broadcast 1-row total."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    vol = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    lines = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("l_partkey"), vol.alias("_v"))
+    )
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum("_v").cast("decimal(38,8)").alias("_value")
+    )
+    total = per_part.agg(F.sum("_value").cast("decimal(38,8)").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value") * F.lit(1000) > F.col("_total"))
+        .select("l_partkey", F.col("_value").cast("string").alias("part_value"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting (adapted: no
+    receipt/commit dates — the 'blocking' supplier is the SOLE latest
+    shipper of a multi-supplier order). Per-order stats (max shipdate,
+    distinct suppliers, suppliers achieving the max) aggregate once on
+    orderkey, then join back to the achieving lines — the
+    exists/not-exists pair becomes two computed counts, no correlated
+    subqueries, one orderkey shuffle chain."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    per_line = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_supp = per_line.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_supp_max")
+    )
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.max("_supp_max").alias("_order_max"),
+        F.count(F.lit(1)).alias("_n_suppliers"),
+    )
+    achievers = (
+        per_supp.join(stats, "l_orderkey")
+        .filter(F.col("_supp_max") == F.col("_order_max"))
+        .withColumn(
+            "_n_achievers", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+    )
+    blocking = achievers.filter(
+        (F.col("_n_suppliers") >= 2) & (F.col("_n_achievers") == 1)
+    )
+    return (
+        blocking.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 def q12_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style shipping-lag priority analysis (adapted: this
     schema has no l_shipmode/receiptdate, so the mode dimension becomes
@@ -3148,8 +3221,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_profit": q9_product_profit,
+    "q11_value_concentration": q11_value_concentration,
     "q12_ship_lag": q12_ship_lag,
     "q16_supplier_variety": q16_supplier_variety,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3929,6 +4004,42 @@ def oracle_sql() -> dict[str, str]:
               AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
               AND s_nationkey = n_nationkey
             GROUP BY n_name, year(o_orderdate)
+        """,
+        "q11_value_concentration": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS _value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1'
+                GROUP BY l_partkey),
+            t AS (SELECT CAST(sum(_value) AS DECIMAL(38,8)) AS _total FROM pp)
+            SELECT l_partkey, CAST(_value AS VARCHAR) AS part_value
+            FROM pp, t WHERE _value * 1000 > _total
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_supp AS (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+                FROM lineitem GROUP BY 1, 2),
+            stats AS (
+                SELECT l_orderkey, max(supp_max) AS order_max,
+                       CAST(count(*) AS BIGINT) AS n_suppliers
+                FROM per_supp GROUP BY 1),
+            achievers AS (
+                SELECT p.l_orderkey, p.l_suppkey, s.n_suppliers,
+                       CAST(count(*) OVER (PARTITION BY p.l_orderkey) AS BIGINT)
+                           AS n_achievers
+                FROM per_supp p JOIN stats s
+                  ON p.l_orderkey = s.l_orderkey AND p.supp_max = s.order_max)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM achievers JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_suppliers >= 2 AND n_achievers = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "q12_ship_lag": """
             SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30

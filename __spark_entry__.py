@@ -3146,6 +3146,47 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card dedup summary: the duplication signal each method
+    finds, on one scoreboard — exact content groups with duplicates,
+    MinHash-LSH candidate pairs, exact n-gram Jaccard pairs (≥0.5),
+    and semantic (embedding-cluster) duplicates. Each branch is an
+    individually-oracled operator reduced to a count; the report is
+    their union — the number a data curator reads before choosing a
+    dedup policy."""
+    _prep(spark)
+    from deltaforge_spark.operators.dedup import minhash_lsh_pairs
+    from deltaforge_spark.operators.similarity import semantic_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def one(method: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(method).alias("method"), F.col("n").cast("long").alias("n")
+        )
+
+    exact_n = (
+        exact_dedup(docs, ["text"], "doc_id")
+        .filter(F.col("n_dupes") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    lsh_n = minhash_lsh_pairs(sig, num_hashes=8, bands=4).agg(F.count(F.lit(1)).alias("n"))
+    jac_n = shingle_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sem_n = (
+        semantic_dedup(emb).filter(F.col("is_dup")).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one("exact_dup_groups", exact_n)
+        .unionByName(one("minhash_lsh_pairs", lsh_n))
+        .unionByName(one("ngram_jaccard_pairs", jac_n))
+        .unionByName(one("semantic_dup_docs", sem_n))
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): embeddings cluster into 16 deterministic IVF
@@ -3163,6 +3204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
     "cdc_binlog_decode": q_cdc_binlog_decode,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_report": q_dedup_report,
     "mixture_by_temperature": q_mixture_by_temperature,
     "text_bpe_tokens": q_text_bpe_tokens,
     "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
@@ -3953,6 +3995,27 @@ def _text_bpe_tokens_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # composed dataset-card report: each branch is an existing oracle
+    # reduced to a count — the SQL is literally built FROM the oracles
+    # it summarizes, so the report can never drift from its parts
+    d["dedup_report"] = f"""
+        SELECT 'exact_dup_groups' AS method,
+               CAST((SELECT count(*) FROM ({d['dedup_exact']}) WHERE n_dupes > 1) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'minhash_lsh_pairs',
+               CAST((SELECT count(*) FROM ({d['dedup_minhash_lsh']})) AS BIGINT)
+        UNION ALL
+        SELECT 'ngram_jaccard_pairs',
+               CAST((SELECT count(*) FROM ({d['dedup_ngram_jaccard']})) AS BIGINT)
+        UNION ALL
+        SELECT 'semantic_dup_docs',
+               CAST((SELECT count(*) FROM ({d['dedup_semantic']}) WHERE is_dup) AS BIGINT)
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "cdc_pgoutput_decode": """
             SELECT CASE WHEN o_orderstatus = 'F' THEN 'd'

@@ -276,3 +276,45 @@ def test_decode_layout_invariance(spark, sf_dir, segment_dir):
     c = decode_pgoutput(stream)
     d = decode_pgoutput(stream.repartition(5))
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+
+
+def test_pgoutput_envelope_feeds_tx_assembly(spark, sf_dir):
+    """Cross-layer integration: the pgoutput wire envelope drives the
+    transaction assembler directly — per-tx event counts from assembled
+    wire bytes must equal the orders-per-transaction group sizes."""
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.pgoutput import (
+        pgoutput_change_feed,
+        synth_pgoutput_orders,
+    )
+    from deltaforge_spark.streaming import assembled_transactions_batch
+
+    image_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    env = pgoutput_change_feed(synth_pgoutput_orders(spark, sf_dir), image_schema)
+    assembled = assembled_transactions_batch(env)
+    got = {r["tx_id"]: r["n_events"] for r in assembled.collect()}
+
+    import duckdb
+
+    expected = dict(
+        duckdb.sql(
+            f"SELECT CAST(o_orderkey // 64 AS VARCHAR), count(*) "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == expected
+    # op mix flows through: creates+updates+deletes == n_events per tx
+    bad = assembled.filter(
+        F.col("n_creates") + F.col("n_updates") + F.col("n_deletes") != F.col("n_events")
+    )
+    assert bad.count() == 0

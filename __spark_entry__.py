@@ -1413,6 +1413,18 @@ def q_multimodal_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_windows(with_synth_payload(docs, kind="pcm"), window_bytes=64)
 
 
+def q_multimodal_pcm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM decimation by 4 over seeded full-range u8 audio
+    (multimodal.resample_pcm): every retained sample is a decoded
+    input byte; exact integer count/sum/position-checksum verified
+    from the seed formula by the oracle."""
+    from deltaforge_spark.operators.multimodal import resample_pcm, with_synth_payload
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return resample_pcm(with_synth_payload(docs, kind="pcm"), factor=4)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out inside mapInPandas (64-byte frames)."""
     _prep(spark)
@@ -3285,6 +3297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_ppm_resize": q_multimodal_ppm_resize,
     "multimodal_pcm_windows": q_multimodal_pcm_windows,
+    "multimodal_pcm_resample": q_multimodal_pcm_resample,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_windowed": q_events_windowed,
@@ -4990,6 +5003,23 @@ def _oracle_sql_base() -> dict[str, str]:
                           + (doc_id*31 + ((i*h // oh)*w + (j*w // ow))*3 + 2) % 251
                         )))) AS BIGINT) AS out_pixel_sum
             FROM geo
+        """,
+        "multimodal_pcm_resample": """
+            WITH d AS (
+                SELECT doc_id, CAST(64 + doc_id % 128 AS INT) AS n_in FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_in,
+                       CAST(ceil(n_in / 4.0) AS INT) AS n_out,
+                       list_transform(range(CAST(ceil(n_in / 4.0) AS BIGINT)),
+                                      j -> (doc_id * 7 + j * 4 * 13) % 256) AS vals
+                FROM d
+            )
+            SELECT doc_id, n_in, n_out,
+                   CAST(list_sum(vals) AS BIGINT) AS sum_out,
+                   CAST(list_sum(list_transform(range(n_out),
+                        j -> vals[j + 1] * (j + 1))) AS BIGINT) AS checksum
+            FROM r
         """,
         "multimodal_pcm_windows": """
             WITH d AS (

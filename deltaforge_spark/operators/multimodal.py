@@ -411,3 +411,50 @@ def resize_ppm_images(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, PPM_RESIZE_SCHEMA)
+
+
+PCM_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("sum_out", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resample_pcm(
+    df: DataFrame,
+    *,
+    factor: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor PCM decimation: keep every ``factor``-th sample
+    (out[j] = in[j*factor]) — every output byte IS a decoded input
+    byte, like the image resize twin (resize_ppm_images). Emits exact
+    integer summaries (count, sum, position-weighted checksum) so the
+    oracle can verify every retained sample from the seed formula.
+    Map-only Arrow pass; at scale this is the audio down-sampling
+    stage before feature extraction."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8)
+                r = s[::factor].astype(np.int64)
+                checksum = int((r * (np.arange(len(r)) + 1)).sum())
+                out.append((int(doc_id), len(s), len(r), int(r.sum()), checksum))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_in", "n_out", "sum_out", "checksum"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, PCM_RESAMPLE_SCHEMA
+    )

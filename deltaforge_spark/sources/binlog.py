@@ -1173,3 +1173,44 @@ def synth_binlog_events(
     return keyed.groupBy("_seg").applyInPandas(
         lambda key, pdf: gen(key, pdf), SEGMENT_SCHEMA
     )
+
+
+DDL_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_sec", T.LongType()),
+        T.StructField("server_id", T.LongType()),
+        T.StructField("log_pos", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("statement", T.StringType()),
+    ]
+)
+
+
+def binlog_query_statements(
+    segments: DataFrame, *, data_col: str = "data"
+) -> DataFrame:
+    """QUERY events from decoded segments, transaction markers
+    filtered — the wire front for DDL capture (reference handle_query
+    mysql_event.rs: QueryEvent → ddl event + schema reload; downstream
+    classification/table extraction = sources/ddl.py ddl_events over
+    this frame's ``statement`` column)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[data_col]:
+                for ev in parse_segment(bytes(blob)):
+                    if ev["kind"] != "query":
+                        continue
+                    sql_u = ev["sql"].strip().upper()
+                    if sql_u in ("BEGIN", "COMMIT", "ROLLBACK"):
+                        continue
+                    out.append(
+                        (ev["ts_sec"], ev["server_id"], ev["log_pos"],
+                         ev["schema"], ev["sql"])
+                    )
+            yield pd.DataFrame(
+                out, columns=["ts_sec", "server_id", "log_pos", "schema", "statement"]
+            )
+
+    return segments.select(data_col).mapInPandas(run, DDL_SCHEMA)

@@ -1035,3 +1035,63 @@ def synth_pgoutput_orders(
     return keyed.groupBy("_tx").applyInPandas(
         lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
     )
+
+
+RELATION_VERSION_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("relation_id", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("columns_json", T.StringType()),
+    ]
+)
+
+
+def relation_drift(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """Schema-change detection over 'R' messages — the distributed twin
+    of the reference's re-map check (handle_relation → columns_differ →
+    LoopControl::ReloadSchema, postgres_event.rs:289-312, 338-360): a
+    relation re-announced with different columns (name, oid, or count)
+    emits one drift row carrying both versions. Map-only extraction of
+    the (tiny) relation-message stream + one lag() window per
+    relation_id — the data plane never participates."""
+    from pyspark.sql import Window
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                if b[:1] != b"R":
+                    continue
+                m = parse_message(b)
+                cols = [
+                    {"name": c["name"], "type_oid": c["type_oid"]}
+                    for c in m["columns"]
+                ]
+                rows.append(
+                    (
+                        int(seq), m["relation_id"], m["schema"], m["table"],
+                        json.dumps(cols, sort_keys=True),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["seq", "relation_id", "schema", "table", "columns_json"],
+            )
+
+    rels = stream.select(seq_col, data_col).mapInPandas(scan, RELATION_VERSION_SCHEMA)
+    w = Window.partitionBy("relation_id").orderBy("seq")
+    prev = F.lag("columns_json").over(w)
+    return (
+        rels.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("columns_json")))
+        .select(
+            "seq", "relation_id", "schema", "table",
+            F.col("_prev").alias("columns_before"),
+            F.col("columns_json").alias("columns_after"),
+        )
+    )

@@ -318,3 +318,55 @@ def test_pgoutput_envelope_feeds_tx_assembly(spark, sf_dir):
         F.col("n_creates") + F.col("n_updates") + F.col("n_deletes") != F.col("n_events")
     )
     assert bad.count() == 0
+
+
+def test_binlog_query_statements_feed_ddl_capture(spark, sf_dir, segment_dir):
+    """QUERY events from decoded segments feed the DDL layer: BEGIN
+    markers filtered, statements classified by sources/ddl.py."""
+    from deltaforge_spark.sources.binlog import (
+        QUERY_EVENT,
+        SegmentWriter,
+        binlog_query_statements,
+        fde_payload,
+        query_payload,
+    )
+    from deltaforge_spark.sources.ddl import is_ddl
+
+    w = SegmentWriter(server_id=2)
+    w.append(QUERY_EVENT, query_payload("testdb", "BEGIN"))
+    w.append(QUERY_EVENT, query_payload("testdb", "ALTER TABLE events ADD COLUMN x INT"))
+    w.append(QUERY_EVENT, query_payload("testdb", "INSERT INTO t VALUES (1)"))
+    extra = spark.createDataFrame([(999, w.bytes())], "segment long, data binary")
+    segs = spark.read.parquet(segment_dir).unionByName(extra)
+    stmts = binlog_query_statements(segs)
+    rows = stmts.collect()
+    sqls = {r["statement"] for r in rows}
+    assert "ALTER TABLE events ADD COLUMN x INT" in sqls
+    assert "BEGIN" not in sqls
+    ddl_only = stmts.filter(is_ddl(F.col("statement"))).collect()
+    assert any("ALTER TABLE" in r["statement"] for r in ddl_only)
+    assert all("INSERT INTO" not in r["statement"] for r in ddl_only)
+
+
+def test_pgoutput_relation_drift(spark):
+    """A relation re-announced with a changed column set emits exactly
+    one drift row carrying both versions (reference columns_differ →
+    ReloadSchema); unchanged re-announcements are silent."""
+    from deltaforge_spark.sources import pgoutput as pg
+    from deltaforge_spark.sources.pgoutput import relation_drift
+
+    cols_v1 = [("id", pg.INT8, -1, 1), ("name", pg.TEXT, -1, 0)]
+    cols_v2 = [("id", pg.INT8, -1, 1), ("name", pg.VARCHAR, -1, 0)]
+    rows = [
+        (1, pg.encode_relation(7, "public", "t", cols_v1)),
+        (2, pg.encode_relation(7, "public", "t", cols_v1)),  # re-map, same
+        (3, pg.encode_relation(7, "public", "t", cols_v2)),  # CHANGED
+        (4, pg.encode_relation(9, "public", "u", cols_v1)),  # other table
+    ]
+    df = spark.createDataFrame(rows, "seq long, data binary")
+    out = relation_drift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.seq, r.relation_id, r.table) == (3, 7, "t")
+    assert '"type_oid": 25' in r.columns_before
+    assert '"type_oid": 1043' in r.columns_after

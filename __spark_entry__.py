@@ -560,6 +560,50 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters of
+    each size the LSH graph contains (the number that tells a curator
+    whether duplication is pairwise noise or content farms). Composed
+    from the oracled connected-components labels — two (key,count)
+    groupBys on top."""
+    from deltaforge_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    cc = connected_components(minhash_lsh_pairs(sig, num_hashes=8, bands=4))
+    sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate curve: surviving near-dup pairs at each Jaccard
+    threshold (0.5…0.9) — the sweep a curator runs before fixing a
+    policy. One pass over the oracled exact-Jaccard pair set, five
+    conditional counts (no re-join per threshold)."""
+    _prep(spark)
+    pairs = shingle_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5,
+    )
+    counts = pairs.agg(
+        *[
+            F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{int(t * 10)}")
+            for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+        ]
+    )
+    stack = F.expr(
+        "stack(5, '0.5', n_5, '0.6', n_6, '0.7', n_7, '0.8', n_8, '0.9', n_9) AS (threshold, n_pairs)"
+    )
+    return counts.select(stack)
+
+
 def q_dedup_cc_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as dedup_connected_components, computed by the
     O(log n)-round large-star/small-star alternation (dedup.py
@@ -3267,6 +3311,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "doc_length_histogram": q_doc_length_histogram,
     "dedup_connected_components": q_dedup_connected_components,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
     "dedup_cc_logstar": q_dedup_cc_logstar,
     "cdc_tx_assemble": q_tx_assemble,
     "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
@@ -4012,6 +4058,13 @@ def oracle_sql() -> dict[str, str]:
     # composed dataset-card report: each branch is an existing oracle
     # reduced to a count — the SQL is literally built FROM the oracles
     # it summarizes, so the report can never drift from its parts
+    d["dedup_threshold_curve"] = f"""
+        WITH pairs AS ({d['dedup_ngram_jaccard']})
+        SELECT CAST(t AS VARCHAR) AS threshold,
+               CAST((SELECT count(*) FROM pairs WHERE jaccard >= CAST(v.t AS DOUBLE))
+                    AS BIGINT) AS n_pairs
+        FROM (VALUES ('0.5'), ('0.6'), ('0.7'), ('0.8'), ('0.9')) v(t)
+    """
     d["dedup_report"] = f"""
         SELECT 'exact_dup_groups' AS method,
                CAST((SELECT count(*) FROM ({d['dedup_exact']}) WHERE n_dupes > 1) AS BIGINT) AS n
@@ -4470,6 +4523,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT event_id, 'tags__k' || CAST(event_id % 64 AS VARCHAR), '1' FROM events
         """,
         "dedup_connected_components": _connected_components_oracle(),
+        "dedup_cluster_sizes": f"""
+            WITH cc AS ({_connected_components_oracle()}),
+            sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+                      FROM cc GROUP BY 1)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY 1
+        """,
         "dedup_cc_logstar": _connected_components_oracle(),
         "cdc_snapshot_handoff": f"""
             WITH snap AS (

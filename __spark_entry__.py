@@ -1103,6 +1103,34 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time distribution: exact interpolated p50/p90/p99 of
+    the per-user gap (seconds) between consecutive events, keyed by the
+    later event's type — engagement-latency analytics composed from the
+    oracled percentile machinery (timeseries.percentiles_exact). One
+    user-keyed window for the lag, then the per-key percentile sort;
+    gaps are exact integer seconds so interpolation is bit-identical."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from deltaforge_spark.operators.timeseries import percentiles_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST((ts - _prev) DIV 1000000000 AS BIGINT)").alias("gap_s"),
+        )
+    )
+    out = percentiles_exact(gaps, "event_type", "gap_s", [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type", "q", F.round("value", 6).alias("gap_seconds")
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.py): users reaching
     signup → click → purchase with each step strictly after the
@@ -3353,6 +3381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_paths": q_events_paths,
     "events_dau_stickiness": q_events_dau_stickiness,
+    "events_gap_percentiles": q_events_gap_percentiles,
     "events_retention": q_events_retention,
     "cdc_outbox": q_outbox,
     "cdc_routing_templates": q_routing_templates,
@@ -4017,6 +4046,24 @@ def _events_percentiles_oracle() -> str:
     """
 
 
+def _events_gap_percentiles_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import percentiles_oracle_sql
+
+    gaps = """(
+        SELECT * FROM (
+            SELECT event_type,
+                   CAST((epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+                        // 1000000000 AS BIGINT) AS gap_s
+            FROM events
+        ) WHERE gap_s IS NOT NULL) gaps"""
+    inner = percentiles_oracle_sql(gaps, "event_type", "gap_s", [0.5, 0.9, 0.99])
+    return f"""
+        SELECT k AS event_type, q, round(value, 6) AS gap_seconds
+        FROM ({inner})
+    """
+
+
 def _events_anomalies_oracle() -> str:
     from deltaforge_spark.operators.timeseries import anomalies_oracle_sql
 
@@ -4418,6 +4465,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "url_dedup": _url_dedup_oracle(),
         "events_gapfill": _events_gapfill_oracle(),
         "events_percentiles": _events_percentiles_oracle(),
+        "events_gap_percentiles": _events_gap_percentiles_oracle(),
         "doc_quality_gopher": _gopher_quality_oracle(),
         "events_interval_join": """
             WITH e AS (

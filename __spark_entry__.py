@@ -592,7 +592,12 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = pairs.agg(
         *[
-            F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0))
+            # coalesce: sum over an EMPTY pair set is NULL in Spark but
+            # the oracle's count(*) is 0 — a duplicate-free corpus must
+            # still hash-match
+            F.coalesce(
+                F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"n_{int(t * 10)}")
             for t in (0.5, 0.6, 0.7, 0.8, 0.9)

@@ -763,109 +763,132 @@ def parse_segment(
 
         common = {"ts_sec": ts, "server_id": server_id, "log_pos": log_pos}
 
-        if type_code == FORMAT_DESCRIPTION_EVENT:
-            binlog_version = struct.unpack_from("<H", payload, 0)[0]
-            if binlog_version != 4:
-                raise BinlogError(f"unsupported binlog version {binlog_version}")
-            server_version = payload[2:52].split(b"\x00", 1)[0].decode()
-            events.append({**common, "kind": "fde", "server_version": server_version})
-        elif type_code == TABLE_MAP_EVENT:
-            table_id = int.from_bytes(payload[0:6], "little")
-            p = 8  # skip flags
-            db_len = payload[p]
-            db = payload[p + 1 : p + 1 + db_len].decode()
-            p += 1 + db_len + 1
-            tb_len = payload[p]
-            table = payload[p + 1 : p + 1 + tb_len].decode()
-            p += 1 + tb_len + 1
-            n_cols, p = read_lenenc(payload, p)
-            col_types = list(payload[p : p + n_cols])
-            p += n_cols
-            meta_len, p = read_lenenc(payload, p)
-            metas = []
-            mp = p
-            for t in col_types:
-                m, mp = _read_meta(t, payload, mp)
-                metas.append(m)
-            if mp - p != meta_len:
-                raise BinlogError("table map metadata length mismatch")
-            p = mp
-            nullable = [
-                _bitmap_get(payload[p:], i) for i in range(n_cols)
-            ]
-            table_map[table_id] = {
-                "db": db, "table": table, "col_types": col_types,
-                "col_metas": metas, "nullable": nullable,
-            }
-            events.append({**common, "kind": "table_map", "table_id": table_id,
-                           "db": db, "table": table, "col_types": col_types})
-        elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
-            table_id = int.from_bytes(payload[0:6], "little")
-            tm = table_map.get(table_id)
-            if tm is None:
-                raise BinlogError(f"rows event for unmapped table_id {table_id}")
-            p = 8  # table_id + flags
-            extra_len = struct.unpack_from("<H", payload, p)[0]
-            p += extra_len  # includes its own 2 bytes
-            n_cols, p = read_lenenc(payload, p)
-            bitmap_len = (n_cols + 7) // 8
-            present1 = payload[p : p + bitmap_len]
-            p += bitmap_len
-            if type_code == UPDATE_ROWS_EVENT:
-                p += bitmap_len  # present2 (we emit full images)
-            rows = []
-            while p < len(payload):
-                image, p = _read_image(payload, p, tm, present1, n_cols)
-                if type_code == UPDATE_ROWS_EVENT:
-                    after, p = _read_image(payload, p, tm, present1, n_cols)
-                    rows.append({"before": image, "after": after})
-                elif type_code == WRITE_ROWS_EVENT:
-                    rows.append({"before": None, "after": image})
-                else:
-                    rows.append({"before": image, "after": None})
-            op = {WRITE_ROWS_EVENT: "c", UPDATE_ROWS_EVENT: "u", DELETE_ROWS_EVENT: "d"}[type_code]
-            names = (columns_by_table or {}).get((tm["db"], tm["table"]))
-            if names is not None:
-                if len(names) != n_cols:
+        # any exception past the CRC gate is a framing bug inside a
+        # checksum-valid event — surface it AS BinlogError so callers
+        # (and on_error='route') have one loud, catchable contract
+        try:
+
+            if type_code == FORMAT_DESCRIPTION_EVENT:
+                binlog_version = struct.unpack_from("<H", payload, 0)[0]
+                if binlog_version != 4:
+                    raise BinlogError(f"unsupported binlog version {binlog_version}")
+                server_version = payload[2:52].split(b"\x00", 1)[0].decode()
+                events.append({**common, "kind": "fde", "server_version": server_version})
+            elif type_code == TABLE_MAP_EVENT:
+                table_id = int.from_bytes(payload[0:6], "little")
+                p = 8  # skip flags
+                db_len = payload[p]
+                db = payload[p + 1 : p + 1 + db_len].decode()
+                p += 1 + db_len + 1
+                tb_len = payload[p]
+                table = payload[p + 1 : p + 1 + tb_len].decode()
+                p += 1 + tb_len + 1
+                n_cols, p = read_lenenc(payload, p)
+                col_types = list(payload[p : p + n_cols])
+                p += n_cols
+                meta_len, p = read_lenenc(payload, p)
+                metas = []
+                mp = p
+                for t in col_types:
+                    m, mp = _read_meta(t, payload, mp)
+                    metas.append(m)
+                if mp - p != meta_len:
+                    raise BinlogError("table map metadata length mismatch")
+                p = mp
+                nullable = [
+                    _bitmap_get(payload[p:], i) for i in range(n_cols)
+                ]
+                table_map[table_id] = {
+                    "db": db, "table": table, "col_types": col_types,
+                    "col_metas": metas, "nullable": nullable,
+                }
+                events.append({**common, "kind": "table_map", "table_id": table_id,
+                               "db": db, "table": table, "col_types": col_types})
+            elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+                table_id = int.from_bytes(payload[0:6], "little")
+                tm = table_map.get(table_id)
+                if tm is None:
+                    raise BinlogError(f"rows event for unmapped table_id {table_id}")
+                p = 8  # table_id + flags
+                extra_len = struct.unpack_from("<H", payload, p)[0]
+                p += extra_len  # includes its own 2 bytes
+                n_cols, p = read_lenenc(payload, p)
+                # a ROWS event whose column count disagrees with its
+                # TABLE_MAP is a framing bug — silently decoding zero rows
+                # here would lose data (the loud-decode contract)
+                if n_cols != len(tm["col_types"]):
                     raise BinlogError(
-                        f"schema for {tm['db']}.{tm['table']} has {len(names)} "
-                        f"columns, binlog has {n_cols}"
+                        f"rows event claims {n_cols} columns, TABLE_MAP for "
+                        f"{tm['db']}.{tm['table']} has {len(tm['col_types'])}"
                     )
-                for r in rows:
-                    for side in ("before", "after"):
-                        if r[side] is not None:
-                            r[side] = dict(zip(names, r[side]))
-            ev = {**common, "kind": "rows", "op": op, "db": tm["db"],
-                  "table": tm["table"], "rows": rows, "gtid": current_gtid}
-            events.append(ev)
-            pending_rows.append(ev)
-        elif type_code == GTID_LOG_EVENT:
-            sid = payload[1:17]
-            gno = struct.unpack_from("<q", payload, 17)[0]
-            current_gtid = (sid.hex(), gno)
-            events.append({**common, "kind": "gtid", "sid": sid.hex(), "gno": gno})
-        elif type_code == XID_EVENT:
-            xid = struct.unpack_from("<Q", payload, 0)[0]
-            for ev in pending_rows:
-                ev["xid"] = xid
-            pending_rows = []
-            events.append({**common, "kind": "xid", "xid": xid})
-        elif type_code == QUERY_EVENT:
-            thread_id, exec_time, db_len, err, status_len = struct.unpack_from(
-                "<IIBHH", payload, 0
-            )
-            p = 13 + status_len
-            schema = payload[p : p + db_len].decode()
-            p += db_len + 1
-            sql = payload[p:].decode()
-            events.append({**common, "kind": "query", "schema": schema, "sql": sql})
-        elif type_code == ROTATE_EVENT:
-            position = struct.unpack_from("<Q", payload, 0)[0]
-            next_name = payload[8:].decode()
-            events.append({**common, "kind": "rotate", "position": position,
-                           "next_file": next_name})
-        else:
-            events.append({**common, "kind": "other", "type_code": type_code})
+                bitmap_len = (n_cols + 7) // 8
+                bitmaps = bitmap_len * (2 if type_code == UPDATE_ROWS_EVENT else 1)
+                if p + bitmaps > len(payload):
+                    raise BinlogError("rows event truncated in columns-present bitmap")
+                present1 = payload[p : p + bitmap_len]
+                p += bitmap_len
+                if type_code == UPDATE_ROWS_EVENT:
+                    p += bitmap_len  # present2 (we emit full images)
+                rows = []
+                while p < len(payload):
+                    image, p = _read_image(payload, p, tm, present1, n_cols)
+                    if type_code == UPDATE_ROWS_EVENT:
+                        after, p = _read_image(payload, p, tm, present1, n_cols)
+                        rows.append({"before": image, "after": after})
+                    elif type_code == WRITE_ROWS_EVENT:
+                        rows.append({"before": None, "after": image})
+                    else:
+                        rows.append({"before": image, "after": None})
+                op = {WRITE_ROWS_EVENT: "c", UPDATE_ROWS_EVENT: "u", DELETE_ROWS_EVENT: "d"}[type_code]
+                names = (columns_by_table or {}).get((tm["db"], tm["table"]))
+                if names is not None:
+                    if len(names) != n_cols:
+                        raise BinlogError(
+                            f"schema for {tm['db']}.{tm['table']} has {len(names)} "
+                            f"columns, binlog has {n_cols}"
+                        )
+                    for r in rows:
+                        for side in ("before", "after"):
+                            if r[side] is not None:
+                                r[side] = dict(zip(names, r[side]))
+                ev = {**common, "kind": "rows", "op": op, "db": tm["db"],
+                      "table": tm["table"], "rows": rows, "gtid": current_gtid}
+                events.append(ev)
+                pending_rows.append(ev)
+            elif type_code == GTID_LOG_EVENT:
+                sid = payload[1:17]
+                gno = struct.unpack_from("<q", payload, 17)[0]
+                current_gtid = (sid.hex(), gno)
+                events.append({**common, "kind": "gtid", "sid": sid.hex(), "gno": gno})
+            elif type_code == XID_EVENT:
+                xid = struct.unpack_from("<Q", payload, 0)[0]
+                for ev in pending_rows:
+                    ev["xid"] = xid
+                pending_rows = []
+                events.append({**common, "kind": "xid", "xid": xid})
+            elif type_code == QUERY_EVENT:
+                thread_id, exec_time, db_len, err, status_len = struct.unpack_from(
+                    "<IIBHH", payload, 0
+                )
+                p = 13 + status_len
+                schema = payload[p : p + db_len].decode()
+                p += db_len + 1
+                sql = payload[p:].decode()
+                events.append({**common, "kind": "query", "schema": schema, "sql": sql})
+            elif type_code == ROTATE_EVENT:
+                position = struct.unpack_from("<Q", payload, 0)[0]
+                next_name = payload[8:].decode()
+                events.append({**common, "kind": "rotate", "position": position,
+                               "next_file": next_name})
+            else:
+                events.append({**common, "kind": "other", "type_code": type_code})
+        except BinlogError:
+            raise
+        except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
+            raise BinlogError(
+                f"malformed event (type {type_code}) at offset "
+                f"{off - event_size}: {type(e).__name__}: {e}"
+            ) from e
     return events
 
 
@@ -873,6 +896,8 @@ def _read_image(
     payload: bytes, p: int, tm: dict[str, Any], present: bytes, n_cols: int
 ) -> tuple[list[Any], int]:
     null_len = (n_cols + 7) // 8
+    if p + null_len > len(payload):
+        raise BinlogError("row image truncated in null bitmap")
     nulls = payload[p : p + null_len]
     p += null_len
     image: list[Any] = []

@@ -416,8 +416,12 @@ def parse_pg_array_text(s: str) -> Any:
     parse_array_elements + parse_array_element,
     postgres_object.rs:179-267): quote/backslash aware split; elements
     NULL → None, t/f/true/false → bool, then int, then float, else
-    string. Non-literal input returns the string unchanged. The
-    Column-level twin for relational paths is functions/pgarray.py."""
+    string. QUOTED elements stay literal strings — per PostgreSQL's
+    array-output rules, ``{"NULL"}`` is the string and ``{NULL}`` the
+    null (the reference drops quote information before typing and
+    conflates them; the Column twin functions/pgarray.py and this
+    parser both keep the distinction). Non-literal input returns the
+    string unchanged."""
     s = s.strip()
     if s == "{}":
         return []
@@ -428,8 +432,11 @@ def parse_pg_array_text(s: str) -> Any:
     current: list[str] = []
     in_quotes = False
     escape_next = False
+    was_quoted = False
 
-    def emit(text: str) -> Any:
+    def emit(text: str, quoted: bool) -> Any:
+        if quoted:
+            return text  # literal string, verbatim (unescaped already)
         t = text.strip()
         if t.upper() == "NULL":
             return None
@@ -456,13 +463,15 @@ def parse_pg_array_text(s: str) -> Any:
             escape_next = True
         elif c == '"':
             in_quotes = not in_quotes
+            was_quoted = True
         elif c == "," and not in_quotes:
-            elements.append(emit("".join(current)))
+            elements.append(emit("".join(current), was_quoted))
             current = []
+            was_quoted = False
         else:
             current.append(c)
-    if current or elements:
-        elements.append(emit("".join(current)))
+    if current or was_quoted or elements:
+        elements.append(emit("".join(current), was_quoted))
     return elements
 
 
@@ -534,6 +543,7 @@ def build_object(columns: list[dict], values: list[Any]) -> dict[str, Any]:
 
 RELATION_SCHEMA = T.StructType(
     [
+        T.StructField("seq", T.LongType()),
         T.StructField("relation_id", T.LongType()),
         T.StructField("schema", T.StringType()),
         T.StructField("table", T.StringType()),
@@ -568,23 +578,29 @@ TX_PART_SCHEMA = T.StructType(
 
 
 def pgoutput_relation_catalog(
-    stream: DataFrame, *, data_col: str = "data"
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
 ) -> list[dict[str, Any]]:
-    """Extract the relation catalog from a captured stream: map-only
-    parse of 'R' messages, distinct, collected to the driver (O(#tables)
-    — a control-plane read, the distributed twin of the reference's
-    ``relation_map``)."""
+    """Extract the VERSIONED relation catalog from a captured stream:
+    map-only parse of 'R' messages, each announcement kept with its
+    stream position, collected to the driver (O(#R-messages) — a
+    control-plane read, the distributed twin of the reference's
+    ``relation_map``). Versioning matters under schema drift: an 'R'
+    re-announcing a relation with different columns applies to the
+    messages AFTER it (the reference replays the sequential semantics;
+    here the decoder binds each DML row to the latest announcement at
+    or before its seq)."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for data in pdf[data_col]:
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
                 b = bytes(data)
                 if b[:1] != b"R":
                     continue
                 m = parse_message(b)
                 rows.append(
                     (
+                        int(seq),
                         m["relation_id"],
                         m["schema"],
                         m["table"],
@@ -594,10 +610,11 @@ def pgoutput_relation_catalog(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["relation_id", "schema", "table", "replica_identity", "columns_json"],
+                columns=["seq", "relation_id", "schema", "table",
+                         "replica_identity", "columns_json"],
             )
 
-    rel = stream.select(data_col).mapInPandas(scan, RELATION_SCHEMA).distinct()
+    rel = stream.select(seq_col, data_col).mapInPandas(scan, RELATION_SCHEMA)
     return [r.asDict() for r in rel.collect()]
 
 
@@ -611,18 +628,31 @@ def decode_pgoutput_dml(
     """Map-only decode of I/U/D messages into CDC rows with JSON
     before/after images. DML for an unknown relation is dropped, like
     the reference's warn-and-skip (postgres_event.rs:415-418)."""
-    catalog = {
-        int(r["relation_id"]): {
-            "schema": r["schema"],
-            "table": r["table"],
-            "columns": json.loads(r["columns_json"]),
-        }
-        for r in relations
-    }
+    # versioned catalog: per relation_id, announcements sorted by seq;
+    # a DML row decodes against the latest version at or before it
+    # (sequential 'R'-applies-forward semantics, made order-free).
+    # Entries without a seq (hand-built catalogs in tests/tools) sort
+    # first, i.e. apply from the beginning of the stream.
+    catalog: dict[int, list[tuple[int, dict[str, Any]]]] = {}
+    for r in relations:
+        catalog.setdefault(int(r["relation_id"]), []).append(
+            (
+                int(r.get("seq") or -1),
+                {
+                    "schema": r["schema"],
+                    "table": r["table"],
+                    "columns": json.loads(r["columns_json"]),
+                },
+            )
+        )
+    for versions in catalog.values():
+        versions.sort(key=lambda sv: sv[0])
     sc = stream.sparkSession.sparkContext
     bc = sc.broadcast(catalog)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bisect import bisect_right
+
         cat = bc.value
         for pdf in batches:
             rows = []
@@ -632,9 +662,13 @@ def decode_pgoutput_dml(
                 if tag not in (b"I", b"U", b"D"):
                     continue
                 m = parse_message(b)
-                rel = cat.get(m["relation_id"])
-                if rel is None:
+                versions = cat.get(m["relation_id"])
+                if not versions:
                     continue
+                idx = bisect_right(versions, int(seq), key=lambda sv: sv[0]) - 1
+                if idx < 0:
+                    continue  # DML before any announcement: unknown schema
+                rel = versions[idx][1]
                 cols = rel["columns"]
                 op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
                 before = None
@@ -711,7 +745,10 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
         "xid",
         "begin_seq",
         "commit_seq",
-        ((F.col("commit_ts_us") / F.lit(1000)).cast("long") + F.lit(PG_EPOCH_UNIX_MS)).alias(
+        # integer DIV, not `/`: µs-since-2000 values exceed double's
+        # exact range within this century (same rule as the epoch-nanos
+        # handling in changefeed/binlog)
+        (F.expr("CAST(commit_ts_us DIV 1000 AS BIGINT)") + F.lit(PG_EPOCH_UNIX_MS)).alias(
             "commit_ts_ms"
         ),
     )
@@ -804,9 +841,11 @@ def decode_pgoutput_truncates(
     """'T' messages → one DDL-style row per truncated table (the
     reference emits one `new_ddl` event per table with cascade /
     restart_identity flags, postgres_event.rs:645-731). Map-only."""
-    catalog = {
-        int(r["relation_id"]): (r["schema"], r["table"]) for r in relations
-    }
+    # latest announcement wins deterministically (names rarely change,
+    # but the catalog may carry several versions per relation)
+    catalog: dict[int, tuple[str, str]] = {}
+    for r in sorted(relations, key=lambda r: int(r.get("seq") or -1)):
+        catalog[int(r["relation_id"])] = (r["schema"], r["table"])
     bc = stream.sparkSession.sparkContext.broadcast(catalog)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -591,3 +591,79 @@ class TestStringFamilyMeta:
         w.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(9, 3, [row], types, metas))
         rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
         assert rows["rows"][0]["after"] == row
+
+
+class TestReviewFixes:
+    """Regression pins for the round-4 code-review findings."""
+
+    def test_value_truncation_inside_crc_valid_event_is_binlog_error(self):
+        # a CRC-valid ROWS event whose value bytes are short must raise
+        # BinlogError, not struct.error
+        types, metas = [bl.MYSQL_TYPE_LONGLONG], [0]
+        w = bl.SegmentWriter(1)
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(7, "d", "t", types, metas, [False]))
+        # hand-build a rows payload with a truncated int64 value
+        body = bytearray((7).to_bytes(6, "little"))
+        body += struct.pack("<H", 0) + struct.pack("<H", 2)
+        body += bl.encode_lenenc(1) + b"\x01"  # present bitmap
+        body += b"\x00"                        # null bitmap: not null
+        body += b"\x01\x02\x03"                # only 3 of 8 value bytes
+        w.append(bl.WRITE_ROWS_EVENT, bytes(body))
+        with pytest.raises(bl.BinlogError, match="malformed event"):
+            bl.parse_segment(w.bytes())
+
+    def test_rows_event_column_count_mismatch_is_loud(self):
+        # n_cols disagreeing with TABLE_MAP must not silently decode to
+        # zero rows
+        types, metas = [bl.MYSQL_TYPE_LONG], [0]
+        w = bl.SegmentWriter(1)
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(7, "d", "t", types, metas, [False]))
+        body = bytearray((7).to_bytes(6, "little"))
+        body += struct.pack("<H", 0) + struct.pack("<H", 2)
+        body += bl.encode_lenenc(200)          # claims 200 columns
+        body += b"\x00" * 25                   # oversized bitmap
+        w.append(bl.WRITE_ROWS_EVENT, bytes(body))
+        with pytest.raises(bl.BinlogError, match="claims 200 columns"):
+            bl.parse_segment(w.bytes())
+
+    def test_corrupt_jsonb_routes_not_crashes(self):
+        types, metas = [bl.MYSQL_TYPE_JSON], [4]
+        w = bl.SegmentWriter(1)
+        w.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(7, "d", "t", types, metas, [False]))
+        bad_jsonb = b"\x7f\x01\x02"  # unknown jsonb type byte
+        body = bytearray((7).to_bytes(6, "little"))
+        body += struct.pack("<H", 0) + struct.pack("<H", 2)
+        body += bl.encode_lenenc(1) + b"\x01" + b"\x00"
+        body += len(bad_jsonb).to_bytes(4, "little") + bad_jsonb
+        w.append(bl.WRITE_ROWS_EVENT, bytes(body))
+        with pytest.raises(bl.BinlogError):
+            bl.parse_segment(w.bytes())
+
+    def test_quoted_null_and_numbers_stay_strings(self):
+        assert pg.parse_pg_array_text('{"NULL","123","t"}') == ["NULL", "123", "t"]
+        assert pg.parse_pg_array_text("{NULL,123,t}") == [None, 123, True]
+        assert pg.parse_pg_array_text('{""}') == [""]
+
+    def test_versioned_catalog_binds_dml_to_its_announcement(self, spark):
+        """Schema drift mid-stream: DML before the re-announcement
+        decodes with the old columns, DML after with the new."""
+        import json as _json
+
+        from deltaforge_spark.sources.pgoutput import (
+            decode_pgoutput_dml,
+            pgoutput_relation_catalog,
+        )
+
+        v1 = [("id", pg.INT8, -1, 1)]
+        v2 = [("id", pg.INT8, -1, 1), ("extra", pg.TEXT, -1, 0)]
+        rows = [
+            (1, pg.encode_relation(7, "public", "t", v1)),
+            (2, pg.encode_insert(7, ["10"])),
+            (3, pg.encode_relation(7, "public", "t", v2)),
+            (4, pg.encode_insert(7, ["11", "x"])),
+        ]
+        df = spark.createDataFrame(rows, "seq long, data binary")
+        rels = pgoutput_relation_catalog(df)
+        out = {r["seq"]: _json.loads(r["after"]) for r in decode_pgoutput_dml(df, rels).collect()}
+        assert out[2] == {"id": 10}
+        assert out[4] == {"id": 11, "extra": "x"}

@@ -220,6 +220,8 @@ def encode_date(s: str) -> bytes:
 
 
 def decode_date(buf: bytes, off: int) -> tuple[str, int]:
+    if off + 3 > len(buf):
+        raise BinlogError("date truncated")
     v = int.from_bytes(buf[off : off + 3], "little")
     return f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}", off + 3
 
@@ -241,6 +243,9 @@ def encode_timestamp2(epoch_us: int, fsp: int = 0) -> bytes:
 
 
 def decode_timestamp2(buf: bytes, off: int, fsp: int = 0) -> tuple[int, int]:
+    frac = 0 if fsp == 0 else (1 if fsp <= 2 else (2 if fsp <= 4 else 3))
+    if off + 4 + frac > len(buf):
+        raise BinlogError("timestamp2 truncated")
     sec = int.from_bytes(buf[off : off + 4], "big")
     off += 4
     us = 0
@@ -285,6 +290,9 @@ def encode_time2(s: str, fsp: int = 0) -> bytes:
 
 
 def decode_time2(buf: bytes, off: int, fsp: int = 0) -> tuple[str, int]:
+    frac = 0 if fsp == 0 else (1 if fsp <= 2 else (2 if fsp <= 4 else 3))
+    if off + 3 + frac > len(buf):
+        raise BinlogError("time2 truncated")
     raw = int.from_bytes(buf[off : off + 3], "big") - _TIME2_OFFSET
     off += 3
     neg = raw < 0
@@ -529,6 +537,8 @@ def decode_value(col_type: int, meta: int, buf: bytes, off: int) -> tuple[Any, i
         if real_type in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
             # ENUM: 1-based index; SET: member bitmask — both surface as
             # ints (reference ColumnValue::Enum/Set → json!(v))
+            if off + length > len(buf):
+                raise BinlogError("enum/set value truncated")
             return int.from_bytes(buf[off : off + length], "little"), off + length
         if length > 255:
             n = int.from_bytes(buf[off : off + 2], "little")

@@ -403,12 +403,10 @@ def main():
                 break
 
     total = round(sum(timings.values()), 3)
-    result = {
+    gate = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "passes": passes,
         "sf": sf,
         "events_per_sec": round(ev_per_sec),
         "events_per_sec_steady": round(ev_per_sec_xl),
@@ -421,9 +419,24 @@ def main():
         "eos_noise_limited": eos_noise_limited,
         "eos_pairs": n_pairs,
         "n_events": n_events,
+        "n_queries": len(timings),
     }
+    result = dict(gate, queries=timings, passes=passes)
     _append_trend(result)
+    # Per-query detail goes on an EARLIER stdout line (and BENCH_TREND.jsonl);
+    # the driver keeps only the LAST 2000 chars of stdout and parses the last
+    # JSON line, so the final line must stay well under that (BENCH_r04
+    # "parsed": null was caused by the 60+-entry dicts overflowing the tail —
+    # VERDICT r4 "What's wrong" #1). The final line keeps the required
+    # {"metric","value","unit","queries","sf"} shape with a compact
+    # trend-kernel queries subset.
     print(json.dumps(result))
+    gate["queries"] = {k: timings[k] for k in TREND_KERNELS if k in timings}
+    line = json.dumps(gate)
+    if len(line) > 1800:  # hard guard: never outgrow the driver tail again
+        gate["queries"] = {}
+        line = json.dumps(gate)
+    print(line)
 
 
 def _append_trend(result: dict) -> None:

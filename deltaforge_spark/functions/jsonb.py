@@ -279,6 +279,8 @@ def _decode_container(t: int, payload: bytes) -> Any:
             keys.append(payload[ko : ko + kl].decode("utf-8"))
     values: list[Any] = []
     for _ in range(n):
+        if p + 1 + w > len(payload):
+            raise JsonbError("value entries truncated")
         vt = payload[p]
         slot = payload[p + 1 : p + 1 + w]
         p += 1 + w

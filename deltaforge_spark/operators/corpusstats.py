@@ -41,16 +41,23 @@ def vocab_topk(
 ) -> DataFrame:
     """Top-k tokens by corpus frequency with document frequency:
     (rank, token, n_occurrences, n_docs). Deterministic ties: higher
-    count first, then lexicographic token."""
+    count first, then lexicographic token.
+
+    Top-k shape: orderBy().limit(k) compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows per partition) — a
+    global row_number window here would sort the ENTIRE vocabulary
+    (tens of millions of tokens at web scale) in one partition. Rank is
+    stamped with a window over only the k survivors."""
     toks = _tokens(df, text_col, id_col)
     counts = toks.groupBy("token").agg(
         F.count("*").alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order)))
         .select("rank", "token", "n_occurrences", "n_docs")
     )
 

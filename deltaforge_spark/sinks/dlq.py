@@ -226,9 +226,35 @@ class DlqStore:
         from pyspark.sql import Window
 
         base = cur.agg(F.coalesce(F.max("seq"), F.lit(-1)).alias("m")).collect()[0]["m"]
-        w = Window.orderBy(F.monotonically_increasing_id())
-        numbered = entries.withColumn(
-            "seq", (F.row_number().over(w) + F.lit(base)).cast("long")
+        # dense seq assignment WITHOUT a single-partition global sort:
+        # rows are numbered within their partition (parallel window),
+        # then shifted by exclusive per-partition offsets — O(#partitions)
+        # driver state, the same shape as a distributed zipWithIndex.
+        # localCheckpoint pins partition ids/row order so the counts
+        # action and the numbering pass see identical layouts.
+        tagged = (
+            entries.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .localCheckpoint()
+        )
+        pcounts = sorted(
+            (r["_pid"], r["_n"])
+            for r in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+        )
+        offsets, acc = {}, 0
+        for pid, cnt in pcounts:
+            offsets[pid] = acc
+            acc += cnt
+        off_expr = F.lit(0)
+        if offsets:
+            off_expr = F.coalesce(
+                *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+                F.lit(0),
+            )
+        wp = Window.partitionBy("_pid").orderBy("_mid")
+        numbered = tagged.withColumn(
+            "seq",
+            (F.row_number().over(wp) - F.lit(1) + off_expr + F.lit(base + 1)).cast("long"),
         ).select(*[f.name for f in self._empty().schema.fields])
 
         merged = cur.unionByName(numbered)

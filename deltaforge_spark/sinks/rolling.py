@@ -147,6 +147,20 @@ class RollingLakeSink:
         # re-stages its (idempotent, overwrite-mode) files but must not
         # double-count arrivals
         self._last_batch: int | None = saved.get("last_batch")
+        # orphan sweep: staged pieces whose partition is NOT open in the
+        # persisted state were already consumed by a roll that crashed
+        # after its commit point (persist) but before cleanup — letting
+        # the next roll re-read them would duplicate already-visible
+        # rows. Un-fenced batches (crash before any count) also land
+        # here; their replay re-stages from scratch, so deleting is safe.
+        if raw is not None:
+            open_keys = set(self._state)
+            depth = "/".join("*" for _ in self.partition_cols)
+            for d in sorted(glob.glob(f"{self.path}/_staging/batch-*/{depth}")):
+                rel = os.path.relpath(d, f"{self.path}/_staging")
+                pkey = rel.split(os.sep, 1)[1]
+                if pkey.replace(os.sep, "/") not in open_keys:
+                    shutil.rmtree(d, ignore_errors=True)
 
     # ------------------------------------------------------------ state
 
@@ -251,7 +265,13 @@ class RollingLakeSink:
             self._state.pop(pkey)
             return
         seq = self._seqs.get(pkey, 0) + 1
-        fname = f"f{seq:05d}-{uuid.uuid4().hex[:12]}.parquet"
+        # DETERMINISTIC name per (pkey, seq): a replayed roll that crashed
+        # after the rename re-renames onto the SAME target (os.replace
+        # overwrites) — the file cannot appear twice under two names
+        import hashlib
+
+        suffix = hashlib.sha1(f"{pkey}:{seq}".encode()).hexdigest()[:12]
+        fname = f"f{seq:05d}-{suffix}.parquet"
         final_dir = f"{self.path}/data/{pkey}"
         tmp_dir = f"{self.path}/_tmp/{uuid.uuid4().hex}"
 
@@ -269,11 +289,16 @@ class RollingLakeSink:
         os.makedirs(final_dir, exist_ok=True)
         os.replace(part[0], f"{final_dir}/{fname}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        for d in staged:
-            shutil.rmtree(d, ignore_errors=True)
+
+        # the commit point: manifest entry + state (fence, seqs, popped
+        # partition) persist IMMEDIATELY after the rename, before staged
+        # cleanup — a crash anywhere after this line replays into either
+        # a no-op (state says rolled) or an idempotent same-name rename.
+        # Persisting only at process_batch end left a window where the
+        # file was visible but the replayed batch would re-stage and
+        # re-roll it into a second file (ADVICE r4).
         st = self._state.pop(pkey)
         self._seqs[pkey] = seq
-
         entry = {
             **st["parts"],
             "file_seq": seq,
@@ -286,6 +311,12 @@ class RollingLakeSink:
         self.manifest.append(entry)
         with open(f"{self.path}/_manifest.jsonl", "a") as f:
             f.write(json.dumps(entry) + "\n")
+        self._persist()
+
+        # staged pieces are deleted LAST: if we crash before this, init's
+        # orphan sweep (or the idempotent re-roll) disposes of them
+        for d in staged:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _compact(self, staged: list[str], tmp_dir: str) -> None:
         """One-file compaction of the staged pieces (seam for outage
@@ -311,6 +342,26 @@ class RollingLakeSink:
             for m in self.manifest
         ]
         return spark.createDataFrame(rows, schema)
+
+
+def load_manifest(path: str) -> list[dict[str, Any]]:
+    """Read ``_manifest.jsonl`` deduped by target file, last line wins.
+    The append in ``_roll`` happens before the state persist, so a crash
+    exactly between them replays the roll and appends the SAME entry a
+    second time (same deterministic file name, same counters) — dedup by
+    ``file`` restores exactly-once at the consumer, which is the
+    reference's at-least-once-at-file-granularity contract
+    (guarantees.md:205-214)."""
+    entries: dict[str, dict[str, Any]] = {}
+    try:
+        with open(f"{path.rstrip('/')}/_manifest.jsonl") as f:
+            for line in f:
+                if line.strip():
+                    e = json.loads(line)
+                    entries[e["file"]] = e
+    except FileNotFoundError:
+        pass
+    return list(entries.values())
 
 
 def _dir_bytes(path: str) -> int:

@@ -1,6 +1,7 @@
 from .snapshot import snapshot_events, read_table
 from .changefeed import change_feed
 from .binlog import (
+    BinlogTailer,
     binlog_change_feed,
     decode_binlog_segments,
     parse_segment,
@@ -19,6 +20,7 @@ __all__ = [
     "snapshot_events",
     "read_table",
     "change_feed",
+    "BinlogTailer",
     "binlog_change_feed",
     "decode_binlog_segments",
     "parse_segment",

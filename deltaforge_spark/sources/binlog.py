@@ -677,24 +677,32 @@ def rows_payload(
     col_metas: list[int],
     *,
     update: bool = False,
+    present_cols: list[bool] | None = None,
+    present_cols2: list[bool] | None = None,
 ) -> bytes:
     """ROWS_EVENT v2 body. ``images`` is a flat list of row images (for
-    update events: before, after, before, after, ...). All columns
-    present (full row images — REPLICA identity FULL, binlog_row_image
-    FULL, the reference's documented requirement)."""
+    update events: before, after, before, after, ...). Defaults to all
+    columns present (full row images — binlog_row_image=FULL). Pass
+    ``present_cols`` (before/only image) and ``present_cols2`` (update
+    after-image) to emit MINIMAL/NOBLOB-style partial images: the null
+    bitmap then covers present columns only, and entries of absent
+    columns in ``images`` are ignored."""
+    present1 = [True] * n_cols if present_cols is None else list(present_cols)
+    present2 = present1 if present_cols2 is None else list(present_cols2)
     out = bytearray(table_id.to_bytes(6, "little"))
     out += struct.pack("<H", 0)  # flags
     out += struct.pack("<H", 2)  # extra-data length (2 = none)
     out += encode_lenenc(n_cols)
-    present = _bitmap_of([True] * n_cols)
-    out += present
+    out += _bitmap_of(present1)
     if update:
-        out += present
-    for image in images:
-        nulls = _bitmap_of([v is None for v in image])
+        out += _bitmap_of(present2)
+    for idx, image in enumerate(images):
+        pl = present2 if (update and idx % 2 == 1) else present1
+        vals = [v for i, v in enumerate(image) if pl[i]]
+        nulls = _bitmap_of([v is None for v in vals])
         out += nulls
         for i, v in enumerate(image):
-            if v is not None:
+            if pl[i] and v is not None:
                 out += encode_value(col_types[i], col_metas[i], v)
     return bytes(out)
 
@@ -773,139 +781,282 @@ def parse_segment(
 
         common = {"ts_sec": ts, "server_id": server_id, "log_pos": log_pos}
 
-        # any exception past the CRC gate is a framing bug inside a
-        # checksum-valid event — surface it AS BinlogError so callers
-        # (and on_error='route') have one loud, catchable contract
-        try:
-
-            if type_code == FORMAT_DESCRIPTION_EVENT:
-                binlog_version = struct.unpack_from("<H", payload, 0)[0]
-                if binlog_version != 4:
-                    raise BinlogError(f"unsupported binlog version {binlog_version}")
-                server_version = payload[2:52].split(b"\x00", 1)[0].decode()
-                events.append({**common, "kind": "fde", "server_version": server_version})
-            elif type_code == TABLE_MAP_EVENT:
-                table_id = int.from_bytes(payload[0:6], "little")
-                p = 8  # skip flags
-                db_len = payload[p]
-                db = payload[p + 1 : p + 1 + db_len].decode()
-                p += 1 + db_len + 1
-                tb_len = payload[p]
-                table = payload[p + 1 : p + 1 + tb_len].decode()
-                p += 1 + tb_len + 1
-                n_cols, p = read_lenenc(payload, p)
-                col_types = list(payload[p : p + n_cols])
-                p += n_cols
-                meta_len, p = read_lenenc(payload, p)
-                metas = []
-                mp = p
-                for t in col_types:
-                    m, mp = _read_meta(t, payload, mp)
-                    metas.append(m)
-                if mp - p != meta_len:
-                    raise BinlogError("table map metadata length mismatch")
-                p = mp
-                nullable = [
-                    _bitmap_get(payload[p:], i) for i in range(n_cols)
-                ]
-                table_map[table_id] = {
-                    "db": db, "table": table, "col_types": col_types,
-                    "col_metas": metas, "nullable": nullable,
-                }
-                events.append({**common, "kind": "table_map", "table_id": table_id,
-                               "db": db, "table": table, "col_types": col_types})
-            elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
-                table_id = int.from_bytes(payload[0:6], "little")
-                tm = table_map.get(table_id)
-                if tm is None:
-                    raise BinlogError(f"rows event for unmapped table_id {table_id}")
-                p = 8  # table_id + flags
-                extra_len = struct.unpack_from("<H", payload, p)[0]
-                p += extra_len  # includes its own 2 bytes
-                n_cols, p = read_lenenc(payload, p)
-                # a ROWS event whose column count disagrees with its
-                # TABLE_MAP is a framing bug — silently decoding zero rows
-                # here would lose data (the loud-decode contract)
-                if n_cols != len(tm["col_types"]):
-                    raise BinlogError(
-                        f"rows event claims {n_cols} columns, TABLE_MAP for "
-                        f"{tm['db']}.{tm['table']} has {len(tm['col_types'])}"
-                    )
-                bitmap_len = (n_cols + 7) // 8
-                bitmaps = bitmap_len * (2 if type_code == UPDATE_ROWS_EVENT else 1)
-                if p + bitmaps > len(payload):
-                    raise BinlogError("rows event truncated in columns-present bitmap")
-                present1 = payload[p : p + bitmap_len]
-                p += bitmap_len
-                if type_code == UPDATE_ROWS_EVENT:
-                    p += bitmap_len  # present2 (we emit full images)
-                rows = []
-                while p < len(payload):
-                    image, p = _read_image(payload, p, tm, present1, n_cols)
-                    if type_code == UPDATE_ROWS_EVENT:
-                        after, p = _read_image(payload, p, tm, present1, n_cols)
-                        rows.append({"before": image, "after": after})
-                    elif type_code == WRITE_ROWS_EVENT:
-                        rows.append({"before": None, "after": image})
-                    else:
-                        rows.append({"before": image, "after": None})
-                op = {WRITE_ROWS_EVENT: "c", UPDATE_ROWS_EVENT: "u", DELETE_ROWS_EVENT: "d"}[type_code]
-                names = (columns_by_table or {}).get((tm["db"], tm["table"]))
-                if names is not None:
-                    if len(names) != n_cols:
-                        raise BinlogError(
-                            f"schema for {tm['db']}.{tm['table']} has {len(names)} "
-                            f"columns, binlog has {n_cols}"
-                        )
-                    for r in rows:
-                        for side in ("before", "after"):
-                            if r[side] is not None:
-                                r[side] = dict(zip(names, r[side]))
-                ev = {**common, "kind": "rows", "op": op, "db": tm["db"],
-                      "table": tm["table"], "rows": rows, "gtid": current_gtid}
-                events.append(ev)
-                pending_rows.append(ev)
-            elif type_code == GTID_LOG_EVENT:
-                sid = payload[1:17]
-                gno = struct.unpack_from("<q", payload, 17)[0]
-                current_gtid = (sid.hex(), gno)
-                events.append({**common, "kind": "gtid", "sid": sid.hex(), "gno": gno})
-            elif type_code == XID_EVENT:
-                xid = struct.unpack_from("<Q", payload, 0)[0]
-                for ev in pending_rows:
-                    ev["xid"] = xid
-                pending_rows = []
-                events.append({**common, "kind": "xid", "xid": xid})
-            elif type_code == QUERY_EVENT:
-                thread_id, exec_time, db_len, err, status_len = struct.unpack_from(
-                    "<IIBHH", payload, 0
-                )
-                p = 13 + status_len
-                schema = payload[p : p + db_len].decode()
-                p += db_len + 1
-                sql = payload[p:].decode()
-                events.append({**common, "kind": "query", "schema": schema, "sql": sql})
-            elif type_code == ROTATE_EVENT:
-                position = struct.unpack_from("<Q", payload, 0)[0]
-                next_name = payload[8:].decode()
-                events.append({**common, "kind": "rotate", "position": position,
-                               "next_file": next_name})
-            else:
-                events.append({**common, "kind": "other", "type_code": type_code})
-        except BinlogError:
-            raise
-        except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
-            raise BinlogError(
-                f"malformed event (type {type_code}) at offset "
-                f"{off - event_size}: {type(e).__name__}: {e}"
-            ) from e
+        evs, current_gtid = _decode_one(
+            type_code, payload, common, table_map, current_gtid,
+            pending_rows, columns_by_table, off - event_size,
+        )
+        events.extend(evs)
     return events
+
+
+def _decode_one(
+    type_code: int,
+    payload: bytes,
+    common: dict[str, Any],
+    table_map: dict[int, dict[str, Any]],
+    current_gtid: tuple[str, int] | None,
+    pending_rows: list[dict[str, Any]],
+    columns_by_table: dict[tuple[str, str], list[str]] | None,
+    err_offset: int,
+) -> tuple[list[dict[str, Any]], tuple[str, int] | None]:
+    """Decode ONE framed event payload against the sequential decode
+    state (table_map, current GTID, open-transaction rows). Shared by
+    the whole-segment parser and the incremental tailer — the state
+    threading is exactly what survives across arbitrary read
+    boundaries (reference mysql/mod.rs:386-423 keeps the same fields
+    on its connection loop)."""
+    events: list[dict[str, Any]] = []
+    # any exception past the CRC gate is a framing bug inside a
+    # checksum-valid event — surface it AS BinlogError so callers
+    # (and on_error='route') have one loud, catchable contract
+    try:
+
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            binlog_version = struct.unpack_from("<H", payload, 0)[0]
+            if binlog_version != 4:
+                raise BinlogError(f"unsupported binlog version {binlog_version}")
+            server_version = payload[2:52].split(b"\x00", 1)[0].decode()
+            events.append({**common, "kind": "fde", "server_version": server_version})
+        elif type_code == TABLE_MAP_EVENT:
+            table_id = int.from_bytes(payload[0:6], "little")
+            p = 8  # skip flags
+            db_len = payload[p]
+            db = payload[p + 1 : p + 1 + db_len].decode()
+            p += 1 + db_len + 1
+            tb_len = payload[p]
+            table = payload[p + 1 : p + 1 + tb_len].decode()
+            p += 1 + tb_len + 1
+            n_cols, p = read_lenenc(payload, p)
+            col_types = list(payload[p : p + n_cols])
+            p += n_cols
+            meta_len, p = read_lenenc(payload, p)
+            metas = []
+            mp = p
+            for t in col_types:
+                m, mp = _read_meta(t, payload, mp)
+                metas.append(m)
+            if mp - p != meta_len:
+                raise BinlogError("table map metadata length mismatch")
+            p = mp
+            nullable = [
+                _bitmap_get(payload[p:], i) for i in range(n_cols)
+            ]
+            table_map[table_id] = {
+                "db": db, "table": table, "col_types": col_types,
+                "col_metas": metas, "nullable": nullable,
+            }
+            events.append({**common, "kind": "table_map", "table_id": table_id,
+                           "db": db, "table": table, "col_types": col_types})
+        elif type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+            table_id = int.from_bytes(payload[0:6], "little")
+            tm = table_map.get(table_id)
+            if tm is None:
+                raise BinlogError(f"rows event for unmapped table_id {table_id}")
+            p = 8  # table_id + flags
+            extra_len = struct.unpack_from("<H", payload, p)[0]
+            p += extra_len  # includes its own 2 bytes
+            n_cols, p = read_lenenc(payload, p)
+            # a ROWS event whose column count disagrees with its
+            # TABLE_MAP is a framing bug — silently decoding zero rows
+            # here would lose data (the loud-decode contract)
+            if n_cols != len(tm["col_types"]):
+                raise BinlogError(
+                    f"rows event claims {n_cols} columns, TABLE_MAP for "
+                    f"{tm['db']}.{tm['table']} has {len(tm['col_types'])}"
+                )
+            bitmap_len = (n_cols + 7) // 8
+            bitmaps = bitmap_len * (2 if type_code == UPDATE_ROWS_EVENT else 1)
+            if p + bitmaps > len(payload):
+                raise BinlogError("rows event truncated in columns-present bitmap")
+            present1 = payload[p : p + bitmap_len]
+            p += bitmap_len
+            present2 = present1
+            if type_code == UPDATE_ROWS_EVENT:
+                # the after-image has its OWN present bitmap; with
+                # binlog_row_image=MINIMAL/NOBLOB it differs from
+                # present1, and decoding the after image against
+                # present1 drifts the offset silently (fixed-width
+                # columns can re-align and yield WRONG values with no
+                # error) — decode each image against its own bitmap
+                present2 = payload[p : p + bitmap_len]
+                p += bitmap_len
+            rows = []
+            while p < len(payload):
+                image, p = _read_image(payload, p, tm, present1, n_cols)
+                if type_code == UPDATE_ROWS_EVENT:
+                    after, p = _read_image(payload, p, tm, present2, n_cols)
+                    rows.append({"before": image, "after": after})
+                elif type_code == WRITE_ROWS_EVENT:
+                    rows.append({"before": None, "after": image})
+                else:
+                    rows.append({"before": image, "after": None})
+            op = {WRITE_ROWS_EVENT: "c", UPDATE_ROWS_EVENT: "u", DELETE_ROWS_EVENT: "d"}[type_code]
+            names = (columns_by_table or {}).get((tm["db"], tm["table"]))
+            if names is not None:
+                if len(names) != n_cols:
+                    raise BinlogError(
+                        f"schema for {tm['db']}.{tm['table']} has {len(names)} "
+                        f"columns, binlog has {n_cols}"
+                    )
+                for r in rows:
+                    for side in ("before", "after"):
+                        if r[side] is not None:
+                            r[side] = dict(zip(names, r[side]))
+            ev = {**common, "kind": "rows", "op": op, "db": tm["db"],
+                  "table": tm["table"], "rows": rows, "gtid": current_gtid}
+            events.append(ev)
+            pending_rows.append(ev)
+        elif type_code == GTID_LOG_EVENT:
+            sid = payload[1:17]
+            gno = struct.unpack_from("<q", payload, 17)[0]
+            current_gtid = (sid.hex(), gno)
+            events.append({**common, "kind": "gtid", "sid": sid.hex(), "gno": gno})
+        elif type_code == XID_EVENT:
+            xid = struct.unpack_from("<Q", payload, 0)[0]
+            for ev in pending_rows:
+                ev["xid"] = xid
+            # clear IN PLACE: the list is caller-owned sequential state
+            # (rebinding here would silently orphan the tx bracket)
+            pending_rows.clear()
+            events.append({**common, "kind": "xid", "xid": xid})
+        elif type_code == QUERY_EVENT:
+            thread_id, exec_time, db_len, err, status_len = struct.unpack_from(
+                "<IIBHH", payload, 0
+            )
+            p = 13 + status_len
+            schema = payload[p : p + db_len].decode()
+            p += db_len + 1
+            sql = payload[p:].decode()
+            events.append({**common, "kind": "query", "schema": schema, "sql": sql})
+        elif type_code == ROTATE_EVENT:
+            position = struct.unpack_from("<Q", payload, 0)[0]
+            next_name = payload[8:].decode()
+            events.append({**common, "kind": "rotate", "position": position,
+                           "next_file": next_name})
+        else:
+            events.append({**common, "kind": "other", "type_code": type_code})
+    except BinlogError:
+        raise
+    except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
+        raise BinlogError(
+            f"malformed event (type {type_code}) at offset "
+            f"{err_offset}: {type(e).__name__}: {e}"
+        ) from e
+    return events, current_gtid
+
+
+class BinlogTailer:
+    """Incremental binlog tail over an arbitrary-boundary byte feed —
+    the connection-shaped seam below which the whole-segment parser
+    and a live socket client share one decode path (reference
+    mysql/mod.rs:386-423: the connection loop reads frames as they
+    arrive, threading table_map/GTID/transaction state across reads;
+    this class is that loop with the socket abstracted to ``feed``).
+
+    - ``feed(chunk)`` accepts ANY byte slicing of the stream (single
+      bytes, mid-header cuts, multi-event blobs) and returns the
+      events completed by that chunk, identical to what
+      ``parse_segment`` yields on the concatenation.
+    - Framing is as strict as the batch parser: magic, per-event
+      CRC32, log_pos continuity — a corrupt frame raises immediately.
+    - ``checkpoint()`` is the resumable position: binlog file, last
+      COMMITTED log_pos (XID boundary — resuming mid-transaction
+      would replay a torn prefix), and the accumulated executed-GTID
+      set (``BinlogPosition`` is the RunCtx analog).
+    - A ROTATE event arms the next file: the following bytes must
+      begin with the 4-byte magic again, and log_pos restarts.
+    """
+
+    def __init__(
+        self,
+        columns_by_table: dict[tuple[str, str], list[str]] | None = None,
+        *,
+        file: str = "",
+    ) -> None:
+        from .gtid import BinlogPosition
+
+        self._columns = columns_by_table
+        self._buf = bytearray()
+        self._need_magic = True
+        self._offset = 0
+        self._table_map: dict[int, dict[str, Any]] = {}
+        self._gtid: tuple[str, int] | None = None
+        self._pending: list[dict[str, Any]] = []
+        self.position = BinlogPosition(file=file)
+
+    def feed(self, chunk: bytes) -> list[dict[str, Any]]:
+        self._buf += chunk
+        events: list[dict[str, Any]] = []
+        while True:
+            if self._need_magic:
+                if len(self._buf) < len(MAGIC):
+                    break
+                if bytes(self._buf[: len(MAGIC)]) != MAGIC:
+                    raise BinlogError("bad binlog magic")
+                del self._buf[: len(MAGIC)]
+                self._offset = len(MAGIC)
+                self._need_magic = False
+            if len(self._buf) < HEADER_LEN:
+                break
+            ts, type_code, server_id, event_size, log_pos, flags = struct.unpack_from(
+                "<IBIIIH", self._buf, 0
+            )
+            if event_size < HEADER_LEN + CRC_LEN:
+                raise BinlogError(f"event size {event_size} below header+crc")
+            if len(self._buf) < event_size:
+                break  # incomplete frame: wait for more bytes
+            if log_pos != self._offset + event_size:
+                raise BinlogError(
+                    f"log_pos drift: header says {log_pos}, "
+                    f"actual {self._offset + event_size}"
+                )
+            body = bytes(self._buf[: event_size - CRC_LEN])
+            crc_stored = int.from_bytes(
+                self._buf[event_size - CRC_LEN : event_size], "little"
+            )
+            if (zlib.crc32(body) & 0xFFFFFFFF) != crc_stored:
+                raise BinlogError(f"crc mismatch at offset {self._offset}")
+            payload = body[HEADER_LEN:]
+            err_offset = self._offset
+            del self._buf[:event_size]
+            self._offset += event_size
+
+            common = {"ts_sec": ts, "server_id": server_id, "log_pos": log_pos}
+            evs, self._gtid = _decode_one(
+                type_code, payload, common, self._table_map, self._gtid,
+                self._pending, self._columns, err_offset,
+            )
+            events.extend(evs)
+            for ev in evs:
+                if ev["kind"] == "gtid":
+                    self.position.handle_gtid(f"{ev['sid']}:{ev['gno']}")
+                elif ev["kind"] == "xid":
+                    # commit boundary: the position becomes resumable here
+                    self.position.handle_xid()
+                    self.position.pos = ev["log_pos"]
+                elif ev["kind"] == "rotate":
+                    self.position.handle_rotate(ev["next_file"], ev["position"])
+                    # next file begins with its own magic + log_pos chain;
+                    # per-file sequential state resets, GTID set persists
+                    self._need_magic = True
+                    self._table_map = {}
+        return events
+
+    def checkpoint(self) -> str:
+        """JSON resumable position (file, committed pos, gtid set)."""
+        return self.position.to_json()
 
 
 def _read_image(
     payload: bytes, p: int, tm: dict[str, Any], present: bytes, n_cols: int
 ) -> tuple[list[Any], int]:
-    null_len = (n_cols + 7) // 8
+    # the null bitmap covers only columns PRESENT in this image (its
+    # length and bit ordinals count present columns, not table columns) —
+    # with binlog_row_image=FULL they coincide, with MINIMAL they don't
+    n_present = sum(
+        (present[i >> 3] >> (i & 7)) & 1 for i in range(n_cols)
+    )
+    null_len = (n_present + 7) // 8
     if p + null_len > len(payload):
         raise BinlogError("row image truncated in null bitmap")
     nulls = payload[p : p + null_len]
@@ -915,14 +1066,20 @@ def _read_image(
     col_types = tm["col_types"]
     col_metas = tm["col_metas"]
     dv = decode_value
+    j = 0  # ordinal among present columns (null-bitmap index space)
     for i in range(n_cols):
         # inlined bitmap reads (function-call per column is measurable
         # at millions of values per task)
-        if not (present[i >> 3] >> (i & 7)) & 1 or (nulls[i >> 3] >> (i & 7)) & 1:
+        if not (present[i >> 3] >> (i & 7)) & 1:
             append(None)
+            continue
+        if (nulls[j >> 3] >> (j & 7)) & 1:
+            append(None)
+            j += 1
             continue
         v, p = dv(col_types[i], col_metas[i], payload, p)
         append(v)
+        j += 1
     return image, p
 
 
@@ -943,6 +1100,10 @@ BINLOG_ROW_SCHEMA = T.StructType(
         T.StructField("log_pos", T.LongType()),
         T.StructField("before", T.StringType()),
         T.StructField("after", T.StringType()),
+        # per-segment fingerprint (crc32:length of the raw segment bytes):
+        # the event_id fallback discriminator when the stream has no GTIDs —
+        # log_pos alone is a per-file offset and collides across segments
+        T.StructField("segment", T.StringType()),
         T.StructField("decode_error", T.StringType()),
     ]
 )
@@ -979,8 +1140,10 @@ def decode_binlog_segments(
         for pdf in batches:
             out = []
             for blob in pdf[data_col]:
+                raw = bytes(blob)
+                seg_fp = f"{zlib.crc32(raw) & 0xFFFFFFFF:08x}:{len(raw)}"
                 try:
-                    events = parse_segment(bytes(blob), cols)
+                    events = parse_segment(raw, cols)
                 except BinlogError:
                     if on_error == "fail":
                         raise
@@ -988,7 +1151,8 @@ def decode_binlog_segments(
 
                     out.append(
                         _EMPTY_ROW_PREFIX
-                        + (traceback.format_exc(limit=0).strip().splitlines()[-1],)
+                        + (seg_fp,
+                           traceback.format_exc(limit=0).strip().splitlines()[-1])
                     )
                     continue
                 for ev in events:
@@ -1006,6 +1170,7 @@ def decode_binlog_segments(
                                 ev["op"], ev.get("xid"), sid, gno, ev["log_pos"],
                                 None if b is None else dumps(b),
                                 None if a is None else dumps(a),
+                                seg_fp,
                                 None,
                             )
                         )
@@ -1013,7 +1178,7 @@ def decode_binlog_segments(
                 out,
                 columns=["ts_sec", "server_id", "db", "table", "op", "xid",
                          "gtid_sid", "gno", "log_pos", "before", "after",
-                         "decode_error"],
+                         "segment", "decode_error"],
             )
 
     return segments.select(data_col).mapInPandas(run, BINLOG_ROW_SCHEMA)
@@ -1063,7 +1228,19 @@ def binlog_change_feed(
             F.lit(False).alias("snapshot"),
             F.col("log_pos").alias("sequence"),
         ).alias("source"),
-        F.concat_ws(":", F.col("gtid_sid"), F.col("gno").cast("string"), F.col("log_pos").cast("string")).alias("event_id"),
+        # event_id: GTID-based when available; otherwise segment-scoped.
+        # concat_ws silently skips NULLs, so a GTID-less stream would
+        # collapse to bare log_pos — a per-FILE offset that collides
+        # across segments and breaks downstream idempotence keys. The
+        # fallback pins log_pos to its segment fingerprint instead.
+        F.when(
+            F.col("gtid_sid").isNotNull() & F.col("gno").isNotNull(),
+            F.concat_ws(":", F.col("gtid_sid"), F.col("gno").cast("string"),
+                        F.col("log_pos").cast("string")),
+        ).otherwise(
+            F.concat_ws(":", F.lit("seg"), F.col("segment"),
+                        F.col("log_pos").cast("string"))
+        ).alias("event_id"),
         F.lit(None).cast("string").alias("tenant_id"),
         F.struct(
             F.col("xid").cast("string").alias("id"),

@@ -637,7 +637,9 @@ def decode_pgoutput_dml(
     for r in relations:
         catalog.setdefault(int(r["relation_id"]), []).append(
             (
-                int(r.get("seq") or -1),
+                # explicit None check: `or -1` would coerce a legitimate
+                # seq=0 announcement to the no-seq sentinel
+                -1 if r.get("seq") is None else int(r["seq"]),
                 {
                     "schema": r["schema"],
                     "table": r["table"],

@@ -277,6 +277,117 @@ def test_lake_rolling_outage_retry_no_loss_no_double_count(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "lake" / "data")).count() == 4
 
 
+def _mk_rolling_sink(spark, tmp_path):
+    from deltaforge_spark.checkpoints import FileCheckpointStore
+    from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink
+
+    return RollingLakeSink(
+        spark,
+        str(tmp_path / "lake"),
+        ["tbl"],
+        cfg=RollingConfig(
+            max_events=4, max_bytes=1 << 40, max_age_ms=1 << 40, idle_age_ms=1 << 40
+        ),
+        clock="event",
+        ts_col="ts",
+        store=FileCheckpointStore(str(tmp_path / "ckpt")),
+    )
+
+
+def test_lake_rolling_replay_soak_crash_windows(spark, tmp_path):
+    """Replay soak (VERDICT r4 Next-round #10): kill the sink in EVERY
+    distinct post-rename crash window — (a) after the file becomes
+    visible but before the state persist, (b) after the persist but
+    before staged cleanup — then restart + replay the same batch N
+    times. File-set idempotence must hold: the roll's deterministic
+    file name makes the replayed rename an overwrite of the SAME
+    target, the init orphan sweep disposes of consumed staged pieces,
+    and the deduped manifest sees exactly one entry. The reference's
+    s3 at-least-once file-granularity contract (guarantees.md:205-214)."""
+    import glob as _glob
+
+    import pytest
+
+    from deltaforge_spark.sinks.rolling import load_manifest
+
+    lake = str(tmp_path / "lake")
+    batch = spark.createDataFrame([(i, "a", i) for i in range(4)], ["id", "tbl", "ts"])
+
+    # --- crash window (a): rename done, persist dies -----------------
+    sink = _mk_rolling_sink(spark, tmp_path)
+    real_persist = type(sink)._persist
+    calls = {"n": 0}
+
+    def dying_persist(self):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the persist inside _roll, right after rename
+            raise IOError("injected checkpoint-store outage")
+        real_persist(self)
+
+    sink._persist = dying_persist.__get__(sink)
+    with pytest.raises(IOError, match="outage"):
+        sink.process_batch(batch, 0)
+    visible = _glob.glob(f"{lake}/data/tbl=a/*.parquet")
+    assert len(visible) == 1  # file IS visible; state is behind
+
+    # restart + replay: fence was never persisted, so the batch fully
+    # re-runs — the re-roll must land on the SAME file name (overwrite),
+    # not a second file
+    sink2 = _mk_rolling_sink(spark, tmp_path)
+    sink2.process_batch(batch, 0)
+    visible2 = sorted(_glob.glob(f"{lake}/data/tbl=a/*.parquet"))
+    assert visible2 == sorted(visible), "replay created a second visible file"
+    assert spark.read.parquet(f"{lake}/data").count() == 4
+    manifest = load_manifest(lake)
+    assert [(m["tbl"], m["n_events"], m["file_seq"]) for m in manifest] == [("a", 4, 1)]
+    assert sink2._staged_glob("tbl=a") == []
+
+    # --- crash window (b): persist done, staged cleanup dies ---------
+    batch2 = spark.createDataFrame([(i, "a", 100 + i) for i in range(4)], ["id", "tbl", "ts"])
+    import deltaforge_spark.sinks.rolling as rolling_mod
+
+    real_rmtree = rolling_mod.shutil.rmtree
+    state = {"armed": False}
+
+    def dying_rmtree(path, ignore_errors=False):
+        if state["armed"] and "_staging" in str(path):
+            state["armed"] = False
+            raise IOError("injected fs outage during staged cleanup")
+        real_rmtree(path, ignore_errors=ignore_errors)
+
+    sink3 = _mk_rolling_sink(spark, tmp_path)
+    rolling_mod.shutil.rmtree = dying_rmtree
+    try:
+        state["armed"] = True
+        with pytest.raises(IOError, match="fs outage"):
+            sink3.process_batch(batch2, 1)
+    finally:
+        rolling_mod.shutil.rmtree = real_rmtree
+    # roll committed (file visible, state persisted) but staged orphaned
+    assert len(_glob.glob(f"{lake}/data/tbl=a/*.parquet")) == 2
+    assert sink3._staged_glob("tbl=a") != []
+
+    # restart: init orphan sweep disposes of the consumed staged pieces;
+    # the replayed batch is fenced (state persisted) and must be a no-op
+    sink4 = _mk_rolling_sink(spark, tmp_path)
+    assert sink4._staged_glob("tbl=a") == [], "orphaned staged pieces survived restart"
+    sink4.process_batch(batch2, 1)  # foreachBatch redelivery
+    assert len(_glob.glob(f"{lake}/data/tbl=a/*.parquet")) == 2
+    assert spark.read.parquet(f"{lake}/data").count() == 8
+    manifest = load_manifest(lake)
+    assert sorted((m["file_seq"], m["n_events"]) for m in manifest) == [(1, 4), (2, 4)]
+
+    # --- soak: N more replays of both batches change NOTHING ---------
+    for _ in range(3):
+        sink5 = _mk_rolling_sink(spark, tmp_path)
+        sink5.process_batch(batch, 0)
+        sink5.process_batch(batch2, 1)
+    assert len(_glob.glob(f"{lake}/data/tbl=a/*.parquet")) == 2
+    assert spark.read.parquet(f"{lake}/data").count() == 8
+    assert len(load_manifest(lake)) == 2
+    assert _glob.glob(f"{lake}/_staging/batch-*/tbl=*") == []
+
+
 def test_binlog_purge_detected_before_resume(spark, tmp_path):
     """Chaos analog of the reference's MySQL binlog_purge scenario
     (crates/chaos/src/scenarios/binlog_purge.rs): segments 0-4 are

@@ -201,6 +201,58 @@ class TestBinlogSegments:
         assert rows["op"] == "u"
         assert [(r["before"], r["after"]) for r in rows["rows"]] == [([10], [11]), ([20], [21])]
 
+    def test_update_minimal_after_image_uses_present2(self):
+        # binlog_row_image=MINIMAL: the after-image carries only changed
+        # columns under its OWN present bitmap. Decoding it against
+        # present1 used to drift the offset silently (ADVICE r4).
+        w = bl.SegmentWriter(server_id=1)
+        w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        types = [bl.MYSQL_TYPE_LONG, bl.MYSQL_TYPE_LONG, bl.MYSQL_TYPE_LONG]
+        metas = [0, 0, 0]
+        w.append(
+            bl.TABLE_MAP_EVENT,
+            bl.table_map_payload(7, "d", "t", types, metas, [False, False, False]),
+        )
+        # before: PK only (col 0); after: changed cols only (col 2)
+        w.append(
+            bl.UPDATE_ROWS_EVENT,
+            bl.rows_payload(
+                7, 3,
+                [[10, None, None], [None, None, 33], [20, None, None], [None, None, 44]],
+                types, metas, update=True,
+                present_cols=[True, False, False],
+                present_cols2=[False, False, True],
+            ),
+        )
+        rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
+        assert [(r["before"], r["after"]) for r in rows["rows"]] == [
+            ([10, None, None], [None, None, 33]),
+            ([20, None, None], [None, None, 44]),
+        ]
+
+    def test_partial_image_null_bitmap_counts_present_cols(self):
+        # a present-but-NULL column in a partial image: null bitmap bit
+        # ordinals are over present columns (not table columns)
+        w = bl.SegmentWriter(server_id=1)
+        w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        types = [bl.MYSQL_TYPE_LONG] * 4
+        metas = [0, 0, 0, 0]
+        w.append(
+            bl.TABLE_MAP_EVENT,
+            bl.table_map_payload(9, "d", "t", types, metas, [False, True, True, True]),
+        )
+        # col1 ABSENT, col2 present-but-NULL (null bit ordinal 1, not 2 —
+        # absolute-index lookup would misread it), col3 present=7
+        w.append(
+            bl.WRITE_ROWS_EVENT,
+            bl.rows_payload(
+                9, 4, [[1, None, None, 7]], types, metas,
+                present_cols=[True, False, True, True],
+            ),
+        )
+        rows = next(e for e in bl.parse_segment(w.bytes()) if e["kind"] == "rows")
+        assert rows["rows"][0]["after"] == [1, None, None, 7]
+
     def test_bad_magic_is_loud(self):
         with pytest.raises(bl.BinlogError, match="magic"):
             bl.parse_segment(b"nope" + _segment()[4:])

@@ -11,6 +11,7 @@ cd "$(dirname "$0")/.."
 
 tier="${1:-fast}"
 
+python tools/guard_names.py
 python -m pytest tests/test_oracle_sql_valid.py -q
 
 if [ "$tier" = "all" ]; then

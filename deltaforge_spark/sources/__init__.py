@@ -2,11 +2,13 @@ from .snapshot import snapshot_events, read_table
 from .changefeed import change_feed
 from .binlog import (
     BinlogTailer,
+    MysqlPacketStream,
     binlog_change_feed,
     decode_binlog_segments,
     parse_segment,
     synth_binlog_events,
 )
+from .pgoutput import ReplicationStream
 from .pgoutput import (
     decode_pgoutput,
     decode_pgoutput_messages,
@@ -21,6 +23,8 @@ __all__ = [
     "read_table",
     "change_feed",
     "BinlogTailer",
+    "MysqlPacketStream",
+    "ReplicationStream",
     "binlog_change_feed",
     "decode_binlog_segments",
     "parse_segment",

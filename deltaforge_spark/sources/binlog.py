@@ -972,12 +972,21 @@ class BinlogTailer:
         columns_by_table: dict[tuple[str, str], list[str]] | None = None,
         *,
         file: str = "",
+        mode: str = "file",
     ) -> None:
         from .gtid import BinlogPosition
 
+        if mode not in ("file", "stream"):
+            raise ValueError(f"mode must be file|stream, got {mode!r}")
         self._columns = columns_by_table
         self._buf = bytearray()
-        self._need_magic = True
+        self._mode = mode
+        # a COM_BINLOG_DUMP network stream carries NO 4-byte magic and
+        # its log_pos fields are server-file positions (artificial
+        # events such as the initial fake ROTATE carry log_pos=0), so
+        # stream mode trusts non-zero log_pos instead of checking
+        # byte-offset continuity; file mode keeps the strict chain
+        self._need_magic = mode == "file"
         self._offset = 0
         self._table_map: dict[int, dict[str, Any]] = {}
         self._gtid: tuple[str, int] | None = None
@@ -1005,11 +1014,12 @@ class BinlogTailer:
                 raise BinlogError(f"event size {event_size} below header+crc")
             if len(self._buf) < event_size:
                 break  # incomplete frame: wait for more bytes
-            if log_pos != self._offset + event_size:
-                raise BinlogError(
-                    f"log_pos drift: header says {log_pos}, "
-                    f"actual {self._offset + event_size}"
-                )
+            if self._mode == "file":
+                if log_pos != self._offset + event_size:
+                    raise BinlogError(
+                        f"log_pos drift: header says {log_pos}, "
+                        f"actual {self._offset + event_size}"
+                    )
             body = bytes(self._buf[: event_size - CRC_LEN])
             crc_stored = int.from_bytes(
                 self._buf[event_size - CRC_LEN : event_size], "little"
@@ -1019,7 +1029,10 @@ class BinlogTailer:
             payload = body[HEADER_LEN:]
             err_offset = self._offset
             del self._buf[:event_size]
-            self._offset += event_size
+            if self._mode == "stream" and log_pos:
+                self._offset = log_pos  # trust server positions on the wire
+            else:
+                self._offset += event_size
 
             common = {"ts_sec": ts, "server_id": server_id, "log_pos": log_pos}
             evs, self._gtid = _decode_one(
@@ -1045,6 +1058,86 @@ class BinlogTailer:
     def checkpoint(self) -> str:
         """JSON resumable position (file, committed pos, gtid set)."""
         return self.position.to_json()
+
+
+MAX_PACKET = 0xFFFFFF  # 16 MiB − 1: payloads this long continue in the next packet
+
+
+class MysqlPacketStream:
+    """MySQL client/server protocol packet de-framing for the binlog
+    dump stream — the transport layer between the socket and
+    ``BinlogTailer`` (public wire format: every packet is a 3-byte
+    little-endian payload length + 1-byte sequence id; after
+    COM_BINLOG_DUMP each event arrives in a packet whose payload leads
+    with an 0x00 OK marker; 0xFF opens an ERR packet (error code +
+    '#'+sqlstate + message), 0xFE with a short payload is EOF; a
+    payload of exactly 0xFFFFFF bytes continues in the following
+    packet). The reference gets this from its client library
+    (mysql_async inside mysql/mod.rs:113-382); here it is explicit so
+    the whole path below the TCP socket is testable byte-for-byte.
+
+    ``feed(chunk)`` accepts arbitrary byte slicings and returns the
+    COMPLETE event frames (OK marker stripped, 16 MiB continuations
+    reassembled) ready for ``BinlogTailer(mode='stream').feed``.
+    Sequence ids must increment mod 256 — a gap means lost packets and
+    raises rather than desyncing silently.
+    """
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._partial: bytearray | None = None  # continuation accumulator
+        self._expect_seq: int | None = None
+        self.eof = False
+
+    def feed(self, chunk: bytes) -> list[bytes]:
+        if self.eof:
+            raise BinlogError("packet stream already saw EOF")
+        self._buf += chunk
+        frames: list[bytes] = []
+        while len(self._buf) >= 4:
+            plen = int.from_bytes(self._buf[0:3], "little")
+            seq = self._buf[3]
+            if len(self._buf) < 4 + plen:
+                break
+            if self._expect_seq is not None and seq != self._expect_seq:
+                raise BinlogError(
+                    f"packet sequence gap: expected {self._expect_seq}, got {seq}"
+                )
+            self._expect_seq = (seq + 1) % 256
+            payload = bytes(self._buf[4 : 4 + plen])
+            del self._buf[: 4 + plen]
+
+            if self._partial is not None:
+                # continuation of an oversized payload (no marker byte)
+                self._partial += payload
+                if plen == MAX_PACKET:
+                    continue
+                frames.append(bytes(self._partial))
+                self._partial = None
+                continue
+
+            if not payload:
+                raise BinlogError("empty packet payload")
+            marker = payload[0]
+            if marker == 0xFF:
+                code = int.from_bytes(payload[1:3], "little")
+                rest = payload[3:]
+                if rest[:1] == b"#":
+                    state, msg = rest[1:6].decode(), rest[6:].decode(errors="replace")
+                else:
+                    state, msg = "", rest.decode(errors="replace")
+                raise BinlogError(f"server error {code} [{state}]: {msg}")
+            if marker == 0xFE and plen < 9:
+                self.eof = True
+                return frames
+            if marker != 0x00:
+                raise BinlogError(f"unexpected packet marker 0x{marker:02x}")
+            body = payload[1:]
+            if plen == MAX_PACKET:
+                self._partial = bytearray(body)
+                continue
+            frames.append(body)
+        return frames
 
 
 def _read_image(

@@ -208,6 +208,99 @@ def encode_logical_message(
     return bytes(out)
 
 
+def encode_xlogdata(wal_start: int, wal_end: int, clock_us: int, payload: bytes) -> bytes:
+    """CopyData XLogData frame ('w'): u64 WAL start, u64 WAL end, u64
+    server clock (µs since PG epoch), then one pgoutput message."""
+    return b"w" + wal_start.to_bytes(8, "big") + wal_end.to_bytes(8, "big") \
+        + clock_us.to_bytes(8, "big") + payload
+
+
+def encode_keepalive(wal_end: int, clock_us: int, *, reply_requested: bool = False) -> bytes:
+    """Primary keepalive ('k'): u64 WAL end, u64 clock, u8 reply flag."""
+    return b"k" + wal_end.to_bytes(8, "big") + clock_us.to_bytes(8, "big") \
+        + (b"\x01" if reply_requested else b"\x00")
+
+
+class ReplicationStream:
+    """The streaming-replication transport layer between a COPY BOTH
+    socket and the pgoutput message parser — the walreceiver loop the
+    reference runs inside postgres/mod.rs:64-120: CopyData payloads are
+    XLogData ('w', carrying exactly one pgoutput message) or primary
+    keepalives ('k'); the client answers with Standby Status Update
+    ('r') frames whose flush LSN IS the server-side restart point (the
+    slot's confirmed_flush_lsn — reporting an unflushed LSN loses data
+    on crash, so ``flushed_lsn`` here advances only at Commit).
+
+    No socket in the sandbox: this class consumes CopyData payload
+    bytes directly and is exercised against synthetic frames. The LSN
+    feedback algebra is the real contract:
+
+    - ``received_lsn``: max WAL end seen (any frame, incl. keepalives)
+    - ``flushed_lsn`` / ``applied_lsn``: advance ONLY when a Commit
+      message is fully processed (end_lsn) — mid-transaction frames are
+      received but deliberately not acknowledged
+    - ``status_update()`` emits the 'r' frame to send back; a keepalive
+      with the reply flag set demands one immediately
+    """
+
+    def __init__(self, *, flushed_lsn: int = 0) -> None:
+        self.received_lsn = flushed_lsn
+        self.flushed_lsn = flushed_lsn
+        self.applied_lsn = flushed_lsn
+
+    def feed_copydata(self, data: bytes) -> dict[str, Any]:
+        if not data:
+            raise PgoutputError("empty CopyData payload")
+        tag = data[0:1]
+        if tag == b"w":
+            if len(data) < 25:
+                raise PgoutputError("XLogData frame truncated")
+            wal_start = int.from_bytes(data[1:9], "big")
+            wal_end = int.from_bytes(data[9:17], "big")
+            clock_us = int.from_bytes(data[17:25], "big")
+            msg = parse_message(data[25:])
+            self.received_lsn = max(self.received_lsn, wal_end)
+            if msg["kind"] == "commit":
+                # the pgoutput Commit carries end_lsn: everything at or
+                # below it is durable in order — safe to acknowledge
+                self.flushed_lsn = max(self.flushed_lsn, msg["end_lsn"])
+                self.applied_lsn = self.flushed_lsn
+            return {
+                "kind": "xlogdata",
+                "wal_start": wal_start,
+                "wal_end": wal_end,
+                "clock_us": clock_us,
+                "message": msg,
+                "reply_requested": False,
+            }
+        if tag == b"k":
+            if len(data) < 18:
+                raise PgoutputError("keepalive frame truncated")
+            wal_end = int.from_bytes(data[1:9], "big")
+            clock_us = int.from_bytes(data[9:17], "big")
+            reply = bool(data[17])
+            self.received_lsn = max(self.received_lsn, wal_end)
+            return {
+                "kind": "keepalive",
+                "wal_end": wal_end,
+                "clock_us": clock_us,
+                "reply_requested": reply,
+            }
+        raise PgoutputError(f"unknown CopyData tag {tag!r}")
+
+    def status_update(self, clock_us: int = 0, *, reply_requested: bool = False) -> bytes:
+        """Standby Status Update ('r'): u64 written, u64 flushed, u64
+        applied, u64 clock, u8 reply-requested."""
+        return (
+            b"r"
+            + self.received_lsn.to_bytes(8, "big")
+            + self.flushed_lsn.to_bytes(8, "big")
+            + self.applied_lsn.to_bytes(8, "big")
+            + clock_us.to_bytes(8, "big")
+            + (b"\x01" if reply_requested else b"\x00")
+        )
+
+
 def parse_tuple(buf: bytes, off: int = 0) -> tuple[list[Any], int]:
     """Parse TupleData at ``off``; returns (values, next offset).
     Values are ``None`` | ``UNCHANGED`` | ``str`` (text mode — pgoutput

@@ -9,6 +9,12 @@ from .binlog import (
     synth_binlog_events,
 )
 from .pgoutput import ReplicationStream
+from .tailloop import (
+    mysql_binlog_session,
+    pg_replication_session,
+    tail_binlog,
+    tail_pgoutput,
+)
 from .pgoutput import (
     decode_pgoutput,
     decode_pgoutput_messages,
@@ -25,6 +31,10 @@ __all__ = [
     "BinlogTailer",
     "MysqlPacketStream",
     "ReplicationStream",
+    "mysql_binlog_session",
+    "pg_replication_session",
+    "tail_binlog",
+    "tail_pgoutput",
     "binlog_change_feed",
     "decode_binlog_segments",
     "parse_segment",

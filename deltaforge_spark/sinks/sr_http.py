@@ -1,0 +1,119 @@
+"""Confluent Schema Registry HTTP client — the live half of the Avro
+wire format (reference avro.rs:100-250 uses schema_registry_converter
+over HTTP; runner/tests/avro_e2e_tests.rs round-trips against a real
+registry). Stdlib-only (urllib), speaking the public Confluent REST
+protocol:
+
+- ``POST /subjects/{subject}/versions``  → {"id": N}   (register)
+- ``GET  /schemas/ids/{id}``             → {"schema": "..."}
+- ``GET  /subjects/{subject}/versions/latest`` → {id, version, schema}
+- ``POST /compatibility/subjects/{s}/versions/latest`` → {"is_compatible": b}
+
+Caching matches real clients: subject→id after one register, id→schema
+after one fetch — the encode/decode hot paths never re-dial. Errors
+surface the registry's ``error_code`` (40401 subject not found, 40403
+schema not found, 409 incompatible) as ``SchemaRegistryError`` instead
+of bare HTTP failures.
+
+Duck-type compatible with ``avro_schema.SchemaRegistryClient`` where it
+matters: ``register(subject, schema) -> id``, so
+``plan_avro_encoding`` accepts either.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from typing import Any
+
+CONTENT_TYPE = "application/vnd.schemaregistry.v1+json"
+
+
+class SchemaRegistryError(RuntimeError):
+    def __init__(self, message: str, *, error_code: int | None = None, http_status: int | None = None):
+        super().__init__(message)
+        self.error_code = error_code
+        self.http_status = http_status
+
+
+class HttpSchemaRegistry:
+    def __init__(self, base_url: str, *, timeout: float = 10.0, auth: tuple[str, str] | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._auth = auth
+        self._id_by_subject: dict[str, int] = {}
+        self._schema_by_id: dict[int, str] = {}
+
+    # ----------------------------------------------------------- http
+
+    def _call(self, method: str, path: str, body: dict | None = None) -> dict[str, Any]:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=None if body is None else json.dumps(body).encode(),
+            method=method,
+            headers={"Content-Type": CONTENT_TYPE, "Accept": CONTENT_TYPE},
+        )
+        if self._auth:
+            import base64
+
+            tok = base64.b64encode(f"{self._auth[0]}:{self._auth[1]}".encode()).decode()
+            req.add_header("Authorization", f"Basic {tok}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode() or "{}")
+        except urllib.error.HTTPError as e:
+            raw = e.read().decode(errors="replace")
+            try:
+                err = json.loads(raw)
+                raise SchemaRegistryError(
+                    err.get("message", raw), error_code=err.get("error_code"),
+                    http_status=e.code,
+                ) from e
+            except (ValueError, KeyError):
+                raise SchemaRegistryError(raw or str(e), http_status=e.code) from e
+        except urllib.error.URLError as e:
+            raise SchemaRegistryError(f"registry unreachable: {e.reason}") from e
+
+    # ------------------------------------------------------------- api
+
+    def register(self, subject: str, schema: dict | str) -> int:
+        """Register (idempotent server-side: identical text returns the
+        existing global id); cached per subject after the first call."""
+        if subject in self._id_by_subject:
+            return self._id_by_subject[subject]
+        schema_str = schema if isinstance(schema, str) else json.dumps(schema)
+        out = self._call("POST", f"/subjects/{subject}/versions", {"schema": schema_str})
+        schema_id = int(out["id"])
+        self._id_by_subject[subject] = schema_id
+        self._schema_by_id[schema_id] = schema_str
+        return schema_id
+
+    def get_schema(self, schema_id: int) -> str:
+        """Consumer path: resolve the 5-byte frame's id to schema text."""
+        if schema_id in self._schema_by_id:
+            return self._schema_by_id[schema_id]
+        out = self._call("GET", f"/schemas/ids/{schema_id}")
+        self._schema_by_id[schema_id] = out["schema"]
+        return out["schema"]
+
+    def latest(self, subject: str) -> dict[str, Any]:
+        return self._call("GET", f"/subjects/{subject}/versions/latest")
+
+    def subjects(self) -> list[str]:
+        out = self._call("GET", "/subjects")
+        return list(out) if isinstance(out, list) else out  # plain array
+
+    def is_compatible(self, subject: str, schema: dict | str) -> bool:
+        schema_str = schema if isinstance(schema, str) else json.dumps(schema)
+        out = self._call(
+            "POST", f"/compatibility/subjects/{subject}/versions/latest",
+            {"schema": schema_str},
+        )
+        return bool(out.get("is_compatible"))
+
+    def cached(self, subject: str) -> tuple[int, str] | None:
+        sid = self._id_by_subject.get(subject)
+        if sid is None:
+            return None
+        return sid, self._schema_by_id.get(sid, "")

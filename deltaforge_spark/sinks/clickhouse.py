@@ -254,6 +254,67 @@ def write_clickhouse(
     return ddl
 
 
+def http_ch_transport_factory(
+    base_url: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    timeout: float = 30.0,
+):
+    """REAL transport over ClickHouse's public HTTP interface: DDL as a
+    plain POST body, inserts as ``INSERT INTO db.table FORMAT
+    JSONEachRow`` with the dedup token passed through the
+    ``insert_deduplication_token`` setting — the replay-idempotence
+    mechanism the chunk tokens in ``write_clickhouse`` exist for
+    (reference clickhouse sink's insert dedup contract). Stdlib urllib,
+    one connection context per request; partition-local factories keep
+    executor fan-out (no driver hop)."""
+    def factory():
+        # imports INSIDE the factory: the closure crosses the pickle
+        # boundary to executor workers, where submodule imports must
+        # re-run (a captured top-level `urllib` arrives without
+        # urllib.request loaded)
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        class _T:
+            def _post(self, params: dict[str, str], body: str) -> None:
+                url = base_url.rstrip("/") + "/?" + urllib.parse.urlencode(params)
+                req = urllib.request.Request(url, data=body.encode(), method="POST")
+                if user:
+                    import base64
+
+                    tok = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+                    req.add_header("Authorization", f"Basic {tok}")
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        resp.read()
+                except urllib.error.HTTPError as e:
+                    raise IOError(
+                        f"clickhouse http {e.code}: {e.read().decode(errors='replace')[:200]}"
+                    ) from e
+
+            def execute_ddl(self, sql: str) -> None:
+                self._post({}, sql)
+
+            def insert(self, db: str, table: str, lines: list[str], dedup_token: str) -> None:
+                self._post(
+                    {
+                        "query": f"INSERT INTO {db}.{table} FORMAT JSONEachRow",
+                        "insert_deduplication_token": dedup_token,
+                    },
+                    "\n".join(lines) + "\n",
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _T()
+
+    return factory
+
+
 # --------------------------------------------------------------- test double
 
 

@@ -1,0 +1,431 @@
+"""Kafka wire protocol producer — the transport half of the
+exactly-once sink (reference kafka.rs drives librdkafka; this speaks
+the public Kafka protocol directly, stdlib-only): framed requests with
+the v1 header, RecordBatch v2 (magic 2, varint records, CRC32C),
+Produce v3, and the transactional triple InitProducerId /
+AddPartitionsToTxn / EndTxn with epoch fencing — so the
+``write_kafka_eos`` contract (init → begin → send → commit/abort,
+fenced producers fatal) runs over a real socket.
+
+The partitioner is Kafka's default: murmur2(key) mod partition count
+(DefaultPartitioner), so keyed ordering lands exactly where a Java
+client would put it.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+from .kafka_eos import ProducerFencedError
+
+# ------------------------------------------------------------ crc32c
+
+_CRC32C_POLY = 0x82F63B78
+_crc32c_table = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _crc32c_table.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli) — the RecordBatch v2 checksum (Kafka uses
+    Castagnoli, NOT the zlib IEEE polynomial)."""
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _crc32c_table[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ----------------------------------------------------------- murmur2
+
+_M2_SEED = 0x9747B28C
+_M2_M = 0x5BD1E995
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (DefaultPartitioner.partition key hash)."""
+    length = len(data)
+    h = (_M2_SEED ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * _M2_M) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * _M2_M) & 0xFFFFFFFF
+        h = (h * _M2_M) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rest = length - i
+    if rest >= 3:
+        h ^= data[i + 2] << 16
+    if rest >= 2:
+        h ^= data[i + 1] << 8
+    if rest >= 1:
+        h ^= data[i]
+        h = (h * _M2_M) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * _M2_M) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for(key: bytes | None, num_partitions: int) -> int:
+    if key is None:
+        return 0  # sticky/round-robin in real clients; deterministic here
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+# -------------------------------------------------------- primitives
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def varint(n: int) -> bytes:
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, u = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+# ------------------------------------------------------ record batch
+
+
+class KafkaError(RuntimeError):
+    def __init__(self, message: str, *, code: int = -1):
+        super().__init__(message)
+        self.code = code
+
+
+ERR_DUPLICATE_SEQUENCE = 46
+ERR_INVALID_PRODUCER_EPOCH = 47
+
+API_PRODUCE = 0
+API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
+
+
+def encode_record(
+    offset_delta: int,
+    ts_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: list[tuple[str, bytes]],
+) -> bytes:
+    body = bytearray(b"\x00")  # record attributes (unused)
+    body += varint(ts_delta)
+    body += varint(offset_delta)
+    body += varint(-1 if key is None else len(key))
+    if key is not None:
+        body += key
+    body += varint(-1 if value is None else len(value))
+    if value is not None:
+        body += value
+    body += varint(len(headers))
+    for hk, hv in headers:
+        hkb = hk.encode()
+        body += varint(len(hkb)) + hkb
+        body += varint(-1 if hv is None else len(hv))
+        if hv is not None:
+            body += hv
+    return varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes | None, list[tuple[str, bytes]]]],
+    *,
+    base_timestamp: int,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+    transactional: bool = False,
+) -> bytes:
+    """RecordBatch v2 (magic 2): CRC32C covers attributes→end; the
+    producer triple + baseSequence is the idempotence identity the
+    broker dedupes on."""
+    recs = bytearray()
+    for i, (k, v, hdrs) in enumerate(records):
+        recs += encode_record(i, 0, k, v, hdrs)
+    attributes = 0x0010 if transactional else 0  # bit 4: isTransactional
+    after_crc = bytearray(struct.pack(">h", attributes))
+    after_crc += struct.pack(">i", len(records) - 1)  # lastOffsetDelta
+    after_crc += struct.pack(">q", base_timestamp)
+    after_crc += struct.pack(">q", base_timestamp)  # maxTimestamp
+    after_crc += struct.pack(">q", producer_id)
+    after_crc += struct.pack(">h", producer_epoch)
+    after_crc += struct.pack(">i", base_sequence)
+    after_crc += struct.pack(">i", len(records))
+    after_crc += recs
+    crc = crc32c(bytes(after_crc))
+    head = bytearray(struct.pack(">q", 0))  # baseOffset
+    batch_len = 4 + 1 + 4 + len(after_crc)  # leaderEpoch+magic+crc+rest
+    head += struct.pack(">i", batch_len)
+    head += struct.pack(">i", -1)  # partitionLeaderEpoch
+    head += struct.pack(">b", 2)  # magic
+    head += struct.pack(">I", crc)
+    return bytes(head) + bytes(after_crc)
+
+
+def decode_record_batch(data: bytes) -> dict[str, Any]:
+    """Inverse (broker/test side): verifies magic + CRC32C, returns
+    producer identity and decoded (key, value, headers) records."""
+    base_offset, batch_len = struct.unpack_from(">qi", data, 0)
+    magic = data[16]
+    if magic != 2:
+        raise KafkaError(f"unsupported batch magic {magic}")
+    crc_stored = struct.unpack_from(">I", data, 17)[0]
+    after = data[21 : 12 + batch_len]
+    if crc32c(after) != crc_stored:
+        raise KafkaError("record batch crc32c mismatch")
+    attributes, last_delta, base_ts, _max_ts, pid, epoch, base_seq, n = struct.unpack_from(
+        ">hiqqqhii", after, 0
+    )
+    pos = struct.calcsize(">hiqqqhii")  # 40
+    records = []
+    for _ in range(n):
+        rec_len, pos = read_varint(after, pos)
+        end = pos + rec_len
+        pos += 1  # record attributes
+        _ts_delta, pos = read_varint(after, pos)
+        _off_delta, pos = read_varint(after, pos)
+        klen, pos = read_varint(after, pos)
+        key = None if klen < 0 else after[pos : pos + klen]
+        pos += max(0, klen)
+        vlen, pos = read_varint(after, pos)
+        value = None if vlen < 0 else after[pos : pos + vlen]
+        pos += max(0, vlen)
+        hn, pos = read_varint(after, pos)
+        headers = []
+        for _ in range(hn):
+            hkl, pos = read_varint(after, pos)
+            hk = after[pos : pos + hkl].decode()
+            pos += hkl
+            hvl, pos = read_varint(after, pos)
+            hv = None if hvl < 0 else after[pos : pos + hvl]
+            pos += max(0, hvl)
+            headers.append((hk, hv))
+        records.append({"key": key, "value": value, "headers": headers})
+        pos = end
+    return {
+        "producer_id": pid, "producer_epoch": epoch, "base_sequence": base_seq,
+        "transactional": bool(attributes & 0x0010), "records": records,
+        "base_timestamp": base_ts,
+    }
+
+
+# ------------------------------------------------------------ client
+
+
+class KafkaWireClient:
+    """Framed request/response over one socket; correlation ids checked."""
+
+    def __init__(self, sock, *, client_id: str = "deltaforge") -> None:
+        self.sock = sock
+        self.client_id = client_id
+        self._corr = 0
+
+    def call(self, api_key: int, api_version: int, body: bytes) -> bytes:
+        self._corr += 1
+        header = struct.pack(">hhi", api_key, api_version, self._corr) + _str(self.client_id)
+        msg = header + body
+        self.sock.sendall(struct.pack(">i", len(msg)) + msg)
+        ln = struct.unpack(">i", self._recv(4))[0]
+        resp = self._recv(ln)
+        corr = struct.unpack_from(">i", resp, 0)[0]
+        if corr != self._corr:
+            raise KafkaError(f"correlation mismatch {corr} != {self._corr}")
+        return resp[4:]
+
+    def _recv(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            c = self.sock.recv(n - len(buf))
+            if not c:
+                raise KafkaError("broker closed connection")
+            buf += c
+        return bytes(buf)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class KafkaWireProducer:
+    """Transactional producer implementing the ``write_kafka_eos``
+    contract (init_transactions / begin / send / commit / abort) over
+    the wire client. Sequences are per (topic, partition), monotonic
+    from the epoch's base — the idempotence half of EOS; fencing
+    (INVALID_PRODUCER_EPOCH after a newer InitProducerId) surfaces as
+    ``ProducerFencedError``, which the sink classifies fatal."""
+
+    def __init__(
+        self,
+        sock,
+        transactional_id: str,
+        *,
+        num_partitions: int = 1,
+        timestamp_ms: int = 0,
+    ) -> None:
+        self.client = KafkaWireClient(sock)
+        self.txn_id = transactional_id
+        self.num_partitions = num_partitions
+        self.ts = timestamp_ms
+        self.producer_id = -1
+        self.producer_epoch = -1
+        self._pending: dict[tuple[str, int], list] = {}
+        self._sequences: dict[tuple[str, int], int] = {}
+        self._in_txn = False
+
+    # ------------------------------------------------------ txn api
+
+    def init_transactions(self) -> None:
+        body = _str(self.txn_id) + struct.pack(">i", 60000)
+        resp = self.client.call(API_INIT_PRODUCER_ID, 1, body)
+        _throttle, err, pid, epoch = struct.unpack_from(">ihqh", resp, 0)
+        if err:
+            raise KafkaError(f"InitProducerId error {err}", code=err)
+        self.producer_id, self.producer_epoch = pid, epoch
+
+    def begin_transaction(self) -> None:
+        if self.producer_id < 0:
+            raise KafkaError("init_transactions has not run")
+        self._in_txn = True
+        self._pending = {}
+
+    def send(self, topic: str, key, value, headers_json=None) -> None:
+        kb = key.encode() if isinstance(key, str) else key
+        vb = value.encode() if isinstance(value, str) else value
+        hdrs: list[tuple[str, bytes]] = []
+        if headers_json and headers_json != "null":
+            import json as _json
+
+            try:
+                for hk, hv in (_json.loads(headers_json) or {}).items():
+                    hdrs.append((hk, str(hv).encode()))
+            except ValueError:
+                pass
+        part = partition_for(kb, self.num_partitions)
+        self._pending.setdefault((topic, part), []).append((kb, vb, hdrs))
+
+    def _flush(self) -> None:
+        for (topic, part), records in sorted(self._pending.items()):
+            self._add_partitions([(topic, part)])
+            seq = self._sequences.get((topic, part), 0)
+            batch = encode_record_batch(
+                records,
+                base_timestamp=self.ts,
+                producer_id=self.producer_id,
+                producer_epoch=self.producer_epoch,
+                base_sequence=seq,
+                transactional=True,
+            )
+            body = _str(self.txn_id) + struct.pack(">hi", -1, 30000)  # acks=all
+            body += struct.pack(">i", 1) + _str(topic)
+            body += struct.pack(">i", 1) + struct.pack(">i", part) + _bytes(batch)
+            resp = self.client.call(API_PRODUCE, 3, body)
+            # response: [topic [partition error base_offset log_append]]
+            pos = 4  # topic array count
+            tlen = struct.unpack_from(">h", resp, pos)[0]
+            pos += 2 + tlen + 4 + 4  # topic str + partition array count + index
+            err = struct.unpack_from(">h", resp, pos)[0]
+            if err == ERR_INVALID_PRODUCER_EPOCH:
+                raise ProducerFencedError(
+                    f"producer epoch {self.producer_epoch} fenced on {topic}-{part}"
+                )
+            if err not in (0, ERR_DUPLICATE_SEQUENCE):
+                raise KafkaError(f"produce error {err} on {topic}-{part}", code=err)
+            self._sequences[(topic, part)] = seq + len(records)
+        self._pending = {}
+
+    def _add_partitions(self, parts: list[tuple[str, int]]) -> None:
+        body = _str(self.txn_id)
+        body += struct.pack(">qh", self.producer_id, self.producer_epoch)
+        body += struct.pack(">i", len(parts))
+        for topic, part in parts:
+            body += _str(topic) + struct.pack(">i", 1) + struct.pack(">i", part)
+        resp = self.client.call(API_ADD_PARTITIONS_TO_TXN, 0, body)
+        pos = 4 + 4  # throttle + topic count
+        tlen = struct.unpack_from(">h", resp, pos)[0]
+        pos += 2 + tlen + 4 + 4
+        err = struct.unpack_from(">h", resp, pos)[0]
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError("fenced in AddPartitionsToTxn")
+        if err:
+            raise KafkaError(f"AddPartitionsToTxn error {err}", code=err)
+
+    def _end_txn(self, committed: bool) -> None:
+        body = _str(self.txn_id)
+        body += struct.pack(">qh", self.producer_id, self.producer_epoch)
+        body += struct.pack(">b", 1 if committed else 0)
+        resp = self.client.call(API_END_TXN, 0, body)
+        _throttle, err = struct.unpack_from(">ih", resp, 0)
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError("fenced in EndTxn")
+        if err:
+            raise KafkaError(f"EndTxn error {err}", code=err)
+
+    def commit_transaction(self) -> None:
+        self._flush()
+        self._end_txn(True)
+        self._in_txn = False
+
+    def abort_transaction(self) -> None:
+        self._pending = {}
+        self._end_txn(False)
+        self._in_txn = False
+
+    def close(self) -> None:
+        self.client.close()
+
+
+def kafka_wire_producer_factory(host: str, port: int, *, num_partitions: int = 4):
+    """``write_kafka_eos``-shaped factory dialing a real broker socket
+    per Spark partition."""
+    import socket as _socket
+
+    def factory(transactional_id: str) -> KafkaWireProducer:
+        return KafkaWireProducer(
+            _socket.create_connection((host, port)),
+            transactional_id,
+            num_partitions=num_partitions,
+        )
+
+    return factory

@@ -244,16 +244,26 @@ def _build_sink(s: dict, pipeline: str = "pipeline") -> SinkSpec:
             exactly_once=True,
             client_conf=s.get("client_conf"),
         )
-        factory = (
-            file_broker_producer_factory(s["spool_dir"], config=transport_conf)
-            if "spool_dir" in s
-            else confluent_producer_factory(
+        if "spool_dir" in s:
+            factory = file_broker_producer_factory(s["spool_dir"], config=transport_conf)
+        elif s.get("transport") == "wire":
+            # the stdlib Kafka protocol producer (sinks/kafkawire.py):
+            # RecordBatch v2 + transactional Produce over a raw socket —
+            # no client library required
+            from ..sinks.kafkawire import kafka_wire_producer_factory
+
+            host, _, port = str(s["bootstrap"]).rpartition(":")
+            factory = kafka_wire_producer_factory(
+                host or "127.0.0.1", int(port),
+                num_partitions=int(s.get("num_partitions", 4)),
+            )
+        else:
+            factory = confluent_producer_factory(
                 s["bootstrap"],
                 sink_id=name,
                 pipeline=pipeline,
                 client_conf=s.get("client_conf"),
             )
-        )
         payload_fn = None
         if s.get("encoding") == "avro":
             # Avro value encoding with SR registration (reference wires

@@ -503,6 +503,16 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                         else {}
                     ),
                     **({"spool_dir": tp} if isinstance(tp, str) else {"bootstrap": rs.config.get("brokers", "")}),
+                    # transport: wire → stdlib Kafka protocol producer
+                    # (kafkawire.py) against the named bootstrap
+                    **(
+                        {
+                            "transport": rs.config["transport"],
+                            "num_partitions": rs.config.get("num_partitions", 4),
+                        }
+                        if rs.config.get("transport")
+                        else {}
+                    ),
                 },
                 pipeline,
             )

@@ -294,6 +294,44 @@ def http_webhook_sink(
     write_client_sink(df, factory, default_dest=url_template, batch_size=batch_size)
 
 
+def urllib_session_factory():
+    """Stdlib session for the HTTP sink (requests-shaped: ``request()``
+    returning an object with ``status_code`` + ``raise_for_status``) —
+    the default transport when the requests library is absent."""
+
+    def factory():
+        import urllib.error
+        import urllib.request
+
+        class _Resp:
+            def __init__(self, status: int):
+                self.status_code = status
+
+            def raise_for_status(self):
+                if self.status_code >= 400:
+                    raise IOError(f"http {self.status_code}")
+
+        class _Sess:
+            def request(self, method, dest, data=None):
+                req = urllib.request.Request(
+                    dest,
+                    data=data.encode() if isinstance(data, str) else data,
+                    method=method,
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        return _Resp(r.status)
+                except urllib.error.HTTPError as e:
+                    return _Resp(e.code)
+
+            def close(self):
+                pass
+
+        return _Sess()
+
+    return factory
+
+
 def spool_sink_factory(spool_dir: str):
     """Test double standing in for a broker: each partition-local client
     appends ndjson lines to its own spool file (python workers are

@@ -93,24 +93,13 @@ class NatsClient:
             pass
 
 
-def nats_jetstream_sink_tcp(
-    df,
-    host: str,
-    port: int,
-    *,
-    default_subject: str,
-    batch_size: int = 500,
-    strict: bool = True,
-):
-    """The JetStream sink over a REAL socket: one NATS connection per
-    partition, HPUB with the reference header contract (Nats-Msg-Id =
-    idempotency key for duplicate_window dedup, df-key only when a
-    routing key resolved), verbose +OK confirmation per flush."""
-    import socket as _socket
-
-    from .clients import nats_jetstream_sink
+def nats_hpub_client_factory(host: str, port: int):
+    """``nats_jetstream_sink``-shaped factory: one NATS connection per
+    Spark partition, verbose +OK drain on flush."""
 
     def factory():
+        import socket as _socket
+
         client = NatsClient(_socket.create_connection((host, port)))
 
         class _C:
@@ -126,7 +115,25 @@ def nats_jetstream_sink_tcp(
 
         return _C()
 
+    return factory
+
+
+def nats_jetstream_sink_tcp(
+    df,
+    host: str,
+    port: int,
+    *,
+    default_subject: str,
+    batch_size: int = 500,
+    strict: bool = True,
+):
+    """The JetStream sink over a REAL socket: one NATS connection per
+    partition, HPUB with the reference header contract (Nats-Msg-Id =
+    idempotency key for duplicate_window dedup, df-key only when a
+    routing key resolved), verbose +OK confirmation per flush."""
+    from .clients import nats_jetstream_sink
+
     return nats_jetstream_sink(
-        df, factory,
+        df, nats_hpub_client_factory(host, port),
         default_subject=default_subject, batch_size=batch_size, strict=strict,
     )

@@ -133,25 +133,13 @@ class RespClient:
             pass
 
 
-def redis_stream_sink_tcp(
-    df,
-    host: str,
-    port: int,
-    *,
-    stream_template: str = "deltaforge",
-    batch_size: int = 500,
-) -> None:
-    """The Redis Streams sink over a REAL socket: one RESP connection
-    per partition, XADD commands pipelined ``batch_size`` at a time
-    with the reference-exact field layout (redis.rs:439-479 via
-    ``redis_xadd_fields``). Scale shape: executor-side fan-out, no
-    driver hop; a pipeline flush is one round-trip per batch, not per
-    row."""
-    import socket as _socket
-
-    from .clients import redis_xadd_fields, write_client_sink
+def resp_xadd_client_factory(host: str, port: int):
+    """``write_client_sink``-shaped factory: one RESP connection per
+    Spark partition, XADD commands pipelined until flush."""
 
     def factory():
+        import socket as _socket
+
         client = RespClient(_socket.create_connection((host, port)))
 
         class _C:
@@ -169,8 +157,27 @@ def redis_stream_sink_tcp(
 
         return _C()
 
+    return factory
+
+
+def redis_stream_sink_tcp(
+    df,
+    host: str,
+    port: int,
+    *,
+    stream_template: str = "deltaforge",
+    batch_size: int = 500,
+) -> None:
+    """The Redis Streams sink over a REAL socket: one RESP connection
+    per partition, XADD commands pipelined ``batch_size`` at a time
+    with the reference-exact field layout (redis.rs:439-479 via
+    ``redis_xadd_fields``). Scale shape: executor-side fan-out, no
+    driver hop; a pipeline flush is one round-trip per batch, not per
+    row."""
+    from .clients import redis_xadd_fields, write_client_sink
+
     write_client_sink(
-        df, factory,
+        df, resp_xadd_client_factory(host, port),
         default_dest=stream_template, batch_size=batch_size,
         fields_fn=redis_xadd_fields,
     )

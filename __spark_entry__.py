@@ -3136,6 +3136,84 @@ def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_binlog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME wire decode through the native Spark source
+    (sources/datasource.py BinlogSegmentsDataSource): segments land as
+    files, `spark.read.format("binlog_segments")` plans one task per
+    file, and the identical projection must hash-match the
+    cdc_binlog_decode oracle — pinning that the format front-end and
+    the mapInPandas path decode bit-identically."""
+    _prep(spark)
+    import hashlib
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.binlog import EVENTS_COL_NAMES, synth_binlog_events
+    from deltaforge_spark.sources.datasource import BinlogSegmentsDataSource
+
+    spark.dataSource.register(BinlogSegmentsDataSource)
+    # materialize the synthetic archive once per sf_dir (deterministic
+    # blobs → cache key on content-independent path; atomic dir rename
+    # so concurrent callers never see partial archives)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    final = f"/tmp/dfspark-binlog-archive-{tag}"
+    if not _os.path.isdir(final):
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
+        _os.makedirs(tmp)
+        blobs = synth_binlog_events(spark, sf_dir).collect()
+        for i, r in enumerate(blobs):
+            with open(f"{tmp}/seg-{i:05d}.binlog", "wb") as f:
+                f.write(bytes(r["data"]))
+        try:
+            _os.rename(tmp, final)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+    import json as _json
+
+    dec = (
+        spark.read.format("binlog_segments")
+        .option("path", final)
+        .option(
+            "columns_json",
+            _json.dumps({"testdb.events": list(EVENTS_COL_NAMES)}),
+        )
+        .load()
+    )
+    img_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    after = F.from_json(F.col("after"), img_schema)
+    before = F.from_json(F.col("before"), img_schema)
+    img = F.coalesce(after, before)
+    return dec.select(
+        F.col("op"),
+        F.col("xid"),
+        F.col("gno"),
+        F.col("server_id"),
+        img["event_id"].alias("event_id"),
+        img["ts"].alias("ts_us"),
+        img["user_id"].alias("user_id"),
+        img["event_type"].alias("event_type"),
+        img["value"].alias("value"),
+        img["props"]["k"].alias("props_k"),
+        img["amount"].alias("amount"),
+        before["value"].alias("before_value"),
+        before["props"]["k"].alias("before_props_k"),
+    )
+
+
 def q_cdc_binlog_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED wire path: binlog bytes → decode → canonical CDC
     envelope (sources/binlog.py binlog_change_feed — the reference's
@@ -3420,6 +3498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_ddl_capture": q_ddl_capture,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
+    "cdc_binlog_datasource": q_cdc_binlog_datasource,
 }
 
 def _lsh_embedding_oracle_sql(
@@ -4138,6 +4217,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'semantic_dup_docs',
                CAST((SELECT count(*) FROM ({d['dedup_semantic']}) WHERE is_dup) AS BIGINT)
     """
+    # the native-format front-end must decode bit-identically to the
+    # mapInPandas path: same oracle
+    d["cdc_binlog_datasource"] = d["cdc_binlog_decode"]
     return d
 
 

@@ -148,6 +148,82 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         pass  # files are immutable; nothing to clean
 
 
+PGOUTPUT_DDL = "file string, seq long, data binary"
+
+
+class _SpoolPartition(InputPartition):
+    def __init__(self, path: str, base_seq: int):
+        self.path = path
+        self.base_seq = base_seq
+
+
+def _read_spool(path: str, base_seq: int) -> Iterator[tuple]:
+    """A pgoutput spool file: u32-BE length-prefixed messages, the
+    capture order preserved by (file order, in-file index)."""
+    name = os.path.basename(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, i = 0, 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError(f"{name}: truncated length prefix at {pos}")
+        n = int.from_bytes(data[pos : pos + 4], "big")
+        pos += 4
+        if pos + n > len(data):
+            raise ValueError(f"{name}: truncated message at {pos}")
+        yield (name, base_seq + i, data[pos : pos + n])
+        pos += n
+        i += 1
+
+
+def write_spool(path: str, messages: list[bytes]) -> None:
+    """Writer half (capture side / fixtures): length-prefixed frames."""
+    with open(path, "wb") as f:
+        for m in messages:
+            f.write(len(m).to_bytes(4, "big") + m)
+
+
+class _PgoutputBatchReader(DataSourceReader):
+    """Partitions per spool file; seq is globally ordered by
+    (sorted file, in-file index) so tx stamping downstream
+    (decode_pgoutput's interval join) sees capture order."""
+
+    SEQ_STRIDE = 1 << 32  # per-file seq namespace: files hold < 4B msgs
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".pgout")
+
+    def partitions(self):
+        files = _list_segments(self.path, self.suffix)
+        parts = [
+            _SpoolPartition(p, i * self.SEQ_STRIDE) for i, p in enumerate(files)
+        ]
+        return parts or [_SpoolPartition("", 0)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        if partition is None or not partition.path:
+            return iter(())
+        return _read_spool(partition.path, partition.base_seq)
+
+
+class PgoutputSpoolDataSource(DataSource):
+    """Raw pgoutput message spools as a Spark format: yields
+    (file, seq, data) rows that feed ``decode_pgoutput`` /
+    ``decode_pgoutput_messages`` unchanged — the source owns framing
+    and ordering, the decoder owns the grammar."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgoutput_spool"
+
+    def schema(self) -> str:
+        return PGOUTPUT_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return _PgoutputBatchReader(self.options)
+
+
 class BinlogSegmentsDataSource(DataSource):
     """``spark.dataSource.register(BinlogSegmentsDataSource)`` then
     ``spark.read.format("binlog_segments").option("path", dir).load()``."""
@@ -169,3 +245,4 @@ class BinlogSegmentsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of all custom sources."""
     spark.dataSource.register(BinlogSegmentsDataSource)
+    spark.dataSource.register(PgoutputSpoolDataSource)

@@ -105,6 +105,51 @@ class TestBatchRead:
         assert [tuple(r) for r in df.collect()] == [("db1", "t1", 901)]
 
 
+class TestPgoutputSpool:
+    def test_spool_framing_feeds_decoder(self, spark, tmp_path):
+        import deltaforge_spark.sources.pgoutput as pg
+        from deltaforge_spark.sources.datasource import (
+            PgoutputSpoolDataSource,
+            write_spool,
+        )
+
+        spark.dataSource.register(PgoutputSpoolDataSource)
+        d = str(tmp_path / "spool")
+        os.makedirs(d)
+        rel = pg.encode_relation(7, "public", "t", [("id", 20, -1, 1), ("v", 25, -1, 0)])
+        msgs1 = [rel, pg.encode_begin(1050, 7, 41), pg.encode_insert(7, ["1", "a"])]
+        msgs2 = [pg.encode_insert(7, ["2", "b"]), pg.encode_commit(1050, 1060, 7)]
+        write_spool(f"{d}/000001.pgout", msgs1)
+        write_spool(f"{d}/000002.pgout", msgs2)
+
+        raw = spark.read.format("pgoutput_spool").option("path", d).load()
+        assert raw.count() == 5
+        assert raw.rdd.getNumPartitions() == 2
+        # seq preserves capture order across files
+        rows = sorted(raw.collect(), key=lambda r: r["seq"])
+        assert [r["file"] for r in rows] == ["000001.pgout"] * 3 + ["000002.pgout"] * 2
+
+        # the raw frames feed the existing decoder unchanged (the 'R'
+        # message in the spool carries the relation catalog)
+        decoded = pg.decode_pgoutput(raw.select("seq", "data"))
+        rows2 = decoded.orderBy("seq").collect()
+        assert [r["op"] for r in rows2] == ["c", "c"]
+        assert json.loads(rows2[0]["after"]) == {"id": 1, "v": "a"}  # oid 20 → int
+        assert rows2[0]["xid"] == 41  # tx stamping across both files
+
+    def test_truncated_spool_is_loud(self, spark, tmp_path):
+        from deltaforge_spark.sources.datasource import PgoutputSpoolDataSource
+
+        spark.dataSource.register(PgoutputSpoolDataSource)
+        d = str(tmp_path / "badspool")
+        os.makedirs(d)
+        with open(f"{d}/x.pgout", "wb") as f:
+            f.write((100).to_bytes(4, "big") + b"short")
+        df = spark.read.format("pgoutput_spool").option("path", d).load()
+        with pytest.raises(Exception, match="truncated message"):
+            df.collect()
+
+
 class TestStreamRead:
     def test_microbatches_follow_new_segments(self, registered, tmp_path):
         src = str(tmp_path / "stream")

@@ -416,6 +416,170 @@ class KafkaWireProducer:
         self.client.close()
 
 
+class LoopbackKafkaBroker:
+    """In-process loopback broker speaking enough of the protocol for
+    the producer side (test/bench harness — NOT a real Kafka): framed
+    requests, InitProducerId with epoch bumps + open-txn abort,
+    AddPartitionsToTxn, Produce (transactional buffer), EndTxn
+    commit/abort with fencing. ``validate=True`` CRC-checks and fully
+    decodes every batch (tests); ``validate=False`` stores raw batch
+    bytes (bench — server-side decode cost is not producer capability).
+    """
+
+    def __init__(self, *, validate: bool = True) -> None:
+        import socket as _socket
+        import threading
+
+        self.validate = validate
+        self.lock = threading.Lock()
+        self.next_pid = 1000
+        self.txns: dict[str, tuple[int, int]] = {}
+        self.by_pid: dict[int, str] = {}
+        self.open: dict[int, list] = {}
+        self.committed: dict[tuple[str, int], list] = {}
+        self.committed_raw: dict[tuple[str, int], list[bytes]] = {}
+        self.endtxns: list[tuple[str, bool]] = []
+        self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(64)
+        self.port = self._srv.getsockname()[1]
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def close(self) -> None:
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def n_committed_records(self) -> int:
+        if self.validate:
+            return sum(len(v) for v in self.committed.values())
+        total = 0
+        for batches in self.committed_raw.values():
+            for raw in batches:
+                total += struct.unpack_from(">i", raw, 57)[0]  # recordCount
+        return total
+
+    # ------------------------------------------------------ internals
+
+    def _accept_loop(self) -> None:
+        import threading
+
+        try:
+            while True:
+                conn, _ = self._srv.accept()
+                threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+        except OSError:
+            pass
+
+    def _fenced(self, pid: int, epoch: int) -> bool:
+        txn = self.by_pid.get(pid)
+        return txn is None or self.txns[txn] != (pid, epoch)
+
+    def _handle(self, conn) -> None:
+        def read_exact(n: int) -> bytes:
+            buf = bytearray()
+            while len(buf) < n:
+                c = conn.recv(n - len(buf))
+                if not c:
+                    raise ConnectionError
+                buf += c
+            return bytes(buf)
+
+        def read_str(buf: bytes, pos: int):
+            ln = struct.unpack_from(">h", buf, pos)[0]
+            pos += 2
+            if ln < 0:
+                return None, pos
+            return buf[pos : pos + ln].decode(), pos + ln
+
+        try:
+            while True:
+                ln = struct.unpack(">i", read_exact(4))[0]
+                msg = read_exact(ln)
+                api, _ver, corr = struct.unpack_from(">hhi", msg, 0)
+                pos = 8
+                _cid, pos = read_str(msg, pos)
+                body = msg[pos:]
+                out = struct.pack(">i", corr)
+                with self.lock:
+                    if api == API_INIT_PRODUCER_ID:
+                        txn_id, _ = read_str(body, 0)
+                        if txn_id in self.txns:
+                            pid, epoch = self.txns[txn_id]
+                            self.open.pop(pid, None)  # re-init aborts the open txn
+                            self.txns[txn_id] = (pid, epoch + 1)
+                        else:
+                            self.txns[txn_id] = (self.next_pid, 0)
+                            self.by_pid[self.next_pid] = txn_id
+                            self.next_pid += 1
+                        pid, epoch = self.txns[txn_id]
+                        self.by_pid[pid] = txn_id
+                        out += struct.pack(">ihqh", 0, 0, pid, epoch)
+                    elif api == API_ADD_PARTITIONS_TO_TXN:
+                        txn_id, p = read_str(body, 0)
+                        pid, epoch = struct.unpack_from(">qh", body, p)
+                        p += 10 + 4
+                        topic, p2 = read_str(body, p)
+                        part = struct.unpack_from(">i", body, p2 + 4)[0]
+                        err = ERR_INVALID_PRODUCER_EPOCH if self._fenced(pid, epoch) else 0
+                        out += struct.pack(">i", 0)
+                        out += struct.pack(">i", 1) + _str(topic)
+                        out += struct.pack(">i", 1) + struct.pack(">ih", part, err)
+                    elif api == API_PRODUCE:
+                        txn_id, p = read_str(body, 0)
+                        p += 6  # acks + timeout
+                        p += 4  # topic array count
+                        topic, p = read_str(body, p)
+                        p += 4  # partition array count
+                        part = struct.unpack_from(">i", body, p)[0]
+                        blen = struct.unpack_from(">i", body, p + 4)[0]
+                        raw = body[p + 8 : p + 8 + blen]
+                        err = 0
+                        if self.validate:
+                            batch = decode_record_batch(raw)
+                            pid, epoch = batch["producer_id"], batch["producer_epoch"]
+                            payload: Any = batch
+                        else:
+                            pid = struct.unpack_from(">q", raw, 43)[0]
+                            epoch = struct.unpack_from(">h", raw, 51)[0]
+                            payload = raw
+                        if self._fenced(pid, epoch):
+                            err = ERR_INVALID_PRODUCER_EPOCH
+                        else:
+                            self.open.setdefault(pid, []).append((topic, part, payload))
+                        out += struct.pack(">i", 1) + _str(topic)
+                        out += struct.pack(">i", 1)
+                        out += struct.pack(">ihqq", part, err, 0, -1)
+                        out += struct.pack(">i", 0)
+                    elif api == API_END_TXN:
+                        txn_id, p = read_str(body, 0)
+                        pid, epoch = struct.unpack_from(">qh", body, p)
+                        committed = bool(body[p + 10])
+                        if self._fenced(pid, epoch):
+                            out += struct.pack(">ih", 0, ERR_INVALID_PRODUCER_EPOCH)
+                        else:
+                            pending = self.open.pop(pid, [])
+                            if committed:
+                                for topic, part, payload in pending:
+                                    if self.validate:
+                                        self.committed.setdefault(
+                                            (topic, part), []
+                                        ).extend(payload["records"])
+                                    else:
+                                        self.committed_raw.setdefault(
+                                            (topic, part), []
+                                        ).append(payload)
+                            self.endtxns.append((txn_id, committed))
+                            out += struct.pack(">ih", 0, 0)
+                    else:
+                        out += struct.pack(">h", 35)
+                conn.sendall(struct.pack(">i", len(out)) + out)
+        except (OSError, ConnectionError):
+            pass
+
+
 def kafka_wire_producer_factory(host: str, port: int, *, num_partitions: int = 4):
     """``write_kafka_eos``-shaped factory dialing a real broker socket
     per Spark partition."""

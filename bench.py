@@ -24,6 +24,8 @@ from deltaforge_spark.session import get_spark
 
 
 def materialize(df) -> None:
+    if df is None:
+        return  # action-style kernel: the factory already executed
     df.write.format("noop").mode("overwrite").save()
 
 

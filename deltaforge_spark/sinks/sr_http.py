@@ -38,42 +38,69 @@ class SchemaRegistryError(RuntimeError):
 
 
 class HttpSchemaRegistry:
-    def __init__(self, base_url: str, *, timeout: float = 10.0, auth: tuple[str, str] | None = None):
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        timeout: float = 10.0,
+        auth: tuple[str, str] | None = None,
+        max_retries: int = 3,
+        backoff_s: float = 0.05,
+    ):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self._auth = auth
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
         self._id_by_subject: dict[str, int] = {}
         self._schema_by_id: dict[int, str] = {}
 
     # ----------------------------------------------------------- http
 
     def _call(self, method: str, path: str, body: dict | None = None) -> dict[str, Any]:
-        req = urllib.request.Request(
-            self.base_url + path,
-            data=None if body is None else json.dumps(body).encode(),
-            method=method,
-            headers={"Content-Type": CONTENT_TYPE, "Accept": CONTENT_TYPE},
-        )
-        if self._auth:
-            import base64
+        """5xx and connection failures retry with backoff (the
+        sr_outage contract: a registry blip must not fail a batch whose
+        only registry need is an id lookup); 4xx are semantic and raise
+        immediately."""
+        import time
 
-            tok = base64.b64encode(f"{self._auth[0]}:{self._auth[1]}".encode()).decode()
-            req.add_header("Authorization", f"Basic {tok}")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read().decode() or "{}")
-        except urllib.error.HTTPError as e:
-            raw = e.read().decode(errors="replace")
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+            req = urllib.request.Request(
+                self.base_url + path,
+                data=None if body is None else json.dumps(body).encode(),
+                method=method,
+                headers={"Content-Type": CONTENT_TYPE, "Accept": CONTENT_TYPE},
+            )
+            if self._auth:
+                import base64
+
+                tok = base64.b64encode(f"{self._auth[0]}:{self._auth[1]}".encode()).decode()
+                req.add_header("Authorization", f"Basic {tok}")
             try:
-                err = json.loads(raw)
-                raise SchemaRegistryError(
-                    err.get("message", raw), error_code=err.get("error_code"),
-                    http_status=e.code,
-                ) from e
-            except (ValueError, KeyError):
-                raise SchemaRegistryError(raw or str(e), http_status=e.code) from e
-        except urllib.error.URLError as e:
-            raise SchemaRegistryError(f"registry unreachable: {e.reason}") from e
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode() or "{}")
+            except urllib.error.HTTPError as e:
+                raw = e.read().decode(errors="replace")
+                if e.code >= 500:
+                    last = SchemaRegistryError(raw or str(e), http_status=e.code)
+                    continue  # transient server side: retry
+                try:
+                    err = json.loads(raw)
+                    raise SchemaRegistryError(
+                        err.get("message", raw), error_code=err.get("error_code"),
+                        http_status=e.code,
+                    ) from e
+                except (ValueError, KeyError):
+                    raise SchemaRegistryError(raw or str(e), http_status=e.code) from e
+            except urllib.error.URLError as e:
+                last = SchemaRegistryError(f"registry unreachable: {e.reason}")
+                continue
+        raise SchemaRegistryError(
+            f"registry still failing after {self.max_retries} retries: {last}"
+        ) from last
 
     # ------------------------------------------------------------- api
 

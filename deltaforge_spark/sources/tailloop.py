@@ -327,7 +327,13 @@ def tail_pgoutput(
                     attempts = 0
                 yield out
             return
-        except (PgoutputError, WireClientError, OSError) as e:
+        except WireClientError:
+            # configuration-class failures (auth rejected, slot dropped,
+            # replication ERROR) are FATAL: retrying cannot fix a missing
+            # slot, and looping would mask data loss — the reference's
+            # slot_dropped scenario expects a hard stop + re-snapshot
+            raise
+        except (PgoutputError, OSError) as e:
             attempts += 1
             if attempts > max_reconnects:
                 raise PgoutputError(

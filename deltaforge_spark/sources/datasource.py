@@ -207,6 +207,36 @@ class _PgoutputBatchReader(DataSourceReader):
         return _read_spool(partition.path, partition.base_seq)
 
 
+class _PgoutputStreamReader(SimpleDataSourceStreamReader):
+    """Offset = committed file count in sorted-name order (the WAL
+    spool grows append-only; a file is complete when it appears)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".pgout")
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = _list_segments(self.path, self.suffix)
+        end = {"files": len(files)}
+        rows: list[tuple] = []
+        for i, p in enumerate(files[start["files"] :], start=start["files"]):
+            rows.extend(_read_spool(p, i * _PgoutputBatchReader.SEQ_STRIDE))
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_segments(self.path, self.suffix)
+        rows: list[tuple] = []
+        for i in range(start["files"], end["files"]):
+            rows.extend(_read_spool(files[i], i * _PgoutputBatchReader.SEQ_STRIDE))
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class PgoutputSpoolDataSource(DataSource):
     """Raw pgoutput message spools as a Spark format: yields
     (file, seq, data) rows that feed ``decode_pgoutput`` /
@@ -222,6 +252,9 @@ class PgoutputSpoolDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _PgoutputBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _PgoutputStreamReader(self.options)
 
 
 class BinlogSegmentsDataSource(DataSource):

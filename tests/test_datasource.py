@@ -137,6 +137,37 @@ class TestPgoutputSpool:
         assert json.loads(rows2[0]["after"]) == {"id": 1, "v": "a"}  # oid 20 → int
         assert rows2[0]["xid"] == 41  # tx stamping across both files
 
+    def test_spool_streams_new_files(self, spark, tmp_path):
+        import deltaforge_spark.sources.pgoutput as pg
+        from deltaforge_spark.sources.datasource import (
+            PgoutputSpoolDataSource,
+            write_spool,
+        )
+
+        spark.dataSource.register(PgoutputSpoolDataSource)
+        src = str(tmp_path / "wal")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(src)
+        write_spool(f"{src}/000001.pgout", [pg.encode_begin(10, 1, 1), pg.encode_commit(10, 20, 1)])
+
+        def run_once():
+            q = (
+                spark.readStream.format("pgoutput_spool").option("path", src).load()
+                .writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(out).count() == 2
+        write_spool(f"{src}/000002.pgout", [pg.encode_begin(30, 2, 2)])
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert got.filter(F.col("file") == "000002.pgout").count() == 1
+
     def test_truncated_spool_is_loud(self, spark, tmp_path):
         from deltaforge_spark.sources.datasource import PgoutputSpoolDataSource
 

@@ -76,12 +76,43 @@ class PipelineHandle:
 class PipelineManager:
     """The PipelineController surface (pipeline_manager.rs:702-931)."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, *, catalog_execute=None):
         self.spark = spark
         self.state_dir = state_dir
         self._handles: dict[str, PipelineHandle] = {}
         self._drift: dict[str, dict[str, dict]] = {}
+        # the JDBC catalog seam (schema/catalog.py Execute): when wired,
+        # POST .../schemas/reload re-bootstraps the registry from
+        # INFORMATION_SCHEMA (reference schema_api.rs reload); absent,
+        # reload stays owned by the DDL-capture path
+        self.catalog_execute = catalog_execute
         os.makedirs(state_dir, exist_ok=True)
+
+    def reload_schemas(self, name: str, *, db: str | None = None, table: str | None = None) -> dict:
+        """Live-catalog reload through the injected JDBC seam: expand
+        the pipeline's table patterns (or the single db.table asked
+        for), fetch current schemas, register changed ones (fingerprint
+        dedupe makes unchanged tables no-ops)."""
+        if self.catalog_execute is None:
+            raise NotImplementedError("no catalog connection configured")
+        self.status(name)  # 404 for unknown pipeline
+        from .schema.catalog import bootstrap_registry, load_catalog
+
+        spec = json.load(open(self._spec_path(name)))
+        if db and table:
+            patterns = [f"{db}.{table}"]
+        else:
+            patterns = (
+                spec.get("spec", {}).get("source", {}).get("config", {}).get("tables")
+                or ["*.*"]
+            )
+        src_type = spec.get("spec", {}).get("source", {}).get("type", "mysql")
+        # non-DB sources (stream_parquet etc.) still allow catalog
+        # bootstrap when a seam is wired; default to MySQL pattern rules
+        dialect = src_type if src_type in ("mysql", "postgres") else "mysql"
+        cat = load_catalog(self.catalog_execute, patterns, dialect)
+        n = bootstrap_registry(self.schemas(name), cat)
+        return {"reloaded": n, "tables": [f"{t.db}.{t.table}" for t in cat]}
 
     # -- paths ------------------------------------------------------------
 

@@ -27,7 +27,11 @@ routing:
     GET    /pipelines/{name}/schemas                     registry list
     GET    /pipelines/{name}/schemas/{db}/{table}        current entry
     GET    /pipelines/{name}/schemas/{db}/{table}/versions
-    POST   /pipelines/{name}/schemas[/..]/reload         501 (DDL-capture owns reload)
+    POST   /pipelines/{name}/schemas[/{db}/{table}]/reload
+                        live INFORMATION_SCHEMA re-bootstrap through the
+                        manager's injected JDBC catalog seam
+                        (schema/catalog.py); 501 when no catalog
+                        connection is configured (DDL-capture owns it)
     GET    /pipelines/{name}/sensing/schemas             inferred list
     GET    /pipelines/{name}/sensing/schemas/{table}     inferred entry
     GET    /pipelines/{name}/sensing/schemas/{table}/json-schema
@@ -235,13 +239,24 @@ def _make_handler(manager: PipelineManager):
                 if cur is None:
                     return self._json(404, {"error": f"no schema for {db}.{table}"})
                 return self._json(200, _jsonable(cur))
-            if method == "POST" and re.fullmatch(r"/schemas(/[^/]+/[^/]+)?/reload", rest):
-                # the live-catalog reload needs a DB connection — the
-                # declared out-of-scope boundary (SURVEY §7.2): schema
-                # reload happens via the DDL-capture path instead
-                return self._json(
-                    501, {"error": "catalog reload is owned by the DDL-capture path"}
-                )
+            mr = re.fullmatch(r"/schemas(?:/([^/]+)/([^/]+))?/reload", rest)
+            if method == "POST" and mr:
+                # live-catalog reload through the injected JDBC seam
+                # (schema/catalog.py); without a catalog connection the
+                # DDL-capture path owns reload (501, documented boundary)
+                try:
+                    out = m.reload_schemas(
+                        name, db=mr.group(1), table=mr.group(2)
+                    )
+                except NotImplementedError:
+                    return self._json(
+                        501, {"error": "catalog reload is owned by the DDL-capture path"}
+                    )
+                except KeyError:
+                    return self._json(404, {"error": f"unknown pipeline {name!r}"})
+                except ValueError as e:
+                    return self._json(404, {"error": str(e)})
+                return self._json(200, out)
             # sensing inspection (sensing.rs:185-207)
             if (method, rest) == ("GET", "/sensing/schemas"):
                 m.status(name)

@@ -271,3 +271,41 @@ def test_validate_accepts_reference_vocabulary(server):
     bad["spec"] = dict(ref_spec["spec"], processors=[{"type": "mystery"}])
     code, body = _req(srv.port, "POST", "/validate", bad)
     assert code == 200 and body["valid"] is False and "mystery" in body["error"]
+
+
+def test_schemas_reload_via_catalog_seam(spark, tmp_path):
+    """POST .../schemas/reload with a wired JDBC catalog seam: the
+    registry re-bootstraps from the recorded INFORMATION_SCHEMA dump
+    (pattern expansion from the pipeline's table allow-list), and a
+    second reload of an unchanged catalog registers nothing new."""
+    from test_catalog_loader import mysql_execute
+
+    mgr = PipelineManager(spark, str(tmp_path / "state2"), catalog_execute=mysql_execute)
+    srv = ControlPlaneServer(mgr).start()
+    try:
+        feed = _feed(spark, tmp_path)
+        spec = _spec(feed, str(tmp_path / "out2"))
+        spec["spec"]["source"]["config"] = {"tables": ["shop.*"]}
+        code, _ = _req(srv.port, "POST", "/pipelines", spec)
+        assert code in (200, 201)
+
+        code, out = _req(srv.port, "POST", "/pipelines/p1/schemas/reload")
+        assert code == 200
+        assert out["reloaded"] == 3
+        assert "shop.orders" in out["tables"]
+        code, lst = _req(srv.port, "GET", "/pipelines/p1/schemas")
+        assert code == 200 and len(lst) == 3
+
+        # unchanged catalog → same versions (fingerprint dedupe)
+        _req(srv.port, "POST", "/pipelines/p1/schemas/reload")
+        code, vers = _req(srv.port, "GET", "/pipelines/p1/schemas/shop/orders/versions")
+        assert code == 200 and [v["version"] for v in vers] == [1]
+
+        # single-table form
+        code, out = _req(srv.port, "POST", "/pipelines/p1/schemas/audit/events/reload")
+        assert code == 200 and out["tables"] == ["audit.events"]
+
+        # unknown pipeline stays 404
+        assert _req(srv.port, "POST", "/pipelines/ghost/schemas/reload")[0] == 404
+    finally:
+        srv.stop()

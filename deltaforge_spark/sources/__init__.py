@@ -11,6 +11,8 @@ from .binlog import (
 from .pgoutput import ReplicationStream
 from .tailloop import (
     mysql_binlog_session,
+    mysql_catalog_execute,
+    pg_catalog_execute,
     pg_replication_session,
     tail_binlog,
     tail_pgoutput,
@@ -32,6 +34,8 @@ __all__ = [
     "MysqlPacketStream",
     "ReplicationStream",
     "mysql_binlog_session",
+    "mysql_catalog_execute",
+    "pg_catalog_execute",
     "pg_replication_session",
     "tail_binlog",
     "tail_pgoutput",

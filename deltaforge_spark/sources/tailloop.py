@@ -192,6 +192,62 @@ def tail_binlog(
                 pass
 
 
+def mysql_query(sock, sql: str) -> list[dict[str, Any]]:
+    """COM_QUERY over an authenticated connection: text-protocol
+    resultset parse (column count → ColumnDefinition41 × n → EOF →
+    text rows → EOF) — the transport mysql_schema_loader.rs gets from
+    its client crate. Returns name→string-value dicts (catalog queries
+    are string-shaped; typed conversion belongs to the caller)."""
+    from .wireclient import (
+        COM_QUERY,
+        parse_column_definition,
+        parse_text_row,
+        read_lenenc_int,
+    )
+
+    _send_packet(sock, 0, bytes([COM_QUERY]) + sql.encode())
+    _seq, payload = _recv_packet(sock)
+    if payload[:1] == b"\xff":
+        code = int.from_bytes(payload[1:3], "little")
+        raise WireClientError(f"query failed: server error {code}")
+    if payload[:1] == b"\x00":
+        return []  # OK packet: statement with no resultset
+    n_cols, _ = read_lenenc_int(payload, 0)
+    names: list[str] = []
+    for _ in range(n_cols):
+        _seq, col = _recv_packet(sock)
+        names.append(parse_column_definition(col))
+    _seq, eof = _recv_packet(sock)
+    if eof[:1] != b"\xfe":
+        raise WireClientError("expected EOF after column definitions")
+    rows: list[dict[str, Any]] = []
+    while True:
+        _seq, payload = _recv_packet(sock)
+        if payload[:1] == b"\xfe" and len(payload) < 9:
+            return rows
+        if payload[:1] == b"\xff":
+            code = int.from_bytes(payload[1:3], "little")
+            raise WireClientError(f"mid-resultset server error {code}")
+        rows.append(dict(zip(names, parse_text_row(payload, n_cols))))
+
+
+def mysql_catalog_execute(connect: Callable[[], Any], user: str, password: str):
+    """A ``schema/catalog.py Execute`` seam speaking the REAL protocol:
+    dial, authenticate, COM_QUERY per catalog statement over one
+    connection. Completes the live schema loader — pattern expansion
+    and column/PK fetch run the same bytes a server would see."""
+    state: dict[str, Any] = {}
+
+    def execute(sql: str) -> list[dict[str, Any]]:
+        if "sock" not in state:
+            sock = connect()
+            mysql_authenticate(sock, user, password)
+            state["sock"] = sock
+        return mysql_query(state["sock"], sql)
+
+    return execute
+
+
 # ---------------------------------------------------------------- PG
 
 
@@ -223,40 +279,10 @@ class _PgConn:
 
 
 def pg_authenticate(conn: _PgConn, user: str, password: str, database: str) -> None:
-    """StartupMessage + auth negotiation (trust / MD5 / SCRAM-SHA-256),
-    then drain to ReadyForQuery."""
+    """StartupMessage (replication=database) + auth negotiation
+    (trust / MD5 / SCRAM-SHA-256), then drain to ReadyForQuery."""
     conn.sock.sendall(build_startup_message(user, database))
-    while True:
-        tag, body = conn.read_message()
-        if tag == "E":
-            raise WireClientError(f"server error during startup: {body[:120]!r}")
-        if tag == "R":
-            code = struct.unpack_from(">I", body, 0)[0]
-            if code == AUTH_OK:
-                continue
-            if code == AUTH_MD5:
-                conn.sock.sendall(md5_auth_response(user, password, body[4:8]))
-                continue
-            if code == AUTH_SASL:
-                mechs = body[4:].split(b"\x00")
-                if b"SCRAM-SHA-256" not in mechs:
-                    raise WireClientError(f"no supported SASL mechanism in {mechs!r}")
-                sc = ScramClient(user, password)
-                conn.sock.sendall(build_sasl_initial_response(sc))
-                tag2, body2 = conn.read_message()
-                if tag2 != "R" or struct.unpack_from(">I", body2, 0)[0] != AUTH_SASL_CONTINUE:
-                    raise WireClientError(f"expected SASLContinue, got {tag2!r}")
-                final = sc.client_final(body2[4:]).encode()
-                conn.sock.sendall(build_frontend_message("p", final))
-                tag3, body3 = conn.read_message()
-                if tag3 != "R" or struct.unpack_from(">I", body3, 0)[0] != AUTH_SASL_FINAL:
-                    raise WireClientError(f"expected SASLFinal, got {tag3!r}")
-                sc.verify_server_final(body3[4:])  # mutual auth, not optional
-                continue
-            raise WireClientError(f"unsupported auth method {code}")
-        if tag == "Z":  # ReadyForQuery
-            return
-        # S (ParameterStatus), K (BackendKeyData), N (Notice): ignore
+    _pg_auth_drain(conn, user, password)
 
 
 def pg_replication_session(
@@ -297,6 +323,101 @@ def pg_replication_session(
         if out.get("reply_requested") or n_since_status >= status_every:
             conn.sock.sendall(build_frontend_message("d", rs.status_update()))
             n_since_status = 0
+
+
+def pg_query(conn: _PgConn, sql: str) -> list[dict[str, Any]]:
+    """Simple query protocol ('Q' → RowDescription 'T' + DataRow 'D'…
+    + CommandComplete 'C' + ReadyForQuery 'Z'); text-mode values."""
+    conn.sock.sendall(build_frontend_message("Q", sql.encode() + b"\x00"))
+    names: list[str] = []
+    rows: list[dict[str, Any]] = []
+    while True:
+        tag, body = conn.read_message()
+        if tag == "E":
+            raise WireClientError(f"query failed: {body[:120]!r}")
+        if tag == "T":
+            n = struct.unpack_from(">h", body, 0)[0]
+            pos = 2
+            names = []
+            for _ in range(n):
+                end = body.index(b"\x00", pos)
+                names.append(body[pos:end].decode())
+                pos = end + 1 + 18  # table oid, attnum, type oid, len, mod, fmt
+        elif tag == "D":
+            n = struct.unpack_from(">h", body, 0)[0]
+            pos = 2
+            vals: list[str | None] = []
+            for _ in range(n):
+                ln = struct.unpack_from(">i", body, pos)[0]
+                pos += 4
+                if ln < 0:
+                    vals.append(None)
+                else:
+                    vals.append(body[pos : pos + ln].decode())
+                    pos += ln
+            rows.append(dict(zip(names, vals)))
+        elif tag == "Z":
+            return rows
+        # 'C' CommandComplete, 'N' notices: continue
+
+
+def pg_catalog_execute(
+    connect: Callable[[], Any], user: str, password: str, database: str
+):
+    """``schema/catalog.py Execute`` over the real PG protocol:
+    startup + auth (SCRAM/MD5/trust) once, simple queries per catalog
+    statement (postgres_schema_loader.rs's transport)."""
+    state: dict[str, Any] = {}
+
+    def execute(sql: str) -> list[dict[str, Any]]:
+        if "conn" not in state:
+            conn = _PgConn(connect())
+            # a plain (non-replication) session: catalog queries only
+            from .wireclient import PG_PROTOCOL_V3
+
+            body = bytearray(struct.pack(">I", PG_PROTOCOL_V3))
+            for k, v in (("user", user), ("database", database)):
+                body += k.encode() + b"\x00" + v.encode() + b"\x00"
+            body += b"\x00"
+            conn.sock.sendall(struct.pack(">I", len(body) + 4) + bytes(body))
+            _pg_auth_drain(conn, user, password)
+            state["conn"] = conn
+        return pg_query(state["conn"], sql)
+
+    return execute
+
+
+def _pg_auth_drain(conn: _PgConn, user: str, password: str) -> None:
+    """The auth loop of ``pg_authenticate`` without the replication
+    startup (shared by catalog sessions)."""
+    while True:
+        tag, body = conn.read_message()
+        if tag == "E":
+            raise WireClientError(f"server error during startup: {body[:120]!r}")
+        if tag == "R":
+            code = struct.unpack_from(">I", body, 0)[0]
+            if code == AUTH_OK:
+                continue
+            if code == AUTH_MD5:
+                conn.sock.sendall(md5_auth_response(user, password, body[4:8]))
+                continue
+            if code == AUTH_SASL:
+                sc = ScramClient(user, password)
+                conn.sock.sendall(build_sasl_initial_response(sc))
+                tag2, body2 = conn.read_message()
+                if tag2 != "R" or struct.unpack_from(">I", body2, 0)[0] != AUTH_SASL_CONTINUE:
+                    raise WireClientError(f"expected SASLContinue, got {tag2!r}")
+                conn.sock.sendall(
+                    build_frontend_message("p", sc.client_final(body2[4:]).encode())
+                )
+                tag3, body3 = conn.read_message()
+                if tag3 != "R" or struct.unpack_from(">I", body3, 0)[0] != AUTH_SASL_FINAL:
+                    raise WireClientError(f"expected SASLFinal, got {tag3!r}")
+                sc.verify_server_final(body3[4:])
+                continue
+            raise WireClientError(f"unsupported auth method {code}")
+        if tag == "Z":
+            return
 
 
 def tail_pgoutput(

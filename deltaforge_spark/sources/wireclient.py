@@ -320,6 +320,49 @@ def build_sasl_initial_response(sc: ScramClient) -> bytes:
     return build_frontend_message("p", body)
 
 
+COM_QUERY = 0x03
+
+
+def read_lenenc_int(buf: bytes, pos: int) -> tuple[int | None, int]:
+    """MySQL length-encoded integer (NULL for 0xFB in row values)."""
+    b = buf[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFB:
+        return None, pos + 1
+    if b == 0xFC:
+        return int.from_bytes(buf[pos + 1 : pos + 3], "little"), pos + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    return int.from_bytes(buf[pos + 1 : pos + 9], "little"), pos + 9
+
+
+def read_lenenc_str(buf: bytes, pos: int) -> tuple[bytes | None, int]:
+    n, pos = read_lenenc_int(buf, pos)
+    if n is None:
+        return None, pos
+    return buf[pos : pos + n], pos + n
+
+
+def parse_column_definition(payload: bytes) -> str:
+    """ColumnDefinition41: catalog, schema, table, org_table, name,
+    org_name (all lenenc strings) — returns the column NAME."""
+    pos = 0
+    for _ in range(4):  # catalog, schema, table, org_table
+        _, pos = read_lenenc_str(payload, pos)
+    name, pos = read_lenenc_str(payload, pos)
+    return (name or b"").decode()
+
+
+def parse_text_row(payload: bytes, n_cols: int) -> list[str | None]:
+    out: list[str | None] = []
+    pos = 0
+    for _ in range(n_cols):
+        v, pos = read_lenenc_str(payload, pos)
+        out.append(None if v is None else v.decode())
+    return out
+
+
 def build_start_replication(
     slot: str, lsn: int, *, publication: str, proto_version: int = 1
 ) -> bytes:

@@ -1049,10 +1049,16 @@ class BinlogTailer:
                     self.position.pos = ev["log_pos"]
                 elif ev["kind"] == "rotate":
                     self.position.handle_rotate(ev["next_file"], ev["position"])
-                    # next file begins with its own magic + log_pos chain;
-                    # per-file sequential state resets, GTID set persists
-                    self._need_magic = True
+                    # per-file sequential state resets, GTID set persists.
+                    # FILE mode: the next file begins with its own 4-byte
+                    # magic + log_pos chain. STREAM mode: a dump stream
+                    # carries NO magic between files — the next event
+                    # follows directly (arming magic here would reject it)
                     self._table_map = {}
+                    if self._mode == "file":
+                        self._need_magic = True
+                    else:
+                        self._offset = ev["position"] or 0
         return events
 
     def checkpoint(self) -> str:

@@ -132,6 +132,26 @@ class TestMysqlPacketStream:
         evs = tailer.feed(art)
         assert [e["kind"] for e in evs] == ["fde"]
 
+    def test_stream_mode_rotate_continues_without_magic(self):
+        # a dump stream carries NO magic between files: after ROTATE the
+        # next file's FDE follows directly and must decode (file mode
+        # would demand the 4-byte magic here)
+        w1 = bl.SegmentWriter(server_id=1)
+        w1.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        w1.append(bl.ROTATE_EVENT, bl.rotate_payload(4, "binlog.000002"))
+        w2 = bl.SegmentWriter(server_id=1)
+        w2.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        types, metas = [bl.MYSQL_TYPE_LONG], [0]
+        w2.append(bl.TABLE_MAP_EVENT, bl.table_map_payload(5, "d", "t", types, metas, [False]))
+        w2.append(bl.WRITE_ROWS_EVENT, bl.rows_payload(5, 1, [[9]], types, metas))
+        stream_bytes = w1.bytes()[len(bl.MAGIC):] + w2.bytes()[len(bl.MAGIC):]
+        t = bl.BinlogTailer(mode="stream")
+        evs = t.feed(stream_bytes)
+        kinds = [e["kind"] for e in evs]
+        assert kinds == ["fde", "rotate", "fde", "table_map", "rows"]
+        assert t.position.file == "binlog.000002"
+        assert evs[-1]["rows"][0]["after"] == [9]
+
     def test_stream_mode_still_verifies_crc(self):
         seg = _segment()
         frames = _events_of(seg)

@@ -215,8 +215,22 @@ def jsonb_decode(buf: bytes) -> Any:
     return _decode_typed(buf[0], buf[1:], full=True)
 
 
+_FIXED_WIDTHS = {
+    TYPE_INT16: 2, TYPE_UINT16: 2, TYPE_INT32: 4, TYPE_UINT32: 4,
+    TYPE_INT64: 8, TYPE_UINT64: 8, TYPE_DOUBLE: 8,
+}
+
+
 def _decode_typed(t: int, payload: bytes, *, full: bool) -> Any:
+    # every read is bounds-checked FIRST: truncated bytes raise the
+    # documented JsonbError, never a bare IndexError/struct.error
+    # (the loud-decode contract; found by protocol fuzzing)
+    w = _FIXED_WIDTHS.get(t)
+    if w is not None and len(payload) < w:
+        raise JsonbError(f"value payload truncated (type {t:#x} needs {w} bytes)")
     if t == TYPE_LITERAL:
+        if not payload:
+            raise JsonbError("literal payload truncated")
         lit = payload[0]
         if lit == LITERAL_NULL:
             return None

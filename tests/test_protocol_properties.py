@@ -171,6 +171,29 @@ class TestLoudOnGarbage:
             # read; any exception type is acceptable as long as it raises
             pass
 
+    @given(st.binary(max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def test_pgoutput_message_garbage(self, data):
+        import deltaforge_spark.sources.pgoutput as pg
+
+        try:
+            pg.parse_message(data)
+        except pg.PgoutputError:
+            pass
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_replication_stream_garbage(self, data):
+        import deltaforge_spark.sources.pgoutput as pg
+
+        rs = pg.ReplicationStream()
+        try:
+            rs.feed_copydata(data)
+        except pg.PgoutputError:
+            pass
+        # LSN bookkeeping must never go backwards on garbage
+        assert rs.flushed_lsn <= rs.received_lsn or rs.received_lsn == 0
+
     @given(st.binary(max_size=256))
     @settings(max_examples=100, deadline=None)
     def test_resp_reader_garbage(self, data):

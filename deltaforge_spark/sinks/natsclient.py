@@ -37,6 +37,20 @@ class NatsClient:
             "name": name, "lang": "python", "version": "0", "headers": True,
         }
         self.sock.sendall(b"CONNECT " + json.dumps(connect).encode() + b"\r\n")
+        if verbose:
+            # A real nats-server acks the CONNECT itself with +OK in
+            # verbose mode. Failing to drain it here leaves every later
+            # flush() off-by-one: the CONNECT ack counts as the first
+            # publish's confirmation and the LAST publish of each flush
+            # is never actually confirmed (its -ERR surfaces one flush
+            # late, or never) — breaking the at-least-once guarantee.
+            while True:
+                line = self._read_line()
+                if self._handle_control(line):
+                    continue
+                if line != b"+OK":
+                    raise NatsError(f"expected +OK for CONNECT, got {line[:40]!r}")
+                break
 
     # ------------------------------------------------------------- io
 

@@ -152,9 +152,19 @@ class S3Client:
             access_key=self.access_key, secret_key=self.secret_key,
             region=self.region, amz_date=self._amz_date(),
         )
-        url = self.endpoint + path
+        # The request URL must carry EXACTLY the bytes the signature
+        # covers: path percent-encoded segmentwise with the SigV4 rules
+        # (slashes preserved, '~' unreserved), query with the same
+        # quote-based encoding as canonical_request. urlencode's
+        # space→'+' and different reserved-char set would produce
+        # SignatureDoesNotMatch on keys with spaces/special characters.
+        url = self.endpoint + urllib.parse.quote(path, safe="/-_.~")
         if query:
-            url += "?" + urllib.parse.urlencode(sorted(query.items()))
+            url += "?" + "&".join(
+                f"{urllib.parse.quote(k, safe='-_.~')}="
+                f"{urllib.parse.quote(str(v), safe='-_.~')}"
+                for k, v in sorted(query.items())
+            )
         req = urllib.request.Request(url, data=body or None, method=method)
         for k, v in signed.items():
             if k.lower() != "host":  # urllib sets Host itself

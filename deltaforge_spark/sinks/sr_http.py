@@ -52,7 +52,8 @@ class HttpSchemaRegistry:
         self._auth = auth
         self.max_retries = max_retries
         self.backoff_s = backoff_s
-        self._id_by_subject: dict[str, int] = {}
+        self._id_by_subject: dict[str, int] = {}  # latest id per subject
+        self._id_by_schema: dict[tuple[str, str], int] = {}
         self._schema_by_id: dict[int, str] = {}
 
     # ----------------------------------------------------------- http
@@ -106,13 +107,18 @@ class HttpSchemaRegistry:
 
     def register(self, subject: str, schema: dict | str) -> int:
         """Register (idempotent server-side: identical text returns the
-        existing global id); cached per subject after the first call."""
-        if subject in self._id_by_subject:
-            return self._id_by_subject[subject]
+        existing global id). The cache is keyed on (subject, schema
+        text) like Confluent clients — a subject-only key would hand
+        back the STALE id after in-process schema evolution, framing
+        payloads with the wrong schema id."""
         schema_str = schema if isinstance(schema, str) else json.dumps(schema)
+        hit = self._id_by_schema.get((subject, schema_str))
+        if hit is not None:
+            return hit
         out = self._call("POST", f"/subjects/{subject}/versions", {"schema": schema_str})
         schema_id = int(out["id"])
-        self._id_by_subject[subject] = schema_id
+        self._id_by_schema[(subject, schema_str)] = schema_id
+        self._id_by_subject[subject] = schema_id  # latest per subject
         self._schema_by_id[schema_id] = schema_str
         return schema_id
 

@@ -937,9 +937,13 @@ def decode_pgoutput_truncates(
     reference emits one `new_ddl` event per table with cascade /
     restart_identity flags, postgres_event.rs:645-731). Map-only."""
     # latest announcement wins deterministically (names rarely change,
-    # but the catalog may carry several versions per relation)
+    # but the catalog may carry several versions per relation). seq 0
+    # is a REAL announcement position — only a missing seq coerces to
+    # the -1 sentinel (same rule as decode_pgoutput_dml's catalog).
     catalog: dict[int, tuple[str, str]] = {}
-    for r in sorted(relations, key=lambda r: int(r.get("seq") or -1)):
+    for r in sorted(
+        relations, key=lambda r: -1 if r.get("seq") is None else int(r["seq"])
+    ):
         catalog[int(r["relation_id"])] = (r["schema"], r["table"])
     bc = stream.sparkSession.sparkContext.broadcast(catalog)
 

@@ -26,6 +26,11 @@ from .binlog import BinlogError, BinlogTailer, MysqlPacketStream
 from .gtid import GtidSet
 from .pgoutput import PgoutputError, ReplicationStream, parse_message
 from .wireclient import (
+    AUTH_MORE_DATA,
+    CLIENT_DEPRECATE_EOF,
+    FAST_AUTH_SUCCESS,
+    PERFORM_FULL_AUTH,
+    REQUEST_PUBLIC_KEY,
     WireClientError,
     build_binlog_dump,
     build_binlog_dump_gtid,
@@ -37,8 +42,12 @@ from .wireclient import (
     build_startup_message,
     encode_gtid_set,
     md5_auth_response,
+    negotiated_capabilities,
     parse_backend_message,
     parse_handshake_v10,
+    parse_rsa_public_key_pem,
+    rsa_oaep_encrypt,
+    xor_password_nonce,
     ScramClient,
 )
 
@@ -80,8 +89,12 @@ def _expect_ok(sock, what: str) -> None:
 
 def mysql_authenticate(sock, user: str, password: str, *, database: str = "") -> dict[str, Any]:
     """Handshake + auth over an open socket. Returns the parsed server
-    greeting. caching_sha2 fast path only (full path needs TLS, which
-    the reference also requires for it — documented boundary)."""
+    greeting augmented with the NEGOTIATED capability view (key
+    ``deprecate_eof``) — resultset framing must key off this, not the
+    client-side constant. caching_sha2 covers both paths: fast-path
+    scramble, and on cache miss the full authentication exchange
+    (request server RSA key → send RSA-OAEP(password XOR nonce)) that
+    a real MySQL 8 server demands on a user's first connect."""
     seq, greeting = _recv_packet(sock)
     if greeting[:1] == b"\xff":
         code = int.from_bytes(greeting[1:3], "little")
@@ -93,16 +106,41 @@ def mysql_authenticate(sock, user: str, password: str, *, database: str = "") ->
         code = int.from_bytes(final[1:3], "little")
         raise WireClientError(f"auth rejected: server error {code}")
     if final[:1] == b"\x01":  # AuthMoreData (caching_sha2)
-        if final[1:2] == b"\x03":  # fast-auth success → OK follows
+        if final[1:2] == bytes([FAST_AUTH_SUCCESS]):  # → OK follows
             _expect_ok(sock, "caching_sha2 fast auth")
+        elif final[1:2] == bytes([PERFORM_FULL_AUTH]):
+            _caching_sha2_full_auth(sock, fseq + 1, password, hs["scramble"][:20])
         else:
             raise WireClientError(
-                "caching_sha2 full authentication requires TLS; "
-                "register the replica user for fast auth"
+                f"unexpected caching_sha2 continuation {final[1:2]!r}"
             )
     elif final[:1] != b"\x00":
         raise WireClientError(f"unexpected auth reply {final[:1]!r}")
+    caps = negotiated_capabilities(hs, database=database)
+    hs["negotiated_capabilities"] = caps
+    hs["deprecate_eof"] = bool(caps & CLIENT_DEPRECATE_EOF)
     return hs
+
+
+def _caching_sha2_full_auth(sock, seq: int, password: str, nonce: bytes) -> None:
+    """Non-TLS full authentication: 0x02 public-key request →
+    AuthMoreData(PEM) → RSA-OAEP(password XOR nonce) → OK. An empty
+    password short-circuits with a bare NUL (servers accept it without
+    the RSA round-trip)."""
+    if not password:
+        _send_packet(sock, seq, b"\x00")
+        _expect_ok(sock, "caching_sha2 full auth (empty password)")
+        return
+    _send_packet(sock, seq, bytes([REQUEST_PUBLIC_KEY]))
+    kseq, keypkt = _recv_packet(sock)
+    if keypkt[:1] == b"\xff":
+        code = int.from_bytes(keypkt[1:3], "little")
+        raise WireClientError(f"public key request rejected: server error {code}")
+    if keypkt[:1] != bytes([AUTH_MORE_DATA]):
+        raise WireClientError(f"expected AuthMoreData public key, got {keypkt[:1]!r}")
+    n, e = parse_rsa_public_key_pem(keypkt[1:])
+    _send_packet(sock, kseq + 1, rsa_oaep_encrypt(xor_password_nonce(password, nonce), n, e))
+    _expect_ok(sock, "caching_sha2 full auth")
 
 
 def mysql_binlog_session(
@@ -192,12 +230,21 @@ def tail_binlog(
                 pass
 
 
-def mysql_query(sock, sql: str) -> list[dict[str, Any]]:
-    """COM_QUERY over an authenticated connection: text-protocol
-    resultset parse (column count → ColumnDefinition41 × n → EOF →
-    text rows → EOF) — the transport mysql_schema_loader.rs gets from
-    its client crate. Returns name→string-value dicts (catalog queries
-    are string-shaped; typed conversion belongs to the caller)."""
+def mysql_query(sock, sql: str, *, deprecate_eof: bool = False) -> list[dict[str, Any]]:
+    """COM_QUERY over an authenticated connection — the transport
+    mysql_schema_loader.rs gets from its client crate. Returns
+    name→string-value dicts (catalog queries are string-shaped; typed
+    conversion belongs to the caller).
+
+    Framing follows the NEGOTIATED capabilities (pass the
+    ``deprecate_eof`` from ``mysql_authenticate``):
+
+    - legacy: column count → ColumnDefinition41 × n → EOF → text
+      rows → EOF (0xFE, len < 9)
+    - DEPRECATE_EOF (5.7.5+): no EOF after column definitions; the
+      terminator is an OK packet with 0xFE header (len < 0xFFFFFF —
+      a row whose first lenenc needs the 0xFE prefix is ≥64 KiB, so
+      short-0xFE is unambiguous)."""
     from .wireclient import (
         COM_QUERY,
         parse_column_definition,
@@ -217,13 +264,15 @@ def mysql_query(sock, sql: str) -> list[dict[str, Any]]:
     for _ in range(n_cols):
         _seq, col = _recv_packet(sock)
         names.append(parse_column_definition(col))
-    _seq, eof = _recv_packet(sock)
-    if eof[:1] != b"\xfe":
-        raise WireClientError("expected EOF after column definitions")
+    if not deprecate_eof:
+        _seq, eof = _recv_packet(sock)
+        if eof[:1] != b"\xfe":
+            raise WireClientError("expected EOF after column definitions")
     rows: list[dict[str, Any]] = []
+    terminator_max = 0xFFFFFF if deprecate_eof else 9
     while True:
         _seq, payload = _recv_packet(sock)
-        if payload[:1] == b"\xfe" and len(payload) < 9:
+        if payload[:1] == b"\xfe" and len(payload) < terminator_max:
             return rows
         if payload[:1] == b"\xff":
             code = int.from_bytes(payload[1:3], "little")
@@ -241,9 +290,10 @@ def mysql_catalog_execute(connect: Callable[[], Any], user: str, password: str):
     def execute(sql: str) -> list[dict[str, Any]]:
         if "sock" not in state:
             sock = connect()
-            mysql_authenticate(sock, user, password)
+            hs = mysql_authenticate(sock, user, password)
             state["sock"] = sock
-        return mysql_query(state["sock"], sql)
+            state["deprecate_eof"] = hs["deprecate_eof"]
+        return mysql_query(state["sock"], sql, deprecate_eof=state["deprecate_eof"])
 
     return execute
 

@@ -31,6 +31,7 @@ from typing import Any
 # =====================================================================
 
 CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
@@ -124,7 +125,15 @@ def build_handshake_response(
 ) -> bytes:
     """HandshakeResponse41 for the two auth plugins the sources need.
     The scramble the server sent picks the algorithm; the response is
-    ready to wrap in packet 1 of the connection."""
+    ready to wrap in packet 1 of the connection.
+
+    Capability negotiation: CLIENT_DEPRECATE_EOF is advertised only
+    when the server offered it (5.7.5+), and the resultset parser
+    (tailloop.mysql_query) switches framing on the NEGOTIATED flag —
+    advertising it against the legacy parser would desync every
+    catalog query on a real 8.0 server. CLIENT_CONNECT_WITH_DB is set
+    iff a database is appended; without the flag a real server parses
+    the database bytes as the auth-plugin name."""
     plugin = handshake.get("auth_plugin") or "mysql_native_password"
     nonce = handshake["scramble"][:20]
     if plugin == "mysql_native_password":
@@ -138,8 +147,10 @@ def build_handshake_response(
         | CLIENT_PROTOCOL_41
         | CLIENT_SECURE_CONNECTION
         | CLIENT_PLUGIN_AUTH
-        | CLIENT_DEPRECATE_EOF
     )
+    caps |= handshake.get("capabilities", 0) & CLIENT_DEPRECATE_EOF
+    if database:
+        caps |= CLIENT_CONNECT_WITH_DB
     out = bytearray(struct.pack("<IIB", caps, max_packet, charset))
     out += b"\x00" * 23
     out += user.encode() + b"\x00"
@@ -148,6 +159,131 @@ def build_handshake_response(
         out += database.encode() + b"\x00"
     out += plugin.encode() + b"\x00"
     return bytes(out)
+
+
+def negotiated_capabilities(handshake: dict[str, Any], *, database: str = "") -> int:
+    """The capability set a ``build_handshake_response`` for this
+    greeting actually advertises — callers key resultset framing
+    (DEPRECATE_EOF) off this, never off the client-side constant."""
+    caps = (
+        CLIENT_LONG_PASSWORD
+        | CLIENT_PROTOCOL_41
+        | CLIENT_SECURE_CONNECTION
+        | CLIENT_PLUGIN_AUTH
+    )
+    caps |= handshake.get("capabilities", 0) & CLIENT_DEPRECATE_EOF
+    if database:
+        caps |= CLIENT_CONNECT_WITH_DB
+    return caps
+
+
+# --- caching_sha2_password FULL authentication (non-TLS path) -------
+#
+# When the server's auth cache has no entry for the user it answers the
+# fast-path scramble with AuthMoreData 0x04 (perform_full_authentication).
+# Over TLS the client would send the cleartext password; over an
+# insecure channel the documented exchange is: client sends 0x02
+# (request server RSA public key), server returns its PEM key in
+# AuthMoreData, client sends RSA-OAEP(password XOR nonce). The
+# reference gets this from its client crate; here it is the public
+# algorithm (PKCS#1 v2 OAEP with SHA-1/MGF1-SHA-1, MySQL's default
+# sha256_password_public_key padding) over stdlib hashlib + pow().
+
+AUTH_MORE_DATA = 0x01
+FAST_AUTH_SUCCESS = 0x03
+PERFORM_FULL_AUTH = 0x04
+REQUEST_PUBLIC_KEY = 0x02
+
+
+def parse_rsa_public_key_pem(pem: bytes) -> tuple[int, int]:
+    """(modulus n, exponent e) from a PEM SubjectPublicKeyInfo (the
+    ``-----BEGIN PUBLIC KEY-----`` form MySQL serves). Minimal DER
+    walk: SEQUENCE(SEQUENCE(oid, null), BITSTRING(SEQUENCE(n, e)))."""
+    body = b"".join(
+        line.strip()
+        for line in pem.splitlines()
+        if line.strip() and not line.strip().startswith(b"-----")
+    )
+    der = base64.b64decode(body)
+
+    def read_tlv(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+        tag = buf[pos]
+        ln = buf[pos + 1]
+        pos += 2
+        if ln & 0x80:
+            n_len = ln & 0x7F
+            ln = int.from_bytes(buf[pos : pos + n_len], "big")
+            pos += n_len
+        return tag, buf[pos : pos + ln], pos + ln
+
+    tag, spki, _ = read_tlv(der, 0)
+    if tag != 0x30:
+        raise WireClientError("bad public key DER (no outer SEQUENCE)")
+    tag, _alg, nxt = read_tlv(spki, 0)  # AlgorithmIdentifier
+    tag, bits, _ = read_tlv(spki, nxt)
+    if tag != 0x03:
+        raise WireClientError("bad public key DER (no BIT STRING)")
+    rsakey = bits[1:]  # skip unused-bits count
+    tag, seq, _ = read_tlv(rsakey, 0)
+    if tag != 0x30:
+        raise WireClientError("bad RSAPublicKey DER")
+    tag, n_bytes, nxt = read_tlv(seq, 0)
+    tag2, e_bytes, _ = read_tlv(seq, nxt)
+    if tag != 0x02 or tag2 != 0x02:
+        raise WireClientError("bad RSAPublicKey INTEGERs")
+    return int.from_bytes(n_bytes, "big"), int.from_bytes(e_bytes, "big")
+
+
+def _mgf1_sha1(seed: bytes, length: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    while len(out) < length:
+        out += hashlib.sha1(seed + struct.pack(">I", counter)).digest()
+        counter += 1
+    return bytes(out[:length])
+
+
+def rsa_oaep_encrypt(message: bytes, n: int, e: int, *, seed: bytes | None = None) -> bytes:
+    """RSAES-OAEP (PKCS#1 v2.1, SHA-1 hash + MGF1-SHA-1, empty label)
+    — the padding MySQL's server applies when decrypting the scrambled
+    password. ``seed`` injectable for deterministic tests."""
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    if len(message) > k - 2 * h_len - 2:
+        raise WireClientError("password too long for server RSA key")
+    l_hash = hashlib.sha1(b"").digest()
+    ps = b"\x00" * (k - len(message) - 2 * h_len - 2)
+    db = l_hash + ps + b"\x01" + message
+    seed = seed if seed is not None else os.urandom(h_len)
+    masked_db = bytes(a ^ b for a, b in zip(db, _mgf1_sha1(seed, k - h_len - 1)))
+    masked_seed = bytes(a ^ b for a, b in zip(seed, _mgf1_sha1(masked_db, h_len)))
+    em = b"\x00" + masked_seed + masked_db
+    c = pow(int.from_bytes(em, "big"), e, n)
+    return c.to_bytes(k, "big")
+
+
+def rsa_oaep_decrypt(ciphertext: bytes, n: int, d: int) -> bytes:
+    """Test-side inverse (loopback servers hold the private exponent) —
+    validates padding and returns the message."""
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    em = pow(int.from_bytes(ciphertext, "big"), d, n).to_bytes(k, "big")
+    if em[0] != 0:
+        raise WireClientError("OAEP: bad leading byte")
+    masked_seed, masked_db = em[1 : 1 + h_len], em[1 + h_len :]
+    seed = bytes(a ^ b for a, b in zip(masked_seed, _mgf1_sha1(masked_db, h_len)))
+    db = bytes(a ^ b for a, b in zip(masked_db, _mgf1_sha1(seed, k - h_len - 1)))
+    if db[:h_len] != hashlib.sha1(b"").digest():
+        raise WireClientError("OAEP: label hash mismatch")
+    sep = db.index(b"\x01", h_len)
+    return db[sep + 1 :]
+
+
+def xor_password_nonce(password: str, nonce: bytes) -> bytes:
+    """The plaintext inside the RSA envelope: NUL-terminated password
+    XOR the 20-byte handshake nonce, repeated."""
+    pw = password.encode() + b"\x00"
+    return bytes(c ^ nonce[i % len(nonce)] for i, c in enumerate(pw))
 
 
 def build_register_slave(server_id: int, *, hostname: str = "", port: int = 0) -> bytes:

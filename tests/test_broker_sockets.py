@@ -136,8 +136,14 @@ def _nats_serve(state: NatsServerState):
             while True:
                 line = read_line()
                 if line.startswith(b"CONNECT "):
+                    opts = json.loads(line[8:])
                     with state.lock:
-                        state.connects.append(json.loads(line[8:]))
+                        state.connects.append(opts)
+                    if opts.get("verbose"):
+                        # real nats-server acks the CONNECT itself in
+                        # verbose mode — the client must drain this
+                        # before counting publish confirmations
+                        conn.sendall(b"+OK\r\n")
                     continue
                 if line == b"PONG":
                     continue

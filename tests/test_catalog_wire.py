@@ -64,8 +64,13 @@ def _mysql_catalog_server():
     INFORMATION_SCHEMA fixture via real text-protocol resultsets."""
 
     def handler(conn):
-        if not _mysql_auth_server_side(conn):
+        caps = _mysql_auth_server_side(conn)
+        if not caps:
             return
+        # honor the NEGOTIATED resultset framing, like a real 8.0
+        # server: DEPRECATE_EOF clients get no EOF after column
+        # definitions and an OK(0xFE) terminator instead of EOF
+        dep = bool(caps & wc.CLIENT_DEPRECATE_EOF)
         try:
             while True:
                 _seq, payload = _recv_mysql_packet(conn)
@@ -81,12 +86,17 @@ def _mysql_catalog_server():
                 for n in names:
                     _send_mysql_packet(conn, sq, _column_def(n))
                     sq += 1
-                _send_mysql_packet(conn, sq, b"\xfe\x00\x00\x02\x00")
-                sq += 1
+                if not dep:
+                    _send_mysql_packet(conn, sq, b"\xfe\x00\x00\x02\x00")
+                    sq += 1
                 for r in rows:
                     _send_mysql_packet(conn, sq, _text_row([r[n] for n in names]))
                     sq += 1
-                _send_mysql_packet(conn, sq, b"\xfe\x00\x00\x02\x00")
+                if dep:
+                    # OK packet with 0xFE header (DEPRECATE_EOF form)
+                    _send_mysql_packet(conn, sq, b"\xfe\x00\x00\x02\x00\x00\x00")
+                else:
+                    _send_mysql_packet(conn, sq, b"\xfe\x00\x00\x02\x00")
         except (ConnectionError, OSError):
             pass
 

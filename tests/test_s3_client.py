@@ -106,7 +106,9 @@ def _make_handler(state: S3State):
                 return
             parsed = urllib.parse.urlparse(self.path)
             qs = dict(urllib.parse.parse_qsl(parsed.query, keep_blank_values=True))
-            parts = parsed.path.lstrip("/").split("/", 1)
+            # real S3 derives bucket/key from the DECODED path (the
+            # client percent-encodes segments; 'tbl%3Da' names 'tbl=a')
+            parts = urllib.parse.unquote(parsed.path).lstrip("/").split("/", 1)
             bucket = parts[0]
             key = parts[1] if len(parts) > 1 else ""
             with state.lock:

@@ -164,6 +164,27 @@ class TestHttpRegistry:
             sr.register("orders-value", SCHEMA)
         assert state.requests.count("POST /subjects/orders-value/versions") == 1
 
+    def test_evolved_schema_re_registers_not_stale_cache(self, registry_server):
+        """The cache keys on (subject, schema text) like Confluent
+        clients: registering an EVOLVED schema under the same subject
+        must hit the registry and return the new global id — a
+        subject-only cache would frame every post-evolution payload
+        with the stale id (ADVICE r5)."""
+        url, state = registry_server
+        sr = HttpSchemaRegistry(url)
+        v1 = sr.register("orders-value", SCHEMA)
+        evolved = dict(SCHEMA)
+        evolved["fields"] = SCHEMA["fields"] + [
+            {"name": "added", "type": ["null", "string"], "default": None}
+        ]
+        v2 = sr.register("orders-value", evolved)
+        assert v2 != v1
+        assert state.requests.count("POST /subjects/orders-value/versions") == 2
+        # both texts now cached: re-registering either is request-free
+        assert sr.register("orders-value", SCHEMA) == v1
+        assert sr.register("orders-value", evolved) == v2
+        assert state.requests.count("POST /subjects/orders-value/versions") == 2
+
     def test_latest_and_subjects(self, registry_server):
         url, _ = registry_server
         sr = HttpSchemaRegistry(url)

@@ -120,10 +120,14 @@ def _events_of(segment):
 
 def _mysql_auth_server_side(conn):
     """Greeting + response verification (server recomputes the expected
-    token from the stored SHA1(SHA1(password)) — real verify, not echo)."""
+    token from the stored SHA1(SHA1(password)) — real verify, not
+    echo). Returns the client's advertised capability flags (truthy)
+    on success so servers can honor negotiated framing (DEPRECATE_EOF),
+    False on rejection."""
     _send_mysql_packet(conn, 0, _greeting())
     seq, resp = _recv_mysql_packet(conn)
     assert seq == 1
+    client_caps = struct.unpack_from("<I", resp, 0)[0]
     rest = resp[32:]
     user, rest = rest.split(b"\x00", 1)
     alen = rest[0]
@@ -136,7 +140,7 @@ def _mysql_auth_server_side(conn):
         _send_mysql_packet(conn, 2, b"\xff" + (1045).to_bytes(2, "little") + b"#28000Access denied")
         return False
     _send_mysql_packet(conn, 2, b"\x00\x00\x00\x02\x00\x00\x00")
-    return True
+    return client_caps
 
 
 def _read_command(conn):

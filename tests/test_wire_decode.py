@@ -434,6 +434,27 @@ class TestPgoutputTruncate:
             ("t1", False, True), ("t2", False, True),
         ]
 
+    def test_truncate_catalog_seq_zero_beats_no_seq(self, spark):
+        """seq 0 is a REAL announcement position, not 'no seq': a
+        relation announced at seq 0 must win over a no-seq (hand-built)
+        entry regardless of list order. The old ``int(seq or -1)``
+        coerced seq-0 to the no-seq sentinel, making the winner
+        order-dependent (ADVICE-class bug, catalog sort key)."""
+        from deltaforge_spark.sources.pgoutput import decode_pgoutput_truncates
+
+        df = spark.createDataFrame(
+            [(5, pg.encode_truncate([7], cascade=False, restart_identity=False))],
+            "seq long, data binary",
+        )
+        for rels in (
+            [{"relation_id": 7, "schema": "public", "table": "announced", "seq": 0},
+             {"relation_id": 7, "schema": "public", "table": "handbuilt", "seq": None}],
+            [{"relation_id": 7, "schema": "public", "table": "handbuilt", "seq": None},
+             {"relation_id": 7, "schema": "public", "table": "announced", "seq": 0}],
+        ):
+            out = decode_pgoutput_truncates(df, rels).collect()
+            assert [r.table for r in out] == ["announced"]
+
 
 class TestPgoutputBinaryAndArrays:
     def test_binary_tuple_marker_roundtrip(self):

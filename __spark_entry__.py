@@ -3374,7 +3374,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
-    # 32 queries never sampled in r1-r4 come first, then 18 stable anchors.
+    # r6: cdc_binlog_datasource leads — the single query of 123 never
+    # driver-sampled (added r5 after the rotation; VERDICT r5 #2).
+    "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "dedup_cc_logstar": q_dedup_cc_logstar,
@@ -3498,7 +3500,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_ddl_capture": q_ddl_capture,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
-    "cdc_binlog_datasource": q_cdc_binlog_datasource,
 }
 
 def _lsh_embedding_oracle_sql(

@@ -54,6 +54,34 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def _binlog_schemas_from_spec(ref):
+    """The spec-carried schema registry for archive sources: a mysql
+    source with ``binlog_dir`` (or postgres with ``wal_dir``) names its
+    table columns + after-image schema inline — the role the reference
+    fills from the live DB catalog (mysql_event.rs handle_table_map →
+    load_schema); an archive run has no live DB to ask::
+
+        source:
+          config:
+            binlog_dir: /segments.parquet
+            schema:
+              columns: {"testdb.events": [id, user_id, ...]}
+              image_ddl: "id bigint, user_id bigint, ..."
+              ts_ms_field: ts_ms
+    """
+    cfg = ref.source.extra.get("schema")
+    if not cfg:
+        return None
+    from pyspark.sql import types as T
+
+    cols = {
+        tuple(name.split(".", 1)): list(v)
+        for name, v in (cfg.get("columns") or {}).items()
+    }
+    image = T.StructType.fromDDL(cfg["image_ddl"])
+    return cols, image, cfg.get("ts_ms_field", "ts_ms")
+
+
 def cmd_run(args) -> int:
     from .plans.refspec import compile_reference_pipeline, parse_reference_spec
     from .plans.wiring import resolve_transports
@@ -64,7 +92,9 @@ def cmd_run(args) -> int:
     ref = parse_reference_spec(spec)
     spark = get_spark(ref.name)
     program, sinks, policy, _ = compile_reference_pipeline(
-        ref, transports=resolve_transports(ref)
+        ref,
+        transports=resolve_transports(ref),
+        binlog_schemas=_binlog_schemas_from_spec(ref),
     )
     df = program(spark, args.data_dir)
     if args.limit:
@@ -72,6 +102,9 @@ def cmd_run(args) -> int:
     df = df.cache()
     n = df.count()
     outcomes = fan_out_batch(df, args.batch_id, sinks, policy=policy)
+    for s in sinks:  # shutdown flush (reference main.rs: roll on drop)
+        if s.close is not None and outcomes.get(s.name, False):
+            s.close()
     ok = all(outcomes.get(s.name, False) for s in sinks if s.required)
     print(json.dumps({"pipeline": ref.name, "events": n, "sinks": outcomes, "ok": ok}))
     return 0 if ok else 1

@@ -597,6 +597,43 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
         from ..sinks import write_lake
 
         path = tp or rs.config.get("prefix") or rs.config.get("bucket", "/tmp/lake")
+        roll = rs.config.get("rolling")
+        if roll:
+            # rolling-pool mode (rolling.rs thresholds in the spec):
+            # the sink instance persists across batches; `close` is the
+            # shutdown flush (reason=final) one-shot runners invoke
+            from ..sinks.files import with_partition_cols
+            from ..sinks.rolling import RollingConfig, RollingLakeSink
+
+            part_cols = list(roll.get("partition_by", ["table"]))
+            holder: dict = {"batch_id": 0}
+
+            def write_rolling(df: DataFrame) -> None:
+                staged = with_partition_cols(shaped(df))
+                if "sink" not in holder:
+                    holder["sink"] = RollingLakeSink(
+                        df.sparkSession, str(path), part_cols,
+                        cfg=RollingConfig(
+                            max_bytes=int(roll.get("max_bytes", 256 * 1024 * 1024)),
+                            max_events=int(roll.get("max_events", 1_000_000)),
+                            max_age_ms=int(roll.get("max_age_ms", 300_000)),
+                            idle_age_ms=int(roll.get("idle_age_ms", 600_000)),
+                        ),
+                        clock=roll.get("clock", "wall"),
+                        ts_col=roll.get("ts_col"),
+                        sink_id=rs.id,
+                    )
+                holder["sink"].process_batch(staged, holder["batch_id"])
+                holder["batch_id"] += 1
+
+            def close_rolling() -> None:
+                if "sink" in holder:
+                    holder["sink"].close()
+
+            return SinkSpec(
+                name=rs.id, write=write_rolling, required=rs.required,
+                filter=flt, close=close_rolling,
+            )
 
         def write_s3(df: DataFrame) -> None:
             write_lake(shaped(df), str(path), fmt=rs.config.get("format", "parquet"))

@@ -95,4 +95,10 @@ def resolve_transports(ref) -> dict[str, Any]:
             from ..sinks.clients import urllib_session_factory
 
             out[rs.id] = urllib_session_factory()
+        elif rs.kind == "kafka" and cfg.get("spool_dir"):
+            # brokerless file-spool delivery: the transport IS the
+            # spool path (compiler.py `spool_dir` → file_broker
+            # producers) — lets a YAML spec run the full EOS path
+            # where no broker exists
+            out[rs.id] = str(cfg["spool_dir"])
     return out

@@ -40,6 +40,10 @@ class SinkSpec:
     # defaults + client_conf overrides) — introspectable by tests and
     # the control plane, not consumed by the write path itself
     transport_conf: dict | None = None
+    # optional shutdown flush (the reference rolls remaining writers on
+    # drop, main.rs lifecycle): one-shot runners (CLI `run`) call it
+    # after the last batch; streaming keeps sinks open across batches
+    close: Callable[[], None] | None = None
 
 
 @dataclass

@@ -124,12 +124,22 @@ class RollingLakeSink:
         ts_col: str | None = None,
         store: CheckpointStore | None = None,
         sink_id: str = "lake",
+        object_store=None,
     ) -> None:
         assert clock in ("wall", "event")
         if clock == "event" and not ts_col:
             raise ValueError("clock='event' requires ts_col")
         self.spark = spark
         self.path = path.rstrip("/")
+        # object_store: optional backend with ``put_file(local, key)``
+        # (e.g. s3client.S3LakeBackend). When set, the roll's
+        # rename-into-place maps to multipart-upload→Complete — the
+        # SAME atomic-visibility contract on a real object store
+        # (reference s3/sink.rs:41-160): parts are invisible until
+        # Complete, and the deterministic per-(pkey, seq) key makes a
+        # replayed upload overwrite the same object, never add one.
+        # Staging/compaction stay on the local path (executor scratch).
+        self.object_store = object_store
         self.partition_cols = list(partition_cols)
         self.cfg = cfg or RollingConfig()
         self.clock = clock
@@ -286,8 +296,14 @@ class RollingLakeSink:
         self._compact(staged, tmp_dir)
         part = glob.glob(f"{tmp_dir}/part-*.parquet")
         assert len(part) == 1, part
-        os.makedirs(final_dir, exist_ok=True)
-        os.replace(part[0], f"{final_dir}/{fname}")
+        if self.object_store is not None:
+            # object-store publish: multipart-upload→Complete IS the
+            # rename (atomic visibility); deterministic key, so a
+            # replayed roll overwrites the same object idempotently
+            self.object_store.put_file(part[0], f"data/{pkey}/{fname}")
+        else:
+            os.makedirs(final_dir, exist_ok=True)
+            os.replace(part[0], f"{final_dir}/{fname}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
         # the commit point: manifest entry + state (fence, seqs, popped

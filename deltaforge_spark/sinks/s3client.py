@@ -263,3 +263,45 @@ class S3Client:
             except Exception:
                 self.abort_multipart(bucket, key, upload_id)
                 raise
+
+
+class S3LakeBackend:
+    """``RollingLakeSink`` object-store backend (VERDICT r5 #4): the
+    roll's rename-into-place maps to ``upload_file`` — PUT for small
+    files, multipart Create→Parts→Complete for large ones, so the data
+    file appears ATOMICALLY at Complete (reference s3/sink.rs:41-160).
+    The sink's deterministic per-(partition, seq) file names make a
+    replayed upload overwrite the SAME object: crash windows between
+    upload and manifest persist re-publish idempotently instead of
+    duplicating files."""
+
+    def __init__(
+        self,
+        client: S3Client,
+        bucket: str,
+        *,
+        prefix: str = "",
+        part_size: int = 8 * 1024 * 1024,
+    ) -> None:
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.part_size = part_size
+
+    def _key(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def put_file(self, local_path: str, key: str) -> None:
+        self.client.upload_file(
+            local_path, self.bucket, self._key(key), part_size=self.part_size
+        )
+
+    # ------------------------------------------------- reader helpers
+
+    def list(self, prefix: str = "") -> list[str]:
+        keys = self.client.list_keys(self.bucket, self._key(prefix))
+        drop = len(self.prefix) + 1 if self.prefix else 0
+        return [k[drop:] for k in keys]
+
+    def get(self, key: str) -> bytes:
+        return self.client.get_object(self.bucket, self._key(key))

@@ -113,11 +113,49 @@ class _BinlogBatchReader(DataSourceReader):
         return _decode_file(partition.path, self.columns)
 
 
+class SegmentStoreChangedError(RuntimeError):
+    """The segment store shrank or was rewritten UNDER a committed
+    offset (deletion, compaction, rename between micro-batches).
+    File-count offsets only mean anything while the sorted prefix they
+    were taken over is immutable — silently re-slicing would skip or
+    re-map data, so this fails the stream loudly; the operator decides
+    whether to re-snapshot or repoint the checkpoint (the same stance
+    as the binlog-purged-on-server detection in recovery.py)."""
+
+
+def _check_offset_prefix(files: list[str], off: dict, what: str) -> None:
+    n = off.get("files", 0)
+    if len(files) < n:
+        raise SegmentStoreChangedError(
+            f"{what}: committed offset covers {n} files but only "
+            f"{len(files)} exist — segments were deleted/compacted under "
+            "the checkpoint; re-snapshot or reset the checkpoint"
+        )
+    last = off.get("last")
+    if n and last is not None and os.path.basename(files[n - 1]) != last:
+        raise SegmentStoreChangedError(
+            f"{what}: file #{n} is {os.path.basename(files[n - 1])!r} but the "
+            f"committed offset was taken over {last!r} — the sorted prefix "
+            "changed (rename/compaction); offsets no longer map to the "
+            "same data"
+        )
+
+
+def _offset_of(files: list[str], n: int) -> dict:
+    return {
+        "files": n,
+        "last": os.path.basename(files[n - 1]) if n else None,
+    }
+
+
 class _BinlogStreamReader(SimpleDataSourceStreamReader):
-    """Offset = number of files (in sorted-name order) fully committed.
-    Sorted-name tailing matches binlog naming (``binlog.000001``...):
-    new segments sort after old ones. Files must be append-complete
-    when they appear (the rotate contract)."""
+    """Offset = number of files (in sorted-name order) fully committed,
+    plus the NAME of the last committed file so a store rewritten under
+    the checkpoint (deletion/compaction/rename) fails loudly instead of
+    silently skipping (VERDICT r5 #9). Sorted-name tailing matches
+    binlog naming (``binlog.000001``...): new segments sort after old
+    ones. Files must be append-complete when they appear (the rotate
+    contract)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -125,11 +163,12 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         self.columns = _columns_of(options)
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"files": 0, "last": None}
 
     def read(self, start: dict):
         files = _list_segments(self.path, self.suffix)
-        end = {"files": len(files)}
+        _check_offset_prefix(files, start, "binlog_segments stream")
+        end = _offset_of(files, len(files))
         rows: list[tuple] = []  # materialized: the API copies/caches this
         for p in files[start["files"] :]:
             rows.extend(_decode_file(p, self.columns))
@@ -137,8 +176,9 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # replay of an uncommitted range: deterministic re-read of the
-        # same sorted file slice
+        # same sorted file slice — valid only while that slice is intact
         files = _list_segments(self.path, self.suffix)
+        _check_offset_prefix(files, end, "binlog_segments stream (replay)")
         rows: list[tuple] = []
         for p in files[start["files"] : end["files"]]:
             rows.extend(_decode_file(p, self.columns))
@@ -208,19 +248,23 @@ class _PgoutputBatchReader(DataSourceReader):
 
 
 class _PgoutputStreamReader(SimpleDataSourceStreamReader):
-    """Offset = committed file count in sorted-name order (the WAL
-    spool grows append-only; a file is complete when it appears)."""
+    """Offset = committed file count + last committed name, sorted-name
+    order (the WAL spool grows append-only; a file is complete when it
+    appears). A spool rewritten under the checkpoint fails loudly —
+    seq namespaces are positional, so a shifted prefix would remap
+    every downstream tx stamp (VERDICT r5 #9)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.suffix = options.get("suffix", ".pgout")
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"files": 0, "last": None}
 
     def read(self, start: dict):
         files = _list_segments(self.path, self.suffix)
-        end = {"files": len(files)}
+        _check_offset_prefix(files, start, "pgoutput_spool stream")
+        end = _offset_of(files, len(files))
         rows: list[tuple] = []
         for i, p in enumerate(files[start["files"] :], start=start["files"]):
             rows.extend(_read_spool(p, i * _PgoutputBatchReader.SEQ_STRIDE))
@@ -228,6 +272,7 @@ class _PgoutputStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_segments(self.path, self.suffix)
+        _check_offset_prefix(files, end, "pgoutput_spool stream (replay)")
         rows: list[tuple] = []
         for i in range(start["files"], end["files"]):
             rows.extend(_read_spool(files[i], i * _PgoutputBatchReader.SEQ_STRIDE))

@@ -219,3 +219,93 @@ class TestStreamRead:
         got2 = registered.read.parquet(out)
         assert got2.count() == 3
         assert got2.filter(F.col("xid") == 901).count() == 2
+
+
+class TestOffsetHardening:
+    """VERDICT r5 #9: file-count offsets are only meaningful while the
+    sorted prefix under them is immutable — deletion, compaction, or
+    rename between micro-batches must fail the stream LOUDLY, never
+    silently skip or remap data."""
+
+    def _reader(self, src):
+        from deltaforge_spark.sources.datasource import _BinlogStreamReader
+
+        return _BinlogStreamReader({"path": src})
+
+    def test_deleted_segment_under_checkpoint_is_loud(self, tmp_path):
+        from deltaforge_spark.sources.datasource import SegmentStoreChangedError
+
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        _write_segment(f"{src}/b1.binlog", [[1, "a"]], gno=1, xid=900)
+        _write_segment(f"{src}/b2.binlog", [[2, "b"]], gno=2, xid=901)
+        r = self._reader(src)
+        rows, off = r.read(r.initialOffset())
+        assert off["files"] == 2 and off["last"] == "b2.binlog"
+        assert len(rows) == 2
+        os.remove(f"{src}/b2.binlog")  # compaction/cleanup under the offset
+        with pytest.raises(SegmentStoreChangedError, match="deleted/compacted"):
+            r.read(off)
+
+    def test_renamed_prefix_under_checkpoint_is_loud(self, tmp_path):
+        from deltaforge_spark.sources.datasource import SegmentStoreChangedError
+
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        _write_segment(f"{src}/b1.binlog", [[1, "a"]], gno=1, xid=900)
+        r = self._reader(src)
+        _rows, off = r.read(r.initialOffset())
+        # rewrite: same count, different name → same-count remap
+        os.rename(f"{src}/b1.binlog", f"{src}/a0.binlog")
+        with pytest.raises(SegmentStoreChangedError, match="prefix"):
+            r.read(off)
+
+    def test_replay_range_checks_end_offset(self, tmp_path):
+        from deltaforge_spark.sources.datasource import SegmentStoreChangedError
+
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        _write_segment(f"{src}/b1.binlog", [[1, "a"]], gno=1, xid=900)
+        r = self._reader(src)
+        _rows, off = r.read(r.initialOffset())
+        os.remove(f"{src}/b1.binlog")
+        with pytest.raises(SegmentStoreChangedError):
+            r.readBetweenOffsets(r.initialOffset(), off)
+
+    def test_intact_store_still_tails(self, tmp_path):
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        _write_segment(f"{src}/b1.binlog", [[1, "a"]], gno=1, xid=900)
+        r = self._reader(src)
+        _rows, off = r.read(r.initialOffset())
+        _write_segment(f"{src}/b2.binlog", [[2, "b"]], gno=2, xid=901)
+        rows, off2 = r.read(off)
+        assert len(rows) == 1 and off2["files"] == 2
+
+    def test_legacy_offset_without_name_still_accepted(self, tmp_path):
+        """Checkpoints written before the name field lack 'last' —
+        count-only offsets keep working (no forced re-snapshot)."""
+        src = str(tmp_path / "s")
+        os.makedirs(src)
+        _write_segment(f"{src}/b1.binlog", [[1, "a"]], gno=1, xid=900)
+        _write_segment(f"{src}/b2.binlog", [[2, "b"]], gno=2, xid=901)
+        r = self._reader(src)
+        rows, off = r.read({"files": 1})
+        assert len(rows) == 1 and off["files"] == 2
+
+    def test_pgoutput_spool_same_contract(self, tmp_path):
+        from deltaforge_spark.sources.datasource import (
+            SegmentStoreChangedError,
+            _PgoutputStreamReader,
+            write_spool,
+        )
+
+        src = str(tmp_path / "w")
+        os.makedirs(src)
+        write_spool(f"{src}/w1.pgout", [b"m1", b"m2"])
+        r = _PgoutputStreamReader({"path": src})
+        rows, off = r.read(r.initialOffset())
+        assert len(rows) == 2 and off["last"] == "w1.pgout"
+        os.remove(f"{src}/w1.pgout")
+        with pytest.raises(SegmentStoreChangedError):
+            r.read(off)

@@ -327,3 +327,53 @@ class TestEosOverSparkPartitions:
             assert topic == "orders"
             for r in recs:
                 assert kw.partition_for(r["key"], 4) == part
+
+
+# ------------------------------------------- out-of-process broker
+
+
+class TestProcessKafkaBroker:
+    """The bench harness broker (VERDICT r5 #1): forked acceptor
+    PROCESSES — broker protocol handling must not share the producer
+    side's GIL. Counts flow back via shared memory on EndTxn-commit."""
+
+    def test_commits_counted_across_worker_processes(self):
+        import threading as th
+
+        broker = kw.ProcessKafkaBroker(workers=3, validate=False)
+        try:
+            def one_producer(i: int) -> None:
+                p = kw.KafkaWireProducer(
+                    _connect(broker.port), f"txn-{i}", num_partitions=4
+                )
+                p.init_transactions()
+                p.begin_transaction()
+                for j in range(50):
+                    p.send("t", f"k-{i}-{j}", f"v-{j}")
+                p.commit_transaction()
+                p.close()
+
+            threads = [th.Thread(target=one_producer, args=(i,)) for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert broker.n_committed_records() == 6 * 50
+        finally:
+            broker.close()
+
+    def test_abort_not_counted(self):
+        broker = kw.ProcessKafkaBroker(workers=2, validate=False)
+        try:
+            p = kw.KafkaWireProducer(_connect(broker.port), "txn-a", num_partitions=2)
+            p.init_transactions()
+            p.begin_transaction()
+            p.send("t", "k", "v")
+            p.abort_transaction()
+            p.begin_transaction()
+            p.send("t", "k2", "v2")
+            p.commit_transaction()
+            p.close()
+            assert broker.n_committed_records() == 1
+        finally:
+            broker.close()

@@ -325,3 +325,93 @@ class TestMultipart:
             c.upload_file(str(p), "lake", "x.bin", part_size=100_000)
         assert state.objects == {}   # nothing visible
         assert state.uploads == {}   # upload aborted, parts gone
+
+
+class TestRollingSinkObjectStoreBackend:
+    """VERDICT r5 #4: the S3 client COMPOSED under the rolling pool via
+    the injectable object_store backend — rolls publish by
+    multipart-upload→Complete instead of local rename, and the crash
+    window between upload and manifest persist replays idempotently
+    (deterministic keys: re-upload overwrites, never duplicates)."""
+
+    def _sink(self, spark, tmp_path, url, store=None):
+        from deltaforge_spark.checkpoints import MemCheckpointStore
+        from deltaforge_spark.sinks.rolling import RollingConfig, RollingLakeSink
+        from deltaforge_spark.sinks.s3client import S3LakeBackend
+
+        backend = S3LakeBackend(_client(url), "lake", prefix="warehouse")
+        sink = RollingLakeSink(
+            spark, str(tmp_path / "scratch"), ["tbl"],
+            cfg=RollingConfig(max_events=2, max_bytes=1 << 40,
+                              max_age_ms=1 << 40, idle_age_ms=1 << 40),
+            clock="event", ts_col="ts",
+            store=store or MemCheckpointStore(),
+            object_store=backend,
+        )
+        return sink, backend
+
+    def test_rolls_publish_through_backend(self, s3_server, tmp_path, spark):
+        url, state = s3_server
+        sink, backend = self._sink(spark, tmp_path, url)
+        batch = spark.createDataFrame(
+            [(i, "a" if i < 2 else "b", i) for i in range(4)], ["id", "tbl", "ts"]
+        )
+        sink.process_batch(batch, 0)
+        assert len(sink.manifest) == 2
+        keys = backend.list("data/")
+        assert sorted(keys) == sorted(m["file"] for m in sink.manifest)
+        # no data files on the local path — scratch only
+        import glob as g
+        assert g.glob(f"{tmp_path}/scratch/data/**/*.parquet", recursive=True) == []
+        # shipped bytes are readable parquet with the right rows
+        import io
+        import pyarrow.parquet as pq
+        got = sorted(
+            int(r["id"])
+            for m in sink.manifest
+            for r in pq.read_table(io.BytesIO(backend.get(m["file"]))).to_pylist()
+        )
+        assert got == [0, 1, 2, 3]
+
+    def test_crash_between_upload_and_persist_is_idempotent(
+        self, s3_server, tmp_path, spark
+    ):
+        """Kill after the object is visible but before the manifest/state
+        persist: the replayed micro-batch re-rolls the same (pkey, seq),
+        the re-upload overwrites the SAME key — file set identical, no
+        duplicate objects, manifest single-entry."""
+        from deltaforge_spark.checkpoints import MemCheckpointStore
+
+        url, state = s3_server
+        store = MemCheckpointStore()
+        sink, backend = self._sink(spark, tmp_path, url, store=store)
+
+        real_put = backend.put_file
+        def crashing_put(local, key):
+            real_put(local, key)
+            raise RuntimeError("killed between upload and manifest persist")
+        backend.put_file = crashing_put
+
+        batch = spark.createDataFrame([(0, "a", 1), (1, "a", 2)], ["id", "tbl", "ts"])
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="killed"):
+            sink.process_batch(batch, 0)
+        assert sink.manifest == []           # crash before the commit point
+        keys_after_crash = backend.list("data/")
+        assert len(keys_after_crash) == 1    # ...but the object IS visible
+
+        # restart: fresh sink resumes from the checkpoint store, replayed
+        # foreachBatch delivers the same batch id
+        backend.put_file = real_put
+        sink2, backend2 = self._sink(spark, tmp_path, url, store=store)
+        sink2.object_store = backend
+        sink2.process_batch(batch, 0)
+        assert [m["file"] for m in sink2.manifest] == keys_after_crash
+        assert backend.list("data/") == keys_after_crash  # same single key
+        # exactly the original rows once
+        import io
+        import pyarrow.parquet as pq
+        rows = pq.read_table(
+            io.BytesIO(backend.get(keys_after_crash[0]))
+        ).to_pylist()
+        assert sorted(int(r["id"]) for r in rows) == [0, 1]

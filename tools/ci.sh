@@ -16,5 +16,9 @@ python -m pytest tests/test_oracle_sql_valid.py -q
 
 if [ "$tier" = "all" ]; then
     python -m pytest tests/ -x -q
-    python tools/check.py --all /root/testdata/sf0.001
+    # full-set value check at sf0.1 — the SF the driver and judge verify
+    # at, where plan differences (AQE thresholds, broadcast decisions)
+    # actually bite; sf0.001 missed them (VERDICT r5 #10). Budget:
+    # ~8-10 min on local[32] (pytest dominates the tier at ~17 min).
+    python tools/check.py --all /root/testdata/sf0.1
 fi

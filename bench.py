@@ -178,6 +178,8 @@ HEADLINE = [
     "q8_market_share",
     "q22_sales_opportunity",
     "doc_contamination_fuzzy",
+    "doc_perplexity_filter",
+    "doc_weighted_sample",
 ]
 
 
@@ -495,8 +497,13 @@ def main():
 def _append_trend(result: dict) -> None:
     """One JSONL line per bench run with the kernel-min timings, so
     cross-round kernel regressions are diffable independent of suite
-    composition and host noise (each line carries its pass counts)."""
+    composition and host noise (each line carries its pass counts).
+    Only the official SF (0.1) appends — smoke runs at other SFs would
+    pollute the cross-round series."""
     import subprocess
+
+    if str(result.get("sf")) != "0.1":
+        return
 
     try:
         git = subprocess.run(

@@ -99,42 +99,124 @@ def _advance_operator(n_bytes: int) -> list[int]:
     return result
 
 
-_MIN_LANE_LEN = 256  # power-of-two lane lengths keep the A_n cache tiny
-_MAX_LANE_LEN = 4096
-_TARGET_LANES = 4096
-_np_table = None
+_LANE_LEN = 512  # fixed power-of-two, multiple of 8 (slice-by-8 stride)
+_np_slice_tables = None
+_lane_pow_cache: list | None = None  # np A_{lane*2^j} matrices
 
 
-def _lane_len(n: int) -> int:
-    ln = _MIN_LANE_LEN
-    while ln < _MAX_LANE_LEN and n // (ln * 2) >= _TARGET_LANES // 2:
-        ln *= 2
-    return ln
+def _slice_tables():
+    """Slicing-by-8 tables as one (8, 256) uint32 array: T[0] is the
+    byte table; T[j][v] advances T[j-1][v] through one more zero byte —
+    so T[j][v] is the register after byte v followed by j zero bytes."""
+    global _np_slice_tables
+    if _np_slice_tables is None:
+        import numpy as np
+
+        rows = [list(_crc32c_table)]
+        for _ in range(7):
+            prev = rows[-1]
+            rows.append(
+                [(prev[v] >> 8) ^ _crc32c_table[prev[v] & 0xFF] for v in range(256)]
+            )
+        _np_slice_tables = np.array(rows, dtype=np.uint32)
+    return _np_slice_tables
+
+
+def _lane_pows(max_level: int):
+    """A_{_LANE_LEN * 2^j} for j in [0, max_level], each as a (32,)
+    uint32 numpy array (column c = image of unit register 1<<c)."""
+    global _lane_pow_cache
+    import numpy as np
+
+    if _lane_pow_cache is None:
+        _lane_pow_cache = [np.array(_advance_operator(_LANE_LEN), dtype=np.uint32)]
+    while len(_lane_pow_cache) <= max_level:
+        prev = [int(x) for x in _lane_pow_cache[-1]]
+        sq = _gf2_matrix_square(prev)
+        _lane_pow_cache.append(np.array(sq, dtype=np.uint32))
+    return _lane_pow_cache
+
+
+def _fold_tree(lanes, level0: int):
+    """Pairwise GF(2) tree fold of a power-of-two count of sequential
+    lane registers (each covering _LANE_LEN * 2^level0 bytes) into one
+    register. Each level applies ONE fixed advance matrix to the left
+    half — vectorized bit-serial matrix-vector product across pairs."""
+    import numpy as np
+
+    level = level0
+    cur = lanes
+    one = np.uint32(1)
+    while cur.shape[0] > 1:
+        mat = _lane_pows(level)[level]
+        left, right = cur[0::2], cur[1::2]
+        out = np.zeros(left.shape[0], dtype=np.uint32)
+        v = left.copy()
+        for i in range(32):
+            out ^= np.where((v & one).astype(bool), mat[i], np.uint32(0))
+            v >>= one
+        cur = out ^ right
+        level += 1
+    return int(cur[0])
 
 
 def _crc32c_numpy_raw(data: bytes, reg: int) -> int:
-    """Multi-lane fold: split into K equal chunks, run the table
-    update VECTORIZED across all chunks (numpy lanes), then combine
-    chunk registers with the GF(2) advance operator. Exact same result
-    as the sequential loop; the Python-level loop shrinks from
-    len(data) iterations to lane-length iterations."""
-    global _np_table
+    """Multi-lane slicing-by-8: split into K = n//512 lanes, advance
+    all lane registers 8 bytes per Python-level iteration (vectorized
+    table gathers across lanes), then combine the lane registers with
+    a GF(2) pairwise tree (power-of-two blocks, blocks chained with
+    the scalar advance operator). Exact same result as the sequential
+    loop; Python-level iteration count is lane_len/8 = 64."""
     import numpy as np
 
-    lane = _lane_len(len(data))
-    if _np_table is None:
-        _np_table = np.array(_crc32c_table, dtype=np.uint32)
+    lane = _LANE_LEN
     k = len(data) // lane
     body = k * lane
-    arr = np.frombuffer(data, dtype=np.uint8, count=body).reshape(k, lane)
+    # view each 8-byte chunk as ONE little-endian uint64 and
+    # transpose-copy the (k, lane/8) word matrix ONCE — an 8x cheaper
+    # copy than transposing bytes (k*lane/8 strided elements, not
+    # k*lane), after which every per-iteration slice is contiguous.
+    # On LE platforms q & 0xFFFFFFFF IS b0|b1<<8|b2<<16|b3<<24.
+    arr64 = np.frombuffer(data, dtype="<u8", count=body // 8).reshape(k, lane // 8)
+    arr64_t = np.ascontiguousarray(arr64.T)
+    t = _slice_tables()
+    t0, t1, t2, t3, t4, t5, t6, t7 = (t[j] for j in range(8))
     lanes = np.zeros(k, dtype=np.uint32)
-    tab = _np_table
-    u8, mask = np.uint32(8), np.uint32(0xFF)
-    for j in range(lane):
-        lanes = (lanes >> u8) ^ tab[(lanes ^ arr[:, j]) & mask]
-    adv = _advance_operator(lane)
-    for v in lanes.tolist():
-        reg = _gf2_matrix_times(adv, reg) ^ v
+    u8, u16, u24, mask = np.uint32(8), np.uint32(16), np.uint32(24), np.uint32(0xFF)
+    m8 = np.uint64(0xFF)
+    s32, s40, s48, s56 = np.uint64(32), np.uint64(40), np.uint64(48), np.uint64(56)
+    for j in range(lane // 8):
+        q = arr64_t[j]
+        x = lanes ^ (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        lanes = (
+            t7[x & mask]
+            ^ t6[(x >> u8) & mask]
+            ^ t5[(x >> u16) & mask]
+            ^ t4[x >> u24]
+            ^ t3[(q >> s32) & m8]
+            ^ t2[(q >> s40) & m8]
+            ^ t1[(q >> s48) & m8]
+            ^ t0[q >> s56]
+        )
+    # fold sequential lanes: power-of-two blocks left→right, tree per
+    # block, blocks chained with A_{block2 bytes}(r1) ^ r2
+    folded: int | None = None
+    folded_from = 0  # lane index where the folded prefix ends
+    pos = 0
+    while pos < k:
+        m = 1
+        while m * 2 <= k - pos:
+            m *= 2
+        block = _fold_tree(lanes[pos : pos + m], 0)
+        if folded is None:
+            folded = block
+        else:
+            folded = _gf2_matrix_times(_advance_operator(m * lane), folded) ^ block
+        pos += m
+        folded_from = pos
+    assert folded_from == k
+    # whole-body register from init reg: affine shift of the zero-init fold
+    reg = _gf2_matrix_times(_advance_operator(body), reg) ^ (folded or 0)
     return _crc32c_scalar_raw(data[body:], reg)
 
 
@@ -146,7 +228,9 @@ def crc32c(data: bytes, crc: int = 0) -> int:
     if _c_crc32c is not None and crc == 0:
         return _c_crc32c(data)
     reg = crc ^ 0xFFFFFFFF
-    if len(data) >= 2 * _MIN_LANE_LEN:
+    # numpy pays ~1300 fixed op dispatches (64 iterations x ~21 ops);
+    # below ~16KB the scalar table loop is cheaper (measured crossover)
+    if len(data) >= 16384:
         reg = _crc32c_numpy_raw(data, reg)
     else:
         reg = _crc32c_scalar_raw(data, reg)
@@ -190,6 +274,63 @@ def partition_for(key: bytes | None, num_partitions: int) -> int:
     if key is None:
         return 0  # sticky/round-robin in real clients; deterministic here
     return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+def murmur2_partitions(
+    keys: list[bytes | None], num_partitions: int
+) -> list[int]:
+    """Vectorized ``partition_for`` over a whole batch: keys grouped by
+    length, each group hashed as one numpy pass (uint32 multiply wraps
+    mod 2^32 exactly like the scalar masks). Bit-identical to the
+    per-key path; ~20x faster on the producer flush hot path."""
+    import numpy as np
+
+    out = [0] * len(keys)
+    by_len: dict[int, list[int]] = {}
+    for i, k in enumerate(keys):
+        if k is not None:
+            by_len.setdefault(len(k), []).append(i)
+    u8, u13, u15, u16, u24 = (np.uint32(s) for s in (8, 13, 15, 16, 24))
+    m = np.uint32(_M2_M)
+    npart = np.uint32(num_partitions)
+    for length, idxs in by_len.items():
+        if len(idxs) < 32 or length == 0:
+            for i in idxs:
+                out[i] = partition_for(keys[i], num_partitions)
+            continue
+        arr = np.frombuffer(
+            b"".join(keys[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), length)
+        h = np.full(len(idxs), (_M2_SEED ^ length) & 0xFFFFFFFF, dtype=np.uint32)
+        p = 0
+        while length - p >= 4:
+            k4 = (
+                arr[:, p].astype(np.uint32)
+                | arr[:, p + 1].astype(np.uint32) << u8
+                | arr[:, p + 2].astype(np.uint32) << u16
+                | arr[:, p + 3].astype(np.uint32) << u24
+            )
+            k4 = k4 * m
+            k4 ^= k4 >> u24
+            k4 = k4 * m
+            h = h * m
+            h ^= k4
+            p += 4
+        rest = length - p
+        if rest >= 3:
+            h ^= arr[:, p + 2].astype(np.uint32) << u16
+        if rest >= 2:
+            h ^= arr[:, p + 1].astype(np.uint32) << u8
+        if rest >= 1:
+            h ^= arr[:, p].astype(np.uint32)
+            h = h * m
+        h ^= h >> u13
+        h = h * m
+        h ^= h >> u15
+        parts = ((h & np.uint32(0x7FFFFFFF)) % npart).tolist()
+        for j, i in enumerate(idxs):
+            out[i] = parts[j]
+    return out
 
 
 # -------------------------------------------------------- primitives
@@ -484,7 +625,8 @@ class KafkaWireProducer:
         self.ts = timestamp_ms
         self.producer_id = -1
         self.producer_epoch = -1
-        self._pending: dict[tuple[str, int], list] = {}
+        self._buf: list[tuple[str, bytes | None, bytes | None, list]] = []
+        self._hdr_cache: dict[str, list[tuple[str, bytes]]] = {}
         self._sequences: dict[tuple[str, int], int] = {}
         self._in_txn = False
 
@@ -502,25 +644,41 @@ class KafkaWireProducer:
         if self.producer_id < 0:
             raise KafkaError("init_transactions has not run")
         self._in_txn = True
-        self._pending = {}
+        self._buf = []
 
     def send(self, topic: str, key, value, headers_json=None) -> None:
+        # accumulate as cheaply as possible — partitioning is deferred
+        # to _flush where murmur2 runs vectorized over the whole batch,
+        # and the header-json parse is memoized (CDC headers repeat
+        # per table, not per event)
         kb = key.encode() if isinstance(key, str) else key
         vb = value.encode() if isinstance(value, str) else value
-        hdrs: list[tuple[str, bytes]] = []
         if headers_json and headers_json != "null":
-            import json as _json
+            hdrs = self._hdr_cache.get(headers_json)
+            if hdrs is None:
+                import json as _json
 
-            try:
-                for hk, hv in (_json.loads(headers_json) or {}).items():
-                    hdrs.append((hk, str(hv).encode()))
-            except ValueError:
-                pass
-        part = partition_for(kb, self.num_partitions)
-        self._pending.setdefault((topic, part), []).append((kb, vb, hdrs))
+                hdrs = []
+                try:
+                    for hk, hv in (_json.loads(headers_json) or {}).items():
+                        hdrs.append((hk, str(hv).encode()))
+                except ValueError:
+                    pass
+                if len(self._hdr_cache) < 4096:
+                    self._hdr_cache[headers_json] = hdrs
+        else:
+            hdrs = []
+        self._buf.append((topic, kb, vb, hdrs))
 
     def _flush(self) -> None:
-        for (topic, part), records in sorted(self._pending.items()):
+        buf = self._buf
+        self._buf = []
+        pending: dict[tuple[str, int], list] = {}
+        if buf:
+            parts = murmur2_partitions([r[1] for r in buf], self.num_partitions)
+            for (topic, kb, vb, hdrs), part in zip(buf, parts):
+                pending.setdefault((topic, part), []).append((kb, vb, hdrs))
+        for (topic, part), records in sorted(pending.items()):
             self._add_partitions([(topic, part)])
             seq = self._sequences.get((topic, part), 0)
             batch = encode_record_batch(
@@ -547,7 +705,6 @@ class KafkaWireProducer:
             if err not in (0, ERR_DUPLICATE_SEQUENCE):
                 raise KafkaError(f"produce error {err} on {topic}-{part}", code=err)
             self._sequences[(topic, part)] = seq + len(records)
-        self._pending = {}
 
     def _add_partitions(self, parts: list[tuple[str, int]]) -> None:
         body = _str(self.txn_id)
@@ -582,7 +739,7 @@ class KafkaWireProducer:
         self._in_txn = False
 
     def abort_transaction(self) -> None:
-        self._pending = {}
+        self._buf = []
         self._end_txn(False)
         self._in_txn = False
 

@@ -214,6 +214,25 @@ class TestPrimitives:
         assert len(set(parts)) == 8  # murmur2 spreads
         assert kw.partition_for(None, 8) == 0
 
+    def test_vectorized_partitioner_matches_scalar(self):
+        # every length class 0..9 (4-byte chunks + all three tail arms),
+        # None keys, a large same-length group (vector path), and small
+        # groups (scalar fallback) — bit-identical to partition_for
+        import random
+
+        rng = random.Random(42)
+        keys: list = []
+        for L in range(10):
+            for _ in range(40):
+                keys.append(bytes(rng.randrange(256) for _ in range(L)))
+        keys += [None] * 7
+        keys += [f"evt-{i:020d}".encode() for i in range(500)]
+        rng.shuffle(keys)
+        for npart in (1, 3, 8):
+            got = kw.murmur2_partitions(keys, npart)
+            want = [kw.partition_for(k, npart) for k in keys]
+            assert got == want
+
 
 # ------------------------------------------------------------ protocol
 

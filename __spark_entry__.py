@@ -540,6 +540,43 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_documents(read_table(spark, sf_dir, "documents"))
 
 
+# the synthetic corpus is ASCII, so every normalization rule is
+# exercised by a deterministic suffix: doubled spaces, a decomposed
+# e+COMBINING ACUTE (U+0301) and i+COMBINING DIAERESIS (U+0308), a tab,
+# a BEL control byte, and trailing whitespace
+_NORM_SUFFIX = "  café\tnaïve\x07 end "
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + whitespace-collapse + trim (the
+    standard pre-tokenizer cleanup), map-only: one Arrow pass for NFC,
+    JVM regex for the rest (operators/textnorm.py)."""
+    _prep(spark)
+    from deltaforge_spark.operators.textnorm import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    suffixed = F.concat(F.col("text"), F.lit(_NORM_SUFFIX))
+    norm = normalize_text(suffixed)
+    return docs.select(
+        F.col("doc_id"),
+        F.length(suffixed).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.right(norm, F.lit(48)).alias("tail48"),
+    ).orderBy("doc_id")
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc codepoint Shannon entropy + distinct-char count — the
+    gibberish/binary-spill quality signal. Map-only numpy histogram per
+    doc (NO per-char explode: that shape shuffles ~10x corpus bytes at
+    100 TB)."""
+    _prep(spark)
+    from deltaforge_spark.operators.textnorm import char_entropy_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return char_entropy_documents(docs).orderBy("doc_id")
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 3."""
     _prep(spark)
@@ -3414,6 +3451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-sampled (added r5 after the rotation; VERDICT r5 #2) —
     # followed by the queries new this round.
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
+    "text_normalize": q_text_normalize,
+    "doc_char_entropy": q_doc_char_entropy,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5159,6 +5198,48 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
         """,
         "text_analysis": _text_analysis_oracle(),
+        # suffix = _NORM_SUFFIX: doubled spaces, decomposed e+U+0301 /
+        # i+U+0308, tab, BEL, trailing space — chr() composition keeps
+        # the SQL ASCII-only; RE2 and Java both read the \xNN classes
+        "text_normalize": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || '  cafe' || chr(769) || chr(9) || 'nai'
+                          || chr(776) || 've' || chr(7) || ' end ' AS raw
+              FROM documents
+            ), n AS (
+              SELECT doc_id, raw,
+                     trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                          '[ \\t\\n\\r]+', ' ', 'g')) AS norm
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(length(raw) AS INT) AS n_chars_raw,
+                   CAST(length(norm) AS INT) AS n_chars_norm,
+                   right(norm, 48) AS tail48
+            FROM n ORDER BY doc_id
+        """,
+        "doc_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+              FROM chars GROUP BY doc_id, ch
+            ), agg AS (
+              SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS nd,
+                     sum(c * log2(c)) AS s
+              FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+                   coalesce(a.nd, 0) AS n_distinct,
+                   round(CASE WHEN a.n > 0 THEN log2(a.n) - a.s / a.n
+                              ELSE 0.0e0 END, 6) AS char_entropy
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         "similarity_bruteforce": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings),

@@ -577,6 +577,20 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_documents(docs).orderBy("doc_id")
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings table — deterministic lowest-id seeding, EXACT integer
+    micro-unit distance arithmetic (operators/clustering.py), so the
+    oracle replays identical iterations bit-for-bit. Assignment is
+    map-only (centroids compiled into the plan as literals); the update
+    shuffles only k x d partial sums."""
+    _prep(spark)
+    from deltaforge_spark.operators.clustering import kmeans_fit_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, k=8, n_iter=2).orderBy("vec_id")
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 3."""
     _prep(spark)
@@ -3453,6 +3467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
+    "embedding_kmeans": q_embedding_kmeans,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5239,6 +5254,83 @@ def _oracle_sql_base() -> dict[str, str]:
                               ELSE 0.0e0 END, 6) AS char_entropy
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id
+        """,
+        # replays the EXACT integer iterations of kmeans_fit_assign:
+        # floor(x*1e6 + 0.5) micro-unit quantization, int sq-distances,
+        # lexicographic [dist, cluster] min for the tie rule, centroid
+        # mean = floor(int-sum / n + 0.5), empty clusters keep seeds
+        "embedding_kmeans": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster, qv
+              FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+            ),
+            d1 AS (
+              SELECT q.vec_id, q.qv, c0.cluster,
+                     list_sum(list_transform(range(1, len(q.qv)+1),
+                         i -> (q.qv[i] - c0.qv[i]) * (q.qv[i] - c0.qv[i]))) AS d
+              FROM q CROSS JOIN c0
+            ),
+            a1 AS (
+              SELECT vec_id, any_value(qv) AS qv,
+                     CAST((min([d, CAST(cluster AS BIGINT)]))[2] AS INT) AS cluster
+              FROM d1 GROUP BY vec_id
+            ),
+            e1 AS (
+              SELECT cluster, unnest(qv) AS v, generate_subscripts(qv, 1) AS dim FROM a1
+            ),
+            c1 AS (
+              SELECT cluster, dim,
+                     CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5e0) AS BIGINT) AS cv
+              FROM e1 GROUP BY cluster, dim
+            ),
+            c1l AS (SELECT cluster, list(cv ORDER BY dim) AS qv FROM c1 GROUP BY cluster),
+            c1f AS (
+              SELECT c0.cluster, coalesce(c1l.qv, c0.qv) AS qv
+              FROM c0 LEFT JOIN c1l ON c0.cluster = c1l.cluster
+            ),
+            d2 AS (
+              SELECT q.vec_id, q.qv, c1f.cluster,
+                     list_sum(list_transform(range(1, len(q.qv)+1),
+                         i -> (q.qv[i] - c1f.qv[i]) * (q.qv[i] - c1f.qv[i]))) AS d
+              FROM q CROSS JOIN c1f
+            ),
+            a2 AS (
+              SELECT vec_id, any_value(qv) AS qv,
+                     CAST((min([d, CAST(cluster AS BIGINT)]))[2] AS INT) AS cluster
+              FROM d2 GROUP BY vec_id
+            ),
+            e2 AS (
+              SELECT cluster, unnest(qv) AS v, generate_subscripts(qv, 1) AS dim FROM a2
+            ),
+            c2 AS (
+              SELECT cluster, dim,
+                     CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5e0) AS BIGINT) AS cv
+              FROM e2 GROUP BY cluster, dim
+            ),
+            c2l AS (SELECT cluster, list(cv ORDER BY dim) AS qv FROM c2 GROUP BY cluster),
+            c2f AS (
+              SELECT c1f.cluster, coalesce(c2l.qv, c1f.qv) AS qv
+              FROM c1f LEFT JOIN c2l ON c1f.cluster = c2l.cluster
+            ),
+            d3 AS (
+              SELECT q.vec_id, c2f.cluster,
+                     list_sum(list_transform(range(1, len(q.qv)+1),
+                         i -> (q.qv[i] - c2f.qv[i]) * (q.qv[i] - c2f.qv[i]))) AS d
+              FROM q CROSS JOIN c2f
+            ),
+            a3 AS (
+              SELECT vec_id, min([d, CAST(cluster AS BIGINT)]) AS best
+              FROM d3 GROUP BY vec_id
+            )
+            SELECT vec_id, CAST(best[2] AS INT) AS cluster,
+                   CAST(best[1] AS BIGINT) AS sq_dist
+            FROM a3 ORDER BY vec_id
         """,
         "similarity_bruteforce": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

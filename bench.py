@@ -100,8 +100,11 @@ def cdc_delivery_alo(spark, sf_dir) -> None:
 
     def run(rows):
         p = null_producer_factory("alo")
+        send = p.send
         for row in rows:
-            p.send(row["topic"], row["key"], row["value"], row["headers_json"])
+            # positional — same row access cost as the EOS side's
+            # _deliver_partition so the pair delta stays producer-only
+            send(row[0], row[1], row[2], row[3])
 
     payload.foreachPartition(run)
 
@@ -210,6 +213,7 @@ TREND_KERNELS = [
     "cdc_binlog_decode_staged",
     "cdc_binlog_decode_staged_xl",
     "cdc_delivery_kafka_wire",
+    "cdc_delivery_kafka_wire_drain",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -385,6 +389,61 @@ def main():
                 break
     kafka_wire_ev_per_sec = n_events / timings["cdc_delivery_kafka_wire"]
 
+    # staged wire DRAIN: the kernel above re-pays feed compute (window
+    # + envelope + to_json, ~55% of its wall) every pass; here the
+    # finished Kafka projection is staged to tmpfs once (same
+    # discipline as the binlog/pgoutput staged kernels — producing the
+    # payload is upstream capability, not delivery capability) and the
+    # timed run is scan → partition-local transactional produce →
+    # broker commit. This is the sink-stage analog of the reference's
+    # delivery path in isolation.
+    payload_path = f"/dev/shm/deltaforge-bench-data/kafka-payload-v1-sf{sf}"
+    if not os.path.isdir(payload_path):
+        from deltaforge_spark.sinks.kafka import kafka_payload as _kp
+
+        _kp(_delivery_feed(spark, sf_dir)).select(
+            "topic", "key", "value", F.to_json("headers").alias("headers_json")
+        ).write.mode("overwrite").parquet(payload_path)
+    # the 30MB staged file must not collapse to one scan partition —
+    # delivery parallelism IS the capability under test
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    try:
+        staged_payload = spark.read.parquet(payload_path)
+        staged_payload.count()  # materialize the plan under the small split size
+
+        def kafka_wire_drain_pass() -> None:
+            broker = ProcessKafkaBroker(workers=4, validate=False)
+            try:
+                _wke(
+                    staged_payload,
+                    kafka_wire_producer_factory(
+                        "127.0.0.1", broker.port, num_partitions=8
+                    ),
+                    pipeline="bench",
+                    sink_id="kafkadrain",
+                    payload_fn=lambda df, _t: df,
+                )
+                got = broker.n_committed_records()
+                if got != n_events:
+                    raise RuntimeError(
+                        f"kafka wire drain lost events: {got} != {n_events}"
+                    )
+            finally:
+                broker.close()
+
+        kwd_history: list[float] = []
+        for i in range(6):
+            kwd_history.append(
+                timed("cdc_delivery_kafka_wire_drain", kafka_wire_drain_pass)
+            )
+            if i >= 2:
+                two = sorted(kwd_history)[:2]
+                if two[1] <= two[0] * 1.10:
+                    break
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    kafka_wire_drain_ev_per_sec = n_events / timings["cdc_delivery_kafka_wire_drain"]
+
     # ---- TIER 2: delivery pair (exactly-once vs at-least-once) on
     # identical data. Estimator: MEDIAN OF PER-PAIR RATIOS, not min/min —
     # the EOS delta (reference documents ~7-11%) is smaller than
@@ -468,6 +527,7 @@ def main():
         "binlog_decode_events_per_sec_steady": round(binlog_ev_per_sec_steady),
         "pgoutput_decode_events_per_sec": round(pgoutput_ev_per_sec),
         "kafka_wire_events_per_sec": round(kafka_wire_ev_per_sec),
+        "kafka_wire_drain_events_per_sec": round(kafka_wire_drain_ev_per_sec),
         "eos_overhead_pct": eos_overhead_pct,
         "eos_overhead_iqr_pct": eos_overhead_iqr_pct,
         "eos_overhead_upper_pct": eos_overhead_upper_pct,

@@ -117,7 +117,11 @@ def transactional_id(pipeline: str, sink_id: str, partition_id: int) -> str:
 
 def _deliver_partition(rows, producer) -> int:
     """One transaction for one partition of one micro-batch, with the
-    reference's error classification (kafka.rs:679-800)."""
+    reference's error classification (kafka.rs:679-800).
+
+    ``rows`` yield positionally: (topic, key, value, headers_json, ...)
+    — Spark Rows ARE tuples, and tuple indexing skips the per-row
+    field-name lookup (4 name scans/row is measurable at 100k ev/s)."""
     try:
         producer.begin_transaction()
     except ProducerFencedError as e:
@@ -135,8 +139,9 @@ def _deliver_partition(rows, producer) -> int:
 
     n = 0
     try:
+        send = producer.send
         for row in rows:
-            producer.send(row["topic"], row["key"], row["value"], row["headers_json"])
+            send(row[0], row[1], row[2], row[3])
             n += 1
     except ProducerFencedError as e:
         raise SinkFatalError(f"producer fenced during delivery: {e}") from e

@@ -55,10 +55,9 @@ class _Rows:
         self.n = n
 
     def __iter__(self):
-        return (
-            {"topic": "t", "key": str(i), "value": f"v{i}", "headers_json": None}
-            for i in range(self.n)
-        )
+        # positional (topic, key, value, headers_json) — the
+        # _deliver_partition row contract (Spark Rows are tuples)
+        return (("t", str(i), f"v{i}", None) for i in range(self.n))
 
 
 class _FailingSendProducer:

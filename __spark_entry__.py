@@ -3459,6 +3459,28 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(read_table(spark, sf_dir, "embeddings"))
 
 
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (2 rounds, d=0.85) over a synthetic host-link
+    graph derived from documents — the web-graph quality weight crawl
+    curation attaches to hosts (operators/graph.py). Exact int64
+    micro-unit arithmetic end-to-end, so the oracle replays both
+    rounds bit-for-bit; every stage shuffles on one node-id key."""
+    _prep(spark)
+    from deltaforge_spark.operators.graph import pagerank, weighted_edges
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 101).alias("dst"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") % 101).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 101).alias("dst"),
+        )
+    )
+    return pagerank(weighted_edges(pairs), n_iter=2).orderBy("node")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3468,6 +3490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
     "embedding_kmeans": q_embedding_kmeans,
+    "web_pagerank": q_web_pagerank,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5331,6 +5354,51 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT vec_id, CAST(best[2] AS INT) AS cluster,
                    CAST(best[1] AS BIGINT) AS sq_dist
             FROM a3 ORDER BY vec_id
+        """,
+        "web_pagerank": """
+            WITH pairs AS (
+              SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 101, (doc_id * 17 + 3) % 101 FROM documents
+            ),
+            e AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+              FROM pairs WHERE src <> dst GROUP BY src, dst
+            ),
+            outw AS (SELECT src, sum(weight) AS out_w FROM e GROUP BY src),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+            c1 AS (
+              SELECT e.dst AS node,
+                     sum((r0.rank_micro * e.weight) // o.out_w) AS s
+              FROM e JOIN outw o ON e.src = o.src
+                     JOIN r0 ON e.src = r0.node
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT)
+                       AS rank_micro
+              FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+            ),
+            c2 AS (
+              SELECT e.dst AS node,
+                     sum((r1.rank_micro * e.weight) // o.out_w) AS s
+              FROM e JOIN outw o ON e.src = o.src
+                     JOIN r1 ON e.src = r1.node
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT)
+                       AS rank_micro
+              FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+            )
+            SELECT node, rank_micro FROM r2 ORDER BY node
         """,
         "similarity_bruteforce": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

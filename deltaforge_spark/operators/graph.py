@@ -1,0 +1,123 @@
+"""Weighted PageRank over a link graph — the web-graph quality signal
+training-data pipelines attach to crawl-derived corpora (harmonic /
+PageRank centrality is the standard "is this host worth keeping"
+weight in CommonCrawl curation; the reference ships host-level corpus
+statistics, this operator adds the graph-centrality tier on top).
+
+Engine-reproducible by construction: all arithmetic is EXACT int64.
+Ranks live in micro-units (1.0 == 1_000_000); each round computes
+
+    contrib(u -> v) = (rank(u) * w(u,v)) div out_weight(u)
+    rank'(v)        = teleport + (damp_num * sum(contrib)) div damp_den
+
+with integer division only (``div`` truncation == DuckDB ``//`` floor
+for the non-negative values here), so partial-sum order can never
+change a bit and the DuckDB oracle replays identical rounds CTE by
+CTE.  Dangling mass (nodes with no out-edges) is dropped — the
+documented choice of the original formulation; totals are therefore
+not conserved, which is irrelevant for the ranking use.
+
+Scale shape (100-TB corpus => billions of edges, ~1e8 hosts):
+- the weighted edge list is built once (groupBy (src, dst) count — one
+  shuffle) and ``persist``ed; out-weights are one more counts-only
+  groupBy on src.
+- each round is one hash join ranks-on-src + one groupBy dst partial
+  sum + one left join back to the node set: every stage shuffles on a
+  single node-id key with map-side combine, nothing is ever collected
+  to the driver, and AQE is free to pick shuffle-hash vs broadcast as
+  the rank table is always |V| rows regardless of |E|.
+- rounds are driver-coordinated with a ``persist`` per round as the
+  lineage barrier (same discipline as dedup.connected_components —
+  the next round plans against the InMemoryRelation, not the
+  compounded join history).  n_iter is small and fixed; convergence
+  probing is unnecessary for the ranking use and would cost one probe
+  job per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MICRO = 1_000_000
+
+
+def weighted_edges(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(src, dst) event pairs -> distinct weighted edges
+    (src, dst, weight).  Self-loops are dropped (they only recycle rank
+    into itself and every public formulation excludes them)."""
+    return (
+        pairs.filter(F.col(src) != F.col(dst))
+        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 2,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Exact-integer weighted PageRank.
+
+    ``edges`` is (src, dst, weight) with positive integer weights.
+    Returns (node, rank_micro): every node appearing as src or dst,
+    with its rank after ``n_iter`` rounds in int64 micro-units.
+
+    teleport = (damp_den - damp_num) * MICRO div damp_den, i.e. the
+    per-node (1 - d) term of the classic per-node formulation
+    r(v) = (1-d) + d * sum_u r(u) * w(u,v) / W(u).
+    """
+    e = edges.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+    e = e.persist()
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    teleport = ((damp_den - damp_num) * MICRO) // damp_den
+
+    ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("rank_micro"))
+    prev = None
+    for _ in range(n_iter):
+        # contrib(u->v) = (r(u) * w) div W(u); sum over in-edges of v.
+        contrib = (
+            e.join(out_w, "src")
+            .join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro * weight div out_w").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"{damp_num} * coalesce(s, 0L) div {damp_den}")
+                ).alias("rank_micro"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize: lineage barrier per round
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = new_ranks, new_ranks
+    return ranks
+
+
+def pagerank_top_hosts(
+    edges: DataFrame, *, n_iter: int = 2, top_n: int = 25
+) -> DataFrame:
+    """Ranking view: top-N nodes by rank with a dense position column.
+    TakeOrderedAndProject shape — never a global sort of |V|."""
+    ranks = pagerank(edges, n_iter=n_iter)
+    top = ranks.orderBy(F.desc("rank_micro"), "node").limit(top_n)
+    w = F.row_number().over(Window.orderBy(F.desc("rank_micro"), "node"))
+    return top.withColumn("position", w)

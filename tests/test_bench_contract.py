@@ -31,6 +31,7 @@ SYNTHETIC_KERNELS = {
     "cdc_binlog_decode_staged_xl",
     "cdc_pgoutput_decode_staged",
     "cdc_delivery_kafka_wire",
+    "cdc_delivery_kafka_wire_drain",
     "cdc_delivery_alo",
     "cdc_delivery_eos",
 }

@@ -3481,6 +3481,68 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(weighted_edges(pairs), n_iter=2).orderBy("node")
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): every event
+    assigned to a per-user 30-min-inactivity session, reduced to
+    per-session facts. One shuffle on user_id for the shared
+    lag/running-sum window pair, then a map-side-combined groupBy on
+    (user_id, session_seq) — the conversation-assembly primitive a
+    chat-corpus pipeline runs before packing."""
+    _prep(spark)
+    from deltaforge_spark.operators.sessions import session_stats
+
+    return session_stats(read_table(spark, sf_dir, "events"))
+
+
+def q_sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (sketches.py countmin_*) over document
+    whitespace tokens: d=3 md5-row hashes x w=1024 counters, point
+    estimates for the 20 most frequent tokens joined against the exact
+    counts. Registers are one map-side-combined groupBy bounded at d*w
+    rows regardless of corpus size; probes equi-join that bounded table
+    — at 100 TB this is the only way a token-frequency report avoids
+    materializing the full vocabulary."""
+    _prep(spark)
+    from deltaforge_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_registers,
+    )
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = truth.orderBy(F.desc("true_count"), "token").limit(20)
+    regs = countmin_registers(toks, "token")
+    est = countmin_estimate(top.select("token"), regs, "token")
+    return top.join(est, "token").select("token", "true_count", "cm_est")
+
+
+def q_events_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled quantiles — the 100-TB path for value-distribution
+    reports: a DETERMINISTIC 1-in-10 sample (48 md5 bits of event_id
+    mod 10, engine-portable, no RNG state) feeds the exact interpolated
+    percentile machinery (timeseries.percentiles_exact). The sample is
+    a pushed-down map-side filter, so the per-key sort that dominates
+    exact quantiles runs over a tenth of the stream; the estimator is
+    the standard uniform-sample quantile."""
+    _prep(spark)
+    from deltaforge_spark.operators.timeseries import percentiles_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    keep = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 10
+        == 0
+    )
+    sampled = ev.filter(keep).select("event_type", "value")
+    out = percentiles_exact(sampled, "event_type", "value", [0.5, 0.9, 0.99])
+    return out.select("event_type", "q", F.round("value", 6).alias("value_q"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3491,6 +3553,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_char_entropy": q_doc_char_entropy,
     "embedding_kmeans": q_embedding_kmeans,
     "web_pagerank": q_web_pagerank,
+    "events_sessionize": q_events_sessionize,
+    "sketch_countmin_tokens": q_sketch_countmin_tokens,
+    "events_sampled_percentiles": q_events_sampled_percentiles,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4184,6 +4249,64 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _sessionize_oracle() -> str:
+    from deltaforge_spark.operators.sessions import session_stats_oracle_sql
+
+    return session_stats_oracle_sql("events")
+
+
+def _countmin_tokens_oracle() -> str:
+    from deltaforge_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_oracle_sql,
+    )
+
+    toks = (
+        "(SELECT tok FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +'))"
+        " AS tok FROM documents) WHERE tok <> '')"
+    )
+    regs = countmin_oracle_sql(toks, "tok", d=CM_DEPTH, w=CM_WIDTH)
+    return f"""
+        WITH regs AS ({regs}),
+        truth AS (
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_count
+            FROM {toks} GROUP BY tok
+        ),
+        top AS (
+            SELECT token, true_count FROM truth
+            ORDER BY true_count DESC, token LIMIT 20
+        ),
+        probes AS (
+            SELECT token, i.range AS row,
+                   CAST(('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' || token), 1, 12))
+                        AS BIGINT) % {CM_WIDTH} AS bucket
+            FROM top, range({CM_DEPTH}) i
+        ),
+        est AS (
+            SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est
+            FROM probes LEFT JOIN regs USING (row, bucket)
+            GROUP BY token
+        )
+        SELECT top.token, true_count, cm_est FROM top JOIN est USING (token)
+    """
+
+
+def _sampled_percentiles_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import percentiles_oracle_sql
+
+    sampled = (
+        "(SELECT event_type, value FROM events"
+        " WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))"
+        " AS BIGINT) % 10 = 0)"
+    )
+    inner = percentiles_oracle_sql(sampled, "event_type", "value", [0.5, 0.9, 0.99])
+    return f"""
+        SELECT k AS event_type, q, round(value, 6) AS value_q
+        FROM ({inner})
+    """
+
+
 def _audience_overlap_oracle() -> str:
     from deltaforge_spark.operators.sketches import kmv_oracle_sql
 
@@ -4626,6 +4749,9 @@ def _oracle_sql_base() -> dict[str, str]:
                   < t.thresh
         """,
         "sketch_hll_users": _sketch_hll_oracle(),
+        "events_sessionize": _sessionize_oracle(),
+        "sketch_countmin_tokens": _countmin_tokens_oracle(),
+        "events_sampled_percentiles": _sampled_percentiles_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),
         "audience_overlap": _audience_overlap_oracle(),
         "sketch_bloom_membership": """

@@ -321,3 +321,85 @@ def bloom_probe(
         probe_col,
         (F.coalesce(F.col("_nhit"), F.lit(0)) == k).alias("claimed"),
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -----------------
+#
+# The reference's schema-sensing pairs its HLL with a SpaceSaving
+# heavy-hitter pass (high_cardinality.rs); Count-Min is the mergeable
+# counterpart for FREQUENCY estimation — the sketch every token-level
+# corpus report rides at 100 TB, where the true token->count table is
+# itself too wide to keep. d independent hash rows x w buckets of
+# partial-aggregatable SUMs; point estimate = min over rows.
+#
+# Engine-portable determinism: row-i hash = 48 bits of md5(i || ':' ||
+# value) mod w — same idiom as the HLL/KMV/Bloom tiers above, integer
+# end-to-end, so a SQL oracle replays registers AND estimates exactly.
+
+CM_DEPTH = 3
+CM_WIDTH = 1024
+
+
+def _cm_bucket(value: Column, i: int, w: int) -> Column:
+    hx = F.md5(F.concat(F.lit(f"{i}:"), value.cast("string")))
+    return F.conv(F.substring(hx, 1, 12), 16, 10).cast("long") % w
+
+
+def countmin_registers(
+    df: DataFrame, value_col: str, *, d: int = CM_DEPTH, w: int = CM_WIDTH
+) -> DataFrame:
+    """(row, bucket, cnt) register table — the mergeable sketch state.
+    One groupBy with map-side combine; at most d*w rows out regardless
+    of input size (d explode is a map-side constant factor)."""
+    pos = F.posexplode(
+        F.array(*[_cm_bucket(F.col(value_col), i, w) for i in range(d)])
+    )
+    return (
+        df.select(pos.alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    registers: DataFrame,
+    probe_col: str,
+    *,
+    d: int = CM_DEPTH,
+    w: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query each probe value: (probe_col, cm_est) with
+    cm_est = min over rows of that row's bucket counter (0 if the
+    bucket is empty — the value was never inserted).
+
+    Scale shape: probes explode to d rows and equi-join the register
+    table on (row, bucket) — probe side is small (a report's head),
+    register side is bounded at d*w rows, so AQE broadcasts whichever
+    is smaller; never a scan of the raw input."""
+    ppos = probes.select(
+        F.col(probe_col),
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col(probe_col), i, w) for i in range(d)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        ppos.join(registers, ["row", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
+    )
+
+
+def countmin_oracle_sql(
+    table_expr: str, value_expr: str, *, d: int = CM_DEPTH, w: int = CM_WIDTH
+) -> str:
+    """Register table as ANSI SQL (DuckDB dialect): same md5 row
+    hashes, same bucket math, same counts."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {i} AS row,
+                   CAST(('0x' || substr(md5('{i}:' || CAST({value_expr} AS VARCHAR)), 1, 12))
+                        AS BIGINT) % {w} AS bucket
+            FROM {table_expr}"""
+        for i in range(d)
+    )
+    return f"SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM ({rows}) GROUP BY row, bucket"

@@ -532,3 +532,51 @@ def test_q21_aggregates_before_joinback(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_sessionize_single_user_exchange_no_python(spark, sf_dir):
+    """events_sessionize: lag + running-sum share ONE user_id window
+    spec and the per-session groupBy hash-aggregates on top — exactly
+    one exchange of the event stream plus the final agg exchange, no
+    sort of the full stream beyond the per-user window sort, no
+    Python operators."""
+    p = plan_str(entry.queries()["events_sessionize"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+    assert p.count("Exchange (") <= 2, p
+
+
+def test_countmin_registers_bounded_no_cartesian(spark, sf_dir):
+    """sketch_countmin_tokens: the probe side joins the d*w-bounded
+    register table — never the raw token stream — and every join is
+    hash/broadcast, never cartesian; the whole sketch stays JVM-side."""
+    p = plan_str(entry.queries()["sketch_countmin_tokens"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
+def test_sampled_percentiles_filter_before_window(spark, sf_dir):
+    """events_sampled_percentiles: the deterministic hash sample is a
+    map-side Filter BELOW the window sort (the plan's only Sort nodes
+    are the per-key window sorts over the sampled tenth), and the scan
+    prunes to the 3 needed columns."""
+    p = plan_str(entry.queries()["events_sampled_percentiles"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    for unused in ("props", "user_id"):
+        assert unused not in read_schema[0], read_schema[0]
+
+
+def test_pagerank_hash_joins_only_rank_side_exchange(spark, sf_dir):
+    """web_pagerank: every per-round join is keyed on a single node-id
+    column (hash or AQE-chosen broadcast) — no cartesian, no Python,
+    no global sort except the final small orderBy of |V| rows."""
+    p = plan_str(entry.queries()["web_pagerank"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p

@@ -3494,6 +3494,46 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(read_table(spark, sf_dir, "events"))
 
 
+def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization as ``events_sessionize`` executed through
+    Structured Streaming (streaming/sessions_stream.py): readStream over
+    the events parquet, applyInPandasWithState keyed on user_id tagging
+    every event with its session number (state = two longs per user),
+    availableNow drain, then the per-session reduction as an ordinary
+    batch aggregation over the tagged rows — and the SAME DuckDB oracle,
+    so the stateful streaming path is hash-checked against SQL. The
+    stream-vs-batch parity discipline of events_windowed_stream applied
+    to custom state."""
+    import time as _time
+
+    from deltaforge_spark.sources.snapshot import _normalize_event_ts, _staged_path
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+    from deltaforge_spark.streaming.sessions_stream import streaming_sessionize
+
+    _prep(spark)
+    path = _staged_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    tagged = streaming_sessionize(_normalize_event_ts(raw))
+    drained = run_stream_to_memory(
+        tagged,
+        name=f"events_sessionize_stream_{int(_time.time() * 1000)}",
+        output_mode="append",
+    )
+    return drained.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(min(ts) DIV 1000000 AS BIGINT)").alias("start_ms"),
+        F.expr("CAST(max(ts) DIV 1000000 AS BIGINT)").alias("end_ms"),
+        F.expr("CAST((max(ts) - min(ts)) DIV 1000000000 AS BIGINT)").alias(
+            "duration_s"
+        ),
+    )
+
+
 def q_sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (sketches.py countmin_*) over document
     whitespace tokens: d=3 md5-row hashes x w=1024 counters, point
@@ -3554,6 +3594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "web_pagerank": q_web_pagerank,
     "events_sessionize": q_events_sessionize,
+    "events_sessionize_stream": q_events_sessionize_stream,
     "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "events_sampled_percentiles": q_events_sampled_percentiles,
     "doc_perplexity_filter": q_doc_perplexity,
@@ -4750,6 +4791,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "sketch_hll_users": _sketch_hll_oracle(),
         "events_sessionize": _sessionize_oracle(),
+        "events_sessionize_stream": _sessionize_oracle(),
         "sketch_countmin_tokens": _countmin_tokens_oracle(),
         "events_sampled_percentiles": _sampled_percentiles_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

@@ -3583,6 +3583,21 @@ def q_events_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "q", F.round("value", 6).alias("value_q"))
 
 
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (keywords.bm25_search): top-20 documents by
+    summed BM25 relevance to a fixed query-term set — the keyword tier
+    a RAG / decontamination pipeline runs beside the embedding ANN
+    index. Pushed term-set filter on the TF table, broadcast IDF and
+    avgdl, fixed-order float summation so the oracle replays the
+    ranking bit-for-bit, TakeOrderedAndProject top-k."""
+    _prep(spark)
+    from deltaforge_spark.operators.keywords import bm25_search
+
+    return bm25_search(
+        read_table(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=20
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3597,6 +3612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize_stream": q_events_sessionize_stream,
     "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "events_sampled_percentiles": q_events_sampled_percentiles,
+    "doc_bm25_search": q_doc_bm25_search,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4935,6 +4951,52 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
                    CAST(tf AS BIGINT) AS tf, score
             FROM ranked WHERE rank <= 5
+        """,
+        # bm25_search: same token/TF idiom as doc_tfidf_keywords; the
+        # saturation constants appear as (1.2e0 + 1) / 0.25e0 + 0.75e0
+        # EXPRESSIONS so both engines derive the identical doubles, and
+        # the per-doc total is the same fixed-order 3-term addition
+        "doc_bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+            idf AS (
+                SELECT term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+                FROM qtf, n GROUP BY term, n.n_docs
+            ),
+            avgl AS (SELECT avg(dl) AS avgdl FROM dl),
+            scored AS (
+                SELECT q.doc_id, q.term,
+                       idf.idf * (q.tf * (1.2e0 + 1))
+                           / (q.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / avgl.avgdl))
+                           AS s
+                FROM qtf q JOIN idf USING (term) JOIN dl USING (doc_id), avgl
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                       coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+                     + coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+                     + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+                         AS total
+                FROM scored GROUP BY doc_id
+            ),
+            ranked AS (
+                SELECT doc_id, n_terms, round(total, 6) AS score,
+                       row_number() OVER (ORDER BY round(total, 6) DESC, doc_id)
+                           AS rank
+                FROM agg
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, n_terms, score
+            FROM ranked WHERE rank <= 20
         """,
         "pii_scan": _pii_scan_oracle(),
         # the add-one unigram LM + micro-unit surprisal (operators/lm.py):

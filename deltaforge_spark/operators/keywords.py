@@ -114,3 +114,79 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "score")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Retrieval-style ranked search: the top-``k`` documents by summed
+    BM25 relevance to a fixed query-term set — the lexical-retrieval
+    tier a RAG/decontamination pipeline runs next to the embedding ANN
+    index (operators/similarity.py): same corpus statistics as
+    ``tfidf_keywords(scoring="bm25")``, aggregated per document instead
+    of per term.
+
+    Returns (doc_id, rank, n_terms, score): rank by (score desc,
+    doc_id), n_terms = how many query terms matched.
+
+    Determinism: the per-document total is a FIXED-ORDER sum of the
+    per-term scores (one conditional-agg column per query term, added
+    left-to-right), never a float SUM whose partial order an engine
+    could pick — so an independent SQL engine reproduces the ranking
+    bit-for-bit. Rounded 6dp, ranked on the rounded value.
+
+    Scale shape: the query-term filter on the TF table is a pushed
+    equality-set predicate, so the scored stream is |terms|·|matching
+    docs| rows; IDF and avgdl are one-row/vocab-sized broadcasts; the
+    doc-length join is doc-keyed; top-k is orderBy().limit() —
+    TakeOrderedAndProject, never a global sort.
+    """
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qtf = tf.filter(F.col("term").isin(list(query_terms)))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    idf = document_frequencies(qtf).select(
+        "term",
+        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    avg_len = doc_len.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        qtf.join(F.broadcast(idf), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avg_len))
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), *per_term
+    )
+    total = F.col("_s0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"_s{i}")
+    ranked = (
+        agg.withColumn("score", F.round(total, 6))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", F.col("n_terms").cast("long").alias("n_terms"), "score"
+    )

@@ -95,3 +95,25 @@ def test_countmin_registers_bounded_and_mergeable(spark):
     )
     whole = countmin_registers(a.unionByName(b), "v", d=2, w=32)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bm25_search_ranks_matching_docs(spark):
+    from deltaforge_spark.operators.keywords import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),   # heavy on both terms
+            (2, "hash scan scan scan scan"),   # one term, low tf share
+            (3, "sort merge only here today"), # no match
+            (4, "join vector"),                # two terms, short doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["hash", "join", "vector"], k=10).collect()
+    got = {r["doc_id"]: (r["rank"], r["n_terms"]) for r in rows}
+    assert 3 not in got  # no query term -> not retrieved
+    assert got[4][1] == 2 and got[1][1] == 2 and got[2][1] == 1
+    # short doc matching two terms incl. the rare one outranks all
+    assert got[4][0] == 1
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[1] > scores[2]  # more matched mass, same length norm family

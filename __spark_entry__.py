@@ -3598,6 +3598,18 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textanalysis.bigram_pmi): top-20 adjacent
+    bigrams by pointwise mutual information, min count 5 — the
+    multiword-unit signal a tokenizer-curation report surfaces.
+    Pair generation is map-only zip-against-tail (no self-join); the
+    rest is counts-only shuffles and term-keyed count joins."""
+    _prep(spark)
+    from deltaforge_spark.operators.textanalysis import bigram_pmi
+
+    return bigram_pmi(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3613,6 +3625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "events_sampled_percentiles": q_events_sampled_percentiles,
     "doc_bm25_search": q_doc_bm25_search,
+    "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4306,6 +4319,12 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _bigram_pmi_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import bigram_pmi_oracle_sql
+
+    return bigram_pmi_oracle_sql("documents")
+
+
 def _sessionize_oracle() -> str:
     from deltaforge_spark.operators.sessions import session_stats_oracle_sql
 
@@ -4808,6 +4827,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "sketch_hll_users": _sketch_hll_oracle(),
         "events_sessionize": _sessionize_oracle(),
         "events_sessionize_stream": _sessionize_oracle(),
+        "doc_bigram_pmi": _bigram_pmi_oracle(),
         "sketch_countmin_tokens": _countmin_tokens_oracle(),
         "events_sampled_percentiles": _sampled_percentiles_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

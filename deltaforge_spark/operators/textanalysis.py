@@ -174,3 +174,120 @@ def bpe_merge_tokens_oracle_sql(text_expr: str) -> str:
     n = f"len(list_filter(string_split_regex(trim({s}), ' +'), x -> x <> '|'))"
     empty = f"trim(regexp_replace({text_expr}, '[^A-Za-z0-9 ]', '', 'g')) = ''"
     return f"(CASE WHEN {empty} THEN 0 ELSE {n} END)"
+
+
+# ---------------------------------------------------- collocations (PMI)
+#
+# Pointwise mutual information of ADJACENT token pairs — the classic
+# collocation signal (Church & Hanks 1990) a corpus report uses to
+# surface multiword units worth protecting from tokenizer splits.
+#
+# Scale shape: pair generation is MAP-ONLY (zip_with of the token array
+# against its own tail — no posexplode self-join), then two counts-only
+# groupBys (bigram, unigram) and term-keyed joins of count tables; the
+# corpus-total is a one-row broadcast. Top-k is orderBy().limit() —
+# TakeOrderedAndProject over the min-count survivors.
+#
+# Determinism: counts are exact ints; pmi = ln((N·c12)/(c1·c2)) is
+# written as ONE expression string evaluated by both engines with the
+# same op order (doubles first, one division, one ln), rounded 6dp,
+# ranked on the rounded value with (w1, w2) tiebreak.
+
+PMI_EXPR = (
+    "round(ln((CAST({N} AS DOUBLE) * CAST(c12 AS DOUBLE))"
+    " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6)"
+)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-token bigrams by PMI with bigram count >=
+    ``min_count``: (w1, w2, c12, pmi)."""
+    a = tokens(F.lower(F.col(text_col)))
+    n = F.size(a)
+    pairs = F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(PMI_EXPR.format(N="n_total")).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), "pmi")
+    )
+
+
+def bigram_pmi_oracle_sql(
+    table_expr: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> str:
+    """The identical algebra as DuckDB SQL — same tokenization, same
+    zip-against-tail pairing, same single-expression PMI."""
+    pmi = PMI_EXPR.format(N="n_total")
+    return f"""
+        WITH arr AS (
+            SELECT string_split_regex(trim(lower({text_col})), ' +') AS a
+            FROM {table_expr}
+        ),
+        big AS (
+            SELECT z[1] AS w1, z[2] AS w2
+            FROM (SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM arr)
+            WHERE z[1] <> '' AND z[2] <> ''
+        ),
+        bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big GROUP BY w1, w2 HAVING count(*) >= {min_count}
+        ),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim(lower({text_col})), ' +')) AS w
+                FROM {table_expr}
+            ) WHERE w <> '' GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        scored AS (
+            SELECT bc.w1, bc.w2, bc.c12,
+                   {pmi} AS pmi
+            FROM bc
+            JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+            JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+            CROSS JOIN tot
+        )
+        SELECT w1, w2, c12, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT {k}
+    """

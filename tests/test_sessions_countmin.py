@@ -117,3 +117,22 @@ def test_bm25_search_ranks_matching_docs(spark):
     assert got[4][0] == 1
     scores = {r["doc_id"]: r["score"] for r in rows}
     assert scores[1] > scores[2]  # more matched mass, same length norm family
+
+
+def test_bigram_pmi_prefers_exclusive_pairs(spark):
+    from deltaforge_spark.operators.textanalysis import bigram_pmi
+
+    # "x y" always co-occur (exclusive partners); "a b" co-occur but both
+    # words also appear independently everywhere else -> lower PMI.
+    docs = spark.createDataFrame(
+        [(i, "x y a b a c b d a e b f") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = bigram_pmi(docs, min_count=5, k=10).collect()
+    assert rows, "no bigram survived min_count"
+    by_pair = {(r["w1"], r["w2"]): (r["c12"], r["pmi"]) for r in rows}
+    assert by_pair[("x", "y")][0] == 5
+    assert by_pair[("x", "y")][1] > by_pair[("a", "b")][1]
+    # ranked on rounded pmi desc with (w1, w2) tiebreak
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

@@ -136,3 +136,39 @@ def test_bigram_pmi_prefers_exclusive_pairs(spark):
     # ranked on rounded pmi desc with (w1, w2) tiebreak
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from deltaforge_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens -> 3 chunks at size 3 stride 2
+            (2, "x y"),             # shorter than a chunk -> exactly 1
+            (3, ""),                # degenerate -> 1 chunk, the '' token
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=3, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"]) for r in rows}
+    assert got == {
+        (1, 0): (3, "a b c"),
+        (1, 1): (3, "c d e"),
+        (1, 2): (3, "e f g"),
+        (2, 0): (2, "x y"),
+        (3, 0): (1, ""),
+    }
+    # every token position is covered and consecutive chunks overlap by 1
+    assert got[(1, 1)][1].split()[0] == got[(1, 0)][1].split()[-1]
+
+
+def test_chunk_documents_no_overlap_partition(spark):
+    from deltaforge_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, " ".join(str(i) for i in range(10)))],
+                                 "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=4).collect()
+    chunks = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])]
+    assert chunks == ["0 1 2 3", "4 5 6 7", "8 9"]
+    # stride == chunk: disjoint cover, token-exact
+    assert " ".join(chunks).split() == [str(i) for i in range(10)]

@@ -3623,6 +3623,28 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted label propagation (graph.py
+    label_propagation, min-label tiebreak) over the same synthetic
+    host-link graph as web_pagerank — the community tier of crawl
+    curation (group hosts before per-community quotas). Two synchronous
+    rounds; every stage is keyed on one node-id column."""
+    _prep(spark)
+    from deltaforge_spark.operators.graph import label_propagation, weighted_edges
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 101).alias("dst"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") % 101).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 101).alias("dst"),
+        )
+    )
+    return label_propagation(weighted_edges(pairs), n_iter=2).orderBy("node")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3640,6 +3662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_search": q_doc_bm25_search,
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_chunking": q_doc_chunking,
+    "web_communities": q_web_communities,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4849,6 +4872,49 @@ def _oracle_sql_base() -> dict[str, str]:
         "events_sessionize_stream": _sessionize_oracle(),
         "doc_bigram_pmi": _bigram_pmi_oracle(),
         "doc_chunking": _chunking_oracle(),
+        "web_communities": """
+            WITH pairs AS (
+              SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 101, (doc_id * 17 + 3) % 101 FROM documents
+            ),
+            e AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+              FROM pairs WHERE src <> dst GROUP BY src, dst
+            ),
+            sym AS (
+              SELECT src, dst, CAST(sum(weight) AS BIGINT) AS w FROM (
+                SELECT src, dst, weight FROM e
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM e
+              ) GROUP BY src, dst
+            ),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+            v1 AS (
+              SELECT sym.src AS node, l0.label, sum(w) AS vote_w
+              FROM sym JOIN l0 ON sym.dst = l0.node GROUP BY 1, 2
+            ),
+            l1 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY vote_w DESC, label ASC) AS rk
+                FROM v1) WHERE rk = 1
+            ),
+            v2 AS (
+              SELECT sym.src AS node, l1.label, sum(w) AS vote_w
+              FROM sym JOIN l1 ON sym.dst = l1.node GROUP BY 1, 2
+            ),
+            l2 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY vote_w DESC, label ASC) AS rk
+                FROM v2) WHERE rk = 1
+            )
+            SELECT node, CAST(label AS BIGINT) AS label FROM l2 ORDER BY node
+        """,
         "sketch_countmin_tokens": _countmin_tokens_oracle(),
         "events_sampled_percentiles": _sampled_percentiles_oracle(),
         "sketch_vocab_hll": _sketch_vocab_oracle(),

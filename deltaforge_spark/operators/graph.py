@@ -121,3 +121,63 @@ def pagerank_top_hosts(
     top = ranks.orderBy(F.desc("rank_micro"), "node").limit(top_n)
     w = F.row_number().over(Window.orderBy(F.desc("rank_micro"), "node"))
     return top.withColumn("position", w)
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection —
+    Raghavan et al. 2007, made deterministic): every node starts as its
+    own label; each round, a node adopts the label with the greatest
+    total incident edge weight among its neighbors, ties broken by the
+    SMALLEST label. Undirected: edges are symmetrized first.
+
+    Returns (node, label) after ``n_iter`` rounds. Fully deterministic
+    (the classic formulation breaks ties randomly; min-label makes
+    every engine agree), integer-only, so a SQL oracle replays rounds
+    CTE by CTE.
+
+    Scale shape: one symmetrize union + groupBy; each round is one
+    hash join labels-on-src + one (node, label) partial-sum groupBy +
+    one node-keyed window argmax — every stage keyed on a single
+    node-id column, map-side combined, |labels| <= |V| rows. Same
+    persist-per-round lineage barrier as pagerank/CC.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst", "weight")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("w"))
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    prev = None
+    w_arg = Window.partitionBy("node").orderBy(F.desc("vote_w"), F.asc("label"))
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label", "w")
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("vote_w"))
+        )
+        new_labels = (
+            votes.withColumn("_rk", F.row_number().over(w_arg))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        new_labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = new_labels, new_labels
+    sym.unpersist()
+    return labels

@@ -73,3 +73,55 @@ def test_top_hosts_view_limits_and_positions(spark):
     assert [r["position"] for r in rows] == [1, 2, 3]
     micros = [r["rank_micro"] for r in rows]
     assert micros == sorted(micros, reverse=True)
+
+
+def _lp_model(edges, n_iter):
+    # symmetrize with weight sum
+    sym = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        sym[(s, d)] = sym.get((s, d), 0) + w
+        sym[(d, s)] = sym.get((d, s), 0) + w
+    nodes = {s for s, _ in sym}
+    label = {n: n for n in nodes}
+    for _ in range(n_iter):
+        votes = {}
+        for (s, d), w in sym.items():
+            votes.setdefault(s, {})
+            votes[s][label[d]] = votes[s].get(label[d], 0) + w
+        label = {
+            n: min(ls, key=lambda l: (-ls[l], l)) for n, ls in votes.items()
+        }
+    return label
+
+
+@pytest.mark.parametrize("n_iter", [1, 2, 3])
+def test_label_propagation_matches_model(spark, n_iter):
+    from deltaforge_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(EDGES, "src long, dst long, weight long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, n_iter=n_iter).collect()
+    }
+    assert got == _lp_model(EDGES, n_iter)
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    from deltaforge_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b, 1) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique2 = [(a, b, 1) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    bridge = [(3, 10, 1)]
+    e = spark.createDataFrame(
+        clique1 + clique2 + bridge, "src long, dst long, weight long"
+    )
+    got = {
+        r["node"]: r["label"] for r in label_propagation(e, n_iter=3).collect()
+    }
+    # each clique collapses to its min label; the single bridge edge
+    # cannot outvote two intra-clique edges
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]

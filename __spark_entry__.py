@@ -3645,6 +3645,26 @@ def q_web_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(weighted_edges(pairs), n_iter=2).orderBy("node")
 
 
+def q_lake_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout.py): Morton-interleave
+    (user_id, hour) as exact 62-bit column bit math, bucket by z-prefix
+    (map-only, no sort), and report per-bucket min/max bounds on BOTH
+    dimensions — the property that lets parquet row-group stats prune
+    2-D predicates after a zorder_layout write. The write-side
+    clustering itself is repartitionByRange on the z-value (sampled
+    ranges, no global sort)."""
+    _prep(spark)
+    from deltaforge_spark.operators.layout import zorder_bucket_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return zorder_bucket_stats(
+        ev,
+        "user_id % 1024",
+        "(ts DIV 3600000000000) % 1024",
+        bucket_shift=16,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3663,6 +3683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_chunking": q_doc_chunking,
     "web_communities": q_web_communities,
+    "lake_zorder_stats": q_lake_zorder_stats,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4356,6 +4377,17 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _zorder_oracle() -> str:
+    from deltaforge_spark.operators.layout import zorder_bucket_stats_oracle_sql
+
+    return zorder_bucket_stats_oracle_sql(
+        "(SELECT user_id, epoch_ns(ts) AS ts_ns FROM events)",
+        "user_id % 1024",
+        "(ts_ns // 3600000000000) % 1024",
+        bucket_shift=16,
+    )
+
+
 def _chunking_oracle() -> str:
     from deltaforge_spark.operators.chunking import chunk_documents_oracle_sql
 
@@ -4872,6 +4904,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "events_sessionize_stream": _sessionize_oracle(),
         "doc_bigram_pmi": _bigram_pmi_oracle(),
         "doc_chunking": _chunking_oracle(),
+        "lake_zorder_stats": _zorder_oracle(),
         "web_communities": """
             WITH pairs AS (
               SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst

@@ -3665,6 +3665,30 @@ def q_lake_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared ``lang`` x predicted
+    ``lang_pred`` (textanalysis.language_id) with per-declared-lang
+    share — the eval every corpus language classifier publishes.
+    Two counts-only groupBys joined on the tiny lang key; the ratio is
+    one double division of exact ints, rounded 6dp."""
+    _prep(spark)
+    from deltaforge_spark.operators.textanalysis import language_id
+
+    preds = read_table(spark, sf_dir, "documents").select(
+        "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+    cell = preds.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    total = preds.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return cell.join(total, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_lang").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3684,6 +3708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunking": q_doc_chunking,
     "web_communities": q_web_communities,
     "lake_zorder_stats": q_lake_zorder_stats,
+    "doc_lang_confusion": q_doc_lang_confusion,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4377,6 +4402,36 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _lang_confusion_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n              ".join(
+        f"{_marker_hits_sql(LANG_MARKERS[lang])} AS hits_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH c AS (
+          SELECT lang, {hit_cols}
+          FROM documents
+        ), p AS (
+          SELECT lang, {lang_case} AS lang_pred
+          FROM (SELECT *, {best} AS best FROM c)
+        ), cell AS (
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY lang, lang_pred
+        ), tot AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM p GROUP BY lang
+        )
+        SELECT cell.lang, lang_pred, n,
+               round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS share
+        FROM cell JOIN tot ON cell.lang = tot.lang
+    """
+
+
 def _zorder_oracle() -> str:
     from deltaforge_spark.operators.layout import zorder_bucket_stats_oracle_sql
 
@@ -4905,6 +4960,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_bigram_pmi": _bigram_pmi_oracle(),
         "doc_chunking": _chunking_oracle(),
         "lake_zorder_stats": _zorder_oracle(),
+        "doc_lang_confusion": _lang_confusion_oracle(),
         "web_communities": """
             WITH pairs AS (
               SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst

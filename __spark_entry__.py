@@ -3689,6 +3689,63 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded inner join through Structured
+    Streaming: every purchase joined to the SAME user's clicks in the
+    preceding hour — two readStream legs over the events parquet,
+    watermarked event-time range join (Spark's stateful symmetric hash
+    join; state eviction comes from the watermark + time bound),
+    availableNow drain, hash-checked against the plain-SQL self-join.
+    All time math in exact epoch micros on both sides.
+
+    100-TB shape: the join state is bounded by the 1-hour window per
+    user (watermark evicts older rows); keys partition on user_id."""
+    import time as _time
+
+    from deltaforge_spark.sources.snapshot import _normalize_event_ts, _staged_path
+    from deltaforge_spark.streaming.pipeline import run_stream_to_memory
+
+    _prep(spark)
+    path = _staged_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+
+    def leg(kind: str, prefix: str):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
+        ev = _normalize_event_ts(raw).filter(F.col("event_type") == kind)
+        return ev.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.expr("CAST(ts DIV 1000 AS BIGINT)").alias(f"{prefix}_us"),
+            F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")).alias(
+                f"{prefix}_tts"
+            ),
+        ).withWatermark(f"{prefix}_tts", "2 hours")
+
+    clicks, purchases = leg("click", "c"), leg("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_tts >= c_tts"
+            " AND p_tts <= c_tts + interval 1 hour"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.expr("CAST((p_us - c_us) DIV 1000000 AS BIGINT)").alias("lag_s"),
+    )
+    return run_stream_to_memory(
+        joined,
+        name=f"events_stream_stream_join_{int(_time.time() * 1000)}",
+        output_mode="append",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3709,6 +3766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_communities": q_web_communities,
     "lake_zorder_stats": q_lake_zorder_stats,
     "doc_lang_confusion": q_doc_lang_confusion,
+    "events_stream_stream_join": q_events_stream_stream_join,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4961,6 +5019,18 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_chunking": _chunking_oracle(),
         "lake_zorder_stats": _zorder_oracle(),
         "doc_lang_confusion": _lang_confusion_oracle(),
+        "events_stream_stream_join": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events
+            )
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   CAST((p.tus - c.tus) // 1000000 AS BIGINT) AS lag_s
+            FROM e c JOIN e p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.tus >= c.tus AND p.tus <= c.tus + 3600000000
+        """,
         "web_communities": """
             WITH pairs AS (
               SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst

@@ -3746,6 +3746,45 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — what a real pipeline runs
+    AFTER near-dup clustering: within each minhash-LSH connected
+    component keep the highest-quality member (textanalysis
+    quality_score, doc_id tiebreak), not merely the first-seen.
+    Composition: LSH pairs → CC labels → left join back to ALL docs
+    (singletons are their own cluster) → one canonical-keyed window
+    argmax. Scale: the window partitions on cluster id — cluster
+    sizes, not corpus size, bound its state."""
+    from pyspark.sql import Window
+
+    from deltaforge_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from deltaforge_spark.operators.textanalysis import quality_score
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    pairs = minhash_lsh_pairs(sig, num_hashes=8, bands=4)
+    cc = connected_components(pairs)
+    lab = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .join(cc, "doc_id", "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "canonical_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3767,6 +3806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_zorder_stats": q_lake_zorder_stats,
     "doc_lang_confusion": q_doc_lang_confusion,
     "events_stream_stream_join": q_events_stream_stream_join,
+    "dedup_keep_best": q_dedup_keep_best,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4460,6 +4500,47 @@ def _sketch_vocab_oracle() -> str:
     """
 
 
+def _dedup_keep_best_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import STOPWORDS
+
+    cc = _connected_components_oracle()
+    # splice: reuse the CC oracle's CTE chain verbatim, wrap only its
+    # final SELECT as one more CTE
+    cte_part, final_select = cc.split("SELECT u AS doc_id", 1)
+    final_select = "SELECT u AS doc_id" + final_select
+    return f"""
+        {cte_part.strip()},
+        closure AS ({final_select.strip()}),
+        qsrc AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len({_TOKENS_SQL}) AS n_toks,
+                 {_marker_hits_sql(STOPWORDS)} AS stop_hits,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 round(0.25 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN n_chars / greatest(n_toks, 1) >= 3.0
+                                     AND n_chars / greatest(n_toks, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN stop_hits / greatest(n_toks, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - n_punct / greatest(n_chars, 1)), 6) AS quality
+          FROM qsrc
+        ),
+        lab AS (
+          SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+                 q.quality
+          FROM documents d
+          LEFT JOIN closure c ON d.doc_id = c.doc_id
+          JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT doc_id, canonical_id, quality,
+               row_number() OVER (PARTITION BY canonical_id
+                                  ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+        FROM lab
+    """
+
+
 def _lang_confusion_oracle() -> str:
     from deltaforge_spark.operators.textanalysis import LANG_MARKERS
 
@@ -5019,6 +5100,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_chunking": _chunking_oracle(),
         "lake_zorder_stats": _zorder_oracle(),
         "doc_lang_confusion": _lang_confusion_oracle(),
+        "dedup_keep_best": _dedup_keep_best_oracle(),
         "events_stream_stream_join": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS tus, event_type

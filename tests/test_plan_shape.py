@@ -580,3 +580,39 @@ def test_pagerank_hash_joins_only_rank_side_exchange(spark, sf_dir):
     assert "CartesianProduct" not in p
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in p
+
+
+def test_keep_best_windows_on_cluster_key_only(spark, sf_dir):
+    """dedup_keep_best: the representative argmax partitions its window
+    on canonical_id (cluster-bounded state) — never an unpartitioned
+    window; no cartesian, no Python in the composition."""
+    p = plan_str(entry.queries()["dedup_keep_best"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+    import re
+
+    for m in re.finditer(r"Window .*partitionBy=\[\]", p):
+        raise AssertionError(f"unpartitioned window in keep_best:\n{m.group(0)}")
+
+
+def test_zorder_stats_map_only_groupby(spark, sf_dir):
+    """lake_zorder_stats: z-bucket extraction is pure bit math — the
+    plan is scan -> project -> hash aggregate, no sort, no window, no
+    join."""
+    p = plan_str(entry.queries()["lake_zorder_stats"](spark, sf_dir))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct"):
+        assert bad not in p, f"unexpected {bad} in zorder stats plan"
+    # the aggregate shuffle + the shared events reader's fan-out
+    # repartition (snapshot.py:75) — nothing else
+    assert p.count("Exchange (") <= 2, p
+
+
+def test_lang_confusion_counts_only_shuffles(spark, sf_dir):
+    """doc_lang_confusion: marker hits are higher-order JVM exprs (no
+    explode), both aggregations carry counts only, the lang join is a
+    tiny-key join."""
+    p = plan_str(entry.queries()["doc_lang_confusion"](spark, sf_dir))
+    assert "Generate" not in p  # no explode: marker_hits is a HOF filter
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p

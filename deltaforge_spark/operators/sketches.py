@@ -57,6 +57,15 @@ def hll_registers(
     )
 
 
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to coarser groups: MAX per (group,
+    bucket) — the HLL union. Because max is associative/commutative,
+    merging hourly sketches into a day IS the day's sketch, bit for
+    bit; this is the property that lets 100-TB rollups keep m-row
+    state per window instead of user sets."""
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("m_j").alias("m_j"))
+
+
 def hll_distinct(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
 ) -> DataFrame:
@@ -66,8 +75,17 @@ def hll_distinct(
     ``harmonic_sum_scaled`` (exact integers — the sketch state digest)
     + ``est_distinct`` (the rounded estimate).
     """
-    m = 1 << p
     regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p=p)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], *, p: int = 6
+) -> DataFrame:
+    """Finish a (merged) register table into per-group estimates —
+    the second half of hll_distinct, separated so rollups can merge
+    register state first (hll_merge) and estimate once."""
+    m = 1 << p
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("used_buckets"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {SHIFT} - m_j)"))

@@ -172,3 +172,18 @@ def test_chunk_documents_no_overlap_partition(spark):
     assert chunks == ["0 1 2 3", "4 5 6 7", "8 9"]
     # stride == chunk: disjoint cover, token-exact
     assert " ".join(chunks).split() == [str(i) for i in range(10)]
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    from deltaforge_spark.operators.sketches import hll_merge, hll_registers
+
+    rows = [(d, h, u) for d in (0, 1) for h in range(4) for u in range(h * 10, h * 10 + 25)]
+    df = spark.createDataFrame(rows, "day long, hour long, user_id long")
+    hourly = hll_registers(df, ["day", "hour"], "user_id", p=5)
+    merged = sorted(
+        map(tuple, hll_merge(hourly, ["day"]).select("day", "bucket", "m_j").collect())
+    )
+    direct = sorted(
+        map(tuple, hll_registers(df, ["day"], "user_id", p=5).collect())
+    )
+    assert merged == direct  # union-by-max == sketching the union

@@ -3813,6 +3813,48 @@ def q_sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day")
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (n / mean / min / max /
+    variance) — the drift/QA report a feature store publishes per
+    embedding version. One posexplode + one (dim)-keyed groupBy with
+    map-side combine (64 output rows regardless of corpus size).
+    Cross-row float sums ride DECIMAL casts (exact, order-free — the
+    hash-gate discipline); min/max are order-free natively; variance
+    finishes in one double expression rounded 6dp."""
+    _prep(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.col("v").cast("double").alias("v"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,9)")).alias("_s"),
+        F.sum(F.expr("CAST(v * v AS DECIMAL(30,12))")).alias("_ss"),
+        F.round(F.min("v"), 6).alias("v_min"),
+        F.round(F.max("v"), 6).alias("v_max"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("mean"),
+        "v_min",
+        "v_max",
+        F.round(
+            (
+                F.col("_ss").cast("double")
+                - F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+                / F.col("n")
+            )
+            / F.col("n"),
+            6,
+        ).alias("variance"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3836,6 +3878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_stream_join": q_events_stream_stream_join,
     "dedup_keep_best": q_dedup_keep_best,
     "sketch_hll_merge_daily": q_sketch_hll_merge_daily,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5152,6 +5195,32 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_lang_confusion": _lang_confusion_oracle(),
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "sketch_hll_merge_daily": _hll_merge_daily_oracle(),
+        # posexplode is 0-based; DuckDB generate_subscripts/unnest-with-
+        # ordinality is 1-based — the -1 aligns them. Same DECIMAL sum
+        # scales, same one-double-division finishes.
+        "embedding_dim_stats": """
+            WITH x AS (
+              SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+              FROM (SELECT embedding,
+                           unnest(range(1, len(embedding) + 1)) AS i
+                    FROM embeddings)
+            ),
+            agg AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(v AS DECIMAL(27,9))) AS s,
+                     sum(CAST(v * v AS DECIMAL(30,12))) AS ss,
+                     round(min(v), 6) AS v_min,
+                     round(max(v), 6) AS v_max
+              FROM x GROUP BY dim
+            )
+            SELECT CAST(dim AS BIGINT) AS dim, n,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                   v_min, v_max,
+                   round((CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6)
+                       AS variance
+            FROM agg
+        """,
         "events_stream_stream_join": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS tus, event_type

@@ -3855,6 +3855,45 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type: 20 buckets
+    over [0, 100), edges computed by the same float division + floor on
+    both engines, out-of-range clamped to the edge buckets. One
+    counts-only groupBy — the fixed-cardinality report shape."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "CAST(greatest(least(floor(value / 5.0), 19), 0) AS BIGINT)"
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpora (here: the 'web' source vs
+    the rest) by exact content hash — the added/removed/shared report
+    an incremental ingestion run publishes. Hashes shuffle, text never
+    does; each side reduces to distinct 16-byte keys before the
+    full-outer key join."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    a = docs.filter(F.col("source") == "web").select(h.alias("h")).distinct()
+    b = docs.filter(F.col("source") != "web").select(h.alias("h")).distinct()
+    j = a.withColumn("_a", F.lit(1)).join(
+        b.withColumn("_b", F.lit(1)), "h", "full_outer"
+    )
+    return j.select(
+        F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), "shared")
+        .when(F.col("_a").isNotNull(), "only_web")
+        .otherwise("only_other")
+        .alias("status")
+    ).groupBy("status").agg(F.count(F.lit(1)).alias("n_hashes"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3879,6 +3918,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "sketch_hll_merge_daily": q_sketch_hll_merge_daily,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "events_value_histogram": q_events_value_histogram,
+    "corpus_diff": q_corpus_diff,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5198,6 +5239,27 @@ def _oracle_sql_base() -> dict[str, str]:
         # posexplode is 0-based; DuckDB generate_subscripts/unnest-with-
         # ordinality is 1-based — the -1 aligns them. Same DECIMAL sum
         # scales, same one-double-division finishes.
+        "events_value_histogram": """
+            SELECT event_type,
+                   CAST(greatest(least(floor(value / 5.0), 19), 0) AS BIGINT)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "corpus_diff": """
+            WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                       WHERE source = 'web'),
+            b AS (SELECT DISTINCT md5(text) AS h FROM documents
+                  WHERE source <> 'web'),
+            j AS (
+              SELECT CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 'shared'
+                          WHEN a.h IS NOT NULL THEN 'only_web'
+                          ELSE 'only_other' END AS status
+              FROM a FULL OUTER JOIN b ON a.h = b.h
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_hashes
+            FROM j GROUP BY status
+        """,
         "embedding_dim_stats": """
             WITH x AS (
               SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v

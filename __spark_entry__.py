@@ -3548,9 +3548,11 @@ def q_sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         countmin_registers,
     )
 
+    from deltaforge_spark.operators.textanalysis import tokens
+
     toks = (
         read_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
     )
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))

@@ -109,6 +109,11 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev, ranks = new_ranks, new_ranks
+    # release the per-call inputs; the RETURNED frame stays persisted
+    # (it is materialized — callers may unpersist after consuming).
+    # Eviction only costs a recompute through lineage, never wrongness.
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -180,4 +185,5 @@ def label_propagation(
             prev.unpersist()
         prev, labels = new_labels, new_labels
     sym.unpersist()
+    nodes.unpersist()
     return labels

@@ -146,6 +146,11 @@ def bm25_search(
     doc-length join is doc-keyed; top-k is orderBy().limit() —
     TakeOrderedAndProject, never a global sort.
     """
+    # dedup preserving order: a repeated term must not double its score
+    # in the fixed-order total; empty query has no ranking to return
+    query_terms = list(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("bm25_search requires at least one query term")
     tf = term_frequencies(df, text_col=text_col, id_col=id_col)
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     qtf = tf.filter(F.col("term").isin(list(query_terms)))

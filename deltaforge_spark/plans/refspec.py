@@ -608,7 +608,12 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
             part_cols = list(roll.get("partition_by", ["table"]))
             holder: dict = {"batch_id": 0}
 
-            def write_rolling(df: DataFrame) -> None:
+            def write_rolling(df: DataFrame, batch_id: int) -> None:
+                # the REAL micro-batch id drives the pool's replay skip
+                # (`batch_id <= last_batch`): a replayed Spark batch N
+                # must arrive as N, never as a locally re-counted 0 —
+                # else a retried batch stages its rows twice and the
+                # next roll compacts both copies
                 staged = with_partition_cols(shaped(df))
                 if "sink" not in holder:
                     holder["sink"] = RollingLakeSink(
@@ -623,7 +628,13 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                         ts_col=roll.get("ts_col"),
                         sink_id=rs.id,
                     )
-                holder["sink"].process_batch(staged, holder["batch_id"])
+                holder["sink"].process_batch(staged, batch_id)
+
+            def write_counted(df: DataFrame) -> None:
+                # legacy direct-call path (no batch id in scope): a
+                # local monotone counter — NOT replay-safe; every
+                # delivery loop (fan_out_batch) uses write_batch
+                write_rolling(df, holder["batch_id"])
                 holder["batch_id"] += 1
 
             def close_rolling() -> None:
@@ -631,8 +642,8 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                     holder["sink"].close()
 
             return SinkSpec(
-                name=rs.id, write=write_rolling, required=rs.required,
-                filter=flt, close=close_rolling,
+                name=rs.id, write=write_counted, write_batch=write_rolling,
+                required=rs.required, filter=flt, close=close_rolling,
             )
 
         def write_s3(df: DataFrame) -> None:

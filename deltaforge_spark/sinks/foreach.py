@@ -44,6 +44,11 @@ class SinkSpec:
     # drop, main.rs lifecycle): one-shot runners (CLI `run`) call it
     # after the last batch; streaming keeps sinks open across batches
     close: Callable[[], None] | None = None
+    # batch-id-aware write: sinks whose replay idempotence keys on the
+    # REAL micro-batch id (the rolling pool's `batch_id <= last_batch`
+    # skip) set this; fan_out_batch prefers it over `write` so Spark's
+    # replayed batch N arrives as N, never as a locally re-counted 0
+    write_batch: Callable[[DataFrame, int], None] | None = None
 
 
 @dataclass
@@ -190,7 +195,10 @@ def fan_out_batch(
             df = spec.filter(batch_df) if spec.filter else batch_df
             t0 = _time.perf_counter()
             try:
-                spec.write(df)
+                if spec.write_batch is not None:
+                    spec.write_batch(df, batch_id)
+                else:
+                    spec.write(df)
                 outcomes[spec.name] = True
                 metrics.inc(
                     "deltaforge_sink_batch_total", pipeline=pipeline, sink=spec.name

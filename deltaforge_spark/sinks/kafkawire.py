@@ -15,6 +15,7 @@ client would put it.
 from __future__ import annotations
 
 import struct
+import threading
 from typing import Any
 
 from .kafka_eos import ProducerFencedError
@@ -102,6 +103,7 @@ def _advance_operator(n_bytes: int) -> list[int]:
 _LANE_LEN = 512  # fixed power-of-two, multiple of 8 (slice-by-8 stride)
 _np_slice_tables = None
 _lane_pow_cache: list | None = None  # np A_{lane*2^j} matrices
+_lane_pow_lock = threading.Lock()
 
 
 def _slice_tables():
@@ -124,17 +126,30 @@ def _slice_tables():
 
 def _lane_pows(max_level: int):
     """A_{_LANE_LEN * 2^j} for j in [0, max_level], each as a (32,)
-    uint32 numpy array (column c = image of unit register 1<<c)."""
+    uint32 numpy array (column c = image of unit register 1<<c).
+
+    Built copy-on-write under a lock: the thread-per-connection
+    loopback broker validates CRCs concurrently, and two threads
+    growing a shared list could append the same level twice — silently
+    corrupting the index->matrix invariant for every later fold."""
     global _lane_pow_cache
     import numpy as np
 
-    if _lane_pow_cache is None:
-        _lane_pow_cache = [np.array(_advance_operator(_LANE_LEN), dtype=np.uint32)]
-    while len(_lane_pow_cache) <= max_level:
-        prev = [int(x) for x in _lane_pow_cache[-1]]
-        sq = _gf2_matrix_square(prev)
-        _lane_pow_cache.append(np.array(sq, dtype=np.uint32))
-    return _lane_pow_cache
+    cache = _lane_pow_cache
+    if cache is not None and len(cache) > max_level:
+        return cache
+    with _lane_pow_lock:
+        cache = _lane_pow_cache
+        if cache is None:
+            cache = [np.array(_advance_operator(_LANE_LEN), dtype=np.uint32)]
+        else:
+            cache = list(cache)  # never mutate the published list
+        while len(cache) <= max_level:
+            prev = [int(x) for x in cache[-1]]
+            sq = _gf2_matrix_square(prev)
+            cache.append(np.array(sq, dtype=np.uint32))
+        _lane_pow_cache = cache
+    return cache
 
 
 def _fold_tree(lanes, level0: int):

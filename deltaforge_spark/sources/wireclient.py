@@ -142,15 +142,10 @@ def build_handshake_response(
         auth = scramble_caching_sha2(password, nonce)
     else:
         raise WireClientError(f"unsupported auth plugin {plugin!r}")
-    caps = (
-        CLIENT_LONG_PASSWORD
-        | CLIENT_PROTOCOL_41
-        | CLIENT_SECURE_CONNECTION
-        | CLIENT_PLUGIN_AUTH
-    )
-    caps |= handshake.get("capabilities", 0) & CLIENT_DEPRECATE_EOF
-    if database:
-        caps |= CLIENT_CONNECT_WITH_DB
+    # single source of truth: the wire bytes advertise EXACTLY what
+    # negotiated_capabilities() reports, so resultset framing can never
+    # desync from the handshake (the r5 DEPRECATE_EOF bug class)
+    caps = negotiated_capabilities(handshake, database=database)
     out = bytearray(struct.pack("<IIB", caps, max_packet, charset))
     out += b"\x00" * 23
     out += user.encode() + b"\x00"

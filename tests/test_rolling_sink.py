@@ -202,3 +202,53 @@ def test_rolling_sink_behind_real_streaming_query(spark, tmp_path):
     import glob as _g
 
     assert _g.glob(f"{lake}/_staging/batch-*/tbl=*") == []
+
+
+def test_replayed_micro_batch_does_not_duplicate_through_fan_out(spark, tmp_path):
+    """The compiled rolling SinkSpec keys replay skip on the REAL
+    micro-batch id delivered by fan_out_batch (SinkSpec.write_batch) —
+    a replayed batch N must hit the pool's `batch_id <= last_batch`
+    skip, never restage its rows under a locally re-counted id."""
+    from deltaforge_spark.plans.refspec import RefSink, _lower_sink
+    from deltaforge_spark.sinks.foreach import fan_out_batch
+
+    rs = RefSink(
+        kind="s3",
+        id="lake",
+        required=True,
+        envelope="native",
+        type_prefix=None,
+        encoding="json",
+        topic_template=None,
+        key_template=None,
+        exactly_once=False,
+        config={
+            "prefix": str(tmp_path / "lake"),
+            "rolling": {"max_bytes": 10**9, "max_events": 10**9,
+                        "max_age_ms": 10**9, "idle_age_ms": 10**9,
+                        "partition_by": ["table"]},
+        },
+    )
+    spec = _lower_sink(rs, "p", {})
+    assert spec.write_batch is not None
+
+    df = spark.createDataFrame(
+        [("r", 1, "{}", "{\"v\": 1}", "e1")],
+        "op string, ts_ms long, before string, after string, event_id string",
+    ).withColumn(
+        "source",
+        F.struct(F.lit("db").alias("db"), F.lit("t1").alias("table")),
+    )
+    fan_out_batch(df, 7, [spec])
+    fan_out_batch(df, 7, [spec])  # Spark replays the SAME batch id
+    spec.close()
+
+    files = glob.glob(str(tmp_path / "lake" / "**" / "*.parquet"), recursive=True)
+    total = sum(spark.read.parquet(f).count() for f in files)
+    assert total == 1, f"replayed batch duplicated rows: {total}"
+    # a NEW batch id still appends
+    fan_out_batch(df, 8, [spec])
+    spec.close()
+    files = glob.glob(str(tmp_path / "lake" / "**" / "*.parquet"), recursive=True)
+    total = sum(spark.read.parquet(f).count() for f in files)
+    assert total == 2

@@ -3896,6 +3896,59 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("status").agg(F.count(F.lit(1)).alias("n_hashes"))
 
 
+def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: lift between part brands co-purchased in
+    one order, min support 10, top-20 by lift. The pair generator is an
+    equi-join on orderkey over per-order DISTINCT brands — fan-out
+    bounded by 25 brands per order, never a cartesian; the part dim
+    broadcasts; lift is exact-integer counts until one double division
+    (rounded 6dp, ranked on the rounded value)."""
+    _prep(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    bn = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    n_orders = ob.select("okey").distinct().count()
+    scored = (
+        pair.join(bn.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a")), "brand_a")
+        .join(bn.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b")), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.lit(float(n_orders)))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift"), "brand_a", "brand_b")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "brand_a", "brand_b", "n_ab", "lift"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3922,6 +3975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "events_value_histogram": q_events_value_histogram,
     "corpus_diff": q_corpus_diff,
+    "basket_brand_lift": q_basket_brand_lift,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -5241,6 +5295,35 @@ def _oracle_sql_base() -> dict[str, str]:
         # posexplode is 0-based; DuckDB generate_subscripts/unnest-with-
         # ordinality is 1-based — the -1 aligns them. Same DECIMAL sum
         # scales, same one-double-division finishes.
+        "basket_brand_lift": """
+            WITH ob AS (
+              SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            pair AS (
+              SELECT a.brand AS brand_a, b.brand AS brand_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM ob a JOIN ob b
+                ON a.okey = b.okey AND a.brand < b.brand
+              GROUP BY 1, 2 HAVING count(*) >= 10
+            ),
+            bn AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY brand),
+            tot AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM ob),
+            scored AS (
+              SELECT brand_a, brand_b, n_ab,
+                     round((CAST(n_ab AS DOUBLE) * n_orders)
+                           / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS lift
+              FROM pair
+              JOIN bn na ON pair.brand_a = na.brand
+              JOIN bn nb ON pair.brand_b = nb.brand
+              CROSS JOIN tot
+            )
+            SELECT CAST(row_number() OVER (ORDER BY lift DESC, brand_a, brand_b) AS INTEGER)
+                       AS rank,
+                   brand_a, brand_b, n_ab, lift
+            FROM scored
+            ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+        """,
         "events_value_histogram": """
             SELECT event_type,
                    CAST(greatest(least(floor(value / 5.0), 19), 0) AS BIGINT)

@@ -3949,6 +3949,40 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the changefeed: one history row
+    per non-delete version with [valid_from, valid_to) millisecond
+    bounds; a later event (update OR delete) closes the previous
+    version; is_current ⇔ no later event exists. The lake-side
+    dimension-history materialization ClickHouse/warehouse users run on
+    CDC streams. One shuffle: the per-key lead() window; deletes are
+    consumed by the window before the filter drops their rows."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    df = change_feed(spark, sf_dir)
+    rows = df.select(
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("ts_ms"),
+        F.col("op"),
+        F.col("after.value").alias("value"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid")
+    return (
+        rows.withColumn("valid_to_ms", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "user_id",
+            "value",
+            F.col("ts_ms").alias("valid_from_ms"),
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().alias("is_current"),
+            F.col("eid").alias("version_id"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -3976,6 +4010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": q_events_value_histogram,
     "corpus_diff": q_corpus_diff,
     "basket_brand_lift": q_basket_brand_lift,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -6554,6 +6589,23 @@ def _oracle_sql_base() -> dict[str, str]:
                             ORDER BY ts_ms DESC, CAST(event_id AS BIGINT) DESC) AS rn
                 FROM ({CHANGEFEED_SQL})
             ) WHERE rn = 1 AND NOT _deleted
+        """,
+        "cdc_scd2_history": f"""
+            SELECT user_id, value, valid_from_ms, valid_to_ms, is_current,
+                   version_id
+            FROM (
+                SELECT user_id, after_value AS value,
+                       ts_ms AS valid_from_ms,
+                       lead(ts_ms) OVER (PARTITION BY user_id
+                            ORDER BY ts_ms, CAST(event_id AS BIGINT))
+                           AS valid_to_ms,
+                       lead(ts_ms) OVER (PARTITION BY user_id
+                            ORDER BY ts_ms, CAST(event_id AS BIGINT)) IS NULL
+                           AS is_current,
+                       CAST(event_id AS BIGINT) AS version_id,
+                       op
+                FROM ({CHANGEFEED_SQL})
+            ) WHERE op <> 'd'
         """,
         "cdc_lake_partitions": f"""
             SELECT 'events' AS "table",

@@ -3983,6 +3983,43 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per event_type, the
+    running SUM(value)/COUNT maintained from change-event DELTAS alone
+    (+after for inserts, after-before for updates, -before for deletes;
+    counts +1/0/-1) — never a rescan of base state. The delta stream
+    aggregates with ONE counts-only groupBy; the oracle recomputes the
+    identical delta algebra in SQL. Value deltas ride DECIMAL casts
+    (order-free float aggregation, hash-gate rules)."""
+    _prep(spark)
+    df = change_feed(spark, sf_dir)
+    delta_v = (
+        F.when(F.col("op") == "c", F.col("after.value"))
+        .when(F.col("op") == "d", -F.col("before.value"))
+        .otherwise(F.col("after.value") - F.col("before.value"))
+    )
+    delta_n = (
+        F.when(F.col("op") == "c", F.lit(1))
+        .when(F.col("op") == "d", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.select(
+            F.col("source.table").alias("table"),
+            F.coalesce(
+                F.col("after.event_type"), F.col("before.event_type")
+            ).alias("event_type"),
+            delta_v.cast("decimal(27,9)").alias("dv"),
+            delta_n.alias("dn"),
+        )
+        .groupBy("table", "event_type")
+        .agg(
+            F.round(F.sum("dv").cast("double"), 6).alias("sum_value"),
+            F.sum("dn").cast("long").alias("n_live"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -4011,6 +4048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "basket_brand_lift": q_basket_brand_lift,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -6589,6 +6627,19 @@ def _oracle_sql_base() -> dict[str, str]:
                             ORDER BY ts_ms DESC, CAST(event_id AS BIGINT) DESC) AS rn
                 FROM ({CHANGEFEED_SQL})
             ) WHERE rn = 1 AND NOT _deleted
+        """,
+        "cdc_incremental_agg": f"""
+            SELECT 'events' AS "table", event_type,
+                   round(CAST(sum(CAST(
+                       CASE WHEN op = 'c' THEN after_value
+                            WHEN op = 'd' THEN -before_value
+                            ELSE after_value - before_value END
+                       AS DECIMAL(27,9))) AS DOUBLE), 6) AS sum_value,
+                   CAST(sum(CASE WHEN op = 'c' THEN 1
+                                 WHEN op = 'd' THEN -1 ELSE 0 END) AS BIGINT)
+                       AS n_live
+            FROM ({CHANGEFEED_SQL})
+            GROUP BY event_type
         """,
         "cdc_scd2_history": f"""
             SELECT user_id, value, valid_from_ms, valid_to_ms, is_current,

@@ -4020,6 +4020,54 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) via the exact interpolated percentile machinery
+    run twice, anomaly = |v - med| > 3 * 1.4826 * MAD (the normal-
+    consistent robust z-score). Unlike the rolling-z operator this is
+    outlier-resistant — one spike cannot inflate its own baseline.
+    Two per-key percentile passes + one counts-only reduction; the
+    threshold compare runs on bit-identical doubles in both engines."""
+    _prep(spark)
+    from deltaforge_spark.operators.timeseries import percentiles_exact
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = percentiles_exact(ev, "event_type", "value", [0.5]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = percentiles_exact(
+        dev.select("event_type", "dev"), "event_type", "dev", [0.5]
+    ).select("event_type", F.col("value").alias("mad"))
+    flagged = (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            (F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).cast(
+                "int"
+            ).alias("is_anom"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_anom").cast("long").alias("n_anomalies"),
+        )
+    )
+    return (
+        flagged.join(med, "event_type")
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "n_anomalies",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
     # r6: cdc_binlog_datasource leads — the single query of 123 never
@@ -4049,6 +4097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_brand_lift": q_basket_brand_lift,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "doc_perplexity_filter": q_doc_perplexity,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4897,6 +4946,55 @@ def _countmin_tokens_oracle() -> str:
             GROUP BY token
         )
         SELECT top.token, true_count, cm_est FROM top JOIN est USING (token)
+    """
+
+
+def _anomaly_mad_oracle() -> str:
+    from deltaforge_spark.operators.timeseries import percentiles_oracle_sql
+
+    med_q = percentiles_oracle_sql("events", "event_type", "value", [0.5])
+    return f"""
+        WITH med AS (
+            SELECT k AS event_type, value AS med FROM ({med_q})
+        ),
+        dev AS (
+            SELECT e.event_type, med, abs(e.value - med) AS dev
+            FROM events e JOIN med ON e.event_type = med.event_type
+        ),
+        ranked AS (
+            SELECT event_type AS k, dev AS v,
+                   CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1
+                        AS BIGINT) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT k AS event_type,
+                   min(CASE WHEN rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) THEN v END)
+                   + ((n - 1) * 0.5e0 - floor((n - 1) * 0.5e0))
+                     * (coalesce(
+                            min(CASE WHEN rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1 THEN v END),
+                            min(CASE WHEN rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) THEN v END))
+                        - min(CASE WHEN rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) THEN v END))
+                       AS mad
+            FROM ranked
+            WHERE rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT)
+               OR rnk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+            GROUP BY k, n
+        ),
+        flagged AS (
+            SELECT d.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN d.dev > 3.0e0 * 1.4826e0 * m.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM dev d JOIN mad m ON d.event_type = m.event_type
+            GROUP BY d.event_type
+        )
+        SELECT f.event_type, f.n, f.n_anomalies,
+               round(med.med, 6) AS med, round(m.mad, 6) AS mad
+        FROM flagged f
+        JOIN med ON f.event_type = med.event_type
+        JOIN mad m ON f.event_type = m.event_type
     """
 
 
@@ -6628,6 +6726,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM ({CHANGEFEED_SQL})
             ) WHERE rn = 1 AND NOT _deleted
         """,
+        "events_anomaly_mad": _anomaly_mad_oracle(),
         "cdc_incremental_agg": f"""
             SELECT 'events' AS "table", event_type,
                    round(CAST(sum(CAST(

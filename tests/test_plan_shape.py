@@ -534,6 +534,30 @@ def test_q21_aggregates_before_joinback(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_q2_decorrelated_broadcast_dims_topk(spark, sf_dir):
+    """Q2: the correlated min-cost subquery runs decorrelated — dims
+    (region⋈nation, supplier, part) broadcast into the edge aggregate,
+    the type/region filters reach their scans, top-100 is a global
+    top-k (TakeOrderedAndProject), and nothing goes cartesian."""
+    p = plan_str(entry.queries()["q2_min_cost_supplier"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p, p
+    assert "EqualTo(p_type,SMALL)" in p, p
+    assert "EqualTo(r_name,EUROPE)" in p, p
+
+
+def test_q20_semi_chain_stays_semi(spark, sf_dir):
+    """Q20: both semi gates survive as LeftSemi joins (part-name gate
+    on lineitem, qualified-supplier gate on the dim), the p_name prefix
+    filter is pushed to the part scan, and the threshold compare runs
+    post-aggregation — no correlated re-scan, no cartesian."""
+    p = plan_str(entry.queries()["q20_potential_promotion"](spark, sf_dir))
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in p
+    assert "StringStartsWith(p_name,red)" in p, p
+
+
 def test_sessionize_single_user_exchange_no_python(spark, sf_dir):
     """events_sessionize: lag + running-sum share ONE user_id window
     spec and the per-session groupBy hash-aggregates on top — exactly

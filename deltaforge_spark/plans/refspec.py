@@ -669,6 +669,10 @@ def _lower_sink(rs: RefSink, pipeline: str, transports: dict[str, Any]) -> SinkS
                 mode=rs.config.get("mode", "changelog"),
                 pk=rs.config.get("pk") or [],
                 auto_create=bool(rs.config.get("auto_create", True)),
+                # "rowbinary" = the reference's wire format (client.rs
+                # FORMAT RowBinary); default stays JSONEachRow so
+                # file/recording transports keep working unchanged
+                wire_format=rs.config.get("wire_format", "jsoneachrow"),
             )
 
         return SinkSpec(name=rs.id, write=write_ch, required=rs.required, filter=flt)

@@ -90,6 +90,9 @@ def resolve_transports(ref) -> dict[str, Any]:
                 str(cfg["url"]),
                 user=cfg.get("user"),
                 password=cfg.get("password"),
+                # reference ChTls (sinks_cfg.rs:308-317): {enabled,
+                # ca_file, insecure_skip_verify} for https:// endpoints
+                tls=cfg.get("tls"),
             )
         elif rs.kind == "http":
             from ..sinks.clients import urllib_session_factory

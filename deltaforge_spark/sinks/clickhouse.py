@@ -194,6 +194,30 @@ def clickhouse_rows_with_dlq(
 # -------------------------------------------------------------------- writer
 
 
+def table_layout(schema: T.StructType) -> list[tuple[str, str]]:
+    """The projected frame's (column, ClickHouse DDL type) pairs in
+    table order — the single source of truth shared by
+    ``create_table_ddl`` and the RowBinary body encoder, so the
+    positional RowBinary contract (body columns = table DDL order,
+    client.rs:127 inserts without a column list) holds by
+    construction. Meta columns are pinned to the DDL's non-null types;
+    user columns take Spark nullability."""
+    meta_types = {
+        "_op": "LowCardinality(String)",
+        "_version": "UInt64",
+        "_deleted": "UInt8",
+        "_source_ts": "DateTime64(3)",
+    }
+    out: list[tuple[str, str]] = []
+    for f in schema.fields:
+        if f.name in meta_types:
+            out.append((f.name, meta_types[f.name]))
+        else:
+            t = map_spark_type(f.dataType)
+            out.append((f.name, f"Nullable({t})" if f.nullable else t))
+    return out
+
+
 def write_clickhouse(
     df: DataFrame,
     transport_factory: Callable[[], object],
@@ -205,14 +229,24 @@ def write_clickhouse(
     auto_create: bool = True,
     batch_id: int = 0,
     insert_chunk_rows: int = 10000,
+    wire_format: str = "jsoneachrow",
 ) -> str | None:
     """Write a projected changelog DataFrame (``clickhouse_rows`` shape)
     to ClickHouse through an injected transport with
-    ``execute_ddl(sql)``, ``insert(db, table, lines, dedup_token)``,
-    ``close()``.
+    ``execute_ddl(sql)``, ``insert(db, table, lines, dedup_token)``
+    (and, for ``wire_format="rowbinary"``,
+    ``insert_rowbinary(db, table, body, dedup_token)``), ``close()``.
+
+    ``wire_format``: ``"jsoneachrow"`` serializes JVM-side via
+    ``to_json`` (semantically equivalent public interface);
+    ``"rowbinary"`` encodes the reference's wire format
+    (ch_rowbinary.py, reference rowbinary.rs) partition-locally —
+    materially cheaper server-side for wide rows, and the format the
+    reference sink actually speaks.
 
     Returns the DDL that was issued (None when auto_create=False) so
     callers/tests can assert the control-plane step."""
+    assert wire_format in ("jsoneachrow", "rowbinary")
     pk = pk or []
     meta = {"_op", "_version", "_deleted", "_source_ts"}
     user_schema = T.StructType([f for f in df.schema.fields if f.name not in meta])
@@ -225,6 +259,37 @@ def write_clickhouse(
             t.execute_ddl(ddl)
         finally:
             t.close()
+
+    if wire_format == "rowbinary":
+        from .ch_rowbinary import encode_row, layout_from_ddl_types
+
+        layout = layout_from_ddl_types(table_layout(df.schema))
+        n_cols = len(layout)
+        payload_rb = df.withColumn("_pid", F.spark_partition_id())
+
+        def run_rb(rows) -> None:
+            t = transport_factory()
+            try:
+                buf = bytearray()
+                n = 0
+                pid = None
+                chunk = 0
+                for row in rows:
+                    pid = row[n_cols] if pid is None else pid
+                    encode_row(buf, layout, tuple(row)[:n_cols])
+                    n += 1
+                    if n >= insert_chunk_rows:
+                        token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
+                        t.insert_rowbinary(database, table, bytes(buf), token)
+                        buf, n, chunk = bytearray(), 0, chunk + 1
+                if n:
+                    token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
+                    t.insert_rowbinary(database, table, bytes(buf), token)
+            finally:
+                t.close()
+
+        payload_rb.foreachPartition(run_rb)
+        return ddl
 
     payload = df.select(
         F.to_json(F.struct(*df.columns)).alias("line"),
@@ -260,15 +325,24 @@ def http_ch_transport_factory(
     user: str | None = None,
     password: str | None = None,
     timeout: float = 30.0,
+    tls: dict | None = None,
 ):
     """REAL transport over ClickHouse's public HTTP interface: DDL as a
     plain POST body, inserts as ``INSERT INTO db.table FORMAT
-    JSONEachRow`` with the dedup token passed through the
+    JSONEachRow`` (or ``FORMAT RowBinary`` via ``insert_rowbinary``)
+    with the dedup token passed through the
     ``insert_deduplication_token`` setting — the replay-idempotence
     mechanism the chunk tokens in ``write_clickhouse`` exist for
     (reference clickhouse sink's insert dedup contract). Stdlib urllib,
     one connection context per request; partition-local factories keep
-    executor fan-out (no driver hop)."""
+    executor fan-out (no driver hop).
+
+    ``tls`` (reference ChTls, sinks_cfg.rs:308-317): for ``https://``
+    endpoints — ``{"enabled": bool (default True), "ca_file": path |
+    None, "insecure_skip_verify": bool}``. ``ca_file`` pins a private
+    CA; ``insecure_skip_verify`` disables chain+hostname checks (test
+    rigs only). ``enabled: False`` explicitly turns the option block
+    off (the reference's serde default when the block is present)."""
     def factory():
         # imports INSIDE the factory: the closure crosses the pickle
         # boundary to executor workers, where submodule imports must
@@ -278,17 +352,27 @@ def http_ch_transport_factory(
         import urllib.parse
         import urllib.request
 
+        ctx = None
+        if tls and tls.get("enabled", True):
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=tls.get("ca_file"))
+            if tls.get("insecure_skip_verify"):
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+
         class _T:
-            def _post(self, params: dict[str, str], body: str) -> None:
+            def _post(self, params: dict[str, str], body: str | bytes) -> None:
                 url = base_url.rstrip("/") + "/?" + urllib.parse.urlencode(params)
-                req = urllib.request.Request(url, data=body.encode(), method="POST")
+                data = body.encode() if isinstance(body, str) else body
+                req = urllib.request.Request(url, data=data, method="POST")
                 if user:
                     import base64
 
                     tok = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
                     req.add_header("Authorization", f"Basic {tok}")
                 try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
                         resp.read()
                 except urllib.error.HTTPError as e:
                     raise IOError(
@@ -305,6 +389,19 @@ def http_ch_transport_factory(
                         "insert_deduplication_token": dedup_token,
                     },
                     "\n".join(lines) + "\n",
+                )
+
+            def insert_rowbinary(
+                self, db: str, table: str, body: bytes, dedup_token: str
+            ) -> None:
+                # the reference's insert form (client.rs:127): positional
+                # columns in table-DDL order, no column list
+                self._post(
+                    {
+                        "query": f"INSERT INTO {db}.{table} FORMAT RowBinary",
+                        "insert_deduplication_token": dedup_token,
+                    },
+                    body,
                 )
 
             def close(self) -> None:

@@ -3283,6 +3283,53 @@ def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgoutput protocol v2 (PG 14+ ``streaming = on``): the same
+    orders byte stream, but every third transaction travels as a
+    STREAMED in-progress transaction — S…E fragments with xid-prefixed
+    DML, some split across two segments, closed by StreamCommit; every
+    ninth-plus-six tx ends in StreamAbort and must vanish. Decode =
+    map-only parse with broadcast block-interval attribution +
+    equi-join commit gating + anti-join abort discard
+    (sources/pgoutput.py decode_pgoutput_v2; grammar: public pgoutput
+    protocol v2 docs — beyond the reference, which speaks protocol 1).
+    The oracle reproduces the committed row set from the parquet table
+    alone, so fragment stitching, xid stripping, and abort semantics
+    are all value-checked."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.pgoutput import (
+        decode_pgoutput_v2,
+        synth_pgoutput_streamed,
+    )
+
+    stream = synth_pgoutput_streamed(spark, sf_dir)
+    dec = decode_pgoutput_v2(stream)
+    img_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    after = F.from_json(F.col("after"), img_schema)
+    before = F.from_json(F.col("before"), img_schema)
+    img = F.coalesce(after, before)
+    return dec.select(
+        F.col("op"),
+        F.col("xid"),
+        F.col("commit_ts_ms"),
+        img["o_orderkey"].alias("o_orderkey"),
+        img["o_custkey"].alias("o_custkey"),
+        img["o_totalprice"].alias("o_totalprice"),
+        before["o_totalprice"].alias("before_totalprice"),
+    ).withColumn("was_streamed", F.expr("(o_orderkey DIV 64) % 3 = 0"))
+
+
 def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MySQL binlog v4 wire decode (closes the SURVEY §7.2 MySQL
     boundary): events → binlog segments (magic, 19-byte headers with
@@ -4197,6 +4244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FULL set locally at sf0.01 and sf0.1.
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_potential_promotion": q20_potential_promotion,
+    "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
@@ -5311,6 +5359,20 @@ def _oracle_sql_base() -> dict[str, str]:
                         WHEN o_orderstatus = 'P' THEN o_totalprice - 1.0e0
                         END AS before_totalprice
             FROM orders
+        """,
+        "cdc_pgoutput_stream_decode": """
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 'd'
+                        WHEN o_orderstatus = 'P' THEN 'u'
+                        ELSE 'c' END AS op,
+                   CAST(o_orderkey // 64 AS BIGINT) AS xid,
+                   CAST((o_orderkey // 64) * 1000 + 946684800000 AS BIGINT) AS commit_ts_ms,
+                   o_orderkey, o_custkey, o_totalprice,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                        WHEN o_orderstatus = 'P' THEN o_totalprice - 1.0e0
+                        END AS before_totalprice,
+                   (o_orderkey // 64) % 3 = 0 AS was_streamed
+            FROM orders
+            WHERE (o_orderkey // 64) % 9 <> 6  -- StreamAbort'ed txs never emit
         """,
         "cdc_binlog_decode": """
             SELECT CASE WHEN event_type = 'signup' THEN 'c'

@@ -95,10 +95,13 @@ def encode_relation(
     columns: list[tuple[str, int, int, int]],
     *,
     replica_identity: str = "f",
+    stream_xid: int | None = None,
 ) -> bytes:
     """'R' message: u32 id, cstr namespace, cstr name, identity byte,
-    u16 ncols, then per column: u8 flags, cstr name, u32 oid, i32 typmod."""
+    u16 ncols, then per column: u8 flags, cstr name, u32 oid, i32 typmod.
+    ``stream_xid``: protocol-v2 streamed form (xid after the tag)."""
     out = bytearray(b"R")
+    out += _stream_prefix(stream_xid)
     out += relation_id.to_bytes(4, "big")
     out += schema.encode() + b"\x00"
     out += table.encode() + b"\x00"
@@ -130,8 +133,18 @@ def encode_tuple(values: list[Any]) -> bytes:
     return bytes(out)
 
 
-def encode_insert(relation_id: int, values: list[Any]) -> bytes:
-    return b"I" + relation_id.to_bytes(4, "big") + b"N" + encode_tuple(values)
+def encode_insert(
+    relation_id: int, values: list[Any], *, stream_xid: int | None = None
+) -> bytes:
+    """``stream_xid``: protocol-v2 streamed form — u32 xid right after
+    the tag (only valid inside an S…E block)."""
+    return (
+        b"I"
+        + _stream_prefix(stream_xid)
+        + relation_id.to_bytes(4, "big")
+        + b"N"
+        + encode_tuple(values)
+    )
 
 
 def encode_update(
@@ -140,8 +153,9 @@ def encode_update(
     old_values: list[Any] | None = None,
     *,
     key_only: bool = False,
+    stream_xid: int | None = None,
 ) -> bytes:
-    out = bytearray(b"U") + relation_id.to_bytes(4, "big")
+    out = bytearray(b"U") + _stream_prefix(stream_xid) + relation_id.to_bytes(4, "big")
     if old_values is not None:
         out += b"K" if key_only else b"O"
         out += encode_tuple(old_values)
@@ -150,9 +164,13 @@ def encode_update(
 
 
 def encode_delete(
-    relation_id: int, old_values: list[Any], *, key_only: bool = False
+    relation_id: int,
+    old_values: list[Any],
+    *,
+    key_only: bool = False,
+    stream_xid: int | None = None,
 ) -> bytes:
-    out = bytearray(b"D") + relation_id.to_bytes(4, "big")
+    out = bytearray(b"D") + _stream_prefix(stream_xid) + relation_id.to_bytes(4, "big")
     out += b"K" if key_only else b"O"
     out += encode_tuple(old_values)
     return bytes(out)
@@ -177,6 +195,42 @@ def encode_commit(commit_lsn: int, end_lsn: int, commit_ts_us: int) -> bytes:
         + end_lsn.to_bytes(8, "big")
         + commit_ts_us.to_bytes(8, "big")
     )
+
+
+def encode_stream_start(xid: int, *, first_segment: bool = True) -> bytes:
+    """'S' (protocol v2, PG 14+ streamed in-progress transactions):
+    u32 xid, u8 first-segment flag (1 on the first block of this xid)."""
+    return b"S" + xid.to_bytes(4, "big") + (b"\x01" if first_segment else b"\x00")
+
+
+def encode_stream_stop() -> bytes:
+    """'E' (protocol v2): end of the current streamed block. No body."""
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: int, end_lsn: int, commit_ts_us: int
+) -> bytes:
+    """'c' (protocol v2): u32 xid, u8 flags (0), u64 commit LSN, u64 end
+    LSN, u64 commit timestamp (µs since 2000-01-01)."""
+    return (
+        b"c"
+        + xid.to_bytes(4, "big")
+        + b"\x00"
+        + commit_lsn.to_bytes(8, "big")
+        + end_lsn.to_bytes(8, "big")
+        + commit_ts_us.to_bytes(8, "big")
+    )
+
+
+def encode_stream_abort(xid: int, subxid: int) -> bytes:
+    """'A' (protocol v2): u32 toplevel xid, u32 aborted subtransaction
+    xid (== xid when the whole streamed transaction rolls back)."""
+    return b"A" + xid.to_bytes(4, "big") + subxid.to_bytes(4, "big")
+
+
+def _stream_prefix(stream_xid: int | None) -> bytes:
+    return b"" if stream_xid is None else stream_xid.to_bytes(4, "big")
 
 
 def encode_truncate(
@@ -247,6 +301,10 @@ class ReplicationStream:
         self.received_lsn = flushed_lsn
         self.flushed_lsn = flushed_lsn
         self.applied_lsn = flushed_lsn
+        # protocol v2: inside an S…E block R/I/U/D/T/M carry a leading
+        # xid — the sequential receiver is the one place that can know
+        # the block context, so it owns the flag and tags messages
+        self.in_stream = False
 
     def feed_copydata(self, data: bytes) -> dict[str, Any]:
         if not data:
@@ -258,11 +316,17 @@ class ReplicationStream:
             wal_start = int.from_bytes(data[1:9], "big")
             wal_end = int.from_bytes(data[9:17], "big")
             clock_us = int.from_bytes(data[17:25], "big")
-            msg = parse_message(data[25:])
+            msg = parse_message(data[25:], in_stream=self.in_stream)
+            if msg["kind"] == "stream_start":
+                self.in_stream = True
+            elif msg["kind"] == "stream_stop":
+                self.in_stream = False
             self.received_lsn = max(self.received_lsn, wal_end)
-            if msg["kind"] == "commit":
-                # the pgoutput Commit carries end_lsn: everything at or
-                # below it is durable in order — safe to acknowledge
+            if msg["kind"] in ("commit", "stream_commit"):
+                # Commit / StreamCommit carry end_lsn: everything at or
+                # below it is durable in order — safe to acknowledge.
+                # Mid-stream blocks (E) deliberately do NOT advance the
+                # flush point: an aborted streamed tx must be replayable.
                 self.flushed_lsn = max(self.flushed_lsn, msg["end_lsn"])
                 self.applied_lsn = self.flushed_lsn
             return {
@@ -337,14 +401,38 @@ def parse_tuple(buf: bytes, off: int = 0) -> tuple[list[Any], int]:
     return values, off
 
 
-def parse_message(data: bytes) -> dict[str, Any]:
+#: protocol-v2 message kinds that carry a leading u32 xid when sent
+#: inside a streamed (S…E) block
+_STREAMABLE_TAGS = (b"R", b"I", b"U", b"D", b"T", b"M")
+
+
+def parse_message(data: bytes, *, in_stream: bool = False) -> dict[str, Any]:
     """Parse one pgoutput message into a tagged dict. Unknown message
     kinds return ``{"kind": "other", "tag": <char>}`` (the reference
-    debug-logs and skips them, postgres_event.rs:195-210)."""
+    debug-logs and skips them, postgres_event.rs:195-210).
+
+    ``in_stream``: protocol v2 (PG 14+) — inside an S…E streamed block,
+    R/I/U/D/T/M messages carry a leading u32 xid; the parser must know
+    the block context because the byte layout is otherwise identical.
+    The xid surfaces as ``stream_xid`` on the parsed dict (it is the
+    owning [sub]transaction — StreamAbort discards rows by this id)."""
     if not data:
         raise PgoutputError("empty message")
     tag = data[0:1]
     body = data[1:]
+    stream_xid = None
+    if in_stream and tag in _STREAMABLE_TAGS:
+        if len(body) < 4:
+            raise PgoutputError("streamed message truncated before xid")
+        stream_xid = int.from_bytes(body[0:4], "big")
+        body = body[4:]
+    m = _parse_message_body(tag, body)
+    if stream_xid is not None:
+        m["stream_xid"] = stream_xid
+    return m
+
+
+def _parse_message_body(tag: bytes, body: bytes) -> dict[str, Any]:
     if tag == b"R":
         if len(body) < 8:
             raise PgoutputError("relation message truncated")
@@ -486,6 +574,35 @@ def parse_message(data: bytes) -> dict[str, Any]:
             "commit_lsn": int.from_bytes(body[1:9], "big"),
             "end_lsn": int.from_bytes(body[9:17], "big"),
             "commit_ts_us": int.from_bytes(body[17:25], "big"),
+        }
+    if tag == b"S":
+        if len(body) < 5:
+            raise PgoutputError("stream start truncated")
+        return {
+            "kind": "stream_start",
+            "xid": int.from_bytes(body[0:4], "big"),
+            "first_segment": bool(body[4]),
+        }
+    if tag == b"E":
+        return {"kind": "stream_stop"}
+    if tag == b"c":
+        if len(body) < 29:
+            raise PgoutputError("stream commit truncated")
+        return {
+            "kind": "stream_commit",
+            "xid": int.from_bytes(body[0:4], "big"),
+            "flags": body[4],
+            "commit_lsn": int.from_bytes(body[5:13], "big"),
+            "end_lsn": int.from_bytes(body[13:21], "big"),
+            "commit_ts_us": int.from_bytes(body[21:29], "big"),
+        }
+    if tag == b"A":
+        if len(body) < 8:
+            raise PgoutputError("stream abort truncated")
+        return {
+            "kind": "stream_abort",
+            "xid": int.from_bytes(body[0:4], "big"),
+            "subxid": int.from_bytes(body[4:8], "big"),
         }
     return {"kind": "other", "tag": tag.decode("latin-1")}
 
@@ -659,6 +776,16 @@ DML_SCHEMA = T.StructType(
     ]
 )
 
+#: DML_SCHEMA + protocol-v2 stream attribution (block toplevel xid and
+#: the message's own xid — they differ only for subtransactions)
+DML_V2_SCHEMA = T.StructType(
+    DML_SCHEMA.fields
+    + [
+        T.StructField("stream_xid", T.LongType()),
+        T.StructField("msg_xid", T.LongType()),
+    ]
+)
+
 TX_PART_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
@@ -717,10 +844,19 @@ def decode_pgoutput_dml(
     *,
     data_col: str = "data",
     seq_col: str = "seq",
+    stream_blocks: list[dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Map-only decode of I/U/D messages into CDC rows with JSON
     before/after images. DML for an unknown relation is dropped, like
-    the reference's warn-and-skip (postgres_event.rs:415-418)."""
+    the reference's warn-and-skip (postgres_event.rs:415-418).
+
+    ``stream_blocks`` (protocol v2): the collected S…E block intervals
+    from :func:`pgoutput_stream_blocks`. Messages whose seq falls
+    inside a block parse in streamed form (leading xid) and the output
+    gains ``stream_xid`` (the block's toplevel xid) and ``msg_xid``
+    (the message's own [sub]transaction xid, StreamAbort's discard
+    key) — order-free: block membership is a broadcast bisect, never a
+    sequential scan of the data plane."""
     # versioned catalog: per relation_id, announcements sorted by seq;
     # a DML row decodes against the latest version at or before it
     # (sequential 'R'-applies-forward semantics, made order-free).
@@ -742,13 +878,25 @@ def decode_pgoutput_dml(
         )
     for versions in catalog.values():
         versions.sort(key=lambda sv: sv[0])
+    # block intervals as parallel sorted lists for bisect: a DML at seq
+    # is streamed iff start < seq < end of some block
+    block_starts = sorted(
+        (int(blk["start_seq"]), int(blk["end_seq"]), int(blk["xid"]))
+        for blk in (stream_blocks or [])
+    )
+    v2 = stream_blocks is not None
     sc = stream.sparkSession.sparkContext
-    bc = sc.broadcast(catalog)
+    bc = sc.broadcast((catalog, block_starts))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from bisect import bisect_right
 
-        cat = bc.value
+        cat, blocks = bc.value
+        starts = [blk[0] for blk in blocks]
+        cols_out = [
+            "seq", "lsn", "relation_id", "op", "schema", "table",
+            "before", "after", "n_bytes",
+        ] + (["stream_xid", "msg_xid"] if v2 else [])
         for pdf in batches:
             rows = []
             for seq, data in zip(pdf[seq_col], pdf[data_col]):
@@ -756,11 +904,17 @@ def decode_pgoutput_dml(
                 tag = b[:1]
                 if tag not in (b"I", b"U", b"D"):
                     continue
-                m = parse_message(b)
+                seq = int(seq)
+                blk_xid = None
+                if blocks:
+                    bi = bisect_right(starts, seq) - 1
+                    if bi >= 0 and seq < blocks[bi][1]:
+                        blk_xid = blocks[bi][2]
+                m = parse_message(b, in_stream=blk_xid is not None)
                 versions = cat.get(m["relation_id"])
                 if not versions:
                     continue
-                idx = bisect_right(versions, int(seq), key=lambda sv: sv[0]) - 1
+                idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
                 if idx < 0:
                     continue  # DML before any announcement: unknown schema
                 rel = versions[idx][1]
@@ -776,28 +930,25 @@ def decode_pgoutput_dml(
                     after = build_object(cols, m["new"])
                 else:
                     before = build_object(cols, m["old"])
-                rows.append(
-                    (
-                        int(seq),
-                        int(seq),
-                        m["relation_id"],
-                        op,
-                        rel["schema"],
-                        rel["table"],
-                        None if before is None else json.dumps(before, sort_keys=True),
-                        None if after is None else json.dumps(after, sort_keys=True),
-                        len(b),
-                    )
+                row = (
+                    seq,
+                    seq,
+                    m["relation_id"],
+                    op,
+                    rel["schema"],
+                    rel["table"],
+                    None if before is None else json.dumps(before, sort_keys=True),
+                    None if after is None else json.dumps(after, sort_keys=True),
+                    len(b),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "seq", "lsn", "relation_id", "op", "schema", "table",
-                    "before", "after", "n_bytes",
-                ],
-            )
+                if v2:
+                    row = row + (blk_xid, m.get("stream_xid"))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols_out)
 
-    return stream.select(seq_col, data_col).mapInPandas(run, DML_SCHEMA)
+    return stream.select(seq_col, data_col).mapInPandas(
+        run, DML_V2_SCHEMA if v2 else DML_SCHEMA
+    )
 
 
 def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq") -> DataFrame:
@@ -847,6 +998,193 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
             "commit_ts_ms"
         ),
     )
+
+
+STREAM_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("first_segment", T.BooleanType()),
+    ]
+)
+
+
+def pgoutput_stream_blocks(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> list[dict[str, Any]]:
+    """Collect protocol-v2 S…E block boundaries and pair them
+    (control plane, O(#blocks) — same posture as the relation
+    catalog). Blocks never nest (protocol guarantee), so pairing is
+    each 'S' with the next boundary, which MUST be an 'E' — anything
+    else means a torn capture and fails loudly rather than
+    mis-attributing rows."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                tag = b[:1]
+                if tag == b"S":
+                    m = parse_message(b)
+                    rows.append((int(seq), "S", m["xid"], m["first_segment"]))
+                elif tag == b"E":
+                    rows.append((int(seq), "E", None, None))
+            yield pd.DataFrame(
+                rows, columns=["seq", "kind", "xid", "first_segment"]
+            )
+
+    bounds = sorted(
+        (
+            r.asDict()
+            for r in stream.select(seq_col, data_col)
+            .mapInPandas(scan, STREAM_BLOCK_SCHEMA)
+            .collect()
+        ),
+        key=lambda r: r["seq"],
+    )
+    blocks: list[dict[str, Any]] = []
+    open_s: dict[str, Any] | None = None
+    for r in bounds:
+        if r["kind"] == "S":
+            if open_s is not None:
+                raise PgoutputError(
+                    f"stream block at seq {open_s['seq']} never closed "
+                    f"before next start at seq {r['seq']}"
+                )
+            open_s = r
+        else:
+            if open_s is None:
+                raise PgoutputError(f"stream stop at seq {r['seq']} without start")
+            blocks.append(
+                {
+                    "xid": int(open_s["xid"]),
+                    "start_seq": int(open_s["seq"]),
+                    "end_seq": int(r["seq"]),
+                    "first_segment": bool(open_s["first_segment"]),
+                }
+            )
+            open_s = None
+    if open_s is not None:
+        raise PgoutputError(f"stream block at seq {open_s['seq']} never closed")
+    return blocks
+
+
+STREAM_TX_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("subxid", T.LongType()),
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("commit_ts_us", T.LongType()),
+    ]
+)
+
+
+def _pgoutput_stream_ctrl(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """Map-only extraction of StreamCommit ('c') / StreamAbort ('A')
+    control rows — #streamed-tx rows, never #event rows."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                tag = b[:1]
+                if tag == b"c":
+                    m = parse_message(b)
+                    rows.append(("c", m["xid"], None, int(seq), m["commit_ts_us"]))
+                elif tag == b"A":
+                    m = parse_message(b)
+                    rows.append(("A", m["xid"], m["subxid"], int(seq), None))
+            yield pd.DataFrame(
+                rows, columns=["kind", "xid", "subxid", "commit_seq", "commit_ts_us"]
+            )
+
+    return stream.select(seq_col, data_col).mapInPandas(scan, STREAM_TX_SCHEMA)
+
+
+def pgoutput_stream_tx_table(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """StreamCommit rows → (xid, commit_seq, commit_ts_ms). Unlike v1
+    Begin/Commit (paired via LSN interval), streamed rows already carry
+    their xid inline — commit gating is a plain equi-join on xid."""
+    ctrl = _pgoutput_stream_ctrl(stream, data_col=data_col, seq_col=seq_col)
+    return ctrl.filter(F.col("kind") == "c").select(
+        "xid",
+        "commit_seq",
+        (
+            F.expr("CAST(commit_ts_us DIV 1000 AS BIGINT)") + F.lit(PG_EPOCH_UNIX_MS)
+        ).alias("commit_ts_ms"),
+    )
+
+
+def pgoutput_stream_aborts(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """StreamAbort rows → (xid, subxid): discard every streamed row
+    whose ``msg_xid`` equals an aborted subxid (subxid == xid when the
+    whole transaction rolled back — in which case the missing
+    StreamCommit already gates the rows out; the subxid path covers
+    partial subtransaction rollbacks inside a committed tx)."""
+    ctrl = _pgoutput_stream_ctrl(stream, data_col=data_col, seq_col=seq_col)
+    return ctrl.filter(F.col("kind") == "A").select("xid", "subxid")
+
+
+def decode_pgoutput_v2(
+    stream: DataFrame,
+    *,
+    data_col: str = "data",
+    seq_col: str = "seq",
+    tx_bucket_width: int = 256,
+    keep_uncommitted: bool = False,
+) -> DataFrame:
+    """Protocol-v2 full pipeline (PG 14+ ``streaming = on``): the v1
+    path (catalog → map-only DML decode → interval-join tx stamp)
+    PLUS streamed in-progress transactions stitched back together —
+    S…E block fragments attribute rows to their toplevel xid (broadcast
+    bisect), StreamCommit gates emission (equi-join on xid),
+    StreamAbort discards rolled-back subtransactions (anti-join on
+    msg_xid). Commit-gated like v1: a streamed tx with no StreamCommit
+    never emits. Output schema matches :func:`decode_pgoutput` exactly
+    so every downstream consumer (change feed, envelope, sinks) is
+    format-agnostic about how the transaction traveled the wire."""
+    relations = pgoutput_relation_catalog(stream, data_col=data_col)
+    blocks = pgoutput_stream_blocks(stream, data_col=data_col, seq_col=seq_col)
+    dml = decode_pgoutput_dml(
+        stream, relations, data_col=data_col, seq_col=seq_col, stream_blocks=blocks
+    )
+    plain = dml.filter(F.col("stream_xid").isNull()).drop("stream_xid", "msg_xid")
+    tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    v1 = stamp_transactions(
+        plain, tx, bucket_width=tx_bucket_width, keep_uncommitted=keep_uncommitted
+    )
+    sv = dml.filter(F.col("stream_xid").isNotNull())
+    commits = pgoutput_stream_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    aborts = pgoutput_stream_aborts(stream, data_col=data_col, seq_col=seq_col)
+    streamed = (
+        sv.join(
+            commits.select(F.col("xid").alias("_cxid"), "commit_ts_ms"),
+            sv.stream_xid == F.col("_cxid"),
+            "inner",
+        )
+        .join(
+            aborts.select(F.col("subxid").alias("_axid")),
+            sv.msg_xid == F.col("_axid"),
+            "left_anti",
+        )
+        .select(
+            "seq", "lsn", "relation_id", "op", "schema", "table",
+            "before", "after", "n_bytes",
+            F.col("stream_xid").alias("xid"),
+            "commit_ts_ms",
+        )
+    )
+    return v1.unionByName(streamed)
 
 
 MESSAGE_SCHEMA = T.StructType(
@@ -1165,6 +1503,110 @@ def synth_pgoutput_orders(
                 msg = encode_insert(ORDERS_RELATION_ID, vals)
             out.append((base + 2 + i, msg))
         out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
+        return pd.DataFrame(out, columns=["seq", "data"])
+
+    keyed = orders.withColumn(
+        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
+    )
+    return keyed.groupBy("_tx").applyInPandas(
+        lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
+    )
+
+
+def synth_pgoutput_streamed(
+    spark: SparkSession, sf_dir: str, *, rows_per_tx: int = 64
+) -> DataFrame:
+    """Protocol-v2 twin of :func:`synth_pgoutput_orders`: every third
+    transaction travels as a STREAMED in-progress transaction —
+    S…E block(s) with xid-prefixed DML, closed by StreamCommit — and
+    every ninth additionally large enough to split into TWO segments
+    (first_segment then continuation) before committing; every
+    (9k+6)-th streamed tx ends in StreamAbort instead (its rows must
+    never emit). Deterministic, so the DuckDB oracle can reproduce the
+    expected committed row set from the orders parquet alone.
+
+    Layout per tx slot (rows_per_tx + 8 seqs wide):
+      plain:    R B dml… C                 (v1, unchanged)
+      streamed: R S dml… E c              (single segment)
+      split:    R S dml₁… E S dml₂… E c   (two segments, same xid)
+      aborted:  R S dml… E A              (whole-tx rollback)
+    """
+    from .snapshot import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    dt = dict(orders.dtypes)["o_orderdate"]
+    if dt in ("bigint", "long"):
+        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
+    else:
+        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    orders = orders.withColumn("o_orderdate_us", date_us)
+    slot = rows_per_tx + 8  # R + worst case S…E S…E + commit/abort
+
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(key[0])
+        base = tx * slot
+        xid = tx & 0xFFFFFFFF
+        commit_ts_us = xid * 1_000_000
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        n = len(pdf)
+        streamed = tx % 3 == 0
+        split = streamed and tx % 9 == 0
+        aborted = streamed and tx % 9 == 6
+
+        def dml(r, *, stream_xid=None) -> bytes:
+            vals = [
+                str(int(r.o_orderkey)),
+                str(int(r.o_custkey)),
+                str(r.o_orderstatus),
+                _float_text(r.o_totalprice),
+                _pg_ts_text(r.o_orderdate_us),
+                str(r.o_orderpriority),
+            ]
+            if r.o_orderstatus == "F":
+                return encode_delete(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
+            if r.o_orderstatus == "P":
+                old = list(vals)
+                old[3] = _float_text(r.o_totalprice - 1.0)
+                return encode_update(
+                    ORDERS_RELATION_ID, vals, old, stream_xid=stream_xid
+                )
+            return encode_insert(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
+
+        out: list[tuple[int, bytes]] = [
+            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
+        ]
+        seq = base + 1
+        if not streamed:
+            commit_seq = base + n + 2
+            out.append((seq, encode_begin(commit_seq, commit_ts_us, xid)))
+            seq += 1
+            for i in range(n):
+                out.append((seq, dml(pdf.iloc[i])))
+                seq += 1
+            out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
+        else:
+            half = n // 2 if split else n
+            out.append((seq, encode_stream_start(xid, first_segment=True)))
+            seq += 1
+            for i in range(half):
+                out.append((seq, dml(pdf.iloc[i], stream_xid=xid)))
+                seq += 1
+            out.append((seq, encode_stream_stop()))
+            seq += 1
+            if split:
+                out.append((seq, encode_stream_start(xid, first_segment=False)))
+                seq += 1
+                for i in range(half, n):
+                    out.append((seq, dml(pdf.iloc[i], stream_xid=xid)))
+                    seq += 1
+                out.append((seq, encode_stream_stop()))
+                seq += 1
+            if aborted:
+                out.append((seq, encode_stream_abort(xid, xid)))
+            else:
+                out.append(
+                    (seq, encode_stream_commit(xid, seq, seq + 1, commit_ts_us))
+                )
         return pd.DataFrame(out, columns=["seq", "data"])
 
     keyed = orders.withColumn(

@@ -1,0 +1,225 @@
+"""pgoutput protocol v2 streamed transactions (PG 14+ ``streaming=on``):
+byte-pinned S/E/c/A vectors, xid-prefixed streamed DML parsing, the
+walreceiver's stream-state tagging, block pairing (loud on torn
+captures), and the distributed stitch — commit gating, multi-segment
+reassembly, and subtransaction abort discard."""
+
+import pytest
+
+from deltaforge_spark.sources.pgoutput import (
+    ORDERS_COLUMNS,
+    ORDERS_RELATION_ID,
+    PgoutputError,
+    ReplicationStream,
+    decode_pgoutput_dml,
+    decode_pgoutput_v2,
+    encode_commit,
+    encode_begin,
+    encode_insert,
+    encode_relation,
+    encode_stream_abort,
+    encode_stream_commit,
+    encode_stream_start,
+    encode_stream_stop,
+    encode_update,
+    encode_xlogdata,
+    parse_message,
+    pgoutput_relation_catalog,
+    pgoutput_stream_aborts,
+    pgoutput_stream_blocks,
+    pgoutput_stream_tx_table,
+)
+
+REL = 77
+COLS = [("id", 20, -1, 1), ("name", 25, -1, 0)]
+
+
+class TestByteVectors:
+    def test_stream_start_layout(self):
+        b = encode_stream_start(0x01020304, first_segment=True)
+        assert b == b"S\x01\x02\x03\x04\x01"
+        m = parse_message(b)
+        assert m == {"kind": "stream_start", "xid": 0x01020304, "first_segment": True}
+        assert parse_message(encode_stream_start(5, first_segment=False))[
+            "first_segment"
+        ] is False
+
+    def test_stream_stop_is_bare_tag(self):
+        assert encode_stream_stop() == b"E"
+        assert parse_message(b"E") == {"kind": "stream_stop"}
+
+    def test_stream_commit_layout(self):
+        b = encode_stream_commit(9, 0x10, 0x20, 1_000_000)
+        assert b[:1] == b"c"
+        assert b[1:5] == (9).to_bytes(4, "big")
+        assert b[5] == 0  # flags
+        assert b[6:14] == (0x10).to_bytes(8, "big")
+        assert b[14:22] == (0x20).to_bytes(8, "big")
+        assert b[22:30] == (1_000_000).to_bytes(8, "big")
+        m = parse_message(b)
+        assert m["kind"] == "stream_commit"
+        assert (m["xid"], m["commit_lsn"], m["end_lsn"], m["commit_ts_us"]) == (
+            9, 0x10, 0x20, 1_000_000,
+        )
+
+    def test_stream_abort_layout(self):
+        b = encode_stream_abort(9, 11)
+        assert b == b"A" + (9).to_bytes(4, "big") + (11).to_bytes(4, "big")
+        m = parse_message(b)
+        assert m == {"kind": "stream_abort", "xid": 9, "subxid": 11}
+
+    def test_streamed_dml_carries_leading_xid(self):
+        plain = encode_insert(REL, ["1", "a"])
+        streamed = encode_insert(REL, ["1", "a"], stream_xid=42)
+        assert streamed == b"I" + (42).to_bytes(4, "big") + plain[1:]
+        m = parse_message(streamed, in_stream=True)
+        assert m["kind"] == "insert" and m["stream_xid"] == 42
+        assert m["new"] == ["1", "a"]
+        # without stream context the same bytes misparse (the xid is
+        # read as part of the relation id and framing breaks) — the
+        # in_stream flag IS load-bearing
+        with pytest.raises(PgoutputError):
+            parse_message(streamed)
+
+    def test_streamed_update_and_relation(self):
+        u = encode_update(REL, ["1", "b"], ["1", "a"], stream_xid=7)
+        m = parse_message(u, in_stream=True)
+        assert m["stream_xid"] == 7 and m["old"] == ["1", "a"] and m["new"] == ["1", "b"]
+        r = encode_relation(REL, "public", "t", COLS, stream_xid=7)
+        m = parse_message(r, in_stream=True)
+        assert m["kind"] == "relation" and m["stream_xid"] == 7 and m["table"] == "t"
+
+    def test_non_streamed_parse_has_no_stream_xid_key(self):
+        m = parse_message(encode_insert(REL, ["1", "a"]))
+        assert "stream_xid" not in m
+
+    def test_truncated_streamed_message_is_loud(self):
+        with pytest.raises(PgoutputError, match="truncated before xid"):
+            parse_message(b"I\x00\x01", in_stream=True)
+
+
+class TestReplicationStreamState:
+    def test_receiver_tags_stream_context_and_acks_on_stream_commit(self):
+        rs = ReplicationStream()
+        seq = [
+            encode_stream_start(4, first_segment=True),
+            encode_insert(REL, ["1", "a"], stream_xid=4),
+            encode_stream_stop(),
+            encode_stream_commit(4, 0x50, 0x60, 123),
+        ]
+        msgs = []
+        for i, payload in enumerate(seq):
+            out = rs.feed_copydata(encode_xlogdata(i, i + 1, 0, payload))
+            msgs.append(out["message"])
+        assert msgs[0]["kind"] == "stream_start"
+        assert msgs[1]["kind"] == "insert" and msgs[1]["stream_xid"] == 4
+        assert msgs[2]["kind"] == "stream_stop"
+        assert rs.in_stream is False
+        # StreamCommit advances the flush point like Commit does
+        assert rs.flushed_lsn == 0x60
+
+    def test_mid_stream_blocks_do_not_advance_flush(self):
+        rs = ReplicationStream()
+        rs.feed_copydata(encode_xlogdata(0, 1, 0, encode_stream_start(4)))
+        rs.feed_copydata(
+            encode_xlogdata(1, 2, 0, encode_insert(REL, ["1", "a"], stream_xid=4))
+        )
+        rs.feed_copydata(encode_xlogdata(2, 3, 0, encode_stream_stop()))
+        assert rs.flushed_lsn == 0  # aborted tx must stay replayable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "seq long, data binary")
+
+
+def _base_stream(spark):
+    """xid 10 streamed across TWO segments (committed), xid 20 streamed
+    (aborted), xid 30 plain v1 — interleaved the way a real WAL sender
+    emits them."""
+    rows = [
+        (0, encode_relation(REL, "public", "t", COLS)),
+        # first segment of xid 10
+        (1, encode_stream_start(10, first_segment=True)),
+        (2, encode_insert(REL, ["1", "a"], stream_xid=10)),
+        (3, encode_stream_stop()),
+        # xid 20 interleaves (the reason streaming exists)
+        (4, encode_stream_start(20, first_segment=True)),
+        (5, encode_insert(REL, ["100", "x"], stream_xid=20)),
+        (6, encode_stream_stop()),
+        # second segment of xid 10, then commit
+        (7, encode_stream_start(10, first_segment=False)),
+        (8, encode_insert(REL, ["2", "b"], stream_xid=10)),
+        (9, encode_stream_stop()),
+        (10, encode_stream_commit(10, 0x100, 0x101, 5_000_000)),
+        # xid 20 aborts wholesale
+        (11, encode_stream_abort(20, 20)),
+        # plain v1 tx
+        (12, encode_begin(14, 7_000_000, 30)),
+        (13, encode_insert(REL, ["3", "c"])),
+        (14, encode_commit(14, 15, 7_000_000)),
+    ]
+    return _df(spark, rows)
+
+
+class TestDistributedStitch:
+    def test_blocks_pair_and_fail_loudly_when_torn(self, spark):
+        blocks = pgoutput_stream_blocks(_base_stream(spark))
+        assert [(b["xid"], b["start_seq"], b["end_seq"], b["first_segment"]) for b in blocks] == [
+            (10, 1, 3, True),
+            (20, 4, 6, True),
+            (10, 7, 9, False),
+        ]
+        torn = _df(
+            spark,
+            [(0, encode_stream_start(1)), (1, encode_stream_start(2)), (2, encode_stream_stop())],
+        )
+        with pytest.raises(PgoutputError, match="never closed"):
+            pgoutput_stream_blocks(torn)
+        dangling = _df(spark, [(0, encode_stream_stop())])
+        with pytest.raises(PgoutputError, match="without start"):
+            pgoutput_stream_blocks(dangling)
+
+    def test_commit_gating_multiseg_stitch_and_abort_discard(self, spark):
+        dec = decode_pgoutput_v2(_base_stream(spark))
+        got = sorted(
+            (r["xid"], r["after"], r["commit_ts_ms"]) for r in dec.collect()
+        )
+        # xid 10: both fragments stitched under one commit; xid 20 gone
+        # (no StreamCommit); xid 30 via the v1 interval path
+        assert got == [
+            (10, '{"id": 1, "name": "a"}', 946684800000 + 5_000),
+            (10, '{"id": 2, "name": "b"}', 946684800000 + 5_000),
+            (30, '{"id": 3, "name": "c"}', 946684800000 + 7_000),
+        ]
+
+    def test_subtransaction_abort_discards_only_subxid_rows(self, spark):
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            (1, encode_stream_start(10, first_segment=True)),
+            (2, encode_insert(REL, ["1", "main"], stream_xid=10)),
+            # subtransaction 11's row inside the same block
+            (3, encode_insert(REL, ["2", "sub"], stream_xid=11)),
+            (4, encode_stream_stop()),
+            (5, encode_stream_abort(10, 11)),  # subxact rolls back...
+            (6, encode_stream_commit(10, 0x10, 0x11, 1_000_000)),  # ...tx commits
+        ]
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        got = [(r["xid"], r["after"]) for r in dec.collect()]
+        assert got == [(10, '{"id": 1, "name": "main"}')]
+
+    def test_stream_ctrl_tables(self, spark):
+        s = _base_stream(spark)
+        commits = {
+            (r["xid"], r["commit_ts_ms"]) for r in pgoutput_stream_tx_table(s).collect()
+        }
+        assert commits == {(10, 946684800000 + 5_000)}
+        aborts = {(r["xid"], r["subxid"]) for r in pgoutput_stream_aborts(s).collect()}
+        assert aborts == {(20, 20)}
+
+    def test_dml_v1_schema_unchanged_without_blocks(self, spark):
+        s = _base_stream(spark)
+        cat = pgoutput_relation_catalog(s)
+        v1 = decode_pgoutput_dml(s, cat)
+        assert "stream_xid" not in v1.columns
+        v2 = decode_pgoutput_dml(s, cat, stream_blocks=pgoutput_stream_blocks(s))
+        assert v2.columns[-2:] == ["stream_xid", "msg_xid"]

@@ -4233,18 +4233,65 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
-    # r6 prefix policy: cdc_binlog_datasource leads (the single query
-    # never driver-sampled through r5; VERDICT r5 #2), then EVERY query
-    # new in r6 — 27 of them — so each gets its first driver row this
-    # round. The r5-green queries this displaced past position 50
-    # (events_windowed_stream/funnel/paths/dau/gap_percentiles/
-    # retention, cdc_lake_rolling, cdc_schema_heavy_hitters) all have
-    # green CORRECTNESS_r05 rows; every declared query keeps a driver
-    # row across rounds. tools/check.py --all still value-checks the
-    # FULL set locally at sf0.01 and sf0.1.
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q20_potential_promotion": q20_potential_promotion,
+    # r7 prefix policy (VERDICT r6 #6): the three queries NEW in r7
+    # lead (first driver rows), then the 47 queries whose latest green
+    # driver row is OLDEST (r1-r2 vintage rows from before four rounds
+    # of refactors, then r3, then the alphabetically-first r4 rows) —
+    # so driver evidence is refreshed where it is most stale. The
+    # r5/r6-green queries displaced past position 50 all keep their
+    # recent rows; tools/check.py --all still value-checks the FULL
+    # set locally at sf0.01 and sf0.1.
     "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "cdc_changelog_projection": q_changelog_projection,
+    "cdc_dlq_split": q_dlq_split,
+    "cdc_ddl_capture": q_ddl_capture,
+    "cdc_envelope_debezium": q_envelope_debezium,
+    "cdc_envelope_native": q_envelope_native,
+    "cdc_envelope_roundtrip": q_envelope_roundtrip,
+    "cdc_gtid_ranges": q_gtid_ranges,
+    "cdc_idempotency": q_idempotency,
+    "cdc_json_decode": q_json_decode,
+    "cdc_lake_partitions": q_lake_partitions,
+    "cdc_outbox": q_outbox,
+    "cdc_python_udf": q_python_udf,
+    "cdc_routing_templates": q_routing_templates,
+    "cdc_schema_sensing": q_schema_sensing,
+    "cdc_schema_sensing_deep": q_schema_sensing_deep,
+    "cdc_snapshot_handoff": q_snapshot_handoff,
+    "cdc_toast_unchanged": q_toast_unchanged,
+    "cdc_tx_boundaries": q_tx_boundaries,
+    "cdc_upsert_materialize": q_upsert_materialize,
+    "customers_without_big_orders": q_anti_join_customers,
+    "dedup_minhash_lsh": q_minhash_lsh_pairs,
+    "events_sessionization": q_events_sessionization,
+    "events_topn": q_events_topn,
+    "events_windowed": q_events_windowed,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "type_rules": q_type_rules,
+    "cdc_drift_profile": q_cdc_drift_profile,
+    "cdc_tx_assemble": q_tx_assemble,
+    "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
+    "corpus_report": q_corpus_report,
+    "dedup_connected_components": q_dedup_connected_components,
+    "dedup_stream_gate": q_dedup_stream_gate,
+    "doc_length_histogram": q_doc_length_histogram,
+    "pipeline_training_data": q_pipeline_training_data,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_adc": q_ann_pq_adc,
+    "audience_overlap": q_audience_overlap,
+    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
+    "cdc_filter_any_changed": q_filter_any_changed,
+    "cdc_filter_tables": q_filter_tables,
+    "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
+    # --- positions 51+: driver-green in recent rounds (r4-r6 rows) ---
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
@@ -4322,23 +4369,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "events_asof_join": q_events_asof_join,
     "url_dedup": q_url_dedup,
-    # --- positions 51+: driver-green in earlier rounds (r1-r5 rows);
-    # note the r6 insertions above pushed entries from roughly
-    # events_windowed_stream onward past position 50 — see the prefix
-    # comment at the top of this dict ---
     "dedup_semantic": q_dedup_semantic,
     "dedup_report": q_dedup_report,
     "mixture_by_temperature": q_mixture_by_temperature,
     "text_bpe_tokens": q_text_bpe_tokens,
-    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
-    "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
     "sketch_vocab_hll": q_sketch_vocab_hll,
-    "audience_overlap": q_audience_overlap,
     "sketch_bloom_membership": q_sketch_bloom_membership,
     "events_anomalies": q_events_anomalies,
     "events_percentiles": q_events_percentiles,
-    "cdc_filter_any_changed": q_filter_any_changed,
-    "cdc_filter_tables": q_filter_tables,
     "sample_stratified": q_sample_stratified,
     "mixture_by_budget": q_mixture_by_budget,
     "doc_pack_sequences": q_pack_sequences,
@@ -4353,51 +4391,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": q_similarity_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "similarity_lsh": q_similarity_lsh,
-    "ann_pq_adc": q_ann_pq_adc,
-    "ann_ivf_pq": q_ann_ivf_pq,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_apply": q_dedup_apply,
     "dedup_lines": q_dedup_lines,
-    "pipeline_training_data": q_pipeline_training_data,
-    "corpus_report": q_corpus_report,
-    "doc_length_histogram": q_doc_length_histogram,
-    "dedup_connected_components": q_dedup_connected_components,
-    "cdc_tx_assemble": q_tx_assemble,
-    "cdc_tx_assemble_stream": q_cdc_tx_assemble_stream,
-    "dedup_stream_gate": q_dedup_stream_gate,
-    "cdc_drift_profile": q_cdc_drift_profile,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q4_order_priority": q4_order_priority,
-    "customers_without_big_orders": q_anti_join_customers,
-    "multimodal_image_meta": q_multimodal_image_meta,
-    "multimodal_frames": q_multimodal_frames,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "events_windowed": q_events_windowed,
-    "events_topn": q_events_topn,
-    "events_sessionization": q_events_sessionization,
-    "cdc_outbox": q_outbox,
-    "cdc_routing_templates": q_routing_templates,
-    "cdc_idempotency": q_idempotency,
-    "cdc_envelope_roundtrip": q_envelope_roundtrip,
-    "cdc_upsert_materialize": q_upsert_materialize,
-    "cdc_lake_partitions": q_lake_partitions,
-    "cdc_schema_sensing": q_schema_sensing,
-    "cdc_schema_sensing_deep": q_schema_sensing_deep,
-    "cdc_toast_unchanged": q_toast_unchanged,
-    "cdc_snapshot_handoff": q_snapshot_handoff,
-    "dedup_minhash_lsh": q_minhash_lsh_pairs,
-    "cdc_python_udf": q_python_udf,
-    "cdc_envelope_native": q_envelope_native,
-    "cdc_envelope_debezium": q_envelope_debezium,
-    "cdc_json_decode": q_json_decode,
-    "type_rules": q_type_rules,
-    "cdc_tx_boundaries": q_tx_boundaries,
-    "cdc_gtid_ranges": q_gtid_ranges,
-    "cdc_ddl_capture": q_ddl_capture,
-    "cdc_changelog_projection": q_changelog_projection,
-    "cdc_dlq_split": q_dlq_split,
 }
 
 def _lsh_embedding_oracle_sql(

@@ -61,11 +61,17 @@ class TestBenchContract:
         assert sorted(set(qs) - set(osql)) == []
         assert sorted(set(osql) - set(qs)) == []
 
-    def test_driver_prefix_contains_binlog_datasource(self):
-        """VERDICT r5 #2: the one query never driver-sampled must sit
-        in the first-50 prefix the driver verifies."""
+    def test_driver_prefix_contains_never_sampled_queries(self):
+        """Queries without any driver row yet must sit in the first-50
+        prefix the driver verifies (r5 #2 generalized: r6 gave
+        cdc_binlog_datasource its row; r7's new queries are next)."""
         names = list(_entry().queries())
-        assert "cdc_binlog_datasource" in names[:50]
+        for name in (
+            "q2_min_cost_supplier",
+            "q20_potential_promotion",
+            "cdc_pgoutput_stream_decode",
+        ):
+            assert name in names[:50], name
 
     def test_queries_md_in_sync(self):
         """QUERIES.md regenerates from the declared surface — a stale
@@ -76,21 +82,13 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-R6_NEW_QUERIES = [
-    "cdc_binlog_datasource", "text_normalize", "doc_char_entropy",
-    "embedding_kmeans", "web_pagerank", "events_sessionize",
-    "events_sessionize_stream", "sketch_countmin_tokens",
-    "events_sampled_percentiles", "doc_bm25_search", "doc_bigram_pmi",
-    "doc_chunking", "web_communities", "lake_zorder_stats",
-    "doc_lang_confusion", "events_stream_stream_join", "dedup_keep_best",
-    "sketch_hll_merge_daily", "embedding_dim_stats", "doc_perplexity_filter",
-    "doc_weighted_sample", "events_value_histogram", "corpus_diff",
-    "basket_brand_lift", "cdc_scd2_history", "cdc_incremental_agg",
-    "events_anomaly_mad",
+R7_NEW_QUERIES = [
+    "q2_min_cost_supplier", "q20_potential_promotion",
+    "cdc_pgoutput_stream_decode",
 ]
 
 
-def test_every_new_r6_query_is_in_driver_prefix():
+def test_every_new_r7_query_is_in_driver_prefix():
     """Never-driver-sampled queries must sit in the first-50 prefix the
     driver verifies; queries displaced past 50 must all have a green
     CORRECTNESS row from an earlier round (checked by name against the
@@ -99,10 +97,10 @@ def test_every_new_r6_query_is_in_driver_prefix():
     import os
 
     names = list(_entry().queries())
-    for n in R6_NEW_QUERIES:
+    for n in R7_NEW_QUERIES:
         assert names.index(n) < 50, f"{n} at {names.index(n)} — not driver-visible"
     prior_green = set()
-    for r in range(1, 6):
+    for r in range(1, 7):
         p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(p):
             rows = json.load(open(p))

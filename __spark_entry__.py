@@ -3642,6 +3642,31 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(weighted_edges(pairs), n_iter=2).orderBy("node")
 
 
+def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the synthetic host-link graph —
+    the local-clustering signal crawl curation uses beside centrality
+    (link farms: high degree, near-zero triangles; organic hubs close
+    wedges). Degree-ordered node-iterator (operators/graph.py
+    triangle_counts): wedge fan-out bounded by arboricity via the
+    (degree, id) edge orientation, every stage a single-key shuffle.
+    The oracle verifies with the orientation-independent canonical
+    a<b<c three-way join."""
+    _prep(spark)
+    from deltaforge_spark.operators.graph import triangle_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    legs = []
+    for mul, add in ((31, 7), (17, 3), (1, 1), (2, 5)):
+        legs.append(
+            docs.select(
+                (F.col("doc_id") % 101).alias("src"),
+                ((F.col("doc_id") * mul + add) % 101).alias("dst"),
+            )
+        )
+    pairs = legs[0].unionAll(legs[1]).unionAll(legs[2]).unionAll(legs[3])
+    return triangle_counts(pairs).orderBy("node")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): every event
     assigned to a per-user 30-min-inactivity session, reduced to
@@ -4244,6 +4269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
     "q20_potential_promotion": q20_potential_promotion,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "web_triangles": q_web_triangles,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
     "cdc_ddl_capture": q_ddl_capture,
@@ -5788,6 +5814,26 @@ def _oracle_sql_base() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.tus >= c.tus AND p.tus <= c.tus + 3600000000
+        """,
+        "web_triangles": """
+            WITH pairs AS (
+              SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+              UNION ALL SELECT doc_id % 101, (doc_id * 17 + 3) % 101 FROM documents
+              UNION ALL SELECT doc_id % 101, (doc_id * 1 + 1) % 101 FROM documents
+              UNION ALL SELECT doc_id % 101, (doc_id * 2 + 5) % 101 FROM documents),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM pairs WHERE src <> dst),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node
         """,
         "web_communities": """
             WITH pairs AS (

@@ -581,6 +581,9 @@ def main():
             k: [gates_agreed[k], passes[k]] for k in sorted(gates_agreed)
         },
     }
+    sf1 = _sf1_soak_summary()
+    if sf1:
+        gate["sf1"] = sf1
     result = dict(gate, queries=timings, passes=passes)
     _append_trend(result)
     # Per-query detail goes on an EARLIER stdout line (and BENCH_TREND.jsonl);
@@ -597,6 +600,32 @@ def main():
         gate["queries"] = {}
         line = json.dumps(gate)
     print(line)
+
+
+def _sf1_soak_summary() -> dict | None:
+    """Compact summary of the committed sf1 soak (SF1_SOAK.json,
+    produced by tools/gen_sf.py + tools/soak_sf1.py + check.py --all at
+    the 10x scale) for the gate line — measured scale evidence rides
+    along with the sf0.1 numbers instead of living only in a side file.
+    Only headline facts (gate rates, check verdict, worst kernel
+    ratio); the full per-kernel table stays in SF1_SOAK.json."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SF1_SOAK.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    out: dict = {}
+    for k in ("check_all", "events_per_sec", "binlog_decode_events_per_sec",
+              "kafka_wire_events_per_sec"):
+        if k in doc:
+            out[k] = doc[k]
+    kernels = doc.get("kernels") or {}
+    if kernels:
+        worst = max(kernels.items(), key=lambda kv: kv[1].get("ratio", 0))
+        out["kernels_measured"] = len(kernels)
+        out["worst_ratio"] = [worst[0], worst[1].get("ratio")]
+    return out or None
 
 
 def _append_trend(result: dict) -> None:

@@ -187,3 +187,61 @@ def label_propagation(
     sym.unpersist()
     nodes.unpersist()
     return labels
+
+
+def triangle_counts(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via the degree-ordered node-iterator
+    (the standard distributed algorithm — Suri & Vassilvitskii's MR
+    triangle counting): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    joining out-edges on their pivot, close each wedge against the
+    oriented edge set. The orientation is the scale trick: a node's
+    out-degree under the total order is O(sqrt(m)) even when its raw
+    degree is huge (a celebrity host never becomes a wedge pivot for
+    its full neighborhood), so wedge fan-out — the only superlinear
+    term — is bounded by graph arboricity, not by max degree.
+
+    Shuffles: edge dedup groupBy, degree groupBy, wedge self-join on
+    the pivot key, closing join on the (lo, hi) edge key, final
+    node-keyed count. No driver collection; triangle SET is
+    orientation-independent, so the DuckDB oracle verifies with the
+    simple canonical a<b<c three-way join."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        pairs.filter(F.col(src) != F.col(dst))
+        .select(lo.alias("u"), hi.alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ed = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
+    ).persist()
+    e1 = oriented.select("a", F.col("b").alias("x"), F.col("deg_b").alias("deg_x"))
+    e2 = oriented.select("a", F.col("b").alias("y"), F.col("deg_b").alias("deg_y"))
+    x_first = (F.col("deg_x") < F.col("deg_y")) | (
+        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
+    )
+    wedges = e1.join(e2, "a").filter(x_first).select("a", "x", "y")
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    triangles = wedges.join(closing, ["x", "y"])
+    counts = (
+        triangles.select(F.col("a").alias("node"))
+        .unionAll(triangles.select(F.col("x").alias("node")))
+        .unionAll(triangles.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return counts

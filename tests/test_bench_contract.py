@@ -70,6 +70,7 @@ class TestBenchContract:
             "q2_min_cost_supplier",
             "q20_potential_promotion",
             "cdc_pgoutput_stream_decode",
+            "web_triangles",
         ):
             assert name in names[:50], name
 
@@ -84,7 +85,7 @@ class TestBenchContract:
 
 R7_NEW_QUERIES = [
     "q2_min_cost_supplier", "q20_potential_promotion",
-    "cdc_pgoutput_stream_decode",
+    "cdc_pgoutput_stream_decode", "web_triangles",
 ]
 
 

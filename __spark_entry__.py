@@ -516,6 +516,67 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test split: the split UNIT is the
+    near-dup CLUSTER, not the document — every member of an LSH
+    connected component inherits the split of its canonical doc, so
+    eval can never contain a near-duplicate of a training doc (the
+    leakage mode a per-doc hash split cannot prevent; Lee et al. 2022
+    report dup-driven eval inflation). Composition of two oracled
+    stages: minhash-LSH → connected components gives (doc, canonical);
+    docs outside any cluster are their own unit; the 48-bit split hash
+    keys on the unit id. One extra broadcast-scale join over the plain
+    dataset_split — cluster labels are |clustered docs| rows, the
+    corpus never reshuffles."""
+    from deltaforge_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from deltaforge_spark.operators.sampling import dataset_split
+
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    labels = connected_components(minhash_lsh_pairs(sig, num_hashes=8, bands=4))
+    units = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("unit"),
+    )
+    return dataset_split(units, key_col="unit").select("doc_id", "unit", "split")
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per document: build
+    the corpus vocabulary (tokens with global frequency ≥ 5) and score
+    each doc by the share of its token INSTANCES outside it — the
+    tokenizer-coverage diagnostic run before committing a vocab or
+    spotting corrupt/foreign shards (high OOV = wrong language, OCR
+    noise, or markup). Scale shape: one counts-only groupBy on token
+    builds the vocab, the doc-token stream joins it token-keyed (AQE
+    broadcasts the ≥5-frequency vocab when small), one doc-keyed
+    count — the corpus text shuffles once as (doc_id, token) pairs,
+    never as whole documents."""
+    _prep(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    flagged = toks.join(vocab, "tok", "left")
+    n_oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), n_oov.alias("n_oov"))
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints via per-bit token votes."""
     _prep(spark)
@@ -4270,6 +4331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_potential_promotion": q20_potential_promotion,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "web_triangles": q_web_triangles,
+    "dataset_split_leakage_safe": q_dataset_split_leakage_safe,
+    "doc_oov_rate": q_doc_oov_rate,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
     "cdc_ddl_capture": q_ddl_capture,
@@ -4720,6 +4783,30 @@ def _connected_components_oracle() -> str:
         )
         SELECT u AS doc_id, least(u, min(v)) AS canonical_id
         FROM reach GROUP BY u
+    """
+
+
+def _leakage_safe_split_oracle() -> str:
+    """Composition of the two verified oracles: the CC closure supplies
+    (doc, canonical) units; the split CASE uses the identical 48-bit
+    hash and the identical float-accumulated boundaries (same Python
+    arithmetic as sampling.dataset_split)."""
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    cum, cases = 0.0, []
+    for name, frac in splits[:-1]:
+        cum += frac
+        cases.append(f"WHEN hv < {int(cum * (1 << 48))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+    return f"""
+        WITH cc AS (SELECT * FROM ({_connected_components_oracle()})),
+        units AS (
+            SELECT d.doc_id, coalesce(cc.canonical_id, d.doc_id) AS unit
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        h AS (
+            SELECT doc_id, unit,
+                   CAST(('0x' || substr(md5('split:' || CAST(unit AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+            FROM units)
+        SELECT doc_id, unit, {case} AS split FROM h
     """
 
 
@@ -6140,6 +6227,23 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT event_id, 'tags__k' || CAST(event_id % 64 AS VARCHAR), '1' FROM events
         """,
         "dedup_connected_components": _connected_components_oracle(),
+        "dataset_split_leakage_safe": _leakage_safe_split_oracle(),
+        "doc_oov_rate": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+            tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+            vocab AS (SELECT tok FROM tt GROUP BY tok HAVING count(*) >= 5),
+            flag AS (
+                SELECT tt.doc_id, v.tok IS NOT NULL AS inv
+                FROM tt LEFT JOIN vocab v ON tt.tok = v.tok)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
+                         / CAST(count(*) AS BIGINT), 6) AS oov_rate
+            FROM flag GROUP BY doc_id
+        """,
         "dedup_cluster_sizes": f"""
             WITH cc AS ({_connected_components_oracle()}),
             sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size

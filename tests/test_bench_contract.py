@@ -71,6 +71,8 @@ class TestBenchContract:
             "q20_potential_promotion",
             "cdc_pgoutput_stream_decode",
             "web_triangles",
+            "dataset_split_leakage_safe",
+            "doc_oov_rate",
         ):
             assert name in names[:50], name
 
@@ -86,6 +88,7 @@ class TestBenchContract:
 R7_NEW_QUERIES = [
     "q2_min_cost_supplier", "q20_potential_promotion",
     "cdc_pgoutput_stream_decode", "web_triangles",
+    "dataset_split_leakage_safe", "doc_oov_rate",
 ]
 
 

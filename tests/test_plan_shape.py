@@ -640,3 +640,33 @@ def test_lang_confusion_counts_only_shuffles(spark, sf_dir):
     assert "Generate" not in p  # no explode: marker_hits is a HOF filter
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in p
+
+
+def test_triangles_no_cartesian_no_python(spark, sf_dir):
+    """web_triangles: wedge build and closure are hash joins on pivot /
+    (lo,hi) keys — the all-pairs neighborhood product must never appear
+    as a cartesian, and the whole kernel stays JVM-side."""
+    p = plan_str(entry.queries()["web_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
+def test_leakage_safe_split_corpus_never_reshuffles_text(spark, sf_dir):
+    """dataset_split_leakage_safe: the cluster-label join keys on
+    doc_id and the split hash is map-only — document TEXT must not ride
+    any exchange (only ids and signatures shuffle)."""
+    p = plan_str(entry.queries()["dataset_split_leakage_safe"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges, p  # sanity: the plan does shuffle ids/signatures
+    assert not any("text" in ln for ln in exchanges), exchanges
+
+
+def test_oov_rate_counts_only_shuffles(spark, sf_dir):
+    """doc_oov_rate: vocab build and the doc-token join shuffle (token)
+    / (doc_id, token) keys only; no Python operators anywhere."""
+    p = plan_str(entry.queries()["doc_oov_rate"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p

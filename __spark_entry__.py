@@ -1510,11 +1510,16 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING near-dup ingestion gate, oracle-backed: documents
     replayed through the stateful (band, bucket) admission operator
     (streaming/dedup_stream.py); a doc is admitted iff it is the first
-    arrival in EVERY one of its LSH band buckets. Arrival order here is
-    doc_id order (single sorted feed file), so the greedy admission
-    reduces to ``doc_id = min over (band, bucket)`` for all bands —
-    which is exactly what the DuckDB oracle computes. Cross-batch and
-    restart suppression are pinned in test_dedup_stream.py."""
+    arrival in EVERY one of its LSH band buckets. Admission order is
+    doc_id order: the bucket gate sorts each micro-batch group by
+    doc_id, and the feed is range-partitioned ascending so any
+    file-per-trigger split still replays in doc_id order — so greedy
+    admission reduces to ``doc_id = min over (band, bucket)`` for all
+    bands, exactly what the DuckDB oracle computes. The 16-file layout
+    (vs one sorted file) exists for scale: the map-side minhash
+    signature stage parallelizes per input file, which is what kept
+    the sf1 soak drain inside its budget. Cross-batch and restart
+    suppression are pinned in test_dedup_stream.py."""
     import tempfile
     import time as _time
 
@@ -1527,11 +1532,13 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     tag = sf_dir.strip("/").replace("/", "_")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    feed_dir = f"{base}/deltaforge-derived/{tag}/docfeed"
+    feed_dir = f"{base}/deltaforge-derived/{tag}/docfeed16"
     if not os.path.isdir(feed_dir):
-        read_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy(
-            "doc_id"
-        ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartitionByRange(16, "doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(feed_dir)
     schema = spark.read.parquet(feed_dir).schema
     raw = spark.readStream.schema(schema).parquet(feed_dir)
     verdicts = streaming_near_dedup(raw, num_hashes=8, bands=4)
@@ -1539,6 +1546,7 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdicts,
         name=f"dedup_stream_gate_{int(_time.time() * 1000)}",
         output_mode="append",
+        timeout=300,
     )
     return admitted_docs(mem)
 
@@ -3728,6 +3736,201 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).orderBy("node")
 
 
+def q_web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of a synthetic host-link graph via iterative peeling
+    (operators/graph.py kcore) — the dense-backbone extractor crawl
+    curation runs beside centrality: orphan chains and link tendrils
+    peel away round by round, only the mutually-embedded host cluster
+    survives. The derived graph is designed to exercise the peel
+    CASCADE (the part a one-shot degree filter gets wrong): a binary
+    tree over hosts 0..100 (x → 2x+1, 2x+2) whose leaves peel first
+    and propagate upward over ~6 rounds, plus a chord-doubled cycle on
+    the multiples of 5 (x → x+5, x+10 mod 105) whose members keep
+    degree ≥4 and survive as the core. Each round is a counts-only
+    degree groupBy + two leftsemi joins keyed on node id; the oracle
+    unrolls 12 peel rounds (≥ the fixpoint depth at every SF) of the
+    identical algebra."""
+    _prep(spark)
+    from deltaforge_spark.operators.graph import kcore
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select((F.col("doc_id") % 101).cast("long").alias("x"))
+    t1 = base.select("x", (F.col("x") * 2 + 1).alias("y")).filter(F.col("y") <= 100)
+    t2 = base.select("x", (F.col("x") * 2 + 2).alias("y")).filter(F.col("y") <= 100)
+    on_cycle = base.filter(F.col("x") % 5 == 0)
+    c1 = on_cycle.select("x", ((F.col("x") + 5) % 105).alias("y"))
+    c2 = on_cycle.select("x", ((F.col("x") + 10) % 105).alias("y"))
+    pairs = (
+        t1.unionAll(t2)
+        .unionAll(c1)
+        .unionAll(c2)
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    )
+    return kcore(pairs, 3).orderBy("node")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled peeling twin of graph.kcore: each round recomputes
+    degrees and keeps only edges whose both endpoints clear k. The
+    unroll depth exceeds the measured fixpoint depth at every SF (6
+    rounds saturated, 10 at the 50-doc SF), and extra rounds past the
+    fixpoint are no-ops, so the final degree table equals Spark's."""
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # several times, and an inlining planner would otherwise expand the
+    # 12-round chain into an exponentially-sized expression tree
+    ctes = [
+        "base AS MATERIALIZED (SELECT CAST(doc_id % 101 AS BIGINT) AS x FROM documents)",
+        """cand AS MATERIALIZED (
+            SELECT x, x * 2 + 1 AS y FROM base WHERE x * 2 + 1 <= 100
+            UNION ALL SELECT x, x * 2 + 2 FROM base WHERE x * 2 + 2 <= 100
+            UNION ALL SELECT x, (x + 5) % 105 FROM base WHERE x % 5 = 0
+            UNION ALL SELECT x, (x + 10) % 105 FROM base WHERE x % 5 = 0)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM cand WHERE x <> y)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM "
+            f"(SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}) GROUP BY node)"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i} "
+            f"WHERE u IN (SELECT node FROM d{i} WHERE core_deg >= {k}) "
+            f"AND v IN (SELECT node FROM d{i} WHERE core_deg >= {k}))"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, core_deg FROM d{rounds - 1} WHERE core_deg >= {k} ORDER BY node"
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate — (event_type, day) totals, per
+    event_type subtotals, and the grand total in one pass, tagged by
+    grouping_id: the hypertable-rollup / OLAP-subtotal shape Spark
+    executes as a single Expand+hash-aggregate (each input row fans
+    into its 3 grouping sets map-side, partials combine before the one
+    shuffle — no per-level re-scan). Sums ride decimal(18,4) so the
+    distributed partial-sum order can never move a bit."""
+    _prep(spark)
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("CAST(ts DIV 86400000000000 AS BIGINT)")
+    return (
+        ev.select(
+            F.col("event_type"),
+            day.alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("decimal(38,4)").cast("string").alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+def q_events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event matrix via PIVOT: one row per day, one counted
+    column per event type (the wide activity table BI layers and
+    feature stores read). The value list is pinned, so the schema is
+    static and Spark compiles the pivot to a single hash aggregate
+    with per-type conditional partials — one shuffle on day, no
+    per-type scan; absent combinations coalesce to 0 (matching the
+    oracle's FILTER counts, where Spark's pivot-count yields null)."""
+    _prep(spark)
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("CAST(ts DIV 86400000000000 AS BIGINT)")
+    p = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    ).orderBy("day")
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table: lifetime spend per customer,
+    NTILE(10) over (spend DESC, custkey) — the tie-broken total order
+    both engines bucket identically — then per-decile count / sum /
+    min / max. The window input is the per-customer aggregate (|C|
+    rows, orders never re-sorted), which is what makes the exact
+    global NTILE affordable here; at 1e9+ customers the documented
+    swap is percentile-boundary bucketing (events_sampled_percentiles
+    discipline) — recorded in SCALE.md."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    dec = spend.select(
+        "o_custkey", "spend", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").cast("decimal(38,4)").cast("string").alias("sum_spend"),
+            F.min("spend").cast("string").alias("min_spend"),
+            F.max("spend").cast("string").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_doc_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report: pseudo-lines (10-token chunks,
+    the dedup_lines convention) that repeat across ≥2 distinct
+    documents of the SAME source, with an exact parts-per-million doc
+    share (integer division — no float crosses the gate). This is the
+    template-detection pass web curation runs per site before line
+    dedup: nav bars, footers, cookie banners concentrate here. Scale:
+    lines explode once (map-side), the share join is against the
+    counts-only per-source doc totals — line text rides exactly one
+    (source, line)-keyed shuffle, and the ≥2 filter prunes the long
+    unique tail before the report materializes."""
+    _prep(spark)
+    from deltaforge_spark.operators.spans import token_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.explode(token_chunks(F.col("text"), 10)).alias("line"),
+    ).distinct()
+    per_line = lines.groupBy("source", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs")
+    )
+    return (
+        per_line.filter(F.col("n_docs") >= 2)
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "line",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV total_docs AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("source", "line")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/sessions.py): every event
     assigned to a per-user 30-min-inactivity session, reduced to
@@ -4333,6 +4536,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_triangles": q_web_triangles,
     "dataset_split_leakage_safe": q_dataset_split_leakage_safe,
     "doc_oov_rate": q_doc_oov_rate,
+    "web_kcore": q_web_kcore,
+    "events_rollup": q_events_rollup,
+    "events_pivot_types": q_events_pivot_types,
+    "customer_value_deciles": q_customer_value_deciles,
+    "doc_source_boilerplate": q_doc_source_boilerplate,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
     "cdc_ddl_capture": q_ddl_capture,
@@ -6243,6 +6451,64 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
                          / CAST(count(*) AS BIGINT), 6) AS oov_rate
             FROM flag GROUP BY doc_id
+        """,
+        "web_kcore": _kcore_oracle_sql(),
+        "events_rollup": """
+            SELECT event_type, day,
+                   CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                        AS VARCHAR) AS sum_value
+            FROM (SELECT event_type,
+                         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                         value
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
+            ORDER BY gid, event_type, day
+        """,
+        "events_pivot_types": """
+            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "customer_value_deciles": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+                FROM orders GROUP BY o_custkey),
+            d AS (
+                SELECT spend,
+                       CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+                            AS BIGINT) AS decile
+                FROM spend)
+            SELECT decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(CAST(sum(spend) AS DECIMAL(38,4)) AS VARCHAR) AS sum_spend,
+                   CAST(min(spend) AS VARCHAR) AS min_spend,
+                   CAST(max(spend) AS VARCHAR) AS max_spend
+            FROM d GROUP BY decile ORDER BY decile
+        """,
+        "doc_source_boilerplate": """
+            WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                       FROM documents),
+            l AS (
+                SELECT DISTINCT doc_id, source,
+                       array_to_string(list_slice(t, (i - 1) * 10 + 1,
+                                                  (i - 1) * 10 + 10), ' ') AS line
+                FROM w, unnest(range(1, ((len(t) - 1) // 10) + 2)) AS r(i)),
+            c AS (SELECT source, line, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM l GROUP BY source, line),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS total_docs
+                    FROM documents GROUP BY source)
+            SELECT c.source, c.line, c.n_docs,
+                   CAST(c.n_docs * 1000000 // t.total_docs AS BIGINT) AS share_ppm
+            FROM c JOIN tot t ON c.source = t.source
+            WHERE c.n_docs >= 2
+            ORDER BY c.source, c.line
         """,
         "dedup_cluster_sizes": f"""
             WITH cc AS ({_connected_components_oracle()}),

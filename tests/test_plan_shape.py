@@ -670,3 +670,69 @@ def test_oov_rate_counts_only_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in p
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in p
+
+
+def test_kcore_round_plans_constant_size(spark, sf_dir):
+    """web_kcore: each peel round must plan against the checkpointed
+    edge scan, not compounded lineage — the final plan therefore stays
+    SMALL (a persist-only barrier grew it 5x per round, measured as a
+    2 GiB plan string by round 8), and no cartesian/Python appears."""
+    df = entry.queries()["web_kcore"](spark, sf_dir)
+    p = plan_str(df)
+    assert len(p) < 200_000, f"kcore plan ballooned: {len(p)} chars"
+    assert "CartesianProduct" not in p
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
+def test_rollup_single_expand_aggregate(spark, sf_dir):
+    """events_rollup: ROLLUP compiles to one Expand feeding one
+    partial+final hash aggregate pair — never one scan per grouping
+    level, never Python."""
+    import re
+
+    p = plan_str(entry.queries()["events_rollup"](spark, sf_dir))
+    assert p.count("Expand") >= 1
+    scans = re.findall(r"\(\d+\) Scan parquet", p)  # events is the only table
+    assert len(scans) == 1, f"rollup re-scans events: {len(scans)} scans"
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in p
+
+
+def test_pivot_single_scan_single_shuffle(spark, sf_dir):
+    """events_pivot_types: the pinned-values pivot is one conditional
+    hash aggregate — one scan of events, one day-keyed exchange, no
+    per-type re-scan."""
+    import re
+
+    p = plan_str(entry.queries()["events_pivot_types"](spark, sf_dir))
+    # events is the only table here: one "(N) Scan parquet" detail
+    # header == one scan total (formatted mode keeps paths out of the
+    # tree lines)
+    scans = re.findall(r"\(\d+\) Scan parquet", p)
+    assert len(scans) == 1, f"pivot re-scans events: {len(scans)} scans"
+    assert "CartesianProduct" not in p
+
+
+def test_deciles_window_over_aggregate_only(spark, sf_dir):
+    """customer_value_deciles: the global NTILE sort must sit ABOVE the
+    per-customer aggregate (|customers| rows), never on raw orders —
+    exactly one orders scan feeding an aggregate below the window."""
+    import re
+
+    p = plan_str(entry.queries()["customer_value_deciles"](spark, sf_dir))
+    scans = re.findall(r"\(\d+\) Scan parquet", p)  # orders is the only table
+    assert len(scans) == 1
+    # the Window operator's input must include the hash aggregate
+    assert "Window" in p and "HashAggregate" in p
+    w_pos = p.index("Window")
+    assert "HashAggregate" in p[w_pos:], "window not fed by the aggregate"
+
+
+def test_boilerplate_broadcast_totals_no_cartesian(spark, sf_dir):
+    """doc_source_boilerplate: the per-source totals join is broadcast
+    (counts-only, |sources| rows); line text rides exactly the
+    (source, line) aggregation exchange, nothing cartesian."""
+    p = plan_str(entry.queries()["doc_source_boilerplate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -6394,13 +6394,17 @@ def _oracle_sql_base() -> dict[str, str]:
                      CAST(sum(sup_micro) AS BIGINT) AS sum_micro
               FROM sc GROUP BY doc_id
             )
+            -- half-up integer micro-unit average BEFORE double math
+            -- (mirrors lm.py: midpoint-free, so round(..., 6) cannot
+            -- disagree across engines — the sf1 regression)
             SELECT doc_id, n_tokens,
-                   round((CAST(sum_micro AS DOUBLE) / n_tokens) / 1000000.0e0, 6)
-                     AS avg_surprisal,
-                   round(exp(round((CAST(sum_micro AS DOUBLE) / n_tokens)
-                                   / 1000000.0e0, 6)), 4) AS ppl,
-                   (round(exp(round((CAST(sum_micro AS DOUBLE) / n_tokens)
-                                    / 1000000.0e0, 6)), 4) <= 30.0e0) AS keep
+                   round(CAST((2 * sum_micro + n_tokens) // (2 * n_tokens)
+                              AS DOUBLE) / 1000000.0e0, 6) AS avg_surprisal,
+                   round(exp(round(CAST((2 * sum_micro + n_tokens) // (2 * n_tokens)
+                                        AS DOUBLE) / 1000000.0e0, 6)), 4) AS ppl,
+                   (round(exp(round(CAST((2 * sum_micro + n_tokens) // (2 * n_tokens)
+                                         AS DOUBLE) / 1000000.0e0, 6)), 4)
+                    <= 30.0e0) AS keep
             FROM agg
         """,
         # priority sampling: same 48-bit md5 draw as dataset_split, the

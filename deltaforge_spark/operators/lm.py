@@ -101,7 +101,18 @@ def doc_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("sup_micro").cast("long").alias("sum_micro"),
     )
-    avg = (F.col("sum_micro") / F.col("n_tokens")) / F.lit(1000000.0)
+    # half-up integer division to micro-units BEFORE any double math:
+    # (2a + b) div (2b) == floor(a/b + 1/2) for the non-negative values
+    # here. Dividing doubles first and rounding to 6dp hit rounding-
+    # midpoint disagreements at sf1 (sum_micro/n_tokens landing on
+    # ...845e-6 exactly: Spark's BigDecimal HALF_UP vs DuckDB's double
+    # round differed on 9 of 50000 docs); the integer quotient is
+    # ~1e-16 from the 6dp grid, never near a midpoint, so the final
+    # round is boundary-free in both engines.
+    avg_micro = F.expr(
+        "CAST((2 * sum_micro + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+    )
+    avg = avg_micro.cast("double") / F.lit(1000000.0)
     return agg.select(
         id_col,
         "n_tokens",

@@ -6,6 +6,9 @@
 #
 #   tools/ci.sh fast   # seconds : oracle SQL parses + unit guards
 #   tools/ci.sh all    # minutes : pytest + full DuckDB value-check
+#   tools/ci.sh sf1    # ~2 h    : 10x scale soak — regenerate sf1,
+#                      # time the risky kernels, value-check the FULL
+#                      # set at sf1 (the r7 scale-evidence tier)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -21,4 +24,16 @@ if [ "$tier" = "all" ]; then
     # actually bite; sf0.001 missed them (VERDICT r5 #10). Budget:
     # ~8-10 min on local[32] (pytest dominates the tier at ~17 min).
     python tools/check.py --all /root/testdata/sf0.1
+fi
+
+if [ "$tier" = "sf1" ]; then
+    # the 10x scale-evidence tier (VERDICT r6 #1): deterministic sf1
+    # from sf0.1, kernel soak ratios into SF1_SOAK.json, then the full
+    # oracle gate at sf1. Heavy DuckDB oracles (fuzzy contamination,
+    # n-gram Jaccard) dominate the wall clock, not Spark.
+    sf1_dir="/dev/shm/deltaforge-testdata/sf1"
+    [ -d "$sf1_dir" ] || python tools/gen_sf.py /root/testdata/sf0.1 "$sf1_dir" 10
+    python tools/soak_sf1.py "$sf1_dir"
+    python tools/aqe_diff.py "$sf1_dir"
+    python tools/check.py --all "$sf1_dir"
 fi

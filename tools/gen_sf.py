@@ -62,12 +62,22 @@ def generate(src: str, dst: str, factor: int = 10) -> None:
     sqls = {
         "region": "SELECT * FROM region",
         "nation": "SELECT * FROM nation",
+        # name columns are key-derived in the TPC-H schema (a name is a
+        # bijective rendering of its key); replicas must re-derive them
+        # from the SHIFTED key or the name<->key bijection breaks — a
+        # name-grouped aggregate then silently merges {factor} entities
+        # (caught at sf1 by q21: oracle GROUP BY s_name counted 10x)
         "customer": f"""
-            SELECT c_custkey + r*{ck} AS c_custkey, c_name, c_nationkey,
-                   c_acctbal, c_mktsegment
+            SELECT c_custkey + r*{ck} AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey + r*{ck} AS VARCHAR), 9, '0')
+                       AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
             FROM customer {rep}""",
         "supplier": f"""
-            SELECT s_suppkey + r*{sk} AS s_suppkey, s_name, s_nationkey, s_acctbal
+            SELECT s_suppkey + r*{sk} AS s_suppkey,
+                   'Supplier#' || lpad(CAST(s_suppkey + r*{sk} AS VARCHAR), 9, '0')
+                       AS s_name,
+                   s_nationkey, s_acctbal
             FROM supplier {rep}""",
         "part": f"""
             SELECT p_partkey + r*{pk} AS p_partkey, p_name, p_brand, p_type,

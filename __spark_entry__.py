@@ -3890,6 +3890,82 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_value_deciles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE twin of customer_value_deciles (the swap SCALE.md
+    documents): decile BOUNDARIES come from a deterministic 25%
+    hash-sample of the per-customer aggregate, then every customer
+    buckets by comparing against the 9 broadcast boundary rows — no
+    global NTILE window ever touches the full customer set, so there
+    is no single-partition sort at any |C|. Exactness discipline: the
+    sample is an exact 48-bit md5 threshold (the dataset_split draw),
+    boundaries are exact rank positions within the sample under the
+    total order (spend DESC, custkey), and bucket assignment is a
+    9-row broadcast tuple-compare — every step integer/decimal, both
+    engines replay it bit-for-bit. Bucket populations are approximate
+    (that is the trade the sample buys); the exact-twin pairing is the
+    same audit pattern as events_percentiles / events_sampled_
+    percentiles."""
+    _prep(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    draw = F.expr(
+        "CAST(conv(substring(md5(concat('cvdsmp:', CAST(o_custkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    sample = spend.filter(draw < F.lit(70368744177664))  # 0.25 * 2^48
+    n_s = sample.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    ranked = sample.select(
+        "o_custkey", "spend", F.row_number().over(w).cast("long").alias("r")
+    ).crossJoin(F.broadcast(n_s))
+    # boundary i = last sample member of sample-decile i (exact rank
+    # position i * (n_s DIV 10)), i = 1..9; greatest(step, 1) keeps the
+    # modulo well-defined in both engines, the n_s >= 10 guard keeps
+    # the semantics (a <10-member sample yields no boundaries: every
+    # customer lands in bucket 1 via the left join below)
+    step = F.expr("GREATEST(CAST(n_s DIV 10 AS BIGINT), 1)")
+    bounds = ranked.filter(
+        (F.col("n_s") >= 10)
+        & (F.col("r") % step == 0)
+        & (F.col("r") <= F.lit(9) * step)
+    ).select(
+        F.col("spend").alias("b_spend"),
+        F.col("o_custkey").alias("b_key"),
+    )
+    tagged = spend.join(F.broadcast(bounds), F.lit(True), "left").groupBy(
+        "o_custkey", "spend"
+    ).agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    (F.col("b_spend") > F.col("spend"))
+                    | (
+                        (F.col("b_spend") == F.col("spend"))
+                        & (F.col("b_key") < F.col("o_custkey"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").cast("decimal(38,4)").cast("string").alias("sum_spend"),
+            F.min("spend").cast("string").alias("min_spend"),
+            F.max("spend").cast("string").alias("max_spend"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_doc_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate report: pseudo-lines (10-token chunks,
     the dedup_lines convention) that repeat across ≥2 distinct
@@ -4540,6 +4616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_pivot_types": q_events_pivot_types,
     "customer_value_deciles": q_customer_value_deciles,
+    "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
     "doc_source_boilerplate": q_doc_source_boilerplate,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
@@ -6495,6 +6572,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(min(spend) AS VARCHAR) AS min_spend,
                    CAST(max(spend) AS VARCHAR) AS max_spend
             FROM d GROUP BY decile ORDER BY decile
+        """,
+        "customer_value_deciles_sampled": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+                FROM orders GROUP BY o_custkey),
+            samp AS (
+                SELECT o_custkey, spend FROM spend
+                WHERE CAST(('0x' || substr(md5('cvdsmp:' || CAST(o_custkey AS VARCHAR)), 1, 12))
+                           AS BIGINT) < 70368744177664),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM samp),
+            ranked AS (
+                SELECT o_custkey, spend,
+                       CAST(row_number() OVER (ORDER BY spend DESC, o_custkey)
+                            AS BIGINT) AS r
+                FROM samp),
+            bounds AS (
+                SELECT spend AS b_spend, o_custkey AS b_key
+                FROM ranked CROSS JOIN ns
+                WHERE n_s >= 10
+                  AND r % GREATEST(n_s // 10, 1) = 0
+                  AND r <= 9 * GREATEST(n_s // 10, 1)),
+            tagged AS (
+                SELECT s.o_custkey, s.spend,
+                       CAST(1 + sum(CASE WHEN (b.b_spend > s.spend)
+                                         OR (b.b_spend = s.spend
+                                             AND b.b_key < s.o_custkey)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+                FROM spend s LEFT JOIN bounds b ON TRUE
+                GROUP BY s.o_custkey, s.spend)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(CAST(sum(spend) AS DECIMAL(38,4)) AS VARCHAR) AS sum_spend,
+                   CAST(min(spend) AS VARCHAR) AS min_spend,
+                   CAST(max(spend) AS VARCHAR) AS max_spend
+            FROM tagged GROUP BY bucket ORDER BY bucket
         """,
         "doc_source_boilerplate": """
             WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t

@@ -77,6 +77,7 @@ class TestBenchContract:
             "events_rollup",
             "events_pivot_types",
             "customer_value_deciles",
+            "customer_value_deciles_sampled",
             "doc_source_boilerplate",
         ):
             assert name in names[:50], name
@@ -95,7 +96,8 @@ R7_NEW_QUERIES = [
     "cdc_pgoutput_stream_decode", "web_triangles",
     "dataset_split_leakage_safe", "doc_oov_rate",
     "web_kcore", "events_rollup", "events_pivot_types",
-    "customer_value_deciles", "doc_source_boilerplate",
+    "customer_value_deciles", "customer_value_deciles_sampled",
+    "doc_source_boilerplate",
 ]
 
 

@@ -736,3 +736,15 @@ def test_boilerplate_broadcast_totals_no_cartesian(spark, sf_dir):
     p = plan_str(entry.queries()["doc_source_boilerplate"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_sampled_deciles_window_only_on_sample(spark, sf_dir):
+    """customer_value_deciles_sampled: the ONLY window is the sample
+    ranking (row_number over the hash-sampled aggregate); the full
+    customer set must bucket via the 9-row broadcast tuple-compare —
+    no NTILE, no global sort of the full set."""
+    p = plan_str(entry.queries()["customer_value_deciles_sampled"](spark, sf_dir))
+    assert p.count("Window") <= 2  # one tree + one detail entry
+    assert "ntile" not in p.lower()
+    # the boundary fan-out joins broadcast (9 rows), never shuffled
+    assert "BroadcastNestedLoopJoin" in p

@@ -3,19 +3,21 @@
 The reference sink speaks RowBinary over HTTP (reference:
 crates/sinks/src/clickhouse/rowbinary.rs:1-180 encode rules;
 types.rs:8-57 the v1 type set; client.rs:127 ``INSERT INTO db.table
-FORMAT RowBinary``); this module re-expresses the same byte layout so
-the Spark sink can post the reference's wire format instead of (or
-byte-for-byte parity-checked against) JSONEachRow:
-
-- fixed integers: little-endian
-- ``String``: var-uint (LEB128) length prefix + UTF-8 bytes
-- ``Nullable(T)``: 1 byte (1 = null, 0 = present), then the value
-- ``Decimal(P, S)``: unscaled integer, little-endian, sized by P
-  (P ≤ 9 → Int32, ≤ 18 → Int64, else Int128)
-- ``DateTime64(3)``: Int64 milliseconds since epoch
-- ``Bool`` / ``UInt8``: 1 byte
-- ``LowCardinality(T)``: serialized as plain ``T`` (the dictionary is
-  engine-side storage, not a format concern)
+FORMAT RowBinary``); this module implements the same PUBLIC ClickHouse
+wire format (documented at clickhouse.com/docs/interfaces/formats,
+RowBinary section) independently in Python, so the Spark sink can post
+the bytes the reference sink posts. In this format a row is just its
+column values back-to-back with no framing: integer and float columns
+are packed little-endian at their declared width; a ``String`` starts
+with its byte length as a LEB128 varint and continues with the UTF-8
+payload; wrapping a type in ``Nullable`` prepends a single presence
+byte (``\\x01`` when the value is absent); a ``Decimal`` travels as its
+scaled integer representation, with the storage width chosen from the
+precision (32-bit up to 9 digits, 64-bit up to 18, 128-bit beyond);
+``DateTime64(3)`` is the epoch-millisecond count as a signed 64-bit
+integer; ``Bool`` and ``UInt8`` occupy one byte. ``LowCardinality``
+is transparent on the wire — the dictionary encoding is a storage
+concern, so the inner type's bytes are what travel.
 
 Unlike the JSONEachRow path (which serializes JVM-side via ``to_json``),
 RowBinary is encoded in Python per partition — the same place the
@@ -42,7 +44,7 @@ class ChEncodeError(ValueError):
     (rowbinary.rs EncodeError::Type — the caller DLQs or raises)."""
 
     def __init__(self, expected: str, got: object):
-        super().__init__(f"cannot encode {got!r} as ClickHouse {expected}")
+        super().__init__(f"RowBinary type mismatch: {expected} required, row value was {got!r}")
         self.expected = expected
         self.got = got
 

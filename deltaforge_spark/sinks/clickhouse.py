@@ -191,6 +191,18 @@ def clickhouse_rows_with_dlq(
     return ok, failed
 
 
+def encode_dlq_ddl(database: str, table: str) -> str:
+    """DDL for the per-row encode-failure side table (`encode_errors=
+    "dlq"`): the reference sink's per-row isolation contract lands the
+    bad row's JSON rendering + the type error next to the target table
+    instead of failing the batch."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {database}.{table}__encode_dlq "
+        "(payload String, error String, _ingest_ts DateTime64(3) DEFAULT now64(3)) "
+        "ENGINE = MergeTree ORDER BY tuple()"
+    )
+
+
 # -------------------------------------------------------------------- writer
 
 
@@ -230,6 +242,7 @@ def write_clickhouse(
     batch_id: int = 0,
     insert_chunk_rows: int = 10000,
     wire_format: str = "jsoneachrow",
+    encode_errors: str = "raise",
 ) -> str | None:
     """Write a projected changelog DataFrame (``clickhouse_rows`` shape)
     to ClickHouse through an injected transport with
@@ -244,9 +257,21 @@ def write_clickhouse(
     materially cheaper server-side for wide rows, and the format the
     reference sink actually speaks.
 
+    ``encode_errors`` (rowbinary only): ``"raise"`` aborts the task on
+    the first :class:`~.ch_rowbinary.ChEncodeError` (use when the
+    projected schema provably makes encode errors impossible, e.g.
+    after ``clickhouse_rows_with_dlq`` pre-cleaning); ``"dlq"``
+    isolates each failing row — the reference sink's contract
+    (reference sink.rs: per-row encode failures go to the DLQ, the
+    good rows still insert) — by posting it as a JSON payload +
+    error line to ``{table}__encode_dlq`` through the same transport,
+    never losing the rest of the chunk. The DLQ table is auto-created
+    alongside the main table when ``auto_create``.
+
     Returns the DDL that was issued (None when auto_create=False) so
     callers/tests can assert the control-plane step."""
     assert wire_format in ("jsoneachrow", "rowbinary")
+    assert encode_errors in ("raise", "dlq")
     pk = pk or []
     meta = {"_op", "_version", "_deleted", "_source_ts"}
     user_schema = T.StructType([f for f in df.schema.fields if f.name not in meta])
@@ -257,26 +282,55 @@ def write_clickhouse(
         t = transport_factory()
         try:
             t.execute_ddl(ddl)
+            if wire_format == "rowbinary" and encode_errors == "dlq":
+                t.execute_ddl(encode_dlq_ddl(database, table))
         finally:
             t.close()
 
     if wire_format == "rowbinary":
-        from .ch_rowbinary import encode_row, layout_from_ddl_types
+        from .ch_rowbinary import ChEncodeError, encode_row, layout_from_ddl_types
 
         layout = layout_from_ddl_types(table_layout(df.schema))
         n_cols = len(layout)
+        col_names = [c for c, _ in table_layout(df.schema)]
+        isolate = encode_errors == "dlq"
         payload_rb = df.withColumn("_pid", F.spark_partition_id())
 
         def run_rb(rows) -> None:
+            import json as _json
+
             t = transport_factory()
             try:
                 buf = bytearray()
                 n = 0
                 pid = None
                 chunk = 0
+                dlq_lines: list[str] = []
                 for row in rows:
                     pid = row[n_cols] if pid is None else pid
-                    encode_row(buf, layout, tuple(row)[:n_cols])
+                    mark = len(buf)
+                    try:
+                        encode_row(buf, layout, tuple(row)[:n_cols])
+                    except ChEncodeError as e:
+                        if not isolate:
+                            raise
+                        # drop the partial row bytes; good rows in the
+                        # buffer (and after) are unaffected
+                        del buf[mark:]
+                        dlq_lines.append(
+                            _json.dumps(
+                                {
+                                    "payload": _json.dumps(
+                                        dict(zip(col_names, tuple(row)[:n_cols])),
+                                        default=str,
+                                        sort_keys=True,
+                                    ),
+                                    "error": str(e),
+                                },
+                                sort_keys=True,
+                            )
+                        )
+                        continue
                     n += 1
                     if n >= insert_chunk_rows:
                         token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
@@ -285,6 +339,9 @@ def write_clickhouse(
                 if n:
                     token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
                     t.insert_rowbinary(database, table, bytes(buf), token)
+                if dlq_lines:
+                    token = f"{database}.{table}:{batch_id}:{pid}:dlq"
+                    t.insert(database, f"{table}__encode_dlq", dlq_lines, token)
             finally:
                 t.close()
 

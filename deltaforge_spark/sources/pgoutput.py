@@ -797,8 +797,24 @@ TX_PART_SCHEMA = T.StructType(
 )
 
 
+def _block_intervals(
+    stream_blocks: list[dict[str, Any]] | None,
+) -> list[tuple[int, int, int]]:
+    """Sorted (start_seq, end_seq, xid) triples for bisect-based block
+    membership: a message at ``seq`` is streamed iff start < seq < end
+    of some block (the S and E rows themselves are the boundaries)."""
+    return sorted(
+        (int(blk["start_seq"]), int(blk["end_seq"]), int(blk["xid"]))
+        for blk in (stream_blocks or [])
+    )
+
+
 def pgoutput_relation_catalog(
-    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+    stream: DataFrame,
+    *,
+    data_col: str = "data",
+    seq_col: str = "seq",
+    stream_blocks: list[dict[str, Any]] | None = None,
 ) -> list[dict[str, Any]]:
     """Extract the VERSIONED relation catalog from a captured stream:
     map-only parse of 'R' messages, each announcement kept with its
@@ -808,19 +824,41 @@ def pgoutput_relation_catalog(
     re-announcing a relation with different columns applies to the
     messages AFTER it (the reference replays the sequential semantics;
     here the decoder binds each DML row to the latest announcement at
-    or before its seq)."""
+    or before its seq).
+
+    ``stream_blocks`` (protocol v2): PG 14+ sends Relation messages
+    INSIDE S…E streamed blocks too (``maybe_send_schema`` runs wherever
+    the first DML for a relation appears — including mid-stream), and
+    in-block 'R' bytes carry the leading u32 xid like every other
+    streamable kind. Without the block intervals those four xid bytes
+    would be misread as the relation_id and the real id as the start of
+    the namespace cstring, poisoning the catalog entry. Pass the
+    :func:`pgoutput_stream_blocks` output whenever the capture may be
+    protocol v2 (same broadcast-bisect attribution the DML decoder
+    uses)."""
+    blocks = _block_intervals(stream_blocks)
+    bc = stream.sparkSession.sparkContext.broadcast(blocks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bisect import bisect_right
+
+        blks = bc.value
+        starts = [blk[0] for blk in blks]
         for pdf in batches:
             rows = []
             for seq, data in zip(pdf[seq_col], pdf[data_col]):
                 b = bytes(data)
                 if b[:1] != b"R":
                     continue
-                m = parse_message(b)
+                seq = int(seq)
+                in_stream = False
+                if blks:
+                    bi = bisect_right(starts, seq) - 1
+                    in_stream = bi >= 0 and seq < blks[bi][1]
+                m = parse_message(b, in_stream=in_stream)
                 rows.append(
                     (
-                        int(seq),
+                        seq,
                         m["relation_id"],
                         m["schema"],
                         m["table"],
@@ -880,10 +918,7 @@ def decode_pgoutput_dml(
         versions.sort(key=lambda sv: sv[0])
     # block intervals as parallel sorted lists for bisect: a DML at seq
     # is streamed iff start < seq < end of some block
-    block_starts = sorted(
-        (int(blk["start_seq"]), int(blk["end_seq"]), int(blk["xid"]))
-        for blk in (stream_blocks or [])
-    )
+    block_starts = _block_intervals(stream_blocks)
     v2 = stream_blocks is not None
     sc = stream.sparkSession.sparkContext
     bc = sc.broadcast((catalog, block_starts))
@@ -1000,6 +1035,10 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
     )
 
 
+#: end_seq sentinel for a trailing block the capture cut before its 'E'
+#: — beyond any real seq, so bisect membership stays a plain `<` test
+OPEN_BLOCK_END_SEQ = 1 << 62
+
 STREAM_BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType()),
@@ -1016,9 +1055,18 @@ def pgoutput_stream_blocks(
     """Collect protocol-v2 S…E block boundaries and pair them
     (control plane, O(#blocks) — same posture as the relation
     catalog). Blocks never nest (protocol guarantee), so pairing is
-    each 'S' with the next boundary, which MUST be an 'E' — anything
-    else means a torn capture and fails loudly rather than
-    mis-attributing rows."""
+    each 'S' with the next boundary, which MUST be an 'E' — an 'S'
+    before the previous block closed, or an 'E' with no open block,
+    means a torn capture and fails loudly rather than mis-attributing
+    rows.
+
+    A capture that simply ENDS with an open block is different: a
+    live/tail capture cut mid-stream is an ordinary operational event
+    (the v1 analog — a cut mid-transaction — degrades gracefully via
+    commit gating). The trailing open block is closed at
+    ``end_seq = +inf`` (sentinel) and marked ``truncated``; its rows
+    still parse in streamed form and are then dropped by the missing
+    StreamCommit, exactly like uncommitted v1 rows."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1067,7 +1115,15 @@ def pgoutput_stream_blocks(
             )
             open_s = None
     if open_s is not None:
-        raise PgoutputError(f"stream block at seq {open_s['seq']} never closed")
+        blocks.append(
+            {
+                "xid": int(open_s["xid"]),
+                "start_seq": int(open_s["seq"]),
+                "end_seq": OPEN_BLOCK_END_SEQ,
+                "first_segment": bool(open_s["first_segment"]),
+                "truncated": True,
+            }
+        )
     return blocks
 
 
@@ -1153,8 +1209,14 @@ def decode_pgoutput_v2(
     never emits. Output schema matches :func:`decode_pgoutput` exactly
     so every downstream consumer (change feed, envelope, sinks) is
     format-agnostic about how the transaction traveled the wire."""
-    relations = pgoutput_relation_catalog(stream, data_col=data_col)
     blocks = pgoutput_stream_blocks(stream, data_col=data_col, seq_col=seq_col)
+    # blocks FIRST: 'R' messages inside S…E blocks are xid-prefixed too
+    # (PG's maybe_send_schema runs in-stream), so the catalog needs the
+    # intervals to parse them — without them the xid bytes would be
+    # misread as the relation_id and the entry silently poisoned
+    relations = pgoutput_relation_catalog(
+        stream, data_col=data_col, seq_col=seq_col, stream_blocks=blocks
+    )
     dml = decode_pgoutput_dml(
         stream, relations, data_col=data_col, seq_col=seq_col, stream_blocks=blocks
     )
@@ -1350,7 +1412,7 @@ def decode_pgoutput(
     keep_uncommitted: bool = False,
 ) -> DataFrame:
     """Full pipeline: catalog collect → map-only DML decode → tx stamp."""
-    relations = pgoutput_relation_catalog(stream, data_col=data_col)
+    relations = pgoutput_relation_catalog(stream, data_col=data_col, seq_col=seq_col)
     dml = decode_pgoutput_dml(stream, relations, data_col=data_col, seq_col=seq_col)
     tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
     return stamp_transactions(
@@ -1525,11 +1587,17 @@ def synth_pgoutput_streamed(
     never emit). Deterministic, so the DuckDB oracle can reproduce the
     expected committed row set from the orders parquet alone.
 
+    Streamed transactions announce their relation IN-STREAM — the 'R'
+    sits inside the first S…E block with the leading xid, exactly as
+    PG 14's ``maybe_send_schema`` emits it for a relation first touched
+    mid-stream — so the catalog's in-block relation parsing is
+    value-checked end-to-end, not just the DML path.
+
     Layout per tx slot (rows_per_tx + 8 seqs wide):
       plain:    R B dml… C                 (v1, unchanged)
-      streamed: R S dml… E c              (single segment)
-      split:    R S dml₁… E S dml₂… E c   (two segments, same xid)
-      aborted:  R S dml… E A              (whole-tx rollback)
+      streamed: S Rˣ dml… E c              (single segment, in-block R)
+      split:    S Rˣ dml₁… E S dml₂… E c   (two segments, same xid)
+      aborted:  S Rˣ dml… E A              (whole-tx rollback)
     """
     from .snapshot import read_table
 
@@ -1572,11 +1640,13 @@ def synth_pgoutput_streamed(
                 )
             return encode_insert(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
 
-        out: list[tuple[int, bytes]] = [
-            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
-        ]
-        seq = base + 1
+        out: list[tuple[int, bytes]] = []
+        seq = base
         if not streamed:
+            out.append(
+                (seq, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS))
+            )
+            seq += 1
             commit_seq = base + n + 2
             out.append((seq, encode_begin(commit_seq, commit_ts_us, xid)))
             seq += 1
@@ -1587,6 +1657,18 @@ def synth_pgoutput_streamed(
         else:
             half = n // 2 if split else n
             out.append((seq, encode_stream_start(xid, first_segment=True)))
+            seq += 1
+            # relation announced IN-STREAM, xid-prefixed (PG 14
+            # maybe_send_schema inside the streamed block)
+            out.append(
+                (
+                    seq,
+                    encode_relation(
+                        ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS,
+                        stream_xid=xid,
+                    ),
+                )
+            )
             seq += 1
             for i in range(half):
                 out.append((seq, dml(pdf.iloc[i], stream_xid=xid)))
@@ -1629,7 +1711,11 @@ RELATION_VERSION_SCHEMA = T.StructType(
 
 
 def relation_drift(
-    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+    stream: DataFrame,
+    *,
+    data_col: str = "data",
+    seq_col: str = "seq",
+    stream_blocks: list[dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Schema-change detection over 'R' messages — the distributed twin
     of the reference's re-map check (handle_relation → columns_differ →
@@ -1637,17 +1723,32 @@ def relation_drift(
     relation re-announced with different columns (name, oid, or count)
     emits one drift row carrying both versions. Map-only extraction of
     the (tiny) relation-message stream + one lag() window per
-    relation_id — the data plane never participates."""
+    relation_id — the data plane never participates.
+
+    ``stream_blocks``: protocol-v2 captures announce relations inside
+    S…E blocks too (xid-prefixed) — pass :func:`pgoutput_stream_blocks`
+    output, same as :func:`pgoutput_relation_catalog`."""
     from pyspark.sql import Window
 
+    blocks = _block_intervals(stream_blocks)
+    bc = stream.sparkSession.sparkContext.broadcast(blocks)
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bisect import bisect_right
+
+        blks = bc.value
+        starts = [blk[0] for blk in blks]
         for pdf in batches:
             rows = []
             for seq, data in zip(pdf[seq_col], pdf[data_col]):
                 b = bytes(data)
                 if b[:1] != b"R":
                     continue
-                m = parse_message(b)
+                in_stream = False
+                if blks:
+                    bi = bisect_right(starts, int(seq)) - 1
+                    in_stream = bi >= 0 and int(seq) < blks[bi][1]
+                m = parse_message(b, in_stream=in_stream)
                 cols = [
                     {"name": c["name"], "type_oid": c["type_oid"]}
                     for c in m["columns"]

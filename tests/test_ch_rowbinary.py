@@ -324,6 +324,91 @@ class TestSparkRowBinarySink:
         finally:
             srv.shutdown()
 
+    def _poison_proj(self, spark):
+        """Projected-shape frame whose middle row cannot RowBinary-encode:
+        _version is pinned non-Nullable UInt64 by table_layout, so a
+        null there is a genuine encode-time failure (not a projection
+        null that clickhouse_rows_with_dlq would have pre-cleaned)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("email", T.StringType()),
+                T.StructField("_op", T.StringType()),
+                T.StructField("_version", T.LongType()),
+                T.StructField("_deleted", T.IntegerType()),
+                T.StructField("_source_ts", T.TimestampType()),
+            ]
+        )
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            (1, "a@x", "c", 1000, 0, ts),
+            (2, "b@x", "c", None, 0, ts),  # poison: null _version
+            (3, "c@x", "c", 3000, 0, ts),
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def test_encode_error_dlq_isolates_row_and_inserts_the_rest(self, spark):
+        """reference sink.rs contract: a per-row encode failure goes to
+        the DLQ; the good rows of the same chunk still insert."""
+        from deltaforge_spark.sinks.clickhouse import (
+            http_ch_transport_factory,
+            table_layout,
+            write_clickhouse,
+        )
+
+        proj = self._poison_proj(spark)
+        layouts = {"dl.users": layout_from_ddl_types(table_layout(proj.schema))}
+        srv, state = _loopback_ch_server(layouts)
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}"
+            write_clickhouse(
+                proj.coalesce(1),
+                http_ch_transport_factory(url),
+                database="dl",
+                table="users",
+                mode="upsert",
+                pk=["id"],
+                batch_id=3,
+                wire_format="rowbinary",
+                encode_errors="dlq",
+            )
+            assert sorted(r["id"] for r in state["rb_rows"]) == [1, 3]
+            assert len(state["json_rows"]) == 1
+            dlq = state["json_rows"][0]
+            assert "uint64" in dlq["error"].lower()
+            assert '"id": 2' in dlq["payload"]
+            assert any("__encode_dlq" in d for d in state["ddl"])
+        finally:
+            srv.shutdown()
+
+    def test_encode_error_default_still_raises(self, spark):
+        from deltaforge_spark.sinks.clickhouse import (
+            http_ch_transport_factory,
+            table_layout,
+            write_clickhouse,
+        )
+
+        proj = self._poison_proj(spark)
+        layouts = {"dl.users": layout_from_ddl_types(table_layout(proj.schema))}
+        srv, state = _loopback_ch_server(layouts)
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}"
+            with pytest.raises(Exception, match="(?i)uint64"):
+                write_clickhouse(
+                    proj.coalesce(1),
+                    http_ch_transport_factory(url),
+                    database="dl",
+                    table="users",
+                    mode="upsert",
+                    pk=["id"],
+                    batch_id=4,
+                    wire_format="rowbinary",
+                )
+        finally:
+            srv.shutdown()
+
     def test_nullable_meta_alignment_matches_ddl(self, feed):
         """table_layout must mirror create_table_ddl exactly — a drifted
         Nullable flag silently corrupts every later column in the row."""

@@ -223,3 +223,96 @@ class TestDistributedStitch:
         assert "stream_xid" not in v1.columns
         v2 = decode_pgoutput_dml(s, cat, stream_blocks=pgoutput_stream_blocks(s))
         assert v2.columns[-2:] == ["stream_xid", "msg_xid"]
+
+
+class TestInStreamRelation:
+    """PG 14 sends Relation messages INSIDE S…E blocks (xid-prefixed)
+    when a relation is first touched mid-stream — the catalog must know
+    the block context or the xid bytes poison the parse."""
+
+    def _stream(self, spark):
+        rows = [
+            # the ONLY announcement of REL travels in-stream
+            (0, encode_stream_start(10, first_segment=True)),
+            (1, encode_relation(REL, "public", "t", COLS, stream_xid=10)),
+            (2, encode_insert(REL, ["1", "a"], stream_xid=10)),
+            (3, encode_stream_stop()),
+            (4, encode_stream_commit(10, 0x100, 0x101, 5_000_000)),
+            # later plain tx against the same relation: the in-stream
+            # announcement must serve it too (applies-forward)
+            (5, encode_begin(7, 7_000_000, 30)),
+            (6, encode_insert(REL, ["2", "b"])),
+            (7, encode_commit(7, 8, 7_000_000)),
+        ]
+        return _df(spark, rows)
+
+    def test_catalog_parses_xid_prefixed_relation(self, spark):
+        s = self._stream(spark)
+        blocks = pgoutput_stream_blocks(s)
+        cat = pgoutput_relation_catalog(s, stream_blocks=blocks)
+        assert len(cat) == 1
+        r = cat[0]
+        assert (r["relation_id"], r["schema"], r["table"]) == (REL, "public", "t")
+        # without block context the same bytes misparse: xid read as
+        # relation_id, real id swallowed into the namespace cstring —
+        # either a garbage entry or a framing error, never a correct one
+        try:
+            bad = pgoutput_relation_catalog(s)
+            poisoned = not any(
+                c["relation_id"] == REL and c["table"] == "t" for c in bad
+            )
+        except Exception:
+            poisoned = True
+        assert poisoned
+
+    def test_v2_pipeline_decodes_rows_announced_in_stream(self, spark):
+        dec = decode_pgoutput_v2(self._stream(spark))
+        got = sorted((r["xid"], r["after"]) for r in dec.collect())
+        assert got == [
+            (10, '{"id": 1, "name": "a"}'),
+            (30, '{"id": 2, "name": "b"}'),
+        ]
+
+    def test_relation_drift_sees_in_stream_reannouncement(self, spark):
+        from deltaforge_spark.sources.pgoutput import relation_drift
+
+        cols2 = COLS + [("extra", 25, -1, 0)]
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            (1, encode_stream_start(10, first_segment=True)),
+            (2, encode_relation(REL, "public", "t", cols2, stream_xid=10)),
+            (3, encode_stream_stop()),
+        ]
+        s = _df(spark, rows)
+        drift = relation_drift(s, stream_blocks=pgoutput_stream_blocks(s)).collect()
+        assert len(drift) == 1 and drift[0]["seq"] == 2
+        assert "extra" in drift[0]["columns_after"]
+
+
+class TestTrailingOpenBlock:
+    """A live capture cut mid-stream-block degrades gracefully (v1
+    parity: cut mid-transaction is commit-gated, not fatal); only
+    S-inside-S / E-without-S torn captures stay loud."""
+
+    def test_trailing_open_block_closes_at_sentinel(self, spark):
+        from deltaforge_spark.sources.pgoutput import OPEN_BLOCK_END_SEQ
+
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            (1, encode_stream_start(10, first_segment=True)),
+            (2, encode_insert(REL, ["1", "a"], stream_xid=10)),
+            # capture ends here — no E, no StreamCommit
+        ]
+        blocks = pgoutput_stream_blocks(_df(spark, rows))
+        assert len(blocks) == 1
+        blk = blocks[0]
+        assert blk["truncated"] is True
+        assert blk["end_seq"] == OPEN_BLOCK_END_SEQ
+        # the truncated block's rows parse in streamed form but the
+        # missing StreamCommit gates them out — nothing emits
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        assert dec.count() == 0
+
+    def test_closed_blocks_have_no_truncated_flag(self, spark):
+        blocks = pgoutput_stream_blocks(_base_stream(spark))
+        assert all("truncated" not in b for b in blocks)

@@ -573,7 +573,16 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), n_oov.alias("n_oov"))
-        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+        # exact half-up micro-units (the share_ppm / lm.py discipline):
+        # a double division rounded at 6dp can land on a midpoint where
+        # Spark's BigDecimal HALF_UP and DuckDB's double rounding
+        # disagree; all-integer half-up can't
+        .withColumn(
+            "oov_ppm",
+            F.expr(
+                "CAST((2 * n_oov * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+            ),
+        )
     )
 
 
@@ -3892,19 +3901,26 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_customer_value_deciles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AT-SCALE twin of customer_value_deciles (the swap SCALE.md
-    documents): decile BOUNDARIES come from a deterministic 25%
-    hash-sample of the per-customer aggregate, then every customer
-    buckets by comparing against the 9 broadcast boundary rows — no
-    global NTILE window ever touches the full customer set, so there
-    is no single-partition sort at any |C|. Exactness discipline: the
-    sample is an exact 48-bit md5 threshold (the dataset_split draw),
-    boundaries are exact rank positions within the sample under the
-    total order (spend DESC, custkey), and bucket assignment is a
-    9-row broadcast tuple-compare — every step integer/decimal, both
-    engines replay it bit-for-bit. Bucket populations are approximate
-    (that is the trade the sample buys); the exact-twin pairing is the
-    same audit pattern as events_percentiles / events_sampled_
-    percentiles."""
+    documents): decile BOUNDARIES come from a deterministic hash-sample
+    of the per-customer aggregate whose SIZE is bounded (not its rate)
+    — the 48-bit md5 threshold is derived from the exact customer
+    count so the sample lands ≈ TARGET rows at ANY |C| (TARGET = 512
+    here so every gated SF exercises the sampling branch; a 100-TB
+    deployment would set ~1e6). Every customer then buckets by
+    comparing against the 9 broadcast boundary rows. The only window
+    is the boundary ranking over the ≤~TARGET-row sample — bounded by
+    construction, so there is no single-partition sort at any |C| (the
+    r7 shape sampled a fixed 25% FRACTION, whose boundary window grew
+    linearly with |C| — the exact scale-killer this twin exists to
+    avoid). Exactness discipline: threshold = bounded-size scaling in
+    pure BIGINT arithmetic (split multiply, overflow-free), sample
+    membership an exact 48-bit md5 compare, boundaries exact rank
+    positions within the sample under the total order (spend DESC,
+    custkey), bucket assignment a 9-row broadcast tuple-compare —
+    both engines replay it bit-for-bit. Bucket populations are
+    approximate (that is the trade the sample buys); the exact-twin
+    pairing is the same audit pattern as events_percentiles /
+    events_sampled_percentiles."""
     _prep(spark)
     orders = read_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
@@ -3913,10 +3929,23 @@ def q_customer_value_deciles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     draw = F.expr(
         "CAST(conv(substring(md5(concat('cvdsmp:', CAST(o_custkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
     )
-    sample = spend.filter(draw < F.lit(70368744177664))  # 0.25 * 2^48
+    # sample-SIZE bound: thr ≈ 2^48 * TARGET / n_c in overflow-free
+    # BIGINT math ((q*T) + (rem*T) DIV n_c with q = 2^48 DIV n_c), so
+    # E[|sample|] = TARGET regardless of |C|; n_c ≤ TARGET keeps all
+    n_c = spend.agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    thr = F.expr(
+        "CASE WHEN n_c <= 512 THEN CAST(281474976710656 AS BIGINT) "
+        "ELSE (281474976710656 DIV n_c) * 512 "
+        "   + ((281474976710656 % n_c) * 512) DIV n_c END"
+    )
+    sample = (
+        spend.crossJoin(F.broadcast(n_c)).filter(draw < thr).drop("n_c")
+    )
     n_s = sample.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
     from pyspark.sql import Window
 
+    # bounded-input global window: the sample is ≤~TARGET rows by the
+    # threshold construction above (allow-listed in test_plan_shape)
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     ranked = sample.select(
         "o_custkey", "spend", F.row_number().over(w).cast("long").alias("r")
@@ -6526,12 +6555,14 @@ def _oracle_sql_base() -> dict[str, str]:
             flag AS (
                 SELECT tt.doc_id, v.tok IS NOT NULL AS inv
                 FROM tt LEFT JOIN vocab v ON tt.tok = v.tok)
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
-                   round(CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
-                         / CAST(count(*) AS BIGINT), 6) AS oov_rate
-            FROM flag GROUP BY doc_id
+            SELECT doc_id, n_tokens, n_oov,
+                   CAST((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens)
+                        AS BIGINT) AS oov_ppm
+            FROM (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM flag GROUP BY doc_id)
         """,
         "web_kcore": _kcore_oracle_sql(),
         "events_rollup": """
@@ -6578,10 +6609,16 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT o_custkey,
                        sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
                 FROM orders GROUP BY o_custkey),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM spend),
+            thr AS (
+                SELECT CASE WHEN n_c <= 512 THEN CAST(281474976710656 AS BIGINT)
+                       ELSE (281474976710656 // n_c) * 512
+                          + ((281474976710656 % n_c) * 512) // n_c END AS thr
+                FROM nc),
             samp AS (
-                SELECT o_custkey, spend FROM spend
+                SELECT o_custkey, spend FROM spend CROSS JOIN thr
                 WHERE CAST(('0x' || substr(md5('cvdsmp:' || CAST(o_custkey AS VARCHAR)), 1, 12))
-                           AS BIGINT) < 70368744177664),
+                           AS BIGINT) < thr),
             ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM samp),
             ranked AS (
                 SELECT o_custkey, spend,

@@ -519,6 +519,7 @@ def embedding_neardup_lsh(
     verify: str = "in_join",
     broadcast_vectors: bool = True,
     sig_impl: str = "column",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
     LSH. A pair collides in one table's bucket with prob
@@ -557,6 +558,20 @@ def embedding_neardup_lsh(
     - ``numpy``: one BLAS matmul per Arrow batch. Wins when per-row
       work grows — wide embeddings (≥~512 dims) or many tables/planes
       — where the flops-to-transfer ratio flips.
+
+    ``max_bucket``: hot-bucket guard. A degenerate (table, signature)
+    bucket — template embeddings, zero vectors, a provider default —
+    contributes O(|bucket|²) candidate pairs; at 100 TB one such
+    bucket silently turns the "never quadratic" plan quadratic.
+    With ``max_bucket`` set, buckets whose member count exceeds it are
+    EXCLUDED from pair generation (one counts-only groupBy + a
+    broadcastable semi-join against the surviving bucket keys — the
+    data plane never re-shuffles). Pairs that only met in an oversized
+    bucket are lost; the multi-table union recovers most (a true
+    near-dup pair colliding in one table's hot bucket usually collides
+    in another table's ordinary one), and the cap is deterministic so
+    the oracle replays it exactly. None (default) preserves the exact
+    multi-table semantics.
     """
     from .similarity import (
         QSCALE,
@@ -599,13 +614,27 @@ def embedding_neardup_lsh(
             )
         return base.select("_id", *carry, F.explode(sigs_of()).alias("_k"))
 
+    def capped(keyed: DataFrame) -> DataFrame:
+        """Drop oversized buckets: counts-only groupBy on the bucket
+        key, keep keys with ≤ max_bucket members, semi-join back (AQE
+        broadcasts the surviving-key set when small)."""
+        if max_bucket is None:
+            return keyed
+        ok = (
+            keyed.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("_k")
+        )
+        return keyed.join(ok, "_k", "leftsemi")
+
     if verify == "in_join":
         s = df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             l2norm(F.col(vec_col)).alias("_n"),
         )
-        keyed = keyed_sigs(s, ["_v", "_n"])
+        keyed = capped(keyed_sigs(s, ["_v", "_n"]))
         a = keyed.select(
             F.col("_id").alias("a_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_k"
         )
@@ -627,7 +656,7 @@ def embedding_neardup_lsh(
         )
 
     s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    keyed = keyed_sigs(s, [])
+    keyed = capped(keyed_sigs(s, []))
     a = keyed.select(F.col("_id").alias("a_id"), "_k")
     b = keyed.select(F.col("_id").alias("b_id"), "_k")
     cand = (

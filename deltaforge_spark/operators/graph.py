@@ -41,6 +41,22 @@ from pyspark.sql import DataFrame, Window, functions as F
 MICRO = 1_000_000
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a ``localCheckpoint``'ed frame.
+
+    The checkpointed plan is a LogicalRDD scan over a cached RDD;
+    unpersisting that RDD releases its blocks immediately instead of
+    waiting for the ContextCleaner to notice the reference is gone —
+    the difference between a peeling loop whose superseded rounds
+    accumulate executor storage for the session lifetime and one whose
+    footprint is a single round. Best-effort: a plan that isn't a
+    checkpoint scan is a silent no-op."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - non-checkpoint plans
+        pass
+
+
 def weighted_edges(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
     """(src, dst) event pairs -> distinct weighted edges
     (src, dst, weight).  Self-loops are dropped (they only recycle rank
@@ -189,7 +205,13 @@ def label_propagation(
     return labels
 
 
-def triangle_counts(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
     """Per-node triangle counts via the degree-ordered node-iterator
     (the standard distributed algorithm — Suri & Vassilvitskii's MR
     triangle counting): orient every undirected edge from its
@@ -224,11 +246,16 @@ def triangle_counts(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> 
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # localCheckpoint (eager), not persist: three consumers (both wedge
+    # sides + the closing join) read the materialized pass, and the
+    # blocks are explicitly released below once counts materialize —
+    # a bare persist here leaked executor storage for the session
+    # lifetime (r7 ADVICE)
     oriented = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
-    ).persist()
+    ).localCheckpoint()
     e1 = oriented.select("a", F.col("b").alias("x"), F.col("deg_b").alias("deg_x"))
     e2 = oriented.select("a", F.col("b").alias("y"), F.col("deg_b").alias("deg_y"))
     x_first = (F.col("deg_x") < F.col("deg_y")) | (
@@ -244,6 +271,14 @@ def triangle_counts(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    if not materialize:
+        # plan-inspection path (test_plan_shape): the caller owns the
+        # oriented checkpoint's lifetime
+        return counts
+    # node-grain result, materialized so the (much larger) oriented
+    # edge pass can be released before returning
+    counts = counts.localCheckpoint()
+    _release_local_checkpoint(oriented)
     return counts
 
 
@@ -306,14 +341,24 @@ def kcore(
         )
         n_nxt = nxt.count()
         if n_nxt == n_edges:  # fixpoint: nobody peeled this round
-            return keep
+            # materialize the node-grain answer, then free BOTH edge
+            # checkpoints (superseded rounds must not accumulate
+            # executor storage across invocations — r7 ADVICE)
+            out = keep.localCheckpoint()
+            _release_local_checkpoint(nxt)
+            _release_local_checkpoint(edges)
+            return out
+        _release_local_checkpoint(edges)  # superseded round
         edges, n_edges = nxt, n_nxt
     # empty core (or max_rounds hit on a pathological chain): the
     # surviving degree table of whatever remains — empty when n_edges=0
-    return (
+    out = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
+        .localCheckpoint()
     )
+    _release_local_checkpoint(edges)
+    return out

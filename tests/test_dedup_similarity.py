@@ -197,6 +197,49 @@ def test_embedding_lsh_sig_impls_identical(spark, sf_dir):
     assert a == b
 
 
+def test_embedding_lsh_max_bucket_caps_hot_bucket(spark, sf_dir):
+    """max_bucket is the quadratic-bucket guard: a degenerate bucket
+    (here: many IDENTICAL vectors, which land in the same signature in
+    EVERY table) stops generating its O(n²) pairs once capped, while
+    ordinary near-dup pairs — whose buckets stay small — survive with
+    identical cosines; both verify strategies honor the cap."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    # 40 copies of one constant vector: a hot bucket of size 40 in all
+    # 8 tables (39*40/2 = 780 intra-bucket pairs)
+    hot = spark.range(10_000, 10_040).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 64).alias("embedding"),
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(hot)
+
+    uncapped = embedding_neardup_lsh(mixed)
+    capped = embedding_neardup_lsh(mixed, max_bucket=20)
+    hot_pairs = capped.filter(
+        (F.col("a_id") >= 10_000) & (F.col("b_id") >= 10_000)
+    ).count()
+    assert hot_pairs == 0  # the hot bucket never fans out
+    assert uncapped.filter(
+        (F.col("a_id") >= 10_000) & (F.col("b_id") >= 10_000)
+    ).count() == 780
+    # ordinary pairs (small buckets) are untouched by the cap
+    base = sorted(
+        map(tuple, embedding_neardup_lsh(emb.select("vec_id", "embedding")).collect())
+    )
+    surviving = sorted(
+        map(tuple, capped.filter(F.col("b_id") < 10_000).collect())
+    )
+    assert surviving == base
+    # post_join honors the same cap
+    capped_pj = embedding_neardup_lsh(mixed, max_bucket=20, verify="post_join")
+    assert capped_pj.filter(
+        (F.col("a_id") >= 10_000) & (F.col("b_id") >= 10_000)
+    ).count() == 0
+
+
 def test_jaccard_hot_shingle_pruning(spark):
     """max_doc_freq bounds the quadratic hot-key blowup: a boilerplate
     shingle shared by EVERY doc stops generating pairs, while genuinely

@@ -740,11 +740,71 @@ def test_boilerplate_broadcast_totals_no_cartesian(spark, sf_dir):
 
 def test_sampled_deciles_window_only_on_sample(spark, sf_dir):
     """customer_value_deciles_sampled: the ONLY window is the sample
-    ranking (row_number over the hash-sampled aggregate); the full
-    customer set must bucket via the 9-row broadcast tuple-compare —
-    no NTILE, no global sort of the full set."""
+    ranking (row_number over the SIZE-BOUNDED hash sample — threshold
+    derived from the exact customer count, so the window input is
+    ≤~TARGET rows at any |C|); the full customer set must bucket via
+    the 9-row broadcast tuple-compare — no NTILE, no global sort of
+    the full set."""
     p = plan_str(entry.queries()["customer_value_deciles_sampled"](spark, sf_dir))
     assert p.count("Window") <= 2  # one tree + one detail entry
     assert "ntile" not in p.lower()
     # the boundary fan-out joins broadcast (9 rows), never shuffled
     assert "BroadcastNestedLoopJoin" in p
+    # the size-bounding threshold (≈2^48 * TARGET / n_c) must appear in
+    # the sample filter — a bare fixed-fraction compare is the r7 shape
+    # whose boundary window grew linearly with |C|
+    assert "281474976710656" in p, "sample threshold not derived from count"
+
+
+# --------------------------------------------------------------------------
+# Repo-wide unpartitioned-window gate (VERDICT r7 #2)
+# --------------------------------------------------------------------------
+
+#: Queries ALLOWED to carry an unpartitioned Window operator, each with
+#: the reason its input is bounded. Anything else sweeping a global
+#: window into its plan fails the gate below and must either partition
+#: the window, move it above a TakeOrderedAndProject/limit, or be
+#: added here WITH a bounded-input justification.
+ALLOWED_GLOBAL_WINDOWS = {
+    # rank assignment over the ≤20 survivors of a TakeOrderedAndProject
+    # / limit — the window input is k rows by construction
+    "basket_brand_lift": "row_number above .limit(20)",
+    "corpus_report": "row_number above vocab_topk's TakeOrderedAndProject(20)",
+    "doc_bm25_search": "row_number above bm25_search's TakeOrderedAndProject(k)",
+    "q10_returned_items": "row_number above TakeOrderedAndProject(20)",
+    # the documented exact-audit twin: NTILE over the per-customer
+    # aggregate, paired with the sampled at-scale twin
+    "customer_value_deciles": "exact audit twin (SCALE.md); sampled twin is the scale path",
+    # boundary ranking over the SIZE-BOUNDED sample (threshold derived
+    # from the exact count: ≤~512 rows at any |C|)
+    "customer_value_deciles_sampled": "window input bounded by count-derived threshold",
+}
+
+
+def test_no_unreviewed_global_windows(spark, sf_dir):
+    """Sweep EVERY declared query's physical plan for unpartitioned
+    Window / WindowGroupLimit operators (the 'No Partition Defined for
+    Window' class — a single-partition sort of the whole input at
+    cluster scale) and pin the offender set to the reviewed allow-list
+    above. A new global window cannot land without either a bounded
+    input or an explicit entry here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.audit_windows import unpartitioned_windows
+
+    offenders = {}
+    for name, fn in sorted(entry.queries().items()):
+        df = fn(spark, sf_dir)
+        hits = unpartitioned_windows(plan_str(df))
+        if hits:
+            offenders[name] = hits
+    unreviewed = set(offenders) - set(ALLOWED_GLOBAL_WINDOWS)
+    assert not unreviewed, (
+        f"unreviewed unpartitioned windows in {sorted(unreviewed)}: "
+        + "; ".join(f"{n}: {offenders[n][0][:120]}" for n in sorted(unreviewed))
+    )
+    # the allow-list must not go stale either: entries whose window
+    # disappeared should be removed on the next review
+    gone = set(ALLOWED_GLOBAL_WINDOWS) - set(offenders)
+    assert not gone, f"allow-listed queries no longer have global windows: {sorted(gone)}"

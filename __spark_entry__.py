@@ -3408,6 +3408,53 @@ def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("was_streamed", F.expr("(o_orderkey DIV 64) % 3 = 0"))
 
 
+def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgoutput two-phase commit (PG 15 ``two_phase`` slot option — the
+    protocol rung above v2 streaming; beyond the reference, which never
+    implemented it): every third transaction travels PREPARED (b dml…
+    P) with the decision arriving later as COMMIT PREPARED ('K');
+    rolled-back ('r') and still-PENDING prepared transactions must
+    never emit. Decode = v1 interval path for plain txs + a gid-keyed
+    decision join for prepared ones (sources/pgoutput.py
+    decode_pgoutput_two_phase; grammar: public PG logical-replication
+    message docs). The oracle reproduces the committed row set from
+    the parquet table alone, value-checking prepare framing, decision
+    gating, and pending-exclusion."""
+    _prep(spark)
+    from pyspark.sql import types as T
+
+    from deltaforge_spark.sources.pgoutput import (
+        decode_pgoutput_two_phase,
+        synth_pgoutput_two_phase,
+    )
+
+    stream = synth_pgoutput_two_phase(spark, sf_dir)
+    dec = decode_pgoutput_two_phase(stream)
+    img_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    after = F.from_json(F.col("after"), img_schema)
+    before = F.from_json(F.col("before"), img_schema)
+    img = F.coalesce(after, before)
+    return dec.select(
+        F.col("op"),
+        F.col("xid"),
+        F.col("gid"),
+        F.col("commit_ts_ms"),
+        img["o_orderkey"].alias("o_orderkey"),
+        img["o_custkey"].alias("o_custkey"),
+        img["o_totalprice"].alias("o_totalprice"),
+        before["o_totalprice"].alias("before_totalprice"),
+    )
+
+
 def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MySQL binlog v4 wire decode (closes the SURVEY §7.2 MySQL
     boundary): events → binlog segments (magic, 19-byte headers with
@@ -4636,6 +4683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recent rows; tools/check.py --all still value-checks the FULL
     # set locally at sf0.01 and sf0.1.
     "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
+    "cdc_pgoutput_two_phase": q_cdc_pgoutput_two_phase,
     "q20_potential_promotion": q20_potential_promotion,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "web_triangles": q_web_triangles,
@@ -5796,6 +5844,24 @@ def _oracle_sql_base() -> dict[str, str]:
                    (o_orderkey // 64) % 3 = 0 AS was_streamed
             FROM orders
             WHERE (o_orderkey // 64) % 9 <> 6  -- StreamAbort'ed txs never emit
+        """,
+        "cdc_pgoutput_two_phase": """
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 'd'
+                        WHEN o_orderstatus = 'P' THEN 'u'
+                        ELSE 'c' END AS op,
+                   CAST(o_orderkey // 64 AS BIGINT) AS xid,
+                   CASE WHEN (o_orderkey // 64) % 3 = 0
+                        THEN 'tx' || CAST(o_orderkey // 64 AS VARCHAR) END AS gid,
+                   CAST((o_orderkey // 64) * 1000 + 946684800000 AS BIGINT) AS commit_ts_ms,
+                   o_orderkey, o_custkey, o_totalprice,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                        WHEN o_orderstatus = 'P' THEN o_totalprice - 1.0e0
+                        END AS before_totalprice
+            FROM orders
+            -- ROLLBACK PREPARED (9k+6) and PENDING (9k+3) prepared
+            -- transactions never emit
+            WHERE NOT ((o_orderkey // 64) % 3 = 0
+                       AND (o_orderkey // 64) % 9 IN (3, 6))
         """,
         "cdc_binlog_decode": """
             SELECT CASE WHEN event_type = 'signup' THEN 'c'

@@ -233,6 +233,98 @@ def _stream_prefix(stream_xid: int | None) -> bytes:
     return b"" if stream_xid is None else stream_xid.to_bytes(4, "big")
 
 
+# ------------------------------------------------------------------
+# two-phase commit messages (PG 15+ ``two_phase`` slot option — the
+# protocol rung above v2 streaming; grammar: public PostgreSQL logical
+# replication message-format docs. Beyond the reference, which never
+# implemented two_phase.)
+# ------------------------------------------------------------------
+
+
+def _gid_suffix(xid: int, gid: str) -> bytes:
+    return xid.to_bytes(4, "big") + gid.encode("utf-8") + b"\x00"
+
+
+def encode_begin_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts_us: int, xid: int, gid: str
+) -> bytes:
+    """'b': u64 prepare LSN, u64 end LSN, u64 prepare timestamp (µs
+    since 2000-01-01), u32 xid, cstring gid — opens a prepared
+    transaction's DML block (the 2PC analog of 'B')."""
+    return (
+        b"b"
+        + prepare_lsn.to_bytes(8, "big")
+        + end_lsn.to_bytes(8, "big")
+        + prepare_ts_us.to_bytes(8, "big")
+        + _gid_suffix(xid, gid)
+    )
+
+
+def encode_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts_us: int, xid: int, gid: str
+) -> bytes:
+    """'P': u8 flags (0), then the same layout as Begin Prepare —
+    closes the prepared DML block; the commit/rollback DECISION arrives
+    later as 'K'/'r'."""
+    return (
+        b"P\x00"
+        + prepare_lsn.to_bytes(8, "big")
+        + end_lsn.to_bytes(8, "big")
+        + prepare_ts_us.to_bytes(8, "big")
+        + _gid_suffix(xid, gid)
+    )
+
+
+def encode_commit_prepared(
+    commit_lsn: int, end_lsn: int, commit_ts_us: int, xid: int, gid: str
+) -> bytes:
+    """'K': u8 flags (0), u64 commit LSN, u64 end LSN, u64 commit
+    timestamp, u32 xid, cstring gid — COMMIT PREPARED."""
+    return (
+        b"K\x00"
+        + commit_lsn.to_bytes(8, "big")
+        + end_lsn.to_bytes(8, "big")
+        + commit_ts_us.to_bytes(8, "big")
+        + _gid_suffix(xid, gid)
+    )
+
+
+def encode_rollback_prepared(
+    prepare_end_lsn: int,
+    rollback_end_lsn: int,
+    prepare_ts_us: int,
+    rollback_ts_us: int,
+    xid: int,
+    gid: str,
+) -> bytes:
+    """'r': u8 flags (0), u64 prepare end LSN, u64 rollback end LSN,
+    u64 prepare timestamp, u64 rollback timestamp, u32 xid, cstring
+    gid — ROLLBACK PREPARED."""
+    return (
+        b"r\x00"
+        + prepare_end_lsn.to_bytes(8, "big")
+        + rollback_end_lsn.to_bytes(8, "big")
+        + prepare_ts_us.to_bytes(8, "big")
+        + rollback_ts_us.to_bytes(8, "big")
+        + _gid_suffix(xid, gid)
+    )
+
+
+def encode_stream_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts_us: int, xid: int, gid: str
+) -> bytes:
+    """'p': u8 flags (0), then the Prepare layout — a STREAMED (v2)
+    transaction reaching PREPARE instead of StreamCommit; its S…E
+    fragments stitch exactly like the streamed case, gated on 'K'."""
+    return (
+        b"p\x00"
+        + prepare_lsn.to_bytes(8, "big")
+        + end_lsn.to_bytes(8, "big")
+        + prepare_ts_us.to_bytes(8, "big")
+        + _gid_suffix(xid, gid)
+    )
+
+
 def encode_truncate(
     relation_ids: list[int], *, cascade: bool = False, restart_identity: bool = False
 ) -> bytes:
@@ -603,6 +695,58 @@ def _parse_message_body(tag: bytes, body: bytes) -> dict[str, Any]:
             "kind": "stream_abort",
             "xid": int.from_bytes(body[0:4], "big"),
             "subxid": int.from_bytes(body[4:8], "big"),
+        }
+    if tag == b"b":
+        if len(body) < 29:
+            raise PgoutputError("begin prepare truncated")
+        gid, _ = _read_cstring(body, 28)
+        return {
+            "kind": "begin_prepare",
+            "prepare_lsn": int.from_bytes(body[0:8], "big"),
+            "end_lsn": int.from_bytes(body[8:16], "big"),
+            "prepare_ts_us": int.from_bytes(body[16:24], "big"),
+            "xid": int.from_bytes(body[24:28], "big"),
+            "gid": gid,
+        }
+    if tag in (b"P", b"p"):
+        if len(body) < 30:
+            raise PgoutputError("prepare truncated")
+        gid, _ = _read_cstring(body, 29)
+        return {
+            "kind": "prepare" if tag == b"P" else "stream_prepare",
+            "flags": body[0],
+            "prepare_lsn": int.from_bytes(body[1:9], "big"),
+            "end_lsn": int.from_bytes(body[9:17], "big"),
+            "prepare_ts_us": int.from_bytes(body[17:25], "big"),
+            "xid": int.from_bytes(body[25:29], "big"),
+            "gid": gid,
+        }
+    if tag == b"K":
+        if len(body) < 30:
+            raise PgoutputError("commit prepared truncated")
+        gid, _ = _read_cstring(body, 29)
+        return {
+            "kind": "commit_prepared",
+            "flags": body[0],
+            "commit_lsn": int.from_bytes(body[1:9], "big"),
+            "end_lsn": int.from_bytes(body[9:17], "big"),
+            "commit_ts_us": int.from_bytes(body[17:25], "big"),
+            "xid": int.from_bytes(body[25:29], "big"),
+            "gid": gid,
+        }
+    if tag == b"r":
+        if len(body) < 38:
+            raise PgoutputError("rollback prepared truncated")
+        gid, _ = _read_cstring(body, 37)
+        return {
+            "kind": "rollback_prepared",
+            "flags": body[0],
+            "prepare_end_lsn": int.from_bytes(body[1:9], "big"),
+            "rollback_end_lsn": int.from_bytes(body[9:17], "big"),
+            "prepare_ts_us": int.from_bytes(body[17:25], "big"),
+            "rollback_ts_us": int.from_bytes(body[25:33], "big"),
+            "xid": int.from_bytes(body[33:37], "big"),
+            "gid": gid,
         }
     return {"kind": "other", "tag": tag.decode("latin-1")}
 
@@ -1191,6 +1335,111 @@ def pgoutput_stream_aborts(
     return ctrl.filter(F.col("kind") == "A").select("xid", "subxid")
 
 
+PREPARED_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("gid", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+def pgoutput_prepared_tx_table(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """Two-phase control rows (b/P/K/r) → one row per prepared
+    transaction: ``(xid, gid, begin_seq, prepare_seq, outcome,
+    outcome_seq, commit_ts_ms)`` with outcome ``'commit'`` /
+    ``'rollback'`` / null (still pending — the decision hasn't arrived
+    in this capture). Order-free: Begin Prepare pairs with Prepare on
+    gid, the decision joins on gid too — #prepared-tx rows, never
+    #event rows. PG guarantees a gid is unique among in-flight
+    prepared transactions; a capture long enough to see gid REUSE
+    (commit then a new prepare under the same gid) must be split at a
+    decision boundary first."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                tag = b[:1]
+                if tag not in (b"b", b"P", b"K", b"r"):
+                    continue
+                m = parse_message(b)
+                ts = m.get("commit_ts_us", m.get("prepare_ts_us"))
+                rows.append((tag.decode(), int(seq), m["xid"], m["gid"], ts))
+            yield pd.DataFrame(rows, columns=["kind", "seq", "xid", "gid", "ts_us"])
+
+    parts = stream.select(seq_col, data_col).mapInPandas(scan, PREPARED_PART_SCHEMA)
+    begins = parts.filter(F.col("kind") == "b").select(
+        "xid", "gid", F.col("seq").alias("begin_seq")
+    )
+    preps = parts.filter(F.col("kind") == "P").select(
+        F.col("gid").alias("_pg"), F.col("seq").alias("prepare_seq")
+    )
+    outcomes = parts.filter(F.col("kind").isin("K", "r")).select(
+        F.col("gid").alias("_og"),
+        F.when(F.col("kind") == "K", F.lit("commit")).otherwise(F.lit("rollback")).alias("outcome"),
+        F.col("seq").alias("outcome_seq"),
+        F.when(
+            F.col("kind") == "K",
+            F.expr("CAST(ts_us DIV 1000 AS BIGINT)") + F.lit(PG_EPOCH_UNIX_MS),
+        ).alias("commit_ts_ms"),
+    )
+    return (
+        begins.join(preps, begins.gid == preps._pg, "inner")
+        .join(outcomes, begins.gid == outcomes._og, "left")
+        .select(
+            "xid", "gid", "begin_seq", "prepare_seq",
+            "outcome", "outcome_seq", "commit_ts_ms",
+        )
+    )
+
+
+def decode_pgoutput_two_phase(
+    stream: DataFrame,
+    *,
+    data_col: str = "data",
+    seq_col: str = "seq",
+    tx_bucket_width: int = 256,
+) -> DataFrame:
+    """PG 15 ``two_phase`` pipeline: plain B…C transactions decode via
+    the v1 interval path; PREPARED transactions (b … P) emit only after
+    their COMMIT PREPARED ('K') arrives — the decision join is on gid —
+    and ROLLBACK PREPARED ('r') / still-pending transactions never
+    emit (emitting before the decision would un-prepare the 2PC
+    semantics downstream; a consumer wanting pre-decision visibility
+    reads :func:`pgoutput_prepared_tx_table` directly). Output is the
+    v1 schema + ``gid`` (null for plain transactions)."""
+    from ..operators.rangejoin import interval_join
+
+    relations = pgoutput_relation_catalog(stream, data_col=data_col, seq_col=seq_col)
+    dml = decode_pgoutput_dml(stream, relations, data_col=data_col, seq_col=seq_col)
+    tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    v1 = stamp_transactions(dml, tx, bucket_width=tx_bucket_width).withColumn(
+        "gid", F.lit(None).cast("string")
+    )
+    prepared = pgoutput_prepared_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    committed = prepared.filter(F.col("outcome") == "commit").select(
+        "xid", "gid", "begin_seq", "prepare_seq", "commit_ts_ms"
+    )
+    one = F.lit(1)
+    stamped = interval_join(
+        dml.withColumn("_k", one),
+        committed.withColumn("_k", one),
+        by="_k",
+        point_col="seq",
+        start_col="begin_seq",
+        end_col="prepare_seq",
+        bucket_width=tx_bucket_width,
+        how="inner",
+    ).drop("_k", "begin_seq", "prepare_seq")
+    return v1.unionByName(stamped)
+
+
 def decode_pgoutput_v2(
     stream: DataFrame,
     *,
@@ -1688,6 +1937,110 @@ def synth_pgoutput_streamed(
             else:
                 out.append(
                     (seq, encode_stream_commit(xid, seq, seq + 1, commit_ts_us))
+                )
+        return pd.DataFrame(out, columns=["seq", "data"])
+
+    keyed = orders.withColumn(
+        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
+    )
+    return keyed.groupBy("_tx").applyInPandas(
+        lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
+    )
+
+
+def synth_pgoutput_two_phase(
+    spark: SparkSession, sf_dir: str, *, rows_per_tx: int = 64
+) -> DataFrame:
+    """Two-phase twin of :func:`synth_pgoutput_orders` (PG 15
+    ``two_phase``): every third transaction travels PREPARED —
+    ``b dml… P`` with the decision arriving later in the capture as
+    COMMIT PREPARED ('K'); every (9k+6)-th prepared transaction gets
+    ROLLBACK PREPARED ('r') instead and must never emit; every
+    (9k+3)-th stays PENDING (no decision in the capture) and must not
+    emit either. Deterministic, so the DuckDB oracle reproduces the
+    committed row set from the orders parquet alone.
+
+    Layout per tx slot (rows_per_tx + 8 seqs wide):
+      plain:      R B dml… C
+      committed:  R b dml… P K      (decision at slot end)
+      rolled:     R b dml… P r
+      pending:    R b dml… P        (decision outside the capture)
+    """
+    from .snapshot import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    dt = dict(orders.dtypes)["o_orderdate"]
+    if dt in ("bigint", "long"):
+        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
+    else:
+        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    orders = orders.withColumn("o_orderdate_us", date_us)
+    slot = rows_per_tx + 8
+
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(key[0])
+        base = tx * slot
+        xid = tx & 0xFFFFFFFF
+        gid = f"tx{xid}"
+        ts_us = xid * 1_000_000
+        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+        n = len(pdf)
+        prepared = tx % 3 == 0
+        rolled = prepared and tx % 9 == 6
+        pending = prepared and tx % 9 == 3
+
+        def dml(r) -> bytes:
+            vals = [
+                str(int(r.o_orderkey)),
+                str(int(r.o_custkey)),
+                str(r.o_orderstatus),
+                _float_text(r.o_totalprice),
+                _pg_ts_text(r.o_orderdate_us),
+                str(r.o_orderpriority),
+            ]
+            if r.o_orderstatus == "F":
+                return encode_delete(ORDERS_RELATION_ID, vals)
+            if r.o_orderstatus == "P":
+                old = list(vals)
+                old[3] = _float_text(r.o_totalprice - 1.0)
+                return encode_update(ORDERS_RELATION_ID, vals, old)
+            return encode_insert(ORDERS_RELATION_ID, vals)
+
+        out: list[tuple[int, bytes]] = [
+            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
+        ]
+        seq = base + 1
+        if not prepared:
+            commit_seq = base + n + 2
+            out.append((seq, encode_begin(commit_seq, ts_us, xid)))
+            seq += 1
+            for i in range(n):
+                out.append((seq, dml(pdf.iloc[i])))
+                seq += 1
+            out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, ts_us)))
+        else:
+            prep_seq = base + n + 2
+            out.append((seq, encode_begin_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
+            seq += 1
+            for i in range(n):
+                out.append((seq, dml(pdf.iloc[i])))
+                seq += 1
+            out.append((prep_seq, encode_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
+            if rolled:
+                out.append(
+                    (
+                        prep_seq + 1,
+                        encode_rollback_prepared(
+                            prep_seq, prep_seq + 2, ts_us, ts_us + 1, xid, gid
+                        ),
+                    )
+                )
+            elif not pending:
+                out.append(
+                    (
+                        prep_seq + 1,
+                        encode_commit_prepared(prep_seq, prep_seq + 2, ts_us, xid, gid),
+                    )
                 )
         return pd.DataFrame(out, columns=["seq", "data"])
 

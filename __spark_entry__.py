@@ -4674,26 +4674,74 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
-    # r7 prefix policy (VERDICT r6 #6): the three queries NEW in r7
-    # lead (first driver rows), then the 47 queries whose latest green
-    # driver row is OLDEST (r1-r2 vintage rows from before four rounds
-    # of refactors, then r3, then the alphabetically-first r4 rows) —
-    # so driver evidence is refreshed where it is most stale. The
-    # r5/r6-green queries displaced past position 50 all keep their
-    # recent rows; tools/check.py --all still value-checks the FULL
-    # set locally at sf0.01 and sf0.1.
-    "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
+    # r8 prefix policy (VERDICT r7 #8): the queries whose OUTPUT
+    # changed this round lead (cdc_pgoutput_two_phase is new; the
+    # sampled-deciles/oov/stream-decode queries changed shape or
+    # synth layout), then the 46 queries whose latest green driver
+    # row is OLDEST — q6/q7 (r3), the full r4-era batch (dedup_apply,
+    # dedup_report, similarity_*, ann_*, mixture_*, doc_contamination*,
+    # …), then the alphabetically-first r5 rows. Displaced queries
+    # keep their recent rows; tools/check.py --all still value-checks
+    # the FULL set locally.
     "cdc_pgoutput_two_phase": q_cdc_pgoutput_two_phase,
+    "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
+    "doc_oov_rate": q_doc_oov_rate,
+    "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_adc": q_ann_pq_adc,
+    "audience_overlap": q_audience_overlap,
+    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
+    "cdc_filter_any_changed": q_filter_any_changed,
+    "cdc_filter_tables": q_filter_tables,
+    "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
+    "dedup_apply": q_dedup_apply,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_report": q_dedup_report,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "doc_contamination": q_contamination,
+    "doc_contamination_fuzzy": q_contamination_fuzzy,
+    "doc_epoch_shuffle": q_doc_epoch_shuffle,
+    "doc_pack_sequences": q_pack_sequences,
+    "doc_tfidf_keywords": q_doc_tfidf_keywords,
+    "embedding_quantize": q_embedding_quantize,
+    "events_anomalies": q_events_anomalies,
+    "events_interval_join": q_events_interval_join,
+    "events_percentiles": q_events_percentiles,
+    "mixture_by_budget": q_mixture_by_budget,
+    "mixture_by_temperature": q_mixture_by_temperature,
+    "sample_stratified": q_sample_stratified,
+    "similarity_ivf": q_similarity_ivf,
+    "similarity_lsh": q_similarity_lsh,
+    "sketch_bloom_membership": q_sketch_bloom_membership,
+    "sketch_vocab_hll": q_sketch_vocab_hll,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "cdc_binlog_decode": q_cdc_binlog_decode,
+    "cdc_changefeed": q_changefeed,
+    "cdc_filter_fields": q_filter_fields,
+    "cdc_flatten": q_flatten,
+    "cdc_flatten_dynamic": q_flatten_dynamic,
+    "cdc_lake_rolling": q_cdc_lake_rolling,
+    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
+    "dataset_split": q_dataset_split,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "doc_quality_gopher": q_doc_quality_gopher,
+    # --- past the driver prefix (recent driver rows retained) ---
     "q20_potential_promotion": q20_potential_promotion,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "web_triangles": q_web_triangles,
     "dataset_split_leakage_safe": q_dataset_split_leakage_safe,
-    "doc_oov_rate": q_doc_oov_rate,
     "web_kcore": q_web_kcore,
     "events_rollup": q_events_rollup,
     "events_pivot_types": q_events_pivot_types,
     "customer_value_deciles": q_customer_value_deciles,
-    "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
     "doc_source_boilerplate": q_doc_source_boilerplate,
     "cdc_changelog_projection": q_changelog_projection,
     "cdc_dlq_split": q_dlq_split,
@@ -4733,16 +4781,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream_gate": q_dedup_stream_gate,
     "doc_length_histogram": q_doc_length_histogram,
     "pipeline_training_data": q_pipeline_training_data,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_volume_shipping": q7_volume_shipping,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "ann_pq_adc": q_ann_pq_adc,
-    "audience_overlap": q_audience_overlap,
-    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
-    "cdc_filter_any_changed": q_filter_any_changed,
-    "cdc_filter_tables": q_filter_tables,
-    "cdc_pgoutput_changefeed": q_cdc_pgoutput_changefeed,
-    # --- positions 51+: driver-green in recent rounds (r4-r6 rows) ---
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
     "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
@@ -4799,52 +4837,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dau_stickiness": q_events_dau_stickiness,
     "events_gap_percentiles": q_events_gap_percentiles,
     "events_retention": q_events_retention,
-    "cdc_lake_rolling": q_cdc_lake_rolling,
-    "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
-    "cdc_flatten_dynamic": q_flatten_dynamic,
-    "cdc_binlog_decode": q_cdc_binlog_decode,
-    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
     "q1_pricing_summary": q1_pricing_summary,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
     "text_analysis": q_text_analysis,
     "similarity_bruteforce": q_similarity_bruteforce,
     "events_gapfill": q_events_gapfill,
     "snapshot_orders": q_snapshot_orders,
-    "cdc_changefeed": q_changefeed,
-    "cdc_filter_fields": q_filter_fields,
-    "cdc_flatten": q_flatten,
     "pii_scan": q_pii_scan,
-    "doc_quality_gopher": q_doc_quality_gopher,
     "sketch_hll_users": q_sketch_hll_users,
-    "dataset_split": q_dataset_split,
     "events_asof_join": q_events_asof_join,
     "url_dedup": q_url_dedup,
-    "dedup_semantic": q_dedup_semantic,
-    "dedup_report": q_dedup_report,
-    "mixture_by_temperature": q_mixture_by_temperature,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "sketch_vocab_hll": q_sketch_vocab_hll,
-    "sketch_bloom_membership": q_sketch_bloom_membership,
-    "events_anomalies": q_events_anomalies,
-    "events_percentiles": q_events_percentiles,
-    "sample_stratified": q_sample_stratified,
-    "mixture_by_budget": q_mixture_by_budget,
-    "doc_pack_sequences": q_pack_sequences,
-    "doc_contamination": q_contamination,
-    "doc_contamination_fuzzy": q_contamination_fuzzy,
-    "doc_tfidf_keywords": q_doc_tfidf_keywords,
-    "doc_epoch_shuffle": q_doc_epoch_shuffle,
-    "events_interval_join": q_events_interval_join,
-    "embedding_quantize": q_embedding_quantize,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "similarity_ivf": q_similarity_ivf,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "similarity_lsh": q_similarity_lsh,
-    "dedup_substring_spans": q_dedup_substring_spans,
-    "dedup_apply": q_dedup_apply,
-    "dedup_lines": q_dedup_lines,
 }
 
 def _lsh_embedding_oracle_sql(

@@ -212,6 +212,7 @@ TREND_KERNELS = [
     "cdc_pipeline_xl",
     "cdc_binlog_decode_staged",
     "cdc_binlog_decode_staged_xl",
+    "cdc_pgoutput_decode_staged",
     "cdc_delivery_kafka_wire",
     "cdc_delivery_kafka_wire_drain",
     "dedup_minhash",
@@ -553,6 +554,27 @@ def main():
                 print("  (stopping tail: over time budget)", file=sys.stderr, flush=True)
                 break
 
+    # ---- Round-best merge (VERDICT r7 #10): the recorded closing line
+    # should carry the ROUND's best agreed minimum per gate kernel, not
+    # this run's — bench.py runs several times per round and last-run-
+    # wins let one stall-afflicted final run (staged_xl 4.088 vs 2.874
+    # same-code same-round) pollute cross-round history. Identical code
+    # = same git HEAD: merge kernel minima from BENCH_TREND.jsonl lines
+    # of the same commit, then recompute the derived rates from the
+    # merged timings. Pass counts sum so the audit trail stays honest.
+    # raw snapshots first: BENCH_TREND.jsonl must record THIS run's own
+    # minima (merging into the trend would compound pass counts and
+    # hide per-run variance — the very signal the trend exists to show)
+    raw_timings, raw_passes = dict(timings), dict(passes)
+    merged_runs = _merge_round_best(timings, passes)
+    ev_per_sec = n_events / timings["cdc_pipeline"]
+    ev_per_sec_xl = n_events * XL_FACTOR / timings["cdc_pipeline_xl"]
+    binlog_ev_per_sec = n_events / timings["cdc_binlog_decode_staged"]
+    binlog_ev_per_sec_steady = n_events * BL_XL / timings["cdc_binlog_decode_staged_xl"]
+    pgoutput_ev_per_sec = n_orders / timings["cdc_pgoutput_decode_staged"]
+    kafka_wire_ev_per_sec = n_events / timings["cdc_delivery_kafka_wire"]
+    kafka_wire_drain_ev_per_sec = n_events / timings["cdc_delivery_kafka_wire_drain"]
+
     total = round(sum(timings.values()), 3)
     gate = {
         "metric": "headline_suite_seconds",
@@ -580,12 +602,15 @@ def main():
         "gates_agreed": {
             k: [gates_agreed[k], passes[k]] for k in sorted(gates_agreed)
         },
+        # how many SAME-COMMIT earlier bench runs the closing minima
+        # were merged from (0 = this run stands alone)
+        "round_runs_merged": merged_runs,
     }
     sf1 = _sf1_soak_summary()
     if sf1:
         gate["sf1"] = sf1
     result = dict(gate, queries=timings, passes=passes)
-    _append_trend(result)
+    _append_trend(dict(gate, queries=raw_timings, passes=raw_passes))
     # Per-query detail goes on an EARLIER stdout line (and BENCH_TREND.jsonl);
     # the driver keeps only the LAST 2000 chars of stdout and parses the last
     # JSON line, so the final line must stay well under that (BENCH_r04
@@ -628,19 +653,11 @@ def _sf1_soak_summary() -> dict | None:
     return out or None
 
 
-def _append_trend(result: dict) -> None:
-    """One JSONL line per bench run with the kernel-min timings, so
-    cross-round kernel regressions are diffable independent of suite
-    composition and host noise (each line carries its pass counts).
-    Only the official SF (0.1) appends — smoke runs at other SFs would
-    pollute the cross-round series."""
+def _git_head() -> str:
     import subprocess
 
-    if str(result.get("sf")) != "0.1":
-        return
-
     try:
-        git = subprocess.run(
+        return subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True,
             text=True,
@@ -648,7 +665,50 @@ def _append_trend(result: dict) -> None:
             timeout=10,
         ).stdout.strip()
     except Exception:
-        git = "unknown"
+        return "unknown"
+
+
+def _merge_round_best(timings: dict[str, float], passes: dict[str, int]) -> int:
+    """Fold earlier SAME-COMMIT bench runs' kernel minima (from
+    BENCH_TREND.jsonl) into this run's timings in place. Same short
+    git HEAD = identical code, so the minimum across runs is the
+    round's measured capability; pass counts sum for the audit trail.
+    Returns how many prior runs were merged."""
+    head = _git_head()
+    if head == "unknown":
+        return 0
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TREND.jsonl")
+    merged = 0
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return 0
+    for raw in lines:
+        try:
+            row = json.loads(raw)
+        except ValueError:
+            continue
+        if row.get("git") != head or str(row.get("sf")) != "0.1":
+            continue
+        merged += 1
+        for k, sec in (row.get("kernels") or {}).items():
+            if k in timings and isinstance(sec, (int, float)) and sec < timings[k]:
+                timings[k] = sec
+            passes[k] = passes.get(k, 0) + int((row.get("passes") or {}).get(k, 0))
+    return merged
+
+
+def _append_trend(result: dict) -> None:
+    """One JSONL line per bench run with the kernel-min timings, so
+    cross-round kernel regressions are diffable independent of suite
+    composition and host noise (each line carries its pass counts).
+    Only the official SF (0.1) appends — smoke runs at other SFs would
+    pollute the cross-round series."""
+    if str(result.get("sf")) != "0.1":
+        return
+
+    git = _git_head()
     line = {
         "git": git,
         "ts": int(time.time()),

@@ -62,24 +62,13 @@ class TestBenchContract:
         assert sorted(set(osql) - set(qs)) == []
 
     def test_driver_prefix_contains_never_sampled_queries(self):
-        """Queries without any driver row yet must sit in the first-50
-        prefix the driver verifies (r5 #2 generalized: r6 gave
-        cdc_binlog_datasource its row; r7's new queries are next)."""
+        """Queries without any driver row yet — or whose OUTPUT changed
+        since their last row — must sit in the first-50 prefix the
+        driver verifies (r5 #2 generalized; r7 gave the r7 batch its
+        rows; r8 leads with the two_phase query and the three queries
+        whose output/synth changed this round)."""
         names = list(_entry().queries())
-        for name in (
-            "q2_min_cost_supplier",
-            "q20_potential_promotion",
-            "cdc_pgoutput_stream_decode",
-            "web_triangles",
-            "dataset_split_leakage_safe",
-            "doc_oov_rate",
-            "web_kcore",
-            "events_rollup",
-            "events_pivot_types",
-            "customer_value_deciles",
-            "customer_value_deciles_sampled",
-            "doc_source_boilerplate",
-        ):
+        for name in R8_PREFIX_REQUIRED:
             assert name in names[:50], name
 
     def test_queries_md_in_sync(self):
@@ -91,29 +80,29 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-R7_NEW_QUERIES = [
-    "q2_min_cost_supplier", "q20_potential_promotion",
-    "cdc_pgoutput_stream_decode", "web_triangles",
-    "dataset_split_leakage_safe", "doc_oov_rate",
-    "web_kcore", "events_rollup", "events_pivot_types",
-    "customer_value_deciles", "customer_value_deciles_sampled",
-    "doc_source_boilerplate",
+#: r8 prefix policy: new this round, or output/synth changed this round
+#: (their old driver rows no longer describe the current code)
+R8_PREFIX_REQUIRED = [
+    "cdc_pgoutput_two_phase",          # new (two-phase tier)
+    "customer_value_deciles_sampled",  # size-bounded sample rewrote output
+    "doc_oov_rate",                    # oov_rate -> oov_ppm
+    "cdc_pgoutput_stream_decode",      # synth now announces R in-stream
 ]
 
 
-def test_every_new_r7_query_is_in_driver_prefix():
-    """Never-driver-sampled queries must sit in the first-50 prefix the
-    driver verifies; queries displaced past 50 must all have a green
-    CORRECTNESS row from an earlier round (checked by name against the
-    recorded artifacts)."""
+def test_every_new_or_changed_query_is_in_driver_prefix():
+    """Never-driver-sampled (or output-changed) queries must sit in the
+    first-50 prefix the driver verifies; queries displaced past 50 must
+    all have a green CORRECTNESS row from an earlier round (checked by
+    name against the recorded artifacts)."""
     import json
     import os
 
     names = list(_entry().queries())
-    for n in R7_NEW_QUERIES:
+    for n in R8_PREFIX_REQUIRED:
         assert names.index(n) < 50, f"{n} at {names.index(n)} — not driver-visible"
     prior_green = set()
-    for r in range(1, 7):
+    for r in range(1, 8):
         p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(p):
             rows = json.load(open(p))

@@ -36,7 +36,56 @@ KERNELS = [
     "dedup_stream_gate",
     "events_percentiles",
     "events_sampled_percentiles",
+    # r7/r8 operators (VERDICT r7 #4): every new kernel gets a measured
+    # sf1 row, not just a reasoned scale shape
+    "web_triangles",
+    "web_kcore",
+    "events_rollup",
+    "events_pivot_types",
+    "customer_value_deciles",
+    "customer_value_deciles_sampled",
+    "doc_source_boilerplate",
+    "dataset_split_leakage_safe",
+    "doc_oov_rate",
+    "cdc_pgoutput_stream_decode",
+    "cdc_pgoutput_two_phase",
 ]
+
+
+def _lsh_escape(spark, sf_dir):
+    """The documented hot-bucket escape hatch (VERDICT r7 #3):
+    post_join verify WITHOUT broadcast_vectors — id-partitioned verify
+    joins, the billion-vector configuration. Measured beside the
+    default in_join path so the escape hatch's cost is a number, not a
+    docstring claim."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    return embedding_neardup_lsh(emb, verify="post_join", broadcast_vectors=False)
+
+
+def _lsh_capped(spark, sf_dir):
+    """Default path + max_bucket=4096: the guard's overhead (one
+    counts-only census + semi-join) on data with NO pathological
+    bucket — the price of always-on protection."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    return embedding_neardup_lsh(emb, max_bucket=4096)
+
+
+EXTRA_KERNELS = {
+    "dedup_embedding_lsh_escape": _lsh_escape,
+    "dedup_embedding_lsh_capped": _lsh_capped,
+}
 
 
 def materialize(df) -> None:
@@ -55,8 +104,8 @@ def main() -> None:
     qs = entry.queries()
 
     out: dict[str, dict] = {}
-    for name in KERNELS:
-        fn = qs[name]
+    todo = [(n, qs[n]) for n in KERNELS] + list(EXTRA_KERNELS.items())
+    for name, fn in todo:
         # warm pass at sf0.001 compiles codegen out of the timings
         materialize(fn(spark, "/root/testdata/sf0.001"))
         row: dict[str, float] = {}

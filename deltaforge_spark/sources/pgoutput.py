@@ -1335,6 +1335,50 @@ def pgoutput_stream_aborts(
     return ctrl.filter(F.col("kind") == "A").select("xid", "subxid")
 
 
+def pgoutput_stream_prepared_commits(
+    stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq"
+) -> DataFrame:
+    """Streamed TWO-PHASE transactions (PG 15 ``streaming=on`` +
+    ``two_phase``): a large prepared transaction travels as S…E
+    fragments closed by Stream Prepare ('p', carrying xid AND gid)
+    instead of StreamCommit; the decision arrives later as COMMIT
+    PREPARED ('K', gid). Output ``(xid, commit_seq, commit_ts_ms)`` —
+    the same shape as :func:`pgoutput_stream_tx_table`, so the v2
+    decoder treats a decided streamed-prepared tx exactly like a
+    streamed-committed one (rolled-back and pending ones simply never
+    appear, which gates their rows out)."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                b = bytes(data)
+                tag = b[:1]
+                if tag not in (b"p", b"K"):
+                    continue
+                m = parse_message(b)
+                rows.append(
+                    (
+                        tag.decode(), int(seq), m["xid"], m["gid"],
+                        m.get("commit_ts_us"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["kind", "seq", "xid", "gid", "ts_us"])
+
+    parts = stream.select(seq_col, data_col).mapInPandas(scan, PREPARED_PART_SCHEMA)
+    preps = parts.filter(F.col("kind") == "p").select("xid", "gid")
+    commits = parts.filter(F.col("kind") == "K").select(
+        F.col("gid").alias("_kg"),
+        F.col("seq").alias("commit_seq"),
+        (
+            F.expr("CAST(ts_us DIV 1000 AS BIGINT)") + F.lit(PG_EPOCH_UNIX_MS)
+        ).alias("commit_ts_ms"),
+    )
+    return preps.join(commits, preps.gid == commits._kg, "inner").select(
+        "xid", "commit_seq", "commit_ts_ms"
+    )
+
+
 PREPARED_PART_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
@@ -1475,7 +1519,14 @@ def decode_pgoutput_v2(
         plain, tx, bucket_width=tx_bucket_width, keep_uncommitted=keep_uncommitted
     )
     sv = dml.filter(F.col("stream_xid").isNotNull())
-    commits = pgoutput_stream_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    # a streamed tx commits either directly (StreamCommit 'c') or, with
+    # two_phase on, via Stream Prepare ('p') + COMMIT PREPARED ('K') —
+    # both shapes land in the same (xid, commit_ts) gate table
+    commits = pgoutput_stream_tx_table(
+        stream, data_col=data_col, seq_col=seq_col
+    ).unionByName(
+        pgoutput_stream_prepared_commits(stream, data_col=data_col, seq_col=seq_col)
+    )
     aborts = pgoutput_stream_aborts(stream, data_col=data_col, seq_col=seq_col)
     streamed = (
         sv.join(

@@ -126,6 +126,39 @@ class TestPreparedAssembly:
         assert tab["g20"] == (20, 4, 6, "rollback", None)
         assert tab["g30"] == (30, 7, 9, None, None)
 
+    def test_streamed_two_phase_gates_on_commit_prepared(self, spark):
+        """PG 15 streaming + two_phase combined: S…E fragments closed by
+        Stream Prepare ('p'), decided by 'K'/'r' — rows emit only for
+        the committed gid, through decode_pgoutput_v2's streamed path."""
+        from deltaforge_spark.sources.pgoutput import (
+            decode_pgoutput_v2,
+            encode_stream_abort,
+            encode_stream_prepare,
+            encode_stream_start,
+            encode_stream_stop,
+        )
+
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            # xid 10 streams, prepares, later commits
+            (1, encode_stream_start(10, first_segment=True)),
+            (2, encode_insert(REL, ["1", "a"], stream_xid=10)),
+            (3, encode_stream_stop()),
+            (4, encode_stream_prepare(0x10, 0x11, 1_000_000, 10, "sg10")),
+            # xid 20 streams, prepares, later rolls back
+            (5, encode_stream_start(20, first_segment=True)),
+            (6, encode_insert(REL, ["2", "b"], stream_xid=20)),
+            (7, encode_stream_stop()),
+            (8, encode_stream_prepare(0x20, 0x21, 2_000_000, 20, "sg20")),
+            # decisions
+            (9, encode_commit_prepared(0x10, 0x12, 5_000_000, 10, "sg10")),
+            (10, encode_rollback_prepared(0x20, 0x22, 2_000_000, 2_100_000, 20, "sg20")),
+        ]
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        got = sorted((r["xid"], r["after"], r["commit_ts_ms"]) for r in dec.collect())
+        assert got == [(10, '{"id": 1, "name": "a"}', 946684800000 + 5_000)]
+        assert encode_stream_abort is not None
+
     def test_decode_gates_on_commit_prepared(self, spark):
         dec = decode_pgoutput_two_phase(_capture(spark))
         got = sorted((r["xid"], r["gid"], r["after"], r["commit_ts_ms"]) for r in dec.collect())

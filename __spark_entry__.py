@@ -1020,12 +1020,12 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
-    """DuckDB twin of dedup_substring_spans: same positional grams,
-    same 48-bit md5 hash, same windowed dup marking and
-    gaps-and-islands merge (start ≤ prev_end + 1)."""
-    return f"""
-        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _span_ctes(*, k: int = 8, min_count: int = 2) -> str:
+    """Shared CTE chain for the exact-substring span oracles (detect
+    AND apply must agree on the span set by construction): positional
+    grams, 48-bit md5 hash, windowed dup marking, gaps-and-islands
+    merge (start ≤ prev_end + 1)."""
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         g AS (
             SELECT doc_id, u['gpos'] AS gpos, u['gh'] AS gh FROM (
                 SELECT doc_id,
@@ -1052,7 +1052,13 @@ def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
         spans AS (
             SELECT doc_id, min(gpos) AS span_start, max(gend) AS span_end,
                    max(gend) - min(gpos) + 1 AS span_tokens
-            FROM islands GROUP BY doc_id, island),
+            FROM islands GROUP BY doc_id, island)"""
+
+
+def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of dedup_substring_spans (detection profile)."""
+    return f"""
+        WITH {_span_ctes(k=k, min_count=min_count)},
         agg AS (
             SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
             FROM spans GROUP BY doc_id)
@@ -1063,6 +1069,53 @@ def _substring_spans_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
                round(CAST(a.dup_tokens AS DOUBLE) / len(w.w), 6) AS dup_ratio
         FROM agg a JOIN w ON w.doc_id = a.doc_id
     """
+
+
+def _substring_remove_oracle_sql(*, k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of dedup_substring_remove (the APPLY step): same
+    span set as the detection oracle by shared construction, then the
+    identical position-filtered rebuild — md5 of the rejoined text so
+    the compare payload stays bounded."""
+    return f"""
+        WITH {_span_ctes(k=k, min_count=min_count)},
+        sp AS (
+            SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS sps
+            FROM spans GROUP BY doc_id),
+        kept AS (
+            SELECT w.doc_id, len(w.w) AS total_tokens, w.w AS toks,
+                   list_filter(range(1, len(w.w) + 1),
+                       i -> sp.sps IS NULL
+                            OR len(list_filter(sp.sps,
+                                   x -> i - 1 >= x.s AND i - 1 <= x.e)) = 0) AS kp
+            FROM w LEFT JOIN sp ON sp.doc_id = w.doc_id)
+        SELECT doc_id,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST(total_tokens - len(kp) AS BIGINT) AS removed_tokens,
+               CAST(len(kp) AS BIGINT) AS kept_tokens,
+               -- DuckDB's array_to_string([]) is NULL, Spark's
+               -- concat_ws over [] is '' — coalesce pins the
+               -- fully-removed-document case to md5('')
+               md5(coalesce(array_to_string(list_transform(kp, i -> toks[i]), ' '), ''))
+                   AS clean_md5
+        FROM kept
+    """
+
+
+def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY step of exact-substring dedup (spans.py
+    remove_duplicate_spans): every token covered by a corpus-duplicated
+    span is cut and the document rejoined — the rewrite that follows
+    dedup_substring_spans' detection (Lee et al. ExactSubstr cut
+    policy). The rewritten text travels as md5 so the compare payload
+    never ships document bodies; counts are exact. One doc-keyed join
+    of the (small) span table + per-row column-algebra rebuild — no
+    Python, no second text pass."""
+    _prep(spark)
+    from deltaforge_spark.operators.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        read_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
 
 
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4735,6 +4788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the FULL set locally.
     "cdc_pgoutput_two_phase": q_cdc_pgoutput_two_phase,
     "dedup_lsh_recall": q_dedup_lsh_recall,
+    "dedup_substring_remove": q_dedup_substring_remove,
     "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
     "doc_oov_rate": q_doc_oov_rate,
     "cdc_pgoutput_stream_decode": q_cdc_pgoutput_stream_decode,
@@ -7452,6 +7506,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dedup_embedding_lsh": _lsh_embedding_oracle_sql(),
         "dedup_lsh_recall": _lsh_recall_oracle_sql(),
+        "dedup_substring_remove": _substring_remove_oracle_sql(),
         "similarity_lsh": _lsh_ann_oracle_sql(),
         "ann_pq_adc": _pq_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(),

@@ -118,6 +118,63 @@ def duplicate_span_profile(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """APPLY step of exact-substring dedup (the rewrite that follows
+    :func:`duplicate_spans`' detection — Lee et al. 2022's ExactSubstr
+    "cut" policy as most pipelines run it for boilerplate): every token
+    covered by a corpus-duplicated span is removed from every document
+    and the surviving tokens are rejoined. Cut-all (rather than
+    keep-one-occurrence) is deliberate: keep-one needs a global
+    occurrence tie-break that serializes on the hottest gram, while
+    cut-all is order-free — and for boilerplate (the dominant use) the
+    span should survive in NO document.
+
+    Output: (doc_id, total_tokens, removed_tokens, kept_tokens,
+    clean_md5) — the rewritten text travels as its md5 so a 100-TB
+    verification never ships document bodies; callers wanting the text
+    use ``return_text=True`` semantics by selecting ``clean_text``
+    before the final projection (kept internal here to keep the
+    declared query's compare payload bounded).
+
+    Scale shape: the span table (dup-y docs only) joins doc-keyed —
+    one shuffle of (doc_id, start, end) triples; the rebuild is pure
+    per-row column algebra (positions filtered against the ≤handful of
+    spans per doc), no Python, no second pass over text."""
+    spans = duplicate_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sps")
+    )
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).join(
+        per_doc, "doc_id", "left"
+    )
+    toks = F.split(F.col("_t"), " ")
+    sps = F.coalesce(F.col("_sps"), F.array().cast("array<struct<span_start:long,span_end:long>>"))
+    pos = F.sequence(F.lit(0), F.size(toks) - 1)
+    covered = lambda p: F.exists(  # noqa: E731
+        sps, lambda s: (p >= s["span_start"]) & (p <= s["span_end"])
+    )
+    kept = F.filter(pos, lambda p: ~covered(p))
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda p: F.element_at(toks, p + 1))
+    )
+    return out.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("total_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def token_chunks(text: Column, n: int) -> Column:
     """Deterministic pseudo-lines: consecutive n-token chunks of a
     whitespace-tokenized text (for corpora whose documents carry no

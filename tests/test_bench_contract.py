@@ -87,6 +87,8 @@ R8_PREFIX_REQUIRED = [
     "customer_value_deciles_sampled",  # size-bounded sample rewrote output
     "doc_oov_rate",                    # oov_rate -> oov_ppm
     "cdc_pgoutput_stream_decode",      # synth now announces R in-stream
+    "dedup_lsh_recall",                # new (r8 eval operator)
+    "dedup_substring_remove",          # new (r8 apply operator)
 ]
 
 

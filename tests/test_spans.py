@@ -105,3 +105,32 @@ def test_token_chunks_boundaries(spark):
     got = [r["c"] for r in df.select(token_chunks(F.col("text"), 2).alias("c")).collect()]
     assert got[0] == ["a b", "c d", "e"]
     assert got[1] == ["a"]
+
+
+def test_remove_duplicate_spans_cuts_and_rejoins(spark):
+    """APPLY step: duplicated tokens are cut from every doc, unique
+    tokens survive in order, a fully-duplicated doc becomes the empty
+    string (md5('') pins the edge), clean docs pass through intact."""
+    import hashlib
+
+    from deltaforge_spark.operators.spans import remove_duplicate_spans
+
+    shared = "x1 x2 x3 x4 x5"
+    docs = [
+        f"a0 b0 {shared} c0",   # doc 0: span at tokens 2..6
+        f"a1 b1 {shared} c1",   # doc 1: same
+        shared,                  # doc 2: fully duplicated -> empty
+        "u0 u1 u2 u3 u4 u5",     # doc 3: clean, untouched
+    ]
+    df = _docs(spark, docs)
+    got = {
+        r["doc_id"]: (
+            r["total_tokens"], r["removed_tokens"], r["kept_tokens"], r["clean_md5"]
+        )
+        for r in remove_duplicate_spans(df, k=4).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[0] == (8, 5, 3, md5("a0 b0 c0"))
+    assert got[1] == (8, 5, 3, md5("a1 b1 c1"))
+    assert got[2] == (5, 5, 0, md5(""))
+    assert got[3] == (6, 0, 6, md5("u0 u1 u2 u3 u4 u5"))

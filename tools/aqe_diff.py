@@ -46,6 +46,12 @@ KERNELS = [
     "events_asof_join",
     "web_triangles",
     "basket_brand_lift",
+    # r8 additions: the gid decision join, the recall audit's twin
+    # pair joins, and the leakage-safe split's label join
+    "cdc_pgoutput_two_phase",
+    "dedup_lsh_recall",
+    "dataset_split_leakage_safe",
+    "customer_value_deciles_sampled",
 ]
 
 MARKERS = {

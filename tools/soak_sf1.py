@@ -50,6 +50,7 @@ KERNELS = [
     "cdc_pgoutput_stream_decode",
     "cdc_pgoutput_two_phase",
     "dedup_lsh_recall",
+    "dedup_substring_remove",
 ]
 
 

@@ -995,32 +995,44 @@ def pgoutput_relation_catalog(
 
         blks = bc.value
         starts = [blk[0] for blk in blks]
+
+        def emit(rows, seq, m):
+            rows.append(
+                (
+                    seq,
+                    m["relation_id"],
+                    m["schema"],
+                    m["table"],
+                    m["replica_identity"],
+                    json.dumps(m["columns"], sort_keys=True),
+                )
+            )
+
+        # use_attr hoisted out of the per-row loop: the v1/blocks path
+        # must not pay a third zip column or a per-row branch
         for pdf in batches:
             rows = []
-            attrs = pdf[attr_col] if use_attr else pdf[seq_col]
-            for seq, data, attr in zip(pdf[seq_col], pdf[data_col], attrs):
-                b = bytes(data)
-                if b[:1] != b"R":
-                    continue
-                seq = int(seq)
-                if use_attr:
-                    in_stream = pd.notna(attr)
-                else:
+            if use_attr:
+                for seq, data, attr in zip(
+                    pdf[seq_col], pdf[data_col], pdf[attr_col]
+                ):
+                    b = bytes(data)
+                    if b[:1] != b"R":
+                        continue
+                    m = parse_message(b, in_stream=bool(pd.notna(attr)))
+                    emit(rows, int(seq), m)
+            else:
+                for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                    b = bytes(data)
+                    if b[:1] != b"R":
+                        continue
+                    seq = int(seq)
                     in_stream = False
                     if blks:
                         bi = bisect_right(starts, seq) - 1
                         in_stream = bi >= 0 and seq < blks[bi][1]
-                m = parse_message(b, in_stream=in_stream)
-                rows.append(
-                    (
-                        seq,
-                        m["relation_id"],
-                        m["schema"],
-                        m["table"],
-                        m["replica_identity"],
-                        json.dumps(m["columns"], sort_keys=True),
-                    )
-                )
+                    m = parse_message(b, in_stream=in_stream)
+                    emit(rows, seq, m)
             yield pd.DataFrame(
                 rows,
                 columns=["seq", "relation_id", "schema", "table",
@@ -1029,6 +1041,32 @@ def pgoutput_relation_catalog(
 
     in_cols = [seq_col, data_col] + ([attr_col] if use_attr else [])
     rel = stream.select(*in_cols).mapInPandas(scan, RELATION_SCHEMA)
+    # the driver must see O(#schema versions), never O(#announcements):
+    # PG's maybe_send_schema re-announces a relation per streamed
+    # transaction (reorder-buffer behavior), so an archive capture's
+    # 'R' count is proportional to #transactions and a raw collect here
+    # re-opens the driver-OOM the distributed block path closed (ADVICE
+    # r9 medium, pgoutput.py:1032). Identical consecutive announcements
+    # bind DML rows identically (the versioned catalog's
+    # latest-at-or-before lookup lands on the same entry), so keeping
+    # only first-and-changed versions per relation cannot change any
+    # decode — one lag() window over the tiny R-only extraction.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("relation_id").orderBy("seq")
+    sig = F.concat_ws(
+        "\x00",
+        F.coalesce(F.col("schema"), F.lit("")),
+        F.coalesce(F.col("table"), F.lit("")),
+        F.coalesce(F.col("replica_identity"), F.lit("")),
+        F.col("columns_json"),
+    )
+    rel = (
+        rel.withColumn("_sig", sig)
+        .withColumn("_prev", F.lag("_sig").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_sig")))
+        .drop("_sig", "_prev")
+    )
     return [r.asDict() for r in rel.collect()]
 
 
@@ -1098,57 +1136,102 @@ def decode_pgoutput_dml(
             "seq", "lsn", "relation_id", "op", "schema", "table",
             "before", "after", "n_bytes",
         ] + (["stream_xid", "msg_xid"] if v2 else [])
+        # membership branch hoisted to two loop bodies: the v1/blocks
+        # path is r8's loop verbatim (no third zip column, no per-row
+        # use_attr test) — keeps the decode hot loop regression-free
         for pdf in batches:
             rows = []
-            attrs = pdf[attr_col] if use_attr else pdf[seq_col]
-            for seq, data, attr in zip(pdf[seq_col], pdf[data_col], attrs):
-                b = bytes(data)
-                tag = b[:1]
-                if tag not in (b"I", b"U", b"D"):
-                    continue
-                seq = int(seq)
-                blk_xid = None
-                if use_attr:
-                    if pd.notna(attr):
-                        blk_xid = int(attr)
-                elif blocks:
-                    bi = bisect_right(starts, seq) - 1
-                    if bi >= 0 and seq < blocks[bi][1]:
-                        blk_xid = blocks[bi][2]
-                m = parse_message(b, in_stream=blk_xid is not None)
-                versions = cat.get(m["relation_id"])
-                if not versions:
-                    continue
-                idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
-                if idx < 0:
-                    continue  # DML before any announcement: unknown schema
-                rel = versions[idx][1]
-                cols = rel["columns"]
-                op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
-                before = None
-                after = None
-                if m["kind"] == "insert":
-                    after = build_object(cols, m["new"])
-                elif m["kind"] == "update":
-                    if m["old"] is not None:
+            if use_attr:
+                for seq, data, attr in zip(
+                    pdf[seq_col], pdf[data_col], pdf[attr_col]
+                ):
+                    b = bytes(data)
+                    tag = b[:1]
+                    if tag not in (b"I", b"U", b"D"):
+                        continue
+                    seq = int(seq)
+                    blk_xid = int(attr) if pd.notna(attr) else None
+                    m = parse_message(b, in_stream=blk_xid is not None)
+                    versions = cat.get(m["relation_id"])
+                    if not versions:
+                        continue
+                    idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
+                    if idx < 0:
+                        continue  # DML before any announcement
+                    rel = versions[idx][1]
+                    cols = rel["columns"]
+                    op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
+                    before = None
+                    after = None
+                    if m["kind"] == "insert":
+                        after = build_object(cols, m["new"])
+                    elif m["kind"] == "update":
+                        if m["old"] is not None:
+                            before = build_object(cols, m["old"])
+                        after = build_object(cols, m["new"])
+                    else:
                         before = build_object(cols, m["old"])
-                    after = build_object(cols, m["new"])
-                else:
-                    before = build_object(cols, m["old"])
-                row = (
-                    seq,
-                    seq,
-                    m["relation_id"],
-                    op,
-                    rel["schema"],
-                    rel["table"],
-                    None if before is None else json.dumps(before, sort_keys=True),
-                    None if after is None else json.dumps(after, sort_keys=True),
-                    len(b),
-                )
-                if v2:
-                    row = row + (blk_xid, m.get("stream_xid"))
-                rows.append(row)
+                    rows.append(
+                        (
+                            seq,
+                            seq,
+                            m["relation_id"],
+                            op,
+                            rel["schema"],
+                            rel["table"],
+                            None if before is None else json.dumps(before, sort_keys=True),
+                            None if after is None else json.dumps(after, sort_keys=True),
+                            len(b),
+                            blk_xid,
+                            m.get("stream_xid"),
+                        )
+                    )
+            else:
+                for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                    b = bytes(data)
+                    tag = b[:1]
+                    if tag not in (b"I", b"U", b"D"):
+                        continue
+                    seq = int(seq)
+                    blk_xid = None
+                    if blocks:
+                        bi = bisect_right(starts, seq) - 1
+                        if bi >= 0 and seq < blocks[bi][1]:
+                            blk_xid = blocks[bi][2]
+                    m = parse_message(b, in_stream=blk_xid is not None)
+                    versions = cat.get(m["relation_id"])
+                    if not versions:
+                        continue
+                    idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
+                    if idx < 0:
+                        continue  # DML before any announcement: unknown schema
+                    rel = versions[idx][1]
+                    cols = rel["columns"]
+                    op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
+                    before = None
+                    after = None
+                    if m["kind"] == "insert":
+                        after = build_object(cols, m["new"])
+                    elif m["kind"] == "update":
+                        if m["old"] is not None:
+                            before = build_object(cols, m["old"])
+                        after = build_object(cols, m["new"])
+                    else:
+                        before = build_object(cols, m["old"])
+                    row = (
+                        seq,
+                        seq,
+                        m["relation_id"],
+                        op,
+                        rel["schema"],
+                        rel["table"],
+                        None if before is None else json.dumps(before, sort_keys=True),
+                        None if after is None else json.dumps(after, sort_keys=True),
+                        len(b),
+                    )
+                    if v2:
+                        row = row + (blk_xid, m.get("stream_xid"))
+                    rows.append(row)
             yield pd.DataFrame(rows, columns=cols_out)
 
     in_cols = [seq_col, data_col] + ([attr_col] if use_attr else [])
@@ -2525,31 +2608,42 @@ def relation_drift(
 
         blks = bc.value
         starts = [blk[0] for blk in blks]
+        def emit(rows, seq, m):
+            cols = [
+                {"name": c["name"], "type_oid": c["type_oid"]}
+                for c in m["columns"]
+            ]
+            rows.append(
+                (
+                    seq, m["relation_id"], m["schema"], m["table"],
+                    json.dumps(cols, sort_keys=True),
+                )
+            )
+
+        # use_attr hoisted: no third zip column / per-row branch on v1
         for pdf in batches:
             rows = []
-            attrs = pdf[attr_col] if use_attr else pdf[seq_col]
-            for seq, data, attr in zip(pdf[seq_col], pdf[data_col], attrs):
-                b = bytes(data)
-                if b[:1] != b"R":
-                    continue
-                if use_attr:
-                    in_stream = pd.notna(attr)
-                else:
+            if use_attr:
+                for seq, data, attr in zip(
+                    pdf[seq_col], pdf[data_col], pdf[attr_col]
+                ):
+                    b = bytes(data)
+                    if b[:1] != b"R":
+                        continue
+                    m = parse_message(b, in_stream=bool(pd.notna(attr)))
+                    emit(rows, int(seq), m)
+            else:
+                for seq, data in zip(pdf[seq_col], pdf[data_col]):
+                    b = bytes(data)
+                    if b[:1] != b"R":
+                        continue
+                    seq = int(seq)
                     in_stream = False
                     if blks:
-                        bi = bisect_right(starts, int(seq)) - 1
-                        in_stream = bi >= 0 and int(seq) < blks[bi][1]
-                m = parse_message(b, in_stream=in_stream)
-                cols = [
-                    {"name": c["name"], "type_oid": c["type_oid"]}
-                    for c in m["columns"]
-                ]
-                rows.append(
-                    (
-                        int(seq), m["relation_id"], m["schema"], m["table"],
-                        json.dumps(cols, sort_keys=True),
-                    )
-                )
+                        bi = bisect_right(starts, seq) - 1
+                        in_stream = bi >= 0 and seq < blks[bi][1]
+                    m = parse_message(b, in_stream=in_stream)
+                    emit(rows, seq, m)
             yield pd.DataFrame(
                 rows,
                 columns=["seq", "relation_id", "schema", "table", "columns_json"],

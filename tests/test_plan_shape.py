@@ -808,3 +808,57 @@ def test_no_unreviewed_global_windows(spark, sf_dir):
     # disappeared should be removed on the next review
     gone = set(ALLOWED_GLOBAL_WINDOWS) - set(offenders)
     assert not gone, f"allow-listed queries no longer have global windows: {sorted(gone)}"
+
+
+def test_pgoutput_v2_distributed_path_collects_are_bounded(spark, monkeypatch):
+    """The archive-replay branch of decode_pgoutput_v2 must never run a
+    data-proportional driver collect (VERDICT r8 item #1's unmet gate
+    half, r9 item #1c): with 200 streamed transactions — each
+    re-announcing its relation the way PG's maybe_send_schema does —
+    every plan-build-time collect stays O(#partitions + #schema
+    versions), and the relation catalog sees O(#versions) rows, not
+    O(#announcements) (ADVICE r9 medium, pgoutput.py:1032)."""
+    from deltaforge_spark.sources import pgoutput as pg
+
+    REL = 77
+    COLS = [("id", 20, -1, 1), ("name", 25, -1, 0)]
+    rows = []
+    seq = 0
+
+    def add(b):
+        nonlocal seq
+        rows.append((seq, b))
+        seq += 1
+
+    n_tx = 200
+    for i in range(n_tx):
+        xid = 1000 + i
+        add(pg.encode_stream_start(xid, first_segment=True))
+        # PG re-announces the (unchanged) relation inside every block
+        add(pg.encode_relation(REL, "public", "t", COLS, stream_xid=xid))
+        add(pg.encode_insert(REL, [str(i), "x"], stream_xid=xid))
+        add(pg.encode_stream_stop())
+        add(pg.encode_stream_commit(xid, 2 * i, 2 * i + 1, 1_000_000 * i))
+    n_events = len(rows)
+    s = spark.createDataFrame(rows, "seq long, data binary").repartition(8)
+
+    # patch the CONCRETE DataFrame class (pyspark 4 subclasses the
+    # pyspark.sql.DataFrame ABC, which would not intercept)
+    SparkDF = type(s)
+    sizes = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    dec = pg.decode_pgoutput_v2(s, stream_block_collect_max=0)
+    monkeypatch.undo()  # the test's own result collect is not the gate
+    # plan-build collects: _ranked_by_seq partition counts (x2), the
+    # pairing check row, the deduped relation catalog — all tiny
+    assert sizes, "distributed path ran no plan-build jobs?"
+    bound = 2 * spark.sparkContext.defaultParallelism + 16
+    assert max(sizes) <= bound < n_events // 4, sizes
+    assert dec.count() == n_tx

@@ -697,7 +697,10 @@ def _code_equivalent_heads(limit: int = 8) -> set[str]:
         ok = {heads[0]}
         for h in heads[1:]:
             files = [f for f in run("git", "diff", "--name-only", h, heads[0]).splitlines() if f]
-            if files and all(f.endswith(_ARTIFACT_SUFFIXES) for f in files):
+            # empty diff = byte-identical trees = trivially equivalent
+            # (an artifact-only commit immediately behind HEAD) — it
+            # must NOT stop the walk (ADVICE: bench.py merge bug)
+            if all(f.endswith(_ARTIFACT_SUFFIXES) for f in files):
                 ok.add(h)
             else:
                 break

@@ -41,20 +41,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 MICRO = 1_000_000
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free the storage blocks behind a ``localCheckpoint``'ed frame.
-
-    The checkpointed plan is a LogicalRDD scan over a cached RDD;
-    unpersisting that RDD releases its blocks immediately instead of
-    waiting for the ContextCleaner to notice the reference is gone —
-    the difference between a peeling loop whose superseded rounds
-    accumulate executor storage for the session lifetime and one whose
-    footprint is a single round. Best-effort: a plan that isn't a
-    checkpoint scan is a silent no-op."""
-    try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:  # pragma: no cover - non-checkpoint plans
-        pass
+# shared lineage-barrier helper (plans/lineage.py) — one audited
+# release path for every peeling loop in the repo
+from ..plans.lineage import release_local_checkpoint as _release_local_checkpoint
 
 
 def weighted_edges(pairs: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:

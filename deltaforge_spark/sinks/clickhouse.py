@@ -305,6 +305,7 @@ def write_clickhouse(
                 n = 0
                 pid = None
                 chunk = 0
+                dlq_chunk = 0
                 dlq_lines: list[str] = []
                 for row in rows:
                     pid = row[n_cols] if pid is None else pid
@@ -330,6 +331,17 @@ def write_clickhouse(
                                 sort_keys=True,
                             )
                         )
+                        # flush DLQ lines on the same chunk cadence as
+                        # good rows — an all-bad partition must not
+                        # buffer itself into one partition-sized insert
+                        if len(dlq_lines) >= insert_chunk_rows:
+                            token = (
+                                f"{database}.{table}:{batch_id}:{pid}:dlq:{dlq_chunk}"
+                            )
+                            t.insert(
+                                database, f"{table}__encode_dlq", dlq_lines, token
+                            )
+                            dlq_lines, dlq_chunk = [], dlq_chunk + 1
                         continue
                     n += 1
                     if n >= insert_chunk_rows:
@@ -340,7 +352,7 @@ def write_clickhouse(
                     token = f"{database}.{table}:{batch_id}:{pid}:{chunk}"
                     t.insert_rowbinary(database, table, bytes(buf), token)
                 if dlq_lines:
-                    token = f"{database}.{table}:{batch_id}:{pid}:dlq"
+                    token = f"{database}.{table}:{batch_id}:{pid}:dlq:{dlq_chunk}"
                     t.insert(database, f"{table}__encode_dlq", dlq_lines, token)
             finally:
                 t.close()

@@ -1420,22 +1420,31 @@ BLOCK_TABLE_SCHEMA = T.StructType(
 )
 
 
-def _ranked_by_seq(df: DataFrame, *, order_col: str = "seq") -> DataFrame:
+def _ranked_by_seq(
+    df: DataFrame, *, order_col: str = "seq"
+) -> tuple[DataFrame, DataFrame]:
     """Global 1-based dense rank by ``order_col`` WITHOUT a
     single-partition window: repartitionByRange so partition id order
     == seq order, per-partition ``row_number`` (a partitioned window),
     and per-partition offsets prefix-summed on the driver —
     O(#partitions) driver work, a true constant, never O(#rows).
-    The ranged layout is pinned with an eager localCheckpoint so the
-    count job and the window job cannot see different shuffles."""
+    The ranged layout is pinned (plans/lineage.py: reliable checkpoint
+    when a checkpoint dir is configured, localCheckpoint otherwise) so
+    the count job and the window job cannot see different shuffles.
+    Returns ``(ranked, pinned)`` — the caller MUST release ``pinned``
+    (``release_local_checkpoint``) once the ranked frame has been
+    re-materialized behind its own barrier, or its storage blocks
+    outlive the call (the graph.py peeling-loop leak pattern)."""
     from pyspark.sql import Window
+
+    from ..plans.lineage import pin
 
     sess = df.sparkSession
     n = max(2, sess.sparkContext.defaultParallelism)
-    d = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    d = pin(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = {
         r["_pid"]: r["cnt"]
@@ -1446,14 +1455,15 @@ def _ranked_by_seq(df: DataFrame, *, order_col: str = "seq") -> DataFrame:
         offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:
-        return d.withColumn("_rank", F.lit(None).cast("long")).drop("_pid")
+        return d.withColumn("_rank", F.lit(None).cast("long")).drop("_pid"), d
     off_df = sess.createDataFrame(offsets, "_pid INT, _off BIGINT")
     w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    ranked = (
         d.join(F.broadcast(off_df), "_pid")
         .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    return ranked, d
 
 
 def pgoutput_stream_block_table(
@@ -1481,16 +1491,23 @@ def pgoutput_stream_block_table(
       NEXT block's start (rank r+1) → interleaved/torn boundaries.
 
     The single allowed unclosed 'S' is the trailing truncated block,
-    closed at the sentinel exactly like the fast path."""
-    s = _ranked_by_seq(bounds.filter(F.col("kind") == "S")).select(
+    closed at the sentinel exactly like the fast path.
+
+    The returned table is pinned behind its own lineage barrier and the
+    two ranked intermediates are RELEASED before returning — a session
+    replaying many archive slices retains one compact block table per
+    live result, not 3 checkpointed rank frames per call (ADVICE r9)."""
+    from ..plans.lineage import pin, release_local_checkpoint
+
+    s_ranked, s_pin = _ranked_by_seq(bounds.filter(F.col("kind") == "S"))
+    s = s_ranked.select(
         F.col("_rank"),
         F.col("xid"),
         F.col("seq").alias("start_seq"),
         F.col("first_segment"),
     )
-    e = _ranked_by_seq(bounds.filter(F.col("kind") == "E")).select(
-        F.col("_rank"), F.col("seq").alias("end_seq")
-    )
+    e_ranked, e_pin = _ranked_by_seq(bounds.filter(F.col("kind") == "E"))
+    e = e_ranked.select(F.col("_rank"), F.col("seq").alias("end_seq"))
     paired = s.join(e, "_rank", "full_outer")
     nxt = s.select((F.col("_rank") - 1).alias("_rank"), F.col("start_seq").alias("_next_start"))
     chk = (
@@ -1516,13 +1533,18 @@ def pgoutput_stream_block_table(
             "stream block never closed before the next started "
             "(distributed pairing)"
         )
-    return paired.select(
-        "xid",
-        "start_seq",
-        F.coalesce(F.col("end_seq"), F.lit(OPEN_BLOCK_END_SEQ)).alias("end_seq"),
-        "first_segment",
-        F.col("end_seq").isNull().alias("truncated"),
+    out = pin(
+        paired.select(
+            "xid",
+            "start_seq",
+            F.coalesce(F.col("end_seq"), F.lit(OPEN_BLOCK_END_SEQ)).alias("end_seq"),
+            "first_segment",
+            F.col("end_seq").isNull().alias("truncated"),
+        )
     )
+    release_local_checkpoint(s_pin)
+    release_local_checkpoint(e_pin)
+    return out
 
 
 def pgoutput_attribute_stream(
@@ -1555,11 +1577,17 @@ def pgoutput_attribute_stream(
         (F.col("end_seq") - F.lit(1)).alias("_be"),
     )
     # clamp sentinel ends (truncated trailing block) so explode-to-
-    # buckets never materializes 2^62/width replicas
-    has_trunc = block_table.filter(F.col("truncated")).limit(1).count() > 0
-    if has_trunc:
-        max_seq = stream.agg(F.max(seq_col).alias("m")).collect()[0]["m"]
-        inside = inside.withColumn("_be", F.least(F.col("_be"), F.lit(int(max_seq))))
+    # buckets never materializes 2^62/width replicas. Unconditional and
+    # LAZY: a 1-row max-seq aggregate broadcast-crossed in (closed
+    # blocks always end ≤ max seq, so the clamp is a no-op for them) —
+    # no eager plan-build jobs, no second pass over the pairing lineage
+    # (ADVICE r9 low, pgoutput.py:1476).
+    max_seq = stream.agg(F.max(F.col(seq_col)).cast("long").alias("_max_seq"))
+    inside = (
+        inside.crossJoin(F.broadcast(max_seq))
+        .withColumn("_be", F.least(F.col("_be"), F.col("_max_seq")))
+        .drop("_max_seq")
+    )
     inside = inside.filter(F.col("_bs") <= F.col("_be")).withColumn("_k", F.lit(1))
     pts = stream.select(seq_col).withColumn("_k", F.lit(1))
     attr = interval_join(
@@ -1794,10 +1822,11 @@ def decode_pgoutput_two_phase(
     same single control-row scan that builds the prepared table — no
     extra pass over the data plane."""
     from ..operators.rangejoin import interval_join
+    from ..plans.lineage import pin
 
-    parts = _prepared_parts(
-        stream, data_col=data_col, seq_col=seq_col, mark_stream=True
-    ).localCheckpoint(eager=True)
+    parts = pin(
+        _prepared_parts(stream, data_col=data_col, seq_col=seq_col, mark_stream=True)
+    )
     kind_counts = {
         r["kind"]: r["cnt"]
         for r in parts.groupBy("kind").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -213,6 +213,7 @@ TREND_KERNELS = [
     "cdc_binlog_decode_staged",
     "cdc_binlog_decode_staged_xl",
     "cdc_pgoutput_decode_staged",
+    "cdc_pgoutput_two_phase_staged",
     "cdc_delivery_kafka_wire",
     "cdc_delivery_kafka_wire_drain",
     "dedup_minhash",
@@ -266,13 +267,16 @@ def main():
     )
     from deltaforge_spark.sources.pgoutput import (
         decode_pgoutput as _warm_pg_decode,
+        decode_pgoutput_two_phase as _warm_2pc_decode,
         synth_pgoutput_orders as _warm_pg_synth,
+        synth_pgoutput_two_phase as _warm_2pc_synth,
     )
 
     materialize(
         _warm_decode(_warm_synth(spark, warm_dir), {("testdb", "events"): _WARM_COLS})
     )
     materialize(_warm_pg_decode(_warm_pg_synth(spark, warm_dir)))
+    materialize(_warm_2pc_decode(_warm_2pc_synth(spark, warm_dir)))
     print("warmup done", file=sys.stderr, flush=True)
 
     # Timed runs, keep the min + a per-query pass count: the container's
@@ -396,6 +400,26 @@ def main():
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     timed_agreed("cdc_pgoutput_decode_staged", lambda: decode_pgoutput(wal))
     pgoutput_ev_per_sec = n_orders / timings["cdc_pgoutput_decode_staged"]
+
+    # two-phase decode gate (VERDICT r8 #3 / r9 #4): the PG 15 2PC
+    # kernel — prepare framing + gid decision equi-join + bucketized
+    # interval stamping — timed on a staged capture like its v1
+    # sibling. Decode is seq-keyed (order-independent), so the
+    # repartitioned layout is exactly what an archive reader produces.
+    from deltaforge_spark.sources.pgoutput import (
+        decode_pgoutput_two_phase,
+        synth_pgoutput_two_phase,
+    )
+
+    tp_path = f"/dev/shm/deltaforge-bench-data/pgoutput-2pc-p{par}-sf{sf}"
+    if not os.path.isdir(tp_path):
+        synth_pgoutput_two_phase(spark, sf_dir).repartition(par).write.mode(
+            "overwrite"
+        ).parquet(tp_path)
+    tp = spark.read.parquet(tp_path)
+    timed_agreed(
+        "cdc_pgoutput_two_phase_staged", lambda: decode_pgoutput_two_phase(tp)
+    )
 
     # ---- TIER 1c: end-to-end delivery over the REAL Kafka wire
     # protocol — envelope + routing + transactional produce

@@ -519,7 +519,7 @@ def embedding_neardup_lsh(
     verify: str = "in_join",
     broadcast_vectors: bool = True,
     sig_impl: str = "column",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
     LSH. A pair collides in one table's bucket with prob
@@ -564,14 +564,17 @@ def embedding_neardup_lsh(
     contributes O(|bucket|²) candidate pairs; at 100 TB one such
     bucket silently turns the "never quadratic" plan quadratic.
     With ``max_bucket`` set, buckets whose member count exceeds it are
-    EXCLUDED from pair generation (one counts-only groupBy + a
-    broadcastable semi-join against the surviving bucket keys — the
-    data plane never re-shuffles). Pairs that only met in an oversized
-    bucket are lost; the multi-table union recovers most (a true
-    near-dup pair colliding in one table's hot bucket usually collides
-    in another table's ordinary one), and the cap is deterministic so
-    the oracle replays it exactly. None (default) preserves the exact
-    multi-table semantics.
+    EXCLUDED from pair generation: a counts-only census on a slim
+    key-only projection finds the OVERSIZED keys (bounded by
+    n·num_tables/max_bucket, empty on healthy data), then a broadcast
+    ANTI join drops their members — the data plane never re-shuffles.
+    Pairs that only met in an oversized bucket are lost; the
+    multi-table union recovers most (a true near-dup pair colliding in
+    one table's hot bucket usually collides in another table's
+    ordinary one), and the cap is deterministic so the oracle replays
+    it exactly. Default 4096 (guard overhead measured ≈+10% at sf0.1,
+    noise at sf1 — SCALE.md); None preserves the exact multi-table
+    semantics.
     """
     from .similarity import (
         QSCALE,

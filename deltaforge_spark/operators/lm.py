@@ -170,3 +170,184 @@ def weighted_sample(
         .limit(k)
         .drop("_pri")
     )
+
+
+# ----------------------------------------------------- bigram + backoff
+#
+# CCNet-style filtering wants more context than a unigram LM (the
+# reference pipeline uses a 5-gram KenLM; VERDICT r8 #6 asked for
+# >=bigram with backoff). Model: STUPID BACKOFF (Brants et al. 2007,
+# "Large Language Models in Machine Translation" — the standard
+# web-scale smoothing precisely because it needs only raw counts):
+#
+#     score(w2 | w1) = c(w1 w2) / c(w1)          if c(w1 w2) > 0
+#                    = alpha * p_add1(w2)         otherwise
+#
+# with alpha = 0.4 (the paper's constant) and p_add1 the same add-one
+# unigram the existing path uses — so the backoff branch reuses
+# unigram_lm/lm_normalizer unchanged.
+#
+# Scale shape (100 TB): the LM build is two counts-only shuffles
+# (bigram, unigram — no row data moves); scoring explodes doc bigrams
+# map-side (zip-against-tail, no posexplode self-join) and joins three
+# COUNT tables by key — Spark broadcasts them while they fit and
+# shuffle-joins on the token key beyond that, same policy as
+# doc_surprisal. Determinism: per-bigram surprisal rounds to integer
+# micro-nats before the sum (order-independent), the per-doc average
+# is a half-up integer division — the exact conventions the unigram
+# path proved at sf1.
+
+
+def _doc_bigrams(df: DataFrame, *, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., w1, w2): adjacent token pairs, map-side."""
+    a = tokens(F.col(text_col))
+    n = F.size(a)
+    pairs = F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        df.select(*id_cols, F.explode(pairs).alias("_p"))
+        .select(*id_cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def bigram_lm(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w1, w2) -> c12 over the LM corpus. One counts-only shuffle."""
+    return _doc_bigrams(df, text_col=text_col, id_cols=[]).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+
+
+def doc_surprisal_backoff(
+    df: DataFrame,
+    lm_corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Score every document of ``df`` under a stupid-backoff bigram LM
+    trained on ``lm_corpus``: (doc_id, n_bigrams, avg_surprisal, ppl
+    [, keep]). Documents with no valid bigram (<2 tokens) are omitted —
+    they carry no bigram evidence to score.
+
+    Surprisal per bigram, in integer micro-nats:
+      seen:    round((ln(c1) - ln(c12)) * 1e6)
+      backoff: round((ln(N+V+1) - ln(c2+1) + ln(2.5)) * 1e6)
+    (ln(2.5) = -ln(alpha) for alpha = 0.4; unseen w2 takes c2 = 0.)
+    """
+    uni = unigram_lm(lm_corpus, text_col=text_col)
+    big = bigram_lm(lm_corpus, text_col=text_col)
+    norm = lm_normalizer(uni)
+    toks = _doc_bigrams(df, text_col=text_col, id_cols=[id_col])
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    seen = (F.log(F.col("c1").cast("double")) - F.log(F.col("c12").cast("double"))) * F.lit(
+        1000000.0
+    )
+    backoff = (
+        F.log((F.col("n_total") + F.col("vocab") + F.lit(1)).cast("double"))
+        - F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double"))
+        + F.log(F.lit(2.5))
+    ) * F.lit(1000000.0)
+    scored = (
+        toks.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            id_col,
+            F.round(F.when(F.col("c12").isNotNull(), seen).otherwise(backoff), 0)
+            .cast("long")
+            .alias("sup_micro"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("sup_micro").cast("long").alias("sum_micro"),
+    )
+    avg_micro = F.expr(
+        "CAST((2 * sum_micro + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"
+    )
+    avg = avg_micro.cast("double") / F.lit(1000000.0)
+    out = agg.select(
+        id_col,
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_surprisal"),
+        F.round(F.exp(F.round(avg, 6)), 4).alias("ppl"),
+    )
+    if max_ppl is not None:
+        out = out.withColumn("keep", F.col("ppl") <= F.lit(float(max_ppl)))
+    return out
+
+
+def doc_surprisal_backoff_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    lm_filter: str = "doc_id % 2 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> str:
+    """DuckDB twin of doc_surprisal_backoff with the LM trained on the
+    ``lm_filter`` subset: identical tokenization (PMI-oracle
+    zip-against-tail), identical micro-nat rounding, identical half-up
+    integer average."""
+    keep = (
+        f", (ppl <= {float(max_ppl)}) AS keep" if max_ppl is not None else ""
+    )
+    return f"""
+        WITH lmdocs AS MATERIALIZED (
+            SELECT {id_col}, {text_col} FROM {table_expr} WHERE {lm_filter}),
+        uni AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim({text_col}), ' +')) AS w
+                FROM lmdocs
+            ) WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        big AS MATERIALIZED (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                SELECT z[1] AS w1, z[2] AS w2 FROM (
+                    SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        db AS (
+            SELECT {id_col}, z[1] AS w1, z[2] AS w2 FROM (
+                SELECT {id_col}, unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM (
+                    SELECT {id_col}, string_split_regex(trim({text_col}), ' +') AS a
+                    FROM {table_expr})
+            ) WHERE z[1] <> '' AND z[2] <> ''),
+        scored AS (
+            SELECT {id_col},
+                   CAST(round(CASE WHEN b.c12 IS NOT NULL
+                       THEN (ln(CAST(u1.c1 AS DOUBLE)) - ln(CAST(b.c12 AS DOUBLE)))
+                            * 1000000.0
+                       ELSE (ln(CAST(tot.n_total + tot.vocab + 1 AS DOUBLE))
+                             - ln(CAST(coalesce(u2.c2, 0) + 1 AS DOUBLE))
+                             + ln(2.5)) * 1000000.0
+                   END) AS BIGINT) AS sup
+            FROM db
+            LEFT JOIN big b USING (w1, w2)
+            LEFT JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+            LEFT JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+            CROSS JOIN tot),
+        agg AS (
+            SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(sup) AS BIGINT) AS sum_micro
+            FROM scored GROUP BY {id_col}),
+        avg AS (
+            SELECT {id_col}, n_bigrams,
+                   CAST((2 * sum_micro + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+                       AS avg_micro
+            FROM agg)
+        SELECT {id_col}, n_bigrams,
+               round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6) AS avg_surprisal,
+               round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4) AS ppl
+               {keep}
+        FROM avg
+    """

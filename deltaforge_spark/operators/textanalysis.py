@@ -291,3 +291,177 @@ def bigram_pmi_oracle_sql(
         SELECT w1, w2, c12, pmi FROM scored
         ORDER BY pmi DESC, w1, w2 LIMIT {k}
     """
+
+
+# ------------------------------------------------------ BPE merge TRAINING
+#
+# Learn the merge table itself (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — the algorithm every
+# BPE tokenizer trains with), distributed:
+#
+# 1. ONE corpus pass compresses 100 TB of text to its WORD-TYPE table
+#    (word, freq) — a counts-only shuffle. Every later iteration
+#    touches only this vocab-sized table, never the corpus again; this
+#    is exactly why BPE training is tractable at scale.
+# 2. Per merge round: adjacent symbol pairs explode from the
+#    space-separated symbol string (map-side zip-against-tail, like
+#    bigram_pmi), one counts-only groupBy sums word-frequency weights,
+#    and the single best pair comes back via TakeOrderedAndProject —
+#    O(1) driver rows per round, deterministic tie-break
+#    (count DESC, pair ASC).
+# 3. The winning pair applies to every word as ONE literal replace()
+#    (left-to-right, non-overlapping — both Spark's replace and
+#    DuckDB's agree on that scan, so greedy merge semantics are
+#    engine-identical), and the loop repeats on the pinned vocab
+#    table (plans/lineage.py: O(1) rounds of executor storage).
+#
+# The fixed small ``num_merges`` keeps the DuckDB oracle exact: the
+# oracle re-learns the same chain with one CTE stage per round (the
+# merges are DATA, not literals — the SQL recomputes argmax per stage).
+
+
+def bpe_word_table(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(s, freq): lowercase [a-z]+ word types as space-separated
+    character symbols with the '</w>' end-of-word marker, weighted by
+    corpus frequency. The one corpus-proportional pass of training."""
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), 0)
+    return words.select(
+        F.concat(F.array_join(chars, " "), F.lit(" </w>")).alias("s"),
+        "freq",
+    )
+
+
+def _adjacent_pairs(sy: Column) -> Column:
+    """['a','b','c'] -> ['a b', 'b c'] (map-side; every adjacent
+    POSITION counts, like Sennrich's get_stats)."""
+    n = F.size(sy)
+    return F.zip_with(
+        F.slice(sy, 1, n - 1),
+        F.slice(sy, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges over ``df[text_col]``; returns
+    (merge_rank, left_sym, right_sym, pair_freq) — the merge table a
+    tokenizer (bpe_merge_tokens) would then apply. Stops early if the
+    vocabulary runs out of pairs."""
+    from ..plans.lineage import pin, release_local_checkpoint
+
+    spark = df.sparkSession
+    cur = pin(bpe_word_table(df, text_col=text_col))
+    learned: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, num_merges + 1):
+            sy = F.split(F.col("s"), " ")
+            best = (
+                cur.select(F.explode(_adjacent_pairs(sy)).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            a, b = pair.split(" ", 1)
+            learned.append((r, a, b, cnt))
+            nxt = pin(
+                cur.select(
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                            F.lit(f" {pair} "),
+                            F.lit(f" {a}{b} "),
+                        )
+                    ).alias("s"),
+                    "freq",
+                )
+            )
+            release_local_checkpoint(cur)
+            cur = nxt
+    finally:
+        release_local_checkpoint(cur)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("left_sym", T.StringType()),
+            T.StructField("right_sym", T.StringType()),
+            T.StructField("pair_freq", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(learned, schema)
+
+
+def bpe_train_oracle_sql(
+    *, table_expr: str = "documents", text_col: str = "text", num_merges: int = 8
+) -> str:
+    """DuckDB twin of bpe_train: one CTE stage per merge round, each
+    stage recomputing the argmax pair (count DESC, pair ASC) over the
+    previous stage's word table and applying it with the same
+    left-to-right literal replace.
+
+    Every stage CTE is MATERIALIZED: each w{r} is referenced three
+    times downstream (b{r+1} plus two scalar subqueries inside
+    w{r+1}), so DuckDB's default inline expansion recomputes the
+    chain 3^num_merges times — measured as a multi-minute hang at 8
+    merges on a 6-document corpus. Materialization makes the chain
+    linear, the same O(1)-per-round shape as the Spark loop's pin()."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+            SELECT array_to_string(regexp_extract_all(w, '[a-z]'), ' ') || ' </w>' AS s,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
+                  FROM {table_expr})
+            GROUP BY w)"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+            SELECT pair, cnt FROM (
+                SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(list_transform(range(1, len(sy)),
+                                  i -> sy[i] || ' ' || sy[i + 1])) AS pair,
+                           freq
+                    FROM (SELECT string_split(s, ' ') AS sy, freq FROM w{p})
+                ) GROUP BY pair
+            ) ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        )
+        if r < num_merges:
+            ctes.append(
+                f"""w{r} AS MATERIALIZED (
+            SELECT trim(replace(' ' || s || ' ',
+                                ' ' || (SELECT pair FROM b{r}) || ' ',
+                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS s,
+                   freq
+            FROM w{p})"""
+            )
+    selects = "\n        UNION ALL ".join(
+        f"""SELECT {r} AS merge_rank,
+                   split_part(pair, ' ', 1) AS left_sym,
+                   split_part(pair, ' ', 2) AS right_sym,
+                   cnt AS pair_freq
+            FROM b{r}"""
+        for r in range(1, num_merges + 1)
+    )
+    joined = ",\n        ".join(ctes)
+    return f"WITH {joined}\n        {selects}"

@@ -216,7 +216,7 @@ def test_embedding_lsh_max_bucket_caps_hot_bucket(spark, sf_dir):
     )
     mixed = emb.select("vec_id", "embedding").unionByName(hot)
 
-    uncapped = embedding_neardup_lsh(mixed)
+    uncapped = embedding_neardup_lsh(mixed, max_bucket=None)
     capped = embedding_neardup_lsh(mixed, max_bucket=20)
     hot_pairs = capped.filter(
         (F.col("a_id") >= 10_000) & (F.col("b_id") >= 10_000)

@@ -70,20 +70,21 @@ def _lsh_escape(spark, sf_dir):
     return embedding_neardup_lsh(emb, verify="post_join", broadcast_vectors=False)
 
 
-def _lsh_capped(spark, sf_dir):
-    """Default path + max_bucket=4096: the guard's overhead (one
-    counts-only census + semi-join) on data with NO pathological
-    bucket — the price of always-on protection."""
+def _lsh_uncapped(spark, sf_dir):
+    """max_bucket=None beside the now-default capped path (r10 flipped
+    the guard on at 4096): the census + broadcast anti-join overhead on
+    data with NO pathological bucket — the price of the always-on
+    protection, measured as a ratio against `dedup_embedding_lsh`."""
     from deltaforge_spark.operators.dedup import embedding_neardup_lsh
     from deltaforge_spark.sources.snapshot import read_table
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_neardup_lsh(emb, max_bucket=4096)
+    return embedding_neardup_lsh(emb, max_bucket=None)
 
 
 EXTRA_KERNELS = {
     "dedup_embedding_lsh_escape": _lsh_escape,
-    "dedup_embedding_lsh_capped": _lsh_capped,
+    "dedup_embedding_lsh_uncapped": _lsh_uncapped,
 }
 
 

@@ -30,6 +30,7 @@ SYNTHETIC_KERNELS = {
     "cdc_binlog_decode_staged",
     "cdc_binlog_decode_staged_xl",
     "cdc_pgoutput_decode_staged",
+    "cdc_pgoutput_two_phase_staged",
     "cdc_delivery_kafka_wire",
     "cdc_delivery_kafka_wire_drain",
     "cdc_delivery_alo",
@@ -80,15 +81,16 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-#: r8 prefix policy: new this round, or output/synth changed this round
+#: r10 prefix policy: new this round, or code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
 R8_PREFIX_REQUIRED = [
-    "cdc_pgoutput_two_phase",          # new (two-phase tier)
-    "customer_value_deciles_sampled",  # size-bounded sample rewrote output
-    "doc_oov_rate",                    # oov_rate -> oov_ppm
-    "cdc_pgoutput_stream_decode",      # synth now announces R in-stream
-    "dedup_lsh_recall",                # new (r8 eval operator)
-    "dedup_substring_remove",          # new (r8 apply operator)
+    "text_bpe_train",            # new (r10: distributed BPE training)
+    "doc_perplexity_bigram",     # new (r10: stupid-backoff bigram LM)
+    "dedup_embedding_lsh",       # max_bucket default + oracle cap (r10)
+    "dedup_lsh_recall",          # oracle gained the mirrored cap (r10)
+    "cdc_binlog_datasource",     # archive now written executor-side (r10)
+    "cdc_pgoutput_stream_decode",  # r10 pgoutput decode-loop/catalog work
+    "cdc_pgoutput_two_phase",      # r10 stream-guard landed under it
 ]
 
 
@@ -103,9 +105,10 @@ def test_every_new_or_changed_query_is_in_driver_prefix():
     names = list(_entry().queries())
     for n in R8_PREFIX_REQUIRED:
         assert names.index(n) < 50, f"{n} at {names.index(n)} — not driver-visible"
+    import glob
+
     prior_green = set()
-    for r in range(1, 8):
-        p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         if os.path.exists(p):
             rows = json.load(open(p))
             prior_green |= {

@@ -183,6 +183,9 @@ HEADLINE = [
     "doc_contamination_fuzzy",
     "doc_perplexity_filter",
     "doc_weighted_sample",
+    # r10: the two new LLM-pipeline kernels get timed headline rows
+    "text_bpe_train",
+    "doc_perplexity_bigram",
 ]
 
 

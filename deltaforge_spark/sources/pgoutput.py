@@ -1132,6 +1132,21 @@ def decode_pgoutput_dml(
 
         cat, blocks = bc.value
         starts = [blk[0] for blk in blocks]
+        # Catalog split (r10 decode-regression fix, VERDICT r9 #2): a
+        # relation with ONE announcement — the overwhelmingly common
+        # shape — resolves with a plain dict hit plus one int compare
+        # (r8's per-row cost); only genuinely RE-announced relations
+        # pay a bisect, over a parallel seq list so no per-probe key
+        # lambda. The per-row `bisect_right(key=...)` this replaces
+        # measured as most of the r9 decode regression.
+        single: dict[int, tuple[int, dict]] = {}
+        multi: dict[int, tuple[list, list]] = {}
+        for rid, versions in cat.items():
+            if len(versions) == 1:
+                single[rid] = versions[0]
+            else:
+                multi[rid] = ([sv[0] for sv in versions], [sv[1] for sv in versions])
+        op_code = {"insert": "c", "update": "u", "delete": "d"}
         cols_out = [
             "seq", "lsn", "relation_id", "op", "schema", "table",
             "before", "after", "n_bytes",
@@ -1152,15 +1167,22 @@ def decode_pgoutput_dml(
                     seq = int(seq)
                     blk_xid = int(attr) if pd.notna(attr) else None
                     m = parse_message(b, in_stream=blk_xid is not None)
-                    versions = cat.get(m["relation_id"])
-                    if not versions:
-                        continue
-                    idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
-                    if idx < 0:
-                        continue  # DML before any announcement
-                    rel = versions[idx][1]
+                    rid = m["relation_id"]
+                    sv = single.get(rid)
+                    if sv is not None:
+                        if seq < sv[0]:
+                            continue  # DML before the announcement
+                        rel = sv[1]
+                    else:
+                        mv = multi.get(rid)
+                        if mv is None:
+                            continue
+                        idx = bisect_right(mv[0], seq) - 1
+                        if idx < 0:
+                            continue  # DML before any announcement
+                        rel = mv[1][idx]
                     cols = rel["columns"]
-                    op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
+                    op = op_code[m["kind"]]
                     before = None
                     after = None
                     if m["kind"] == "insert":
@@ -1199,15 +1221,22 @@ def decode_pgoutput_dml(
                         if bi >= 0 and seq < blocks[bi][1]:
                             blk_xid = blocks[bi][2]
                     m = parse_message(b, in_stream=blk_xid is not None)
-                    versions = cat.get(m["relation_id"])
-                    if not versions:
-                        continue
-                    idx = bisect_right(versions, seq, key=lambda sv: sv[0]) - 1
-                    if idx < 0:
-                        continue  # DML before any announcement: unknown schema
-                    rel = versions[idx][1]
+                    rid = m["relation_id"]
+                    sv = single.get(rid)
+                    if sv is not None:
+                        if seq < sv[0]:
+                            continue  # DML before the announcement
+                        rel = sv[1]
+                    else:
+                        mv = multi.get(rid)
+                        if mv is None:
+                            continue  # unknown relation: warn-and-skip
+                        idx = bisect_right(mv[0], seq) - 1
+                        if idx < 0:
+                            continue  # DML before any announcement
+                        rel = mv[1][idx]
                     cols = rel["columns"]
-                    op = {"insert": "c", "update": "u", "delete": "d"}[m["kind"]]
+                    op = op_code[m["kind"]]
                     before = None
                     after = None
                     if m["kind"] == "insert":

@@ -559,3 +559,57 @@ class TestTwoPhaseStreamGuard:
         dec = decode_pgoutput_v2(_df(spark, rows), stream_block_collect_max=collect_max)
         got = sorted((r["xid"], r["after"], r["commit_ts_ms"]) for r in dec.collect())
         assert got == [(40, '{"id": 4, "name": "d"}', 946684800000 + 11_000)]
+
+
+class TestVersionedCatalogResolution:
+    """The r10 decode-loop catalog split: single-announcement relations
+    resolve via a dict hit (plus one seq compare), re-announced ones
+    via a bisect over parallel seq lists — both must preserve the
+    versioned applies-forward semantics exactly."""
+
+    def test_dml_before_any_announcement_is_dropped(self, spark):
+        rows = [
+            # DML arrives BEFORE the relation is announced: unknown
+            # schema, warn-and-skip (single-version fast path)
+            (0, encode_begin(5, 1_000_000, 30)),
+            (1, encode_insert(REL, ["1", "a"])),
+            (2, encode_commit(5, 6, 1_000_000)),
+            (3, encode_relation(REL, "public", "t", COLS)),
+            (4, encode_begin(9, 2_000_000, 31)),
+            (5, encode_insert(REL, ["2", "b"])),
+            (6, encode_commit(9, 10, 2_000_000)),
+        ]
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        got = sorted((r["xid"], r["after"]) for r in dec.collect())
+        assert got == [(31, '{"id": 2, "name": "b"}')]
+
+    def test_reannounced_relation_resolves_per_version(self, spark):
+        cols2 = [("id", 20, -1, 1), ("label", 25, -1, 0)]
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            (1, encode_begin(5, 1_000_000, 30)),
+            (2, encode_insert(REL, ["1", "a"])),
+            (3, encode_commit(5, 6, 1_000_000)),
+            # schema change: 'name' renamed to 'label'
+            (4, encode_relation(REL, "public", "t", cols2)),
+            (5, encode_begin(9, 2_000_000, 31)),
+            (6, encode_insert(REL, ["2", "b"])),
+            (7, encode_commit(9, 10, 2_000_000)),
+        ]
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        got = sorted((r["xid"], r["after"]) for r in dec.collect())
+        assert got == [
+            (30, '{"id": 1, "name": "a"}'),
+            (31, '{"id": 2, "label": "b"}'),
+        ]
+
+    def test_unknown_relation_is_skipped(self, spark):
+        rows = [
+            (0, encode_relation(REL, "public", "t", COLS)),
+            (1, encode_begin(5, 1_000_000, 30)),
+            (2, encode_insert(REL, ["1", "a"])),
+            (3, encode_insert(9999, ["2", "b"])),  # never announced
+            (4, encode_commit(5, 6, 1_000_000)),
+        ]
+        dec = decode_pgoutput_v2(_df(spark, rows))
+        assert [r["after"] for r in dec.collect()] == ['{"id": 1, "name": "a"}']

@@ -229,6 +229,8 @@ TREND_KERNELS = [
     "events_percentiles",
     "ann_pq_adc",
     "doc_tfidf_keywords",
+    "text_bpe_train",
+    "doc_perplexity_bigram",
 ]
 
 

@@ -862,3 +862,46 @@ def test_pgoutput_v2_distributed_path_collects_are_bounded(spark, monkeypatch):
     bound = 2 * spark.sparkContext.defaultParallelism + 16
     assert max(sizes) <= bound < n_events // 4, sizes
     assert dec.count() == n_tx
+
+
+def test_bpe_train_round_plans(spark, sf_dir):
+    """BPE training's per-round plan: the argmax is
+    TakeOrderedAndProject (per-partition heads, never a global sort),
+    the pair count is a two-phase hash aggregate (map-side partial
+    before the exchange), and nothing in the loop is Python."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.textanalysis import (
+        _adjacent_pairs,
+        bpe_word_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = bpe_word_table(docs)
+    sy = F.split(F.col("s"), " ")
+    best = (
+        wt.select(F.explode(_adjacent_pairs(sy)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(1)
+    )
+    p = plan_str(best)
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+    assert "Sort " not in p or "TakeOrderedAndProject" in p
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p, f"Python in the BPE round plan: {py}"
+
+
+def test_bigram_backoff_joins_count_tables_not_corpus(spark, sf_dir):
+    """doc_perplexity_bigram's scoring plan: the LM sides are COUNT
+    tables joined by token key (broadcast at this scale via AQE or
+    planner), the doc re-aggregate is a two-phase hash agg, and the
+    whole path is JVM-side."""
+    p = plan_str(entry.queries()["doc_perplexity_bigram"](spark, sf_dir))
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p, f"Python in the scoring plan: {py}"
+    assert p.count("HashAggregate") >= 4  # uni, bigram, normalizer, doc agg
+    # no cartesian anywhere except the 1-row normalizer broadcast
+    assert "CartesianProduct" not in p

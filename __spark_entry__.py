@@ -333,6 +333,23 @@ def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_surprisal_backoff(docs, lm_corpus, max_ppl=40.0)
 
 
+def q_doc_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF chaining down through the bigram
+    to the add-one unigram (operators/lm.py
+    doc_surprisal_backoff_trigram; VERDICT r10 #4 — one order below
+    CCNet's 5-gram KenLM, same counts-only pattern per added order).
+    LM trained on the even-doc_id half, every document scored; docs
+    with <3 tokens emitted with keep=false (full filter surface).
+    Three counts-only LM shuffles + n-gram-keyed count joins;
+    per-trigram surprisal in exact integer micro-nats."""
+    _prep(spark)
+    from deltaforge_spark.operators.lm import doc_surprisal_backoff_trigram
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm_corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return doc_surprisal_backoff_trigram(docs, lm_corpus, max_ppl=40.0)
+
+
 def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (priority /
     A-ES sampling, operators/lm.py weighted_sample): u^(1/w) priorities
@@ -3655,6 +3672,18 @@ def q_cdc_binlog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _shutil
         import uuid as _uuid
 
+        # ADVICE r10: the executor-side writes below land on the
+        # DRIVER-created tmp dir, which only works when executors share
+        # the driver's filesystem. Fail loudly off local mode instead
+        # of letting tasks die with FileNotFoundError (a real cluster
+        # would stage segments through shared storage, then rename).
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise NotImplementedError(
+                f"synthetic binlog archive staging assumes a shared local "
+                f"filesystem (master={master!r}); stage segments through "
+                f"shared storage for cluster runs"
+            )
         tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
         _os.makedirs(tmp)
 
@@ -3835,6 +3864,23 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_train(docs, num_merges=8)
+
+
+def q_text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN -> APPLY BPE composed end-to-end (VERDICT r10 #5): the
+    merge table bpe_train learns over the corpus feeds
+    textanalysis.bpe_apply_merges, which compiles it into a JVM
+    replace chain over the word-TYPE table and joins documents' words
+    back to the tokenized types — the merge-table join path a real
+    tokenizer build exercises. Output: (doc_id, n_bpe_tokens) under
+    the LEARNED tokenizer; the oracle re-learns AND re-applies the
+    chain in SQL, so the composition is value-checked end-to-end."""
+    _prep(spark)
+    from deltaforge_spark.operators.textanalysis import bpe_apply_merges, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    return bpe_apply_merges(docs, merges)
 
 
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4833,7 +4879,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Displaced queries keep their r9 rows; tools/check.py --all still
     # value-checks the FULL set locally.
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_roundtrip": q_text_bpe_roundtrip,
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
+    "doc_perplexity_trigram": q_doc_perplexity_trigram,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
@@ -6030,10 +6078,26 @@ def _text_bpe_train_oracle() -> str:
     return bpe_train_oracle_sql(table_expr="documents", text_col="text", num_merges=8)
 
 
+def _text_bpe_roundtrip_oracle() -> str:
+    from deltaforge_spark.operators.textanalysis import bpe_roundtrip_oracle_sql
+
+    return bpe_roundtrip_oracle_sql(
+        table_expr="documents", text_col="text", num_merges=8
+    )
+
+
 def _doc_perplexity_bigram_oracle() -> str:
     from deltaforge_spark.operators.lm import doc_surprisal_backoff_oracle_sql
 
     return doc_surprisal_backoff_oracle_sql(
+        table_expr="documents", lm_filter="doc_id % 2 = 0", max_ppl=40.0
+    )
+
+
+def _doc_perplexity_trigram_oracle() -> str:
+    from deltaforge_spark.operators.lm import doc_surprisal_backoff_trigram_oracle_sql
+
+    return doc_surprisal_backoff_trigram_oracle_sql(
         table_expr="documents", lm_filter="doc_id % 2 = 0", max_ppl=40.0
     )
 
@@ -6423,7 +6487,9 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "text_bpe_tokens": _text_bpe_tokens_oracle(),
         "text_bpe_train": _text_bpe_train_oracle(),
+        "text_bpe_roundtrip": _text_bpe_roundtrip_oracle(),
         "doc_perplexity_bigram": _doc_perplexity_bigram_oracle(),
+        "doc_perplexity_trigram": _doc_perplexity_trigram_oracle(),
         "mixture_by_temperature": """
             WITH stats AS (
                 SELECT lang AS s,
@@ -8042,8 +8108,75 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
+#: r11 driver-prefix rotation (VERDICT r10 #7): the driver verifies the
+#: FIRST 50 entries of queries(), so new/output-changed queries lead
+#: (text_bpe_roundtrip + doc_perplexity_trigram are new; text_bpe_train
+#: learns canonical-Sennrich merges now; doc_perplexity_bigram emits
+#: <2-token docs; the four pgoutput queries sit on the JVM first-byte
+#: DML prefilter), then the queries whose latest green driver row is
+#: OLDEST — the full r5 tier and the r6 tier alphabetically (ann_*,
+#: multimodal_ppm/pcm, events_funnel/paths/retention/dau, q10-q14
+#: rotate in next). Displaced queries keep their r9/r10 rows;
+#: tools/check.py --all still value-checks the FULL set locally.
+R11_PREFIX = [
+    "text_bpe_roundtrip",
+    "doc_perplexity_trigram",
+    "text_bpe_train",
+    "doc_perplexity_bigram",
+    "cdc_pgoutput_decode",
+    "cdc_pgoutput_stream_decode",
+    "cdc_pgoutput_changefeed",
+    "cdc_pgoutput_two_phase",
+    "dedup_minhash",
+    "doc_quality_gopher",
+    "events_asof_join",
+    "events_dau_stickiness",
+    "events_funnel",
+    "events_gap_percentiles",
+    "events_gapfill",
+    "events_paths",
+    "events_retention",
+    "events_windowed_stream",
+    "pii_scan",
+    "q1_pricing_summary",
+    "similarity_bruteforce",
+    "sketch_hll_users",
+    "snapshot_orders",
+    "text_analysis",
+    "url_dedup",
+    "basket_brand_lift",
+    "cdc_incremental_agg",
+    "cdc_scd2_history",
+    "corpus_diff",
+    "dedup_cc_logstar",
+    "dedup_cluster_sizes",
+    "dedup_keep_best",
+    "dedup_threshold_curve",
+    "doc_bigram_pmi",
+    "doc_bm25_search",
+    "doc_char_entropy",
+    "doc_chunking",
+    "doc_lang_confusion",
+    "doc_perplexity_filter",
+    "doc_weighted_sample",
+    "embedding_dim_stats",
+    "embedding_kmeans",
+    "events_anomaly_mad",
+    "events_sampled_percentiles",
+    "events_stream_stream_join",
+    "events_value_histogram",
+    "lake_zorder_stats",
+    "multimodal_audio_windows",
+    "multimodal_pcm_resample",
+    "multimodal_pcm_windows",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    out = {n: QUERIES[n] for n in R11_PREFIX}
+    for n, fn in QUERIES.items():
+        out.setdefault(n, fn)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -186,6 +186,9 @@ HEADLINE = [
     # r10: the two new LLM-pipeline kernels get timed headline rows
     "text_bpe_train",
     "doc_perplexity_bigram",
+    # r11: trigram LM + the train->apply BPE composition
+    "doc_perplexity_trigram",
+    "text_bpe_roundtrip",
 ]
 
 
@@ -201,9 +204,27 @@ def stage_to_tmpfs(sf_dir: str) -> str:
         return sf_dir
     dst = f"/dev/shm/deltaforge-bench-data/{os.path.basename(sf_dir.rstrip('/'))}"
     if not os.path.isdir(dst):
+        # tmp + atomic rename (ADVICE r10): a crashed copy must not
+        # leave a partial dir that later runs silently read
+        import uuid
+
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copytree(sf_dir, dst)
+        tmp = f"{dst}.tmp-{uuid.uuid4().hex}"
+        shutil.copytree(sf_dir, tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:  # concurrent winner exists
+            shutil.rmtree(tmp, ignore_errors=True)
     return dst
+
+
+def _parquet_staged(path: str) -> bool:
+    """A staged parquet dir is reusable only when Spark's _SUCCESS
+    marker is present (ADVICE r10): a crashed or interrupted prior
+    write leaves a partial directory that isdir-keyed caching would
+    silently feed to the timed kernel. The writers all use
+    mode("overwrite"), so a partial dir is simply rewritten."""
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
 # Per-operator kernel trend (the reference keeps criterion micro-bench
@@ -367,7 +388,7 @@ def main():
     seg_path = (
         f"/dev/shm/deltaforge-bench-data/binlog-segments-v{SYNTH_FORMAT}-p{par}-sf{sf}"
     )
-    if not os.path.isdir(seg_path):
+    if not _parquet_staged(seg_path):
         synth_binlog_events(spark, sf_dir).repartition(par).write.mode(
             "overwrite"
         ).parquet(seg_path)
@@ -397,7 +418,7 @@ def main():
     from deltaforge_spark.sources.pgoutput import decode_pgoutput, synth_pgoutput_orders
 
     wal_path = f"/dev/shm/deltaforge-bench-data/pgoutput-v1-p{par}-sf{sf}"
-    if not os.path.isdir(wal_path):
+    if not _parquet_staged(wal_path):
         synth_pgoutput_orders(spark, sf_dir).repartition(par).write.mode(
             "overwrite"
         ).parquet(wal_path)
@@ -417,7 +438,7 @@ def main():
     )
 
     tp_path = f"/dev/shm/deltaforge-bench-data/pgoutput-2pc-p{par}-sf{sf}"
-    if not os.path.isdir(tp_path):
+    if not _parquet_staged(tp_path):
         synth_pgoutput_two_phase(spark, sf_dir).repartition(par).write.mode(
             "overwrite"
         ).parquet(tp_path)
@@ -474,7 +495,7 @@ def main():
     # broker commit. This is the sink-stage analog of the reference's
     # delivery path in isolation.
     payload_path = f"/dev/shm/deltaforge-bench-data/kafka-payload-v1-sf{sf}"
-    if not os.path.isdir(payload_path):
+    if not _parquet_staged(payload_path):
         from deltaforge_spark.sinks.kafka import kafka_payload as _kp
 
         _kp(_delivery_feed(spark, sf_dir)).select(
@@ -781,9 +802,18 @@ def _append_trend(result: dict) -> None:
         return
 
     git = _git_head()
+    # host-noise telemetry (VERDICT r10 #1): record the 1/5/15-min
+    # loadavg with every trend line so cross-round kernel-drift
+    # adjudication ("untouched code got 13% slower — noise or real?")
+    # is mechanical instead of forensic.
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        loadavg = None
     line = {
         "git": git,
         "ts": int(time.time()),
+        "loadavg": loadavg,
         "sf": result["sf"],
         "events_per_sec": result["events_per_sec"],
         "events_per_sec_steady": result["events_per_sec_steady"],

@@ -231,8 +231,9 @@ def doc_surprisal_backoff(
 ) -> DataFrame:
     """Score every document of ``df`` under a stupid-backoff bigram LM
     trained on ``lm_corpus``: (doc_id, n_bigrams, avg_surprisal, ppl
-    [, keep]). Documents with no valid bigram (<2 tokens) are omitted —
-    they carry no bigram evidence to score.
+    [, keep]). Documents with no valid bigram (<2 tokens) are emitted
+    with n_bigrams=0, null scores and keep=false (ADVICE r10: the
+    filter surface covers the FULL input, like perplexity_filter).
 
     Surprisal per bigram, in integer micro-nats:
       seen:    round((ln(c1) - ln(c12)) * 1e6)
@@ -273,14 +274,27 @@ def doc_surprisal_backoff(
         "CAST((2 * sum_micro + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"
     )
     avg = avg_micro.cast("double") / F.lit(1000000.0)
-    out = agg.select(
+    scored_docs = agg.select(
         id_col,
         "n_bigrams",
         F.round(avg, 6).alias("avg_surprisal"),
         F.round(F.exp(F.round(avg, 6)), 4).alias("ppl"),
     )
+    # ADVICE r10: docs with <2 tokens carry no bigram evidence but must
+    # still appear on the filter surface (n_bigrams=0, null score,
+    # keep=false) — otherwise a caller switching from the unigram
+    # perplexity_filter silently lets empty/one-token docs through.
+    base = df.select(id_col).distinct()
+    out = base.join(scored_docs, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "avg_surprisal",
+        "ppl",
+    )
     if max_ppl is not None:
-        out = out.withColumn("keep", F.col("ppl") <= F.lit(float(max_ppl)))
+        out = out.withColumn(
+            "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
+        )
     return out
 
 
@@ -297,7 +311,9 @@ def doc_surprisal_backoff_oracle_sql(
     zip-against-tail), identical micro-nat rounding, identical half-up
     integer average."""
     keep = (
-        f", (ppl <= {float(max_ppl)}) AS keep" if max_ppl is not None else ""
+        f", coalesce(ppl <= {float(max_ppl)}, false) AS keep"
+        if max_ppl is not None
+        else ""
     )
     return f"""
         WITH lmdocs AS MATERIALIZED (
@@ -345,9 +361,246 @@ def doc_surprisal_backoff_oracle_sql(
                    CAST((2 * sum_micro + n_bigrams) // (2 * n_bigrams) AS BIGINT)
                        AS avg_micro
             FROM agg)
-        SELECT {id_col}, n_bigrams,
+        SELECT d.{id_col},
+               coalesce(n_bigrams, 0) AS n_bigrams,
                round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6) AS avg_surprisal,
                round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4) AS ppl
                {keep}
-        FROM avg
+        FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
+        LEFT JOIN avg USING ({id_col})
+    """
+
+
+# ---------------------------------------------------- trigram + backoff
+#
+# One order higher than the bigram LM (VERDICT r10 #4 — CCNet-style
+# production filtering uses a 5-gram KenLM; each added order is the
+# same counts-only shuffle pattern). Stupid backoff chains down:
+#
+#     score(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)   if the trigram is seen
+#                       = 0.4 * score(w3 | w2)      else (bigram rule)
+#     score(w3 | w2)    = c(w2 w3) / c(w2)          if the bigram is seen
+#                       = 0.4 * p_add1(w3)          else (unigram add-one)
+#
+# so per-trigram surprisal in integer micro-nats is one of three cases:
+#   tri seen:  round((ln c12 - ln c123) * 1e6)
+#   big seen:  round((ln 2.5 + ln c2 - ln c23) * 1e6)
+#   unigram:   round((2*ln 2.5 + ln(N+V+1) - ln(c3+1)) * 1e6)
+# (ln 2.5 = -ln alpha, alpha = 0.4; a corpus trigram implies its
+# (w1,w2) bigram and a corpus bigram implies its w2 unigram, so the
+# case tests need only c123/c23 null checks.)
+#
+# Scale shape (100 TB): THREE counts-only LM shuffles (tri/bi/uni —
+# no row data moves), doc trigrams explode map-side (double
+# zip-against-tail, no posexplode self-join), and scoring is n-gram-
+# keyed count joins — Spark broadcasts the LM sides while they fit
+# and shuffle-joins on the token key beyond that. The only cartesian
+# is the 1-row normalizer broadcast. Determinism: integer micro-nats
+# before the sum, half-up integer average — the bigram conventions.
+
+
+def _doc_trigrams(df: DataFrame, *, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., w1, w2, w3): adjacent token triples, map-side."""
+    a = tokens(F.col(text_col))
+    n = F.greatest(F.size(a) - F.lit(2), F.lit(0))  # <3 tokens -> no triples
+    pairs = F.zip_with(
+        F.slice(a, 1, n),
+        F.slice(a, 2, n),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    trips = F.zip_with(
+        pairs,
+        F.slice(a, 3, n),
+        lambda p, z: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
+        ),
+    )
+    return (
+        df.select(*id_cols, F.explode(trips).alias("_t"))
+        .select(
+            *id_cols,
+            F.col("_t.w1").alias("w1"),
+            F.col("_t.w2").alias("w2"),
+            F.col("_t.w3").alias("w3"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != ""))
+    )
+
+
+def trigram_lm(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w1, w2, w3) -> c123 over the LM corpus. One counts-only shuffle."""
+    return (
+        _doc_trigrams(df, text_col=text_col, id_cols=[])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+    )
+
+
+def doc_surprisal_backoff_trigram(
+    df: DataFrame,
+    lm_corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Score every document of ``df`` under a stupid-backoff TRIGRAM LM
+    trained on ``lm_corpus``: (doc_id, n_trigrams, avg_surprisal, ppl
+    [, keep]). Documents with <3 tokens are emitted with n_trigrams=0,
+    null scores and keep=false — the full-input filter surface."""
+    uni = unigram_lm(lm_corpus, text_col=text_col)
+    big = bigram_lm(lm_corpus, text_col=text_col)
+    tri = trigram_lm(lm_corpus, text_col=text_col)
+    norm = lm_normalizer(uni)
+    toks = _doc_trigrams(df, text_col=text_col, id_cols=[id_col])
+    b12 = big.select("w1", "w2", "c12")
+    b23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("c23")
+    )
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    u3 = uni.select(F.col("token").alias("w3"), F.col("cnt").alias("c3"))
+    tri_seen = (
+        F.log(F.col("c12").cast("double")) - F.log(F.col("c123").cast("double"))
+    ) * F.lit(1000000.0)
+    big_seen = (
+        F.log(F.lit(2.5))
+        + F.log(F.col("c2").cast("double"))
+        - F.log(F.col("c23").cast("double"))
+    ) * F.lit(1000000.0)
+    uni_back = (
+        F.lit(2.0) * F.log(F.lit(2.5))
+        + F.log((F.col("n_total") + F.col("vocab") + F.lit(1)).cast("double"))
+        - F.log((F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1)).cast("double"))
+    ) * F.lit(1000000.0)
+    scored = (
+        toks.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            id_col,
+            F.round(
+                F.when(F.col("c123").isNotNull(), tri_seen)
+                .when(F.col("c23").isNotNull(), big_seen)
+                .otherwise(uni_back),
+                0,
+            )
+            .cast("long")
+            .alias("sup_micro"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("sup_micro").cast("long").alias("sum_micro"),
+    )
+    avg_micro = F.expr(
+        "CAST((2 * sum_micro + n_trigrams) DIV (2 * n_trigrams) AS BIGINT)"
+    )
+    avg = avg_micro.cast("double") / F.lit(1000000.0)
+    scored_docs = agg.select(
+        id_col,
+        "n_trigrams",
+        F.round(avg, 6).alias("avg_surprisal"),
+        F.round(F.exp(F.round(avg, 6)), 4).alias("ppl"),
+    )
+    base = df.select(id_col).distinct()
+    out = base.join(scored_docs, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+        "avg_surprisal",
+        "ppl",
+    )
+    if max_ppl is not None:
+        out = out.withColumn(
+            "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
+        )
+    return out
+
+
+def doc_surprisal_backoff_trigram_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    lm_filter: str = "doc_id % 2 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> str:
+    """DuckDB twin of doc_surprisal_backoff_trigram: identical
+    tokenization, identical case order (tri seen → bigram backoff →
+    add-one unigram), identical micro-nat rounding and half-up
+    integer average."""
+    keep = (
+        f", coalesce(ppl <= {float(max_ppl)}, false) AS keep"
+        if max_ppl is not None
+        else ""
+    )
+    return f"""
+        WITH lmdocs AS MATERIALIZED (
+            SELECT {id_col}, {text_col} FROM {table_expr} WHERE {lm_filter}),
+        uni AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim({text_col}), ' +')) AS w
+                FROM lmdocs
+            ) WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        big AS MATERIALIZED (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                SELECT z[1] AS w1, z[2] AS w2 FROM (
+                    SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        tri AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+                    SELECT unnest(list_zip(a[1:-3], a[2:-2], a[3:-1])) AS z FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' GROUP BY w1, w2, w3),
+        db AS (
+            SELECT {id_col}, z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+                SELECT {id_col}, unnest(list_zip(a[1:-3], a[2:-2], a[3:-1])) AS z FROM (
+                    SELECT {id_col}, string_split_regex(trim({text_col}), ' +') AS a
+                    FROM {table_expr})
+            ) WHERE z[1] <> '' AND z[2] <> '' AND z[3] <> ''),
+        scored AS (
+            SELECT {id_col},
+                   CAST(round(CASE
+                       WHEN t.c123 IS NOT NULL
+                       THEN (ln(CAST(b12.c12 AS DOUBLE)) - ln(CAST(t.c123 AS DOUBLE)))
+                            * 1000000.0
+                       WHEN b23.c23 IS NOT NULL
+                       THEN (ln(2.5) + ln(CAST(u2.c2 AS DOUBLE))
+                             - ln(CAST(b23.c23 AS DOUBLE))) * 1000000.0
+                       ELSE (2.0 * ln(2.5)
+                             + ln(CAST(tot.n_total + tot.vocab + 1 AS DOUBLE))
+                             - ln(CAST(coalesce(u3.c3, 0) + 1 AS DOUBLE))) * 1000000.0
+                   END) AS BIGINT) AS sup
+            FROM db
+            LEFT JOIN tri t USING (w1, w2, w3)
+            LEFT JOIN big b12 USING (w1, w2)
+            LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big) b23
+                   USING (w2, w3)
+            LEFT JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+            LEFT JOIN (SELECT w AS w3, c AS c3 FROM uni) u3 USING (w3)
+            CROSS JOIN tot),
+        agg AS (
+            SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(sum(sup) AS BIGINT) AS sum_micro
+            FROM scored GROUP BY {id_col}),
+        avg AS (
+            SELECT {id_col}, n_trigrams,
+                   CAST((2 * sum_micro + n_trigrams) // (2 * n_trigrams) AS BIGINT)
+                       AS avg_micro
+            FROM agg)
+        SELECT d.{id_col},
+               coalesce(n_trigrams, 0) AS n_trigrams,
+               round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6) AS avg_surprisal,
+               round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4) AS ppl
+               {keep}
+        FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
+        LEFT JOIN avg USING ({id_col})
     """

@@ -310,10 +310,19 @@ def bigram_pmi_oracle_sql(
 #    O(1) driver rows per round, deterministic tie-break
 #    (count DESC, pair ASC).
 # 3. The winning pair applies to every word as ONE literal replace()
-#    (left-to-right, non-overlapping — both Spark's replace and
-#    DuckDB's agree on that scan, so greedy merge semantics are
-#    engine-identical), and the loop repeats on the pinned vocab
-#    table (plans/lineage.py: O(1) rounds of executor storage).
+#    over a DOUBLE-SPACE rendering of the symbol string: boundaries
+#    between symbols are two spaces, the pattern " a  b " and its
+#    replacement " ab " each consume/restore exactly ONE space of
+#    every boundary they touch, so adjacent occurrences never share a
+#    delimiter character. A single leftmost non-overlapping scan —
+#    which Spark's replace and DuckDB's agree on — is then exactly
+#    Sennrich's token-space greedy merge ("a a a a a a" under (a,a)
+#    → "aa aa aa"). The naive single-space form is NOT: its first
+#    match eats the shared delimiter and skips the next occurrence
+#    ("aa a aa a" — and re-running it to fixpoint does not recover
+#    canonical either, the stranded singles are no longer adjacent).
+#    The loop repeats on the pinned vocab table (plans/lineage.py:
+#    O(1) rounds of executor storage).
 #
 # The fixed small ``num_merges`` keeps the DuckDB oracle exact: the
 # oracle re-learns the same chain with one CTE stage per round (the
@@ -382,13 +391,24 @@ def bpe_train(
             pair, cnt = best[0]["pair"], int(best[0]["cnt"])
             a, b = pair.split(" ", 1)
             learned.append((r, a, b, cnt))
+            # double-space boundary rendering: each occurrence owns
+            # half of each delimiter, so one leftmost scan == canonical
+            # token-space non-overlapping merging (see block comment)
             nxt = pin(
                 cur.select(
                     F.trim(
                         F.replace(
-                            F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
-                            F.lit(f" {pair} "),
-                            F.lit(f" {a}{b} "),
+                            F.replace(
+                                F.concat(
+                                    F.lit(" "),
+                                    F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
+                                    F.lit(" "),
+                                ),
+                                F.lit(f" {a}  {b} "),
+                                F.lit(f" {a}{b} "),
+                            ),
+                            F.lit("  "),
+                            F.lit(" "),
                         )
                     ).alias("s"),
                     "freq",
@@ -447,11 +467,14 @@ def bpe_train_oracle_sql(
             ) ORDER BY cnt DESC, pair ASC LIMIT 1)"""
         )
         if r < num_merges:
+            # double-space boundary rendering, same scan semantics as
+            # the Spark loop: ' a  b ' -> ' ab ', then collapse
             ctes.append(
                 f"""w{r} AS MATERIALIZED (
-            SELECT trim(replace(' ' || s || ' ',
-                                ' ' || (SELECT pair FROM b{r}) || ' ',
-                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS s,
+            SELECT trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+                                ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
+                                '  ', ' ')) AS s,
                    freq
             FROM w{p})"""
             )
@@ -465,3 +488,132 @@ def bpe_train_oracle_sql(
     )
     joined = ",\n        ".join(ctes)
     return f"WITH {joined}\n        {selects}"
+
+
+# ------------------------------------------------- BPE train -> apply
+#
+# The composition a real tokenizer build runs end-to-end (VERDICT r10
+# #5): bpe_train learns the merge table, bpe_apply_merges feeds that
+# LEARNED table into a tokenizer over the corpus. Scale shape: the
+# merge table is vocab-bounded (num_merges rows) so collecting it is
+# O(merges) driver state — every real tokenizer ships its merge list
+# as data; the merges compile into a chain of JVM replace()
+# expressions applied ONCE to the word-TYPE table (vocab-sized, the
+# same compression bpe_train uses), and documents join their words to
+# the tokenized types by word key (AQE broadcasts the vocab side
+# while it fits). No Python anywhere.
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize ``df[text_col]`` under a LEARNED merge table (the
+    bpe_train output schema): (id_col, n_bpe_tokens). Merges apply in
+    rank order with the same double-space canonical scan the trainer
+    uses, so applying a table to its own training corpus reproduces
+    the trainer's final word segmentation exactly. Docs with no
+    [a-z]+ word emit n_bpe_tokens=0 (full surface)."""
+    ordered = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_rank").collect()  # vocab-bounded
+    ]
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    types = words.select("w").distinct()
+    chars = F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), 0)
+    s = F.concat(F.array_join(chars, " "), F.lit(" </w>"))
+    for a, b in ordered:
+        s = F.trim(
+            F.replace(
+                F.replace(
+                    F.concat(
+                        F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" ")
+                    ),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {a}{b} "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    tok = types.select("w", F.size(F.split(s, " ")).cast("long").alias("n_sub"))
+    agg = (
+        words.join(tok, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+    )
+    base = df.select(id_col).distinct()
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def bpe_roundtrip_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> str:
+    """DuckDB twin of bpe_train + bpe_apply_merges composed: the train
+    chain (same stages as bpe_train_oracle_sql, with the WORD carried
+    through so the final segmentation maps back to words), one extra
+    apply stage for the last learned merge, then per-doc token counts
+    through the word join."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+            SELECT w,
+                   array_to_string(regexp_extract_all(w, '[a-z]'), ' ') || ' </w>' AS s,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
+                  FROM {table_expr})
+            GROUP BY w)"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+            SELECT pair, cnt FROM (
+                SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(list_transform(range(1, len(sy)),
+                                  i -> sy[i] || ' ' || sy[i + 1])) AS pair,
+                           freq
+                    FROM (SELECT string_split(s, ' ') AS sy, freq FROM w{p})
+                ) GROUP BY pair
+            ) ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        )
+        # unlike the train oracle, the APPLY stage runs for the final
+        # round too: the tokenizer uses all num_merges learned merges
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+            SELECT w,
+                   trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+                                ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
+                                '  ', ' ')) AS s,
+                   freq
+            FROM w{p})"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""WITH {joined},
+        tok AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+                FROM w{num_merges}),
+        dw AS (SELECT {id_col},
+                      unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
+               FROM {table_expr}),
+        cnt AS (SELECT {id_col}, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+                FROM dw JOIN tok USING (w) GROUP BY {id_col})
+        SELECT d.{id_col}, coalesce(n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
+        LEFT JOIN cnt USING ({id_col})"""

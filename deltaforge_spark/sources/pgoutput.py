@@ -1078,6 +1078,7 @@ def decode_pgoutput_dml(
     seq_col: str = "seq",
     stream_blocks: list[dict[str, Any]] | None = None,
     attr_col: str | None = None,
+    first_byte_prefilter: bool = True,
 ) -> DataFrame:
     """Map-only decode of I/U/D messages into CDC rows with JSON
     before/after images. DML for an unknown relation is dropped, like
@@ -1264,9 +1265,22 @@ def decode_pgoutput_dml(
             yield pd.DataFrame(rows, columns=cols_out)
 
     in_cols = [seq_col, data_col] + ([attr_col] if use_attr else [])
-    return stream.select(*in_cols).mapInPandas(
-        run, DML_V2_SCHEMA if v2 else DML_SCHEMA
-    )
+    # JVM-side first-byte prefilter (VERDICT r10 #2): only I/U/D
+    # messages are decodable DML — Begin/Commit/Relation/Origin/...
+    # rows used to cross the Arrow boundary just to hit the Python
+    # `tag not in` skip. Filtering on the binary tag inside
+    # whole-stage codegen shrinks the Arrow transfer to DML-only rows
+    # (a replication stream is ~2 control rows per tx plus relation
+    # re-announcements, so the saving scales with tx rate). The
+    # Python-side tag check stays as a cheap invariant guard.
+    # (``first_byte_prefilter=False`` is the paired-A/B knob: identical
+    # decode with control rows crossing Arrow, for measuring the win.)
+    dml_only = stream.select(*in_cols)
+    if first_byte_prefilter:
+        dml_only = dml_only.where(
+            F.expr(f"substring(`{data_col}`, 1, 1) IN (X'49', X'55', X'44')")
+        )
+    return dml_only.mapInPandas(run, DML_V2_SCHEMA if v2 else DML_SCHEMA)
 
 
 def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str = "seq") -> DataFrame:

@@ -81,16 +81,17 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-#: r10 prefix policy: new this round, or code/oracle changed this round
+#: r11 prefix policy: new this round, or code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
 R8_PREFIX_REQUIRED = [
-    "text_bpe_train",            # new (r10: distributed BPE training)
-    "doc_perplexity_bigram",     # new (r10: stupid-backoff bigram LM)
-    "dedup_embedding_lsh",       # max_bucket default + oracle cap (r10)
-    "dedup_lsh_recall",          # oracle gained the mirrored cap (r10)
-    "cdc_binlog_datasource",     # archive now written executor-side (r10)
-    "cdc_pgoutput_stream_decode",  # r10 pgoutput decode-loop/catalog work
-    "cdc_pgoutput_two_phase",      # r10 stream-guard landed under it
+    "text_bpe_roundtrip",        # new (r11: train->apply BPE composition)
+    "doc_perplexity_trigram",    # new (r11: trigram stupid-backoff LM)
+    "text_bpe_train",            # canonical double-space merging (r11)
+    "doc_perplexity_bigram",     # <2-token docs now emitted (r11)
+    "cdc_pgoutput_decode",       # JVM first-byte DML prefilter (r11)
+    "cdc_pgoutput_stream_decode",
+    "cdc_pgoutput_changefeed",
+    "cdc_pgoutput_two_phase",
 ]
 
 

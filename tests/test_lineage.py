@@ -1,23 +1,25 @@
 """plans/lineage.py — the shared lineage-barrier helpers.
 
 The helpers exist because Spark has no public "release this
-localCheckpoint" API: superseded rounds of an iterative operator (or
+checkpoint" API: superseded rounds of an iterative operator (or
 archive-replay slices of the pgoutput distributed pairer) otherwise
-accumulate executor storage until the ContextCleaner notices. These
-tests pin the two behaviors VERDICT r9 #10 asked for evidence of:
+accumulate storage until the ContextCleaner notices. These tests pin:
 
-- ``release_local_checkpoint`` actually SHRINKS executor storage
-  (getRDDStorageInfo), not just "doesn't crash";
-- ``pin`` routes to RELIABLE checkpointing when a checkpoint dir is
-  configured (executor loss ⇒ recompute, not job failure) and to
-  ``localCheckpoint`` otherwise.
+- the RELIABLE branch is LIVE on a default session (VERDICT r10 #3:
+  session.py wires a checkpoint dir, so executor loss ⇒ recompute,
+  not job failure — previously nothing ever set one and the branch
+  was dead code);
+- ``release_pinned`` actually frees the superseded frame's storage
+  in BOTH branches: executor blocks (localCheckpoint) and checkpoint
+  files (reliable), not just "doesn't crash";
+- ``pin(reliable=False)`` remains the explicit local opt-out.
 """
 
-import tempfile
+import os
 
 from pyspark.sql import functions as F
 
-from deltaforge_spark.plans.lineage import pin, release_local_checkpoint
+from deltaforge_spark.plans.lineage import pin, release_local_checkpoint, release_pinned
 
 
 def _stored_rdd_ids(spark) -> set:
@@ -25,10 +27,31 @@ def _stored_rdd_ids(spark) -> set:
     return {i.id() for i in infos if i.numCachedPartitions() > 0}
 
 
+def _checkpoint_file(df) -> str | None:
+    opt = df._jdf.queryExecution().logical().rdd().getCheckpointFile()
+    return opt.get() if opt.isDefined() else None
+
+
+def test_default_session_takes_reliable_branch(spark):
+    # the archive-replay durability fix: a session built by get_spark /
+    # apply_runtime_conf has a checkpoint dir, so pin() == reliable
+    assert spark.sparkContext.getCheckpointDir() is not None
+    pinned = pin(spark.range(1_000).withColumn("v", F.col("id") % 7))
+    try:
+        assert pinned.count() == 1_000
+        cf = _checkpoint_file(pinned)
+        assert cf is not None, "default session should take the reliable branch"
+        local = cf.replace("file:", "")
+        assert os.path.isdir(local), "reliable checkpoint wrote no files"
+    finally:
+        release_pinned(pinned)
+    assert not os.path.isdir(local), "release_pinned left checkpoint files"
+
+
 def test_release_local_checkpoint_shrinks_executor_storage(spark):
     before = _stored_rdd_ids(spark)
     df = spark.range(10_000).withColumn("v", F.col("id") * 2)
-    pinned = pin(df)  # no checkpoint dir in the test session -> local
+    pinned = pin(df, reliable=False)  # explicit local opt-out
     pinned.count()
     held = _stored_rdd_ids(spark) - before
     assert held, "localCheckpoint should cache blocks"
@@ -40,48 +63,67 @@ def test_release_local_checkpoint_shrinks_executor_storage(spark):
 def test_release_is_noop_on_plain_plans(spark):
     # a non-checkpoint plan must be a silent no-op, not an exception
     df = spark.range(10).withColumn("v", F.col("id") + 1)
-    release_local_checkpoint(df)
+    release_pinned(df)
     assert df.count() == 10
 
 
-def test_iterative_loop_storage_is_bounded(spark):
+def test_iterative_loop_storage_is_bounded_local(spark):
     """The pattern graph.py/pgoutput use: each round's pin supersedes
     the previous round's; releasing the superseded frame keeps live
     checkpoint storage at O(1 round), not O(rounds)."""
     before = _stored_rdd_ids(spark)
+    cur = pin(spark.range(1_000).withColumn("v", F.lit(0)), reliable=False)
+    cur.count()
+    for r in range(1, 4):
+        nxt = pin(cur.withColumn("v", F.col("v") + 1), reliable=False)
+        nxt.count()
+        release_pinned(cur)
+        cur = nxt
+        live = _stored_rdd_ids(spark) - before
+        assert len(live) <= 2, f"round {r}: {len(live)} checkpoints live"
+    assert cur.agg(F.max("v")).first()[0] == 3
+    release_pinned(cur)
+
+
+def test_iterative_loop_storage_is_bounded_reliable(spark):
+    """Same loop on the reliable (default) branch: superseded rounds'
+    checkpoint FILES are deleted, so the dir holds O(1 round)."""
+    ckpt_root = spark.sparkContext.getCheckpointDir().replace("file:", "")
+
+    def n_rdd_dirs() -> int:
+        return sum(1 for d in os.listdir(ckpt_root) if d.startswith("rdd-"))
+
+    before = n_rdd_dirs()
     cur = pin(spark.range(1_000).withColumn("v", F.lit(0)))
     cur.count()
     for r in range(1, 4):
         nxt = pin(cur.withColumn("v", F.col("v") + 1))
         nxt.count()
-        release_local_checkpoint(cur)
+        release_pinned(cur)
         cur = nxt
-        live = _stored_rdd_ids(spark) - before
-        assert len(live) <= 2, f"round {r}: {len(live)} checkpoints live"
+        live = n_rdd_dirs() - before
+        assert live <= 2, f"round {r}: {live} checkpoint dirs live"
     assert cur.agg(F.max("v")).first()[0] == 3
-    release_local_checkpoint(cur)
+    release_pinned(cur)
+    assert n_rdd_dirs() - before <= 0
 
 
-def test_pin_uses_reliable_checkpoint_when_dir_configured(spark):
+def test_pin_reliable_requires_dir(spark):
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
-    with tempfile.TemporaryDirectory(prefix="lineage-ckpt-") as d:
-        sc.setCheckpointDir(d)
-        try:
-            pinned = pin(spark.range(100).withColumn("v", F.col("id") % 7))
-            assert pinned.count() == 100
-            # reliable checkpoints land files under the configured dir
-            stat = sc._jvm.org.apache.spark.SparkContext  # noqa: F841
-            import os
+    saved = sc.getCheckpointDir()
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    try:
+        assert sc.getCheckpointDir() is None
+        # auto mode falls back to localCheckpoint without a dir
+        pinned = pin(spark.range(100))
+        assert pinned.count() == 100
+        assert _checkpoint_file(pinned) is None
+        release_pinned(pinned)
+        import pytest
 
-            found = any(files for _, _, files in os.walk(d))
-            assert found, "reliable checkpoint wrote nothing to the dir"
-            # releasing a reliable checkpoint is a silent no-op (its
-            # blocks are disk files, not executor storage)
-            release_local_checkpoint(pinned)
-            assert pinned.count() == 100
-        finally:
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                sc._jvm.scala.Option.apply(None)
-            )
-    assert sc.getCheckpointDir() is None
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            pin(spark.range(10), reliable=True)
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(saved)
+        )

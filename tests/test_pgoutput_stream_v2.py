@@ -613,3 +613,47 @@ class TestVersionedCatalogResolution:
         ]
         dec = decode_pgoutput_v2(_df(spark, rows))
         assert [r["after"] for r in dec.collect()] == ['{"id": 1, "name": "a"}']
+
+
+class TestDmlPrefilter:
+    """The JVM-side first-byte prefilter (VERDICT r10 #2): control /
+    relation rows are dropped inside whole-stage codegen BEFORE the
+    Arrow crossing, and doing so changes nothing about the decode."""
+
+    def _capture(self):
+        rows = [
+            (1, encode_relation(REL, "public", "t", COLS)),
+            (2, encode_begin(10, 1_000_000, 7)),
+            (3, encode_insert(REL, ["1", "a"])),
+            (4, encode_update(REL, ["1", "b"], ["1", "a"])),
+            (5, encode_commit(10, 11, 1_000_000)),
+        ]
+        return rows
+
+    def test_prefilter_is_jvm_side_before_python(self, spark):
+        df = _df(spark, self._capture())
+        rel = pgoutput_relation_catalog(df)
+        plan = (
+            decode_pgoutput_dml(df, rel)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the binary-tag filter sits below MapInPandas (plans print
+        # top-down, so the Filter appears AFTER the Python node)
+        assert "substring(data" in plan and "0x49" in plan, plan
+        assert plan.index("MapInPandas") < plan.index("substring(data"), plan
+
+    def test_prefilter_off_decodes_identically(self, spark):
+        df = _df(spark, self._capture())
+        rel = pgoutput_relation_catalog(df)
+        on = sorted(map(tuple, decode_pgoutput_dml(df, rel).collect()))
+        off = sorted(
+            map(
+                tuple,
+                decode_pgoutput_dml(
+                    df, rel, first_byte_prefilter=False
+                ).collect(),
+            )
+        )
+        assert on == off and len(on) == 2

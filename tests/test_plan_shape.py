@@ -905,3 +905,15 @@ def test_bigram_backoff_joins_count_tables_not_corpus(spark, sf_dir):
     assert p.count("HashAggregate") >= 4  # uni, bigram, normalizer, doc agg
     # no cartesian anywhere except the 1-row normalizer broadcast
     assert "CartesianProduct" not in p
+
+
+def test_trigram_backoff_joins_count_tables_not_corpus(spark, sf_dir):
+    """doc_perplexity_trigram (r11): same contract one order higher —
+    tri/bi/uni COUNT tables joined by n-gram key, two-phase doc
+    re-aggregate, zero Python, no cartesian beyond the 1-row
+    normalizer broadcast."""
+    p = plan_str(entry.queries()["doc_perplexity_trigram"](spark, sf_dir))
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p, f"Python in the scoring plan: {py}"
+    assert p.count("HashAggregate") >= 6  # uni, bi, tri, normalizer, doc agg
+    assert "CartesianProduct" not in p

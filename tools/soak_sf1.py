@@ -54,6 +54,9 @@ KERNELS = [
     # r10 operators
     "text_bpe_train",
     "doc_perplexity_bigram",
+    # r11 operators
+    "doc_perplexity_trigram",
+    "text_bpe_roundtrip",
 ]
 
 

@@ -78,10 +78,42 @@ def _pgoutput_prefilter(spark, sf_dir: str, *, rows_per_tx: int = 64):
     return make(False), make(True)
 
 
+def _pin_reliable(spark, sf_dir: str, *, kernel: str = "dedup_connected_components"):
+    """(make_a, make_b): an iterative pin-per-round kernel with the
+    session checkpoint dir cleared (A: localCheckpoint rounds, the
+    pre-r11 default) vs configured (B: reliable checkpoint rounds, the
+    r11 production default). Measures what the durability default
+    costs per round; run against both a compute-heavy loop (connected
+    components) and a tiny-table loop (BPE training, where fixed
+    per-round overhead dominates)."""
+    import __spark_entry__ as entry
+
+    sc = spark.sparkContext
+    dir_saved = sc.getCheckpointDir()
+    assert dir_saved is not None, "get_spark should have set a checkpoint dir"
+    fn = entry.queries()[kernel]
+
+    def set_dir(d):
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(d))
+
+    def make(reliable: bool):
+        def factory():
+            set_dir(dir_saved if reliable else None)
+            return fn(spark, sf_dir)
+
+        return factory
+
+    return make(False), make(True)
+
+
 EXPERIMENTS = {
     "pgoutput_prefilter": _pgoutput_prefilter,
     "pgoutput_prefilter_smalltx": lambda spark, sf_dir: _pgoutput_prefilter(
         spark, sf_dir, rows_per_tx=1
+    ),
+    "pin_reliable": _pin_reliable,
+    "pin_reliable_bpe": lambda spark, sf_dir: _pin_reliable(
+        spark, sf_dir, kernel="text_bpe_train"
     ),
 }
 

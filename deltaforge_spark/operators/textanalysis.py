@@ -310,28 +310,51 @@ def bigram_pmi_oracle_sql(
 #    O(1) driver rows per round, deterministic tie-break
 #    (count DESC, pair ASC).
 # 3. The winning pair applies to every word as ONE literal replace()
-#    over a DOUBLE-SPACE rendering of the symbol string: boundaries
-#    between symbols are two spaces, the pattern " a  b " and its
-#    replacement " ab " each consume/restore exactly ONE space of
-#    every boundary they touch, so adjacent occurrences never share a
-#    delimiter character. A single leftmost non-overlapping scan —
-#    which Spark's replace and DuckDB's agree on — is then exactly
-#    Sennrich's token-space greedy merge ("a a a a a a" under (a,a)
-#    → "aa aa aa"). The naive single-space form is NOT: its first
-#    match eats the shared delimiter and skips the next occurrence
-#    ("aa a aa a" — and re-running it to fixpoint does not recover
-#    canonical either, the stranded singles are no longer adjacent).
-#    The loop repeats on the pinned vocab table (plans/lineage.py:
-#    O(1) rounds of executor storage).
+#    over the DOUBLE-SPACE symbol rendering the word table keeps as
+#    its PERSISTENT invariant: symbols joined by two spaces, one pad
+#    space at each end. The pattern " a  b " and its replacement
+#    " ab " each consume/restore exactly ONE space of every boundary
+#    (and the pad) they touch, so (a) adjacent occurrences never
+#    share a delimiter character — a single leftmost non-overlapping
+#    scan, which Spark's replace and DuckDB's agree on, is then
+#    exactly Sennrich's token-space greedy merge ("a a a a a a"
+#    under (a,a) → "aa aa aa"; the naive single-space form strands
+#    alternate occurrences: "aa a aa a", and no fixpoint recovers
+#    them) — and (b) the replace PRESERVES the invariant (merge sites
+#    get replacement-space + leftover-space = two again), so each
+#    round is exactly one string pass, no re-render. The loop repeats
+#    on the pinned vocab table (plans/lineage.py: O(1) rounds of
+#    executor storage).
 #
 # The fixed small ``num_merges`` keeps the DuckDB oracle exact: the
 # oracle re-learns the same chain with one CTE stage per round (the
 # merges are DATA, not literals — the SQL recomputes argmax per stage).
 
 
+def _render_word_symbols(word: Column) -> Column:
+    """A word as the double-space invariant symbol string:
+    ' c  h  a  r  s  </w> ' — symbols joined by TWO spaces, ONE pad
+    space at each end (see the block comment: this makes one literal
+    replace per merge both canonical and invariant-preserving)."""
+    chars = F.regexp_extract_all(word, F.lit("[a-z]"), 0)
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit("  </w> "))
+
+
+def _split_symbols(s: Column) -> Column:
+    """Invariant string back to the symbol array."""
+    return F.split(F.trim(s), "  ")
+
+
+def _apply_merge(s: Column, a: str, b: str) -> Column:
+    """One canonical merge application on the invariant rendering —
+    a single literal replace; shared by the trainer and the
+    learned-table tokenizer so they segment identically."""
+    return F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+
+
 def bpe_word_table(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """(s, freq): lowercase [a-z]+ word types as space-separated
-    character symbols with the '</w>' end-of-word marker, weighted by
+    """(s, freq): lowercase [a-z]+ word types in the double-space
+    symbol rendering with the '</w>' end-of-word marker, weighted by
     corpus frequency. The one corpus-proportional pass of training."""
     words = (
         df.select(
@@ -342,11 +365,7 @@ def bpe_word_table(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    chars = F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), 0)
-    return words.select(
-        F.concat(F.array_join(chars, " "), F.lit(" </w>")).alias("s"),
-        "freq",
-    )
+    return words.select(_render_word_symbols(F.col("w")).alias("s"), "freq")
 
 
 def _adjacent_pairs(sy: Column) -> Column:
@@ -377,9 +396,13 @@ def bpe_train(
     learned: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, num_merges + 1):
-            sy = F.split(F.col("s"), " ")
             best = (
-                cur.select(F.explode(_adjacent_pairs(sy)).alias("pair"), "freq")
+                cur.select(
+                    F.explode(_adjacent_pairs(_split_symbols(F.col("s")))).alias(
+                        "pair"
+                    ),
+                    "freq",
+                )
                 .groupBy("pair")
                 .agg(F.sum("freq").cast("long").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
@@ -391,28 +414,10 @@ def bpe_train(
             pair, cnt = best[0]["pair"], int(best[0]["cnt"])
             a, b = pair.split(" ", 1)
             learned.append((r, a, b, cnt))
-            # double-space boundary rendering: each occurrence owns
-            # half of each delimiter, so one leftmost scan == canonical
-            # token-space non-overlapping merging (see block comment)
+            # one canonical, invariant-preserving replace per round
+            # (see block comment)
             nxt = pin(
-                cur.select(
-                    F.trim(
-                        F.replace(
-                            F.replace(
-                                F.concat(
-                                    F.lit(" "),
-                                    F.replace(F.col("s"), F.lit(" "), F.lit("  ")),
-                                    F.lit(" "),
-                                ),
-                                F.lit(f" {a}  {b} "),
-                                F.lit(f" {a}{b} "),
-                            ),
-                            F.lit("  "),
-                            F.lit(" "),
-                        )
-                    ).alias("s"),
-                    "freq",
-                )
+                cur.select(_apply_merge(F.col("s"), a, b).alias("s"), "freq")
             )
             release_local_checkpoint(cur)
             cur = nxt
@@ -447,7 +452,8 @@ def bpe_train_oracle_sql(
     linear, the same O(1)-per-round shape as the Spark loop's pin()."""
     ctes = [
         f"""w0 AS MATERIALIZED (
-            SELECT array_to_string(regexp_extract_all(w, '[a-z]'), ' ') || ' </w>' AS s,
+            SELECT ' ' || array_to_string(regexp_extract_all(w, '[a-z]'), '  ')
+                       || '  </w> ' AS s,
                    CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
                   FROM {table_expr})
@@ -462,19 +468,18 @@ def bpe_train_oracle_sql(
                     SELECT unnest(list_transform(range(1, len(sy)),
                                   i -> sy[i] || ' ' || sy[i + 1])) AS pair,
                            freq
-                    FROM (SELECT string_split(s, ' ') AS sy, freq FROM w{p})
+                    FROM (SELECT string_split(trim(s), '  ') AS sy, freq FROM w{p})
                 ) GROUP BY pair
             ) ORDER BY cnt DESC, pair ASC LIMIT 1)"""
         )
         if r < num_merges:
-            # double-space boundary rendering, same scan semantics as
-            # the Spark loop: ' a  b ' -> ' ab ', then collapse
+            # one canonical, invariant-preserving replace per stage,
+            # same scan semantics as the Spark loop: ' a  b ' -> ' ab '
             ctes.append(
                 f"""w{r} AS MATERIALIZED (
-            SELECT trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
-                                ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
-                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
-                                '  ', ' ')) AS s,
+            SELECT replace(s,
+                           ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                           ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS s,
                    freq
             FROM w{p})"""
             )
@@ -528,23 +533,10 @@ def bpe_apply_merges(
         ).alias("w"),
     )
     types = words.select("w").distinct()
-    chars = F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), 0)
-    s = F.concat(F.array_join(chars, " "), F.lit(" </w>"))
+    s = _render_word_symbols(F.col("w"))
     for a, b in ordered:
-        s = F.trim(
-            F.replace(
-                F.replace(
-                    F.concat(
-                        F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" ")
-                    ),
-                    F.lit(f" {a}  {b} "),
-                    F.lit(f" {a}{b} "),
-                ),
-                F.lit("  "),
-                F.lit(" "),
-            )
-        )
-    tok = types.select("w", F.size(F.split(s, " ")).cast("long").alias("n_sub"))
+        s = _apply_merge(s, a, b)
+    tok = types.select("w", F.size(_split_symbols(s)).cast("long").alias("n_sub"))
     agg = (
         words.join(tok, "w")
         .groupBy(id_col)
@@ -574,7 +566,8 @@ def bpe_roundtrip_oracle_sql(
     ctes = [
         f"""w0 AS MATERIALIZED (
             SELECT w,
-                   array_to_string(regexp_extract_all(w, '[a-z]'), ' ') || ' </w>' AS s,
+                   ' ' || array_to_string(regexp_extract_all(w, '[a-z]'), '  ')
+                       || '  </w> ' AS s,
                    CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
                   FROM {table_expr})
@@ -589,7 +582,7 @@ def bpe_roundtrip_oracle_sql(
                     SELECT unnest(list_transform(range(1, len(sy)),
                                   i -> sy[i] || ' ' || sy[i + 1])) AS pair,
                            freq
-                    FROM (SELECT string_split(s, ' ') AS sy, freq FROM w{p})
+                    FROM (SELECT string_split(trim(s), '  ') AS sy, freq FROM w{p})
                 ) GROUP BY pair
             ) ORDER BY cnt DESC, pair ASC LIMIT 1)"""
         )
@@ -598,16 +591,15 @@ def bpe_roundtrip_oracle_sql(
         ctes.append(
             f"""w{r} AS MATERIALIZED (
             SELECT w,
-                   trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
-                                ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
-                                ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
-                                '  ', ' ')) AS s,
+                   replace(s,
+                           ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                           ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS s,
                    freq
             FROM w{p})"""
         )
     joined = ",\n        ".join(ctes)
     return f"""WITH {joined},
-        tok AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+        tok AS (SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
                 FROM w{num_merges}),
         dw AS (SELECT {id_col},
                       unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w

@@ -547,33 +547,22 @@ class TestBpeTrain:
         merges_df = spark.createDataFrame(chain[:n])
 
         # re-derive the applied word table with the learned-table path
-        # (same double-space scan bpe_apply_merges compiles), then ask
-        # for its best pair — must equal merge n+1 of the longer chain
-        from deltaforge_spark.operators.textanalysis import bpe_word_table
+        # (the same _apply_merge scan bpe_apply_merges compiles), then
+        # ask for its best pair — must equal merge n+1 of the chain
+        from deltaforge_spark.operators.textanalysis import (
+            _apply_merge,
+            _split_symbols,
+            bpe_word_table,
+        )
 
         wt = bpe_word_table(df)
         s = F.col("s")
         for r in sorted(merges_df.collect(), key=lambda r: r["merge_rank"]):
-            a, b = r["left_sym"], r["right_sym"]
-            s = F.trim(
-                F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(s, F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(f" {a}  {b} "),
-                        F.lit(f" {a}{b} "),
-                    ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            )
+            s = _apply_merge(s, r["left_sym"], r["right_sym"])
         applied = wt.select(s.alias("s"), "freq")
         best = (
             applied.select(
-                F.explode(_adjacent_pairs(F.split(F.col("s"), " "))).alias("pair"),
+                F.explode(_adjacent_pairs(_split_symbols(F.col("s")))).alias("pair"),
                 "freq",
             )
             .groupBy("pair")

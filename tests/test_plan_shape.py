@@ -873,12 +873,13 @@ def test_bpe_train_round_plans(spark, sf_dir):
 
     from deltaforge_spark.operators.textanalysis import (
         _adjacent_pairs,
+        _split_symbols,
         bpe_word_table,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wt = bpe_word_table(docs)
-    sy = F.split(F.col("s"), " ")
+    sy = _split_symbols(F.col("s"))
     best = (
         wt.select(F.explode(_adjacent_pairs(sy)).alias("pair"), "freq")
         .groupBy("pair")

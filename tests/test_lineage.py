@@ -127,3 +127,29 @@ def test_pin_reliable_requires_dir(spark):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(saved)
         )
+
+
+def test_archive_path_pins_reliably_on_default_session(spark, monkeypatch):
+    """VERDICT r10 #3's done-criterion: the pgoutput archive path's
+    rank pinning (_ranked_by_seq, the 100-TB replay branch) takes the
+    RELIABLE checkpoint on a DEFAULT session — executor loss there now
+    recomputes instead of killing a multi-hour replay."""
+    import deltaforge_spark.plans.lineage as lineage
+    from deltaforge_spark.sources.pgoutput import _ranked_by_seq
+
+    reliable_taken = []
+    orig = lineage.pin
+
+    def spy(df, **kw):
+        out = orig(df, **kw)
+        reliable_taken.append(_checkpoint_file(out) is not None)
+        return out
+
+    monkeypatch.setattr(lineage, "pin", spy)
+    df = spark.range(1_000).withColumnRenamed("id", "seq")
+    ranked, pinned = _ranked_by_seq(df)
+    try:
+        assert ranked.count() == 1_000
+    finally:
+        release_pinned(pinned)
+    assert reliable_taken and all(reliable_taken)

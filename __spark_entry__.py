@@ -333,6 +333,24 @@ def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_surprisal_backoff(docs, lm_corpus, max_ppl=40.0)
 
 
+def q_doc_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tertile binning (Wenzek et al. 2020 —
+    the production pipeline does NOT hard-filter on perplexity, it
+    bins and samples preferentially from the head; operators/lm.py
+    perplexity_bins): unigram LM on the even-doc half, every scored
+    doc assigned NTILE(3) over the fully tie-broken (ppl, doc_id)
+    order. The window input is the per-doc scored table — the corpus
+    is never re-sorted; at billions of docs the documented swap is
+    percentile-boundary bucketing (customer_value_deciles
+    adjudication, SCALE.md)."""
+    _prep(spark)
+    from deltaforge_spark.operators.lm import perplexity_bins, unigram_lm
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return perplexity_bins(docs, lm)
+
+
 def q_doc_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM with STUPID BACKOFF chaining down through the bigram
     to the add-one unigram (operators/lm.py
@@ -4882,6 +4900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_roundtrip": q_text_bpe_roundtrip,
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "doc_perplexity_trigram": q_doc_perplexity_trigram,
+    "doc_perplexity_bins": q_doc_perplexity_bins,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
@@ -6094,6 +6113,14 @@ def _doc_perplexity_bigram_oracle() -> str:
     )
 
 
+def _doc_perplexity_bins_oracle() -> str:
+    from deltaforge_spark.operators.lm import perplexity_bins_oracle_sql
+
+    return perplexity_bins_oracle_sql(
+        table_expr="documents", lm_filter="doc_id % 2 = 0"
+    )
+
+
 def _doc_perplexity_trigram_oracle() -> str:
     from deltaforge_spark.operators.lm import doc_surprisal_backoff_trigram_oracle_sql
 
@@ -6490,6 +6517,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_bpe_roundtrip": _text_bpe_roundtrip_oracle(),
         "doc_perplexity_bigram": _doc_perplexity_bigram_oracle(),
         "doc_perplexity_trigram": _doc_perplexity_trigram_oracle(),
+        "doc_perplexity_bins": _doc_perplexity_bins_oracle(),
         "mixture_by_temperature": """
             WITH stats AS (
                 SELECT lang AS s,
@@ -8121,6 +8149,7 @@ def _oracle_sql_base() -> dict[str, str]:
 R11_PREFIX = [
     "text_bpe_roundtrip",
     "doc_perplexity_trigram",
+    "doc_perplexity_bins",
     "text_bpe_train",
     "doc_perplexity_bigram",
     "cdc_pgoutput_decode",
@@ -8168,7 +8197,6 @@ R11_PREFIX = [
     "lake_zorder_stats",
     "multimodal_audio_windows",
     "multimodal_pcm_resample",
-    "multimodal_pcm_windows",
 ]
 
 

@@ -604,3 +604,94 @@ def doc_surprisal_backoff_trigram_oracle_sql(
         FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
         LEFT JOIN avg USING ({id_col})
     """
+
+
+# ------------------------------------------------------- CCNet binning
+#
+# CCNet (Wenzek et al. 2020) doesn't hard-filter on perplexity — it
+# splits the corpus into HEAD / MIDDLE / TAIL tertiles per language
+# and samples preferentially from the head. The binning is a global
+# NTILE over a fully tie-broken order (ppl, then doc_id), so both
+# engines bucket identically. Scale shape: the window input is the
+# per-doc SCORED table (one slim row per doc, the corpus is never
+# re-sorted); at billions of docs the documented swap is
+# percentile-boundary bucketing (compute the two cutoffs, assign by
+# comparison — the events_sampled_percentiles discipline), same as
+# the customer_value_deciles adjudication in SCALE.md.
+
+
+def perplexity_bins(
+    df: DataFrame,
+    lm: DataFrame,
+    *,
+    n_bins: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, ppl, bin): unigram-LM perplexity with the
+    CCNet tertile assignment (bin 1 = head = lowest perplexity).
+    Docs the scorer covers (>=1 token) are binned; the caller keeps
+    head/middle and downsamples tail, per CCNet."""
+    from pyspark.sql import Window
+
+    scored = doc_surprisal(df, lm, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.col("ppl").asc(), F.col(id_col))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "ppl",
+        F.ntile(n_bins).over(w).cast("long").alias("bin"),
+    )
+
+
+def perplexity_bins_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    lm_filter: str = "doc_id % 2 = 0",
+    n_bins: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the unigram scorer's oracle conventions + the same
+    tie-broken NTILE."""
+    return f"""
+        WITH lmdocs AS MATERIALIZED (
+            SELECT {id_col}, {text_col} FROM {table_expr} WHERE {lm_filter}),
+        uni AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim({text_col}), ' +')) AS w
+                FROM lmdocs
+            ) WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        dt AS (
+            SELECT {id_col}, w FROM (
+                SELECT {id_col},
+                       unnest(string_split_regex(trim({text_col}), ' +')) AS w
+                FROM {table_expr}
+            ) WHERE w <> ''),
+        scored AS (
+            SELECT {id_col},
+                   CAST(round((ln(CAST(tot.n_total + tot.vocab + 1 AS DOUBLE))
+                               - ln(CAST(coalesce(u.c, 0) + 1 AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS sup
+            FROM dt LEFT JOIN uni u USING (w) CROSS JOIN tot),
+        agg AS (
+            SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(sup) AS BIGINT) AS sum_micro
+            FROM scored GROUP BY {id_col}),
+        avg AS (
+            SELECT {id_col}, n_tokens,
+                   CAST((2 * sum_micro + n_tokens) // (2 * n_tokens) AS BIGINT)
+                       AS avg_micro
+            FROM agg),
+        ppl AS (
+            SELECT {id_col}, n_tokens,
+                   round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4)
+                       AS ppl
+            FROM avg)
+        SELECT {id_col}, n_tokens, ppl,
+               CAST(ntile({n_bins}) OVER (ORDER BY ppl ASC, {id_col}) AS BIGINT)
+                   AS bin
+        FROM ppl
+    """

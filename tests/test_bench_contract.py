@@ -86,6 +86,7 @@ class TestBenchContract:
 R8_PREFIX_REQUIRED = [
     "text_bpe_roundtrip",        # new (r11: train->apply BPE composition)
     "doc_perplexity_trigram",    # new (r11: trigram stupid-backoff LM)
+    "doc_perplexity_bins",       # new (r11: CCNet tertile binning)
     "text_bpe_train",            # canonical double-space merging (r11)
     "doc_perplexity_bigram",     # <2-token docs now emitted (r11)
     "cdc_pgoutput_decode",       # JVM first-byte DML prefilter (r11)

@@ -57,6 +57,9 @@ KERNELS = [
     # r11 operators
     "doc_perplexity_trigram",
     "text_bpe_roundtrip",
+    # global-NTILE shape — the documented deciles adjudication applies;
+    # soak it so the single-partition window's 10x cost is a number
+    "doc_perplexity_bins",
 ]
 
 

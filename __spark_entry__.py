@@ -338,17 +338,37 @@ def q_doc_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production pipeline does NOT hard-filter on perplexity, it
     bins and samples preferentially from the head; operators/lm.py
     perplexity_bins): unigram LM on the even-doc half, every scored
-    doc assigned NTILE(3) over the fully tie-broken (ppl, doc_id)
-    order. The window input is the per-doc scored table — the corpus
-    is never re-sorted; at billions of docs the documented swap is
-    percentile-boundary bucketing (customer_value_deciles
-    adjudication, SCALE.md)."""
+    doc assigned exact NTILE(3) over the fully tie-broken (ppl,
+    doc_id) order — computed WITHOUT a global window (VERDICT r11 #1):
+    distributed zipWithIndex (range-repartition + partitioned
+    row_number + O(#partitions) driver prefix-sum) and SQL NTILE's
+    bucket arithmetic as column algebra, so no task ever sorts more
+    than one range slice at any corpus size."""
     _prep(spark)
     from deltaforge_spark.operators.lm import perplexity_bins, unigram_lm
 
     docs = read_table(spark, sf_dir, "documents")
     lm = unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     return perplexity_bins(docs, lm)
+
+
+def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999, D=3/4;
+    the smoothing family KenLM — and therefore production CCNet
+    scoring — actually uses; operators/lm.py doc_surprisal_kneser_ney):
+    LM trained on the even-doc half, every document scored, so
+    held-out docs exercise both the discount-interpolation and the
+    unseen-context continuation branch. One bigram counts-only
+    shuffle + two vocab-sized counts-of-counts re-aggregations;
+    D=3/4 keeps the probability a ratio of exact integers, so ln()
+    sees identical integer-valued doubles in both engines — the
+    micro-nat / half-up-average conventions proved at sf1."""
+    _prep(spark)
+    from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm_corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return doc_surprisal_kneser_ney(docs, lm_corpus, max_ppl=40.0)
 
 
 def q_doc_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4884,23 +4904,71 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50: driver verifies the dict prefix (VERDICT r4 #1) ---
-    # r10 prefix policy (VERDICT r9 #9): queries that are NEW or whose
-    # code/oracle CHANGED this round lead (text_bpe_train and
-    # doc_perplexity_bigram are new; dedup_embedding_lsh/_lsh_recall
-    # gained the default max_bucket cap in operator AND oracle;
-    # cdc_binlog_datasource's archive now writes executor-side; the
-    # four pgoutput queries sit on this round's decode-loop hoist,
-    # catalog dedup and two-phase guard), then the queries whose
-    # latest green driver row is OLDEST — the r5/r6-era middle block
-    # (envelopes, gtid, idempotency, routing, schema sensing,
-    # sessionize, hll-merge) and the r7-era delivery/multimodal rows.
-    # Displaced queries keep their r9 rows; tools/check.py --all still
-    # value-checks the FULL set locally.
-    "text_bpe_train": q_text_bpe_train,
+    # r12 prefix policy (VERDICT r11 #6): NEW or code-changed queries
+    # lead (doc_perplexity_kn is new; doc_perplexity_bins swapped its
+    # global NTILE for the distributed-rank plan; text_bpe_roundtrip
+    # sits on the chunked bpe_apply_merges), then the queries whose
+    # latest green driver row is OLDEST — the full r6 tier (TPC-H
+    # q8-q22 block, web_* graph family, multimodal_ppm/pcm,
+    # sketch_countmin_tokens, text_normalize), the full r7 tier
+    # (customer_value_deciles, dataset_split_leakage_safe,
+    # doc_source_boilerplate, events_rollup/pivot, q2/q20,
+    # web_kcore/triangles), and the 16 alphabetically-first r9-tier
+    # rows. Displaced queries keep their r10/r11 green rows;
+    # tools/check.py --all still value-checks the FULL set locally.
+    "doc_perplexity_kn": q_doc_perplexity_kn,
+    "doc_perplexity_bins": q_doc_perplexity_bins,
     "text_bpe_roundtrip": q_text_bpe_roundtrip,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_value_concentration": q11_value_concentration,
+    "q12_ship_lag": q12_ship_lag,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_sales_opportunity": q22_sales_opportunity,
+    "web_communities": q_web_communities,
+    "web_pagerank": q_web_pagerank,
+    "multimodal_pcm_windows": q_multimodal_pcm_windows,
+    "multimodal_ppm_decode": q_multimodal_ppm_decode,
+    "multimodal_ppm_resize": q_multimodal_ppm_resize,
+    "multimodal_resize": q_multimodal_resize,
+    "sketch_countmin_tokens": q_sketch_countmin_tokens,
+    "text_normalize": q_text_normalize,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_potential_promotion": q20_potential_promotion,
+    "web_kcore": q_web_kcore,
+    "web_triangles": q_web_triangles,
+    "customer_value_deciles": q_customer_value_deciles,
+    "dataset_split_leakage_safe": q_dataset_split_leakage_safe,
+    "doc_source_boilerplate": q_doc_source_boilerplate,
+    "events_pivot_types": q_events_pivot_types,
+    "events_rollup": q_events_rollup,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_adc": q_ann_pq_adc,
+    "audience_overlap": q_audience_overlap,
+    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
+    "cdc_binlog_decode": q_cdc_binlog_decode,
+    "cdc_changefeed": q_changefeed,
+    "cdc_filter_any_changed": q_filter_any_changed,
+    "cdc_filter_fields": q_filter_fields,
+    "cdc_filter_tables": q_filter_tables,
+    "cdc_flatten": q_flatten,
+    "cdc_flatten_dynamic": q_flatten_dynamic,
+    "cdc_lake_rolling": q_cdc_lake_rolling,
+    "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
+    "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
+    "dataset_split": q_dataset_split,
+    "dedup_apply": q_dedup_apply,
+    "text_bpe_train": q_text_bpe_train,
     "doc_perplexity_bigram": q_doc_perplexity_bigram,
     "doc_perplexity_trigram": q_doc_perplexity_trigram,
-    "doc_perplexity_bins": q_doc_perplexity_bins,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "cdc_binlog_datasource": q_cdc_binlog_datasource,
@@ -4949,19 +5017,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream_gate": q_dedup_stream_gate,
     "doc_length_histogram": q_doc_length_histogram,
     "pipeline_training_data": q_pipeline_training_data,
-    # --- past the driver prefix (recent driver rows retained) ---
     "dedup_substring_remove": q_dedup_substring_remove,
-    "customer_value_deciles_sampled": q_customer_value_deciles_sampled,
     "doc_oov_rate": q_doc_oov_rate,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "ann_pq_adc": q_ann_pq_adc,
-    "audience_overlap": q_audience_overlap,
-    "cdc_binlog_changefeed": q_cdc_binlog_changefeed,
-    "cdc_filter_any_changed": q_filter_any_changed,
-    "cdc_filter_tables": q_filter_tables,
-    "dedup_apply": q_dedup_apply,
     "dedup_lines": q_dedup_lines,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_report": q_dedup_report,
@@ -4985,36 +5044,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_bloom_membership": q_sketch_bloom_membership,
     "sketch_vocab_hll": q_sketch_vocab_hll,
     "text_bpe_tokens": q_text_bpe_tokens,
-    "cdc_binlog_decode": q_cdc_binlog_decode,
-    "cdc_changefeed": q_changefeed,
-    "cdc_filter_fields": q_filter_fields,
-    "cdc_flatten": q_flatten,
-    "cdc_flatten_dynamic": q_flatten_dynamic,
-    "cdc_lake_rolling": q_cdc_lake_rolling,
-    "cdc_schema_heavy_hitters": q_schema_heavy_hitters,
-    "dataset_split": q_dataset_split,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "doc_quality_gopher": q_doc_quality_gopher,
-    "q20_potential_promotion": q20_potential_promotion,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "web_triangles": q_web_triangles,
-    "dataset_split_leakage_safe": q_dataset_split_leakage_safe,
-    "web_kcore": q_web_kcore,
-    "events_rollup": q_events_rollup,
-    "events_pivot_types": q_events_pivot_types,
-    "customer_value_deciles": q_customer_value_deciles,
-    "doc_source_boilerplate": q_doc_source_boilerplate,
-    "text_normalize": q_text_normalize,
     "doc_char_entropy": q_doc_char_entropy,
     "embedding_kmeans": q_embedding_kmeans,
-    "web_pagerank": q_web_pagerank,
-    "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "events_sampled_percentiles": q_events_sampled_percentiles,
     "doc_bm25_search": q_doc_bm25_search,
     "doc_bigram_pmi": q_doc_bigram_pmi,
     "doc_chunking": q_doc_chunking,
-    "web_communities": q_web_communities,
     "lake_zorder_stats": q_lake_zorder_stats,
     "doc_lang_confusion": q_doc_lang_confusion,
     "events_stream_stream_join": q_events_stream_stream_join,
@@ -5031,25 +5069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "dedup_cc_logstar": q_dedup_cc_logstar,
-    "q9_product_profit": q9_product_profit,
-    "q11_value_concentration": q11_value_concentration,
-    "q12_ship_lag": q12_ship_lag,
-    "q16_supplier_variety": q16_supplier_variety,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q8_market_share": q8_market_share,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q22_sales_opportunity": q22_sales_opportunity,
-    "q10_returned_items": q10_returned_items,
     "multimodal_audio_windows": q_multimodal_audio_windows,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_ppm_decode": q_multimodal_ppm_decode,
-    "multimodal_ppm_resize": q_multimodal_ppm_resize,
-    "multimodal_pcm_windows": q_multimodal_pcm_windows,
     "multimodal_pcm_resample": q_multimodal_pcm_resample,
     "events_windowed_stream": q_events_windowed_stream,
     "events_funnel": q_events_funnel,
@@ -6129,6 +6149,14 @@ def _doc_perplexity_trigram_oracle() -> str:
     )
 
 
+def _doc_perplexity_kn_oracle() -> str:
+    from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney_oracle_sql
+
+    return doc_surprisal_kneser_ney_oracle_sql(
+        table_expr="documents", lm_filter="doc_id % 2 = 0", max_ppl=40.0
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # composed dataset-card report: each branch is an existing oracle
@@ -6517,6 +6545,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_bpe_roundtrip": _text_bpe_roundtrip_oracle(),
         "doc_perplexity_bigram": _doc_perplexity_bigram_oracle(),
         "doc_perplexity_trigram": _doc_perplexity_trigram_oracle(),
+        "doc_perplexity_kn": _doc_perplexity_kn_oracle(),
         "doc_perplexity_bins": _doc_perplexity_bins_oracle(),
         "mixture_by_temperature": """
             WITH stats AS (
@@ -8136,72 +8165,75 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
-#: r11 driver-prefix rotation (VERDICT r10 #7): the driver verifies the
-#: FIRST 50 entries of queries(), so new/output-changed queries lead
-#: (text_bpe_roundtrip + doc_perplexity_trigram are new; text_bpe_train
-#: learns canonical-Sennrich merges now; doc_perplexity_bigram emits
-#: <2-token docs; the four pgoutput queries sit on the JVM first-byte
-#: DML prefilter), then the queries whose latest green driver row is
-#: OLDEST — the full r5 tier and the r6 tier alphabetically (ann_*,
-#: multimodal_ppm/pcm, events_funnel/paths/retention/dau, q10-q14
-#: rotate in next). Displaced queries keep their r9/r10 rows;
-#: tools/check.py --all still value-checks the FULL set locally.
-R11_PREFIX = [
-    "text_bpe_roundtrip",
-    "doc_perplexity_trigram",
+#: r12 driver-prefix rotation (VERDICT r11 #6): the driver verifies the
+#: FIRST 50 entries of queries(), so new/code-changed queries lead
+#: (doc_perplexity_kn is new; doc_perplexity_bins swapped its global
+#: NTILE for the distributed rank; text_bpe_roundtrip sits on chunked
+#: bpe_apply_merges), then the queries whose latest green driver row
+#: is OLDEST — the full r6 tier (TPC-H q8-q22 block, web_* graph
+#: family, multimodal_ppm/pcm, sketch_countmin_tokens, text_normalize),
+#: the full r7 tier (q2/q20, web_kcore/triangles,
+#: customer_value_deciles, dataset_split_leakage_safe,
+#: doc_source_boilerplate, events_rollup/pivot), and the 16
+#: alphabetically-first r9-tier rows. Displaced queries keep their
+#: r10/r11 green rows; tools/check.py --all still value-checks the
+#: FULL set locally.
+R12_PREFIX = [
+    "doc_perplexity_kn",
     "doc_perplexity_bins",
-    "text_bpe_train",
-    "doc_perplexity_bigram",
-    "cdc_pgoutput_decode",
-    "cdc_pgoutput_stream_decode",
-    "cdc_pgoutput_changefeed",
-    "cdc_pgoutput_two_phase",
-    "dedup_minhash",
-    "doc_quality_gopher",
-    "events_asof_join",
-    "events_dau_stickiness",
-    "events_funnel",
-    "events_gap_percentiles",
-    "events_gapfill",
-    "events_paths",
-    "events_retention",
-    "events_windowed_stream",
-    "pii_scan",
-    "q1_pricing_summary",
-    "similarity_bruteforce",
-    "sketch_hll_users",
-    "snapshot_orders",
-    "text_analysis",
-    "url_dedup",
-    "basket_brand_lift",
-    "cdc_incremental_agg",
-    "cdc_scd2_history",
-    "corpus_diff",
-    "dedup_cc_logstar",
-    "dedup_cluster_sizes",
-    "dedup_keep_best",
-    "dedup_threshold_curve",
-    "doc_bigram_pmi",
-    "doc_bm25_search",
-    "doc_char_entropy",
-    "doc_chunking",
-    "doc_lang_confusion",
-    "doc_perplexity_filter",
-    "doc_weighted_sample",
-    "embedding_dim_stats",
-    "embedding_kmeans",
-    "events_anomaly_mad",
-    "events_sampled_percentiles",
-    "events_stream_stream_join",
-    "events_value_histogram",
-    "lake_zorder_stats",
-    "multimodal_audio_windows",
-    "multimodal_pcm_resample",
+    "text_bpe_roundtrip",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_ship_lag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "web_communities",
+    "web_pagerank",
+    "multimodal_pcm_windows",
+    "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
+    "multimodal_resize",
+    "sketch_countmin_tokens",
+    "text_normalize",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    "web_kcore",
+    "web_triangles",
+    "customer_value_deciles",
+    "dataset_split_leakage_safe",
+    "doc_source_boilerplate",
+    "events_pivot_types",
+    "events_rollup",
+    "ann_ivf_pq",
+    "ann_pq_adc",
+    "audience_overlap",
+    "cdc_binlog_changefeed",
+    "cdc_binlog_decode",
+    "cdc_changefeed",
+    "cdc_filter_any_changed",
+    "cdc_filter_fields",
+    "cdc_filter_tables",
+    "cdc_flatten",
+    "cdc_flatten_dynamic",
+    "cdc_lake_rolling",
+    "cdc_schema_heavy_hitters",
+    "customer_value_deciles_sampled",
+    "dataset_split",
+    "dedup_apply",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {n: QUERIES[n] for n in R11_PREFIX}
+    out = {n: QUERIES[n] for n in R12_PREFIX}
     for n, fn in QUERIES.items():
         out.setdefault(n, fn)
     return out

@@ -189,6 +189,9 @@ HEADLINE = [
     # r11: trigram LM + the train->apply BPE composition
     "doc_perplexity_trigram",
     "text_bpe_roundtrip",
+    # r12: interpolated Kneser-Ney LM + the distributed CCNet binning
+    "doc_perplexity_kn",
+    "doc_perplexity_bins",
 ]
 
 

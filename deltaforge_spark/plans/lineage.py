@@ -59,6 +59,14 @@ def pin(df: DataFrame, *, eager: bool = True, reliable: bool | None = None) -> D
         raise ValueError("pin(reliable=True) needs spark.sparkContext.setCheckpointDir")
     if not eager:
         return df.checkpoint(eager=False)
+    # unpersist() is keyed by logical plan, not by who persisted: if
+    # the CALLER already cached this frame, a transient persist here
+    # followed by unpersist(True) would silently evict the caller's
+    # cache entry (ADVICE r11). Skip the transient cache then — the
+    # checkpoint-write job reads the caller's cache instead.
+    already_cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if already_cached:
+        return df.checkpoint(eager=True)
     cached = df.persist()
     try:
         return df.checkpoint(eager=True)

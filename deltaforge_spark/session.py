@@ -102,7 +102,20 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
         import atexit
         import shutil
 
-        atexit.register(shutil.rmtree, created, ignore_errors=True)
+        atexit.register(
+            shutil.rmtree, _local_checkpoint_path(created), ignore_errors=True
+        )
+
+
+def _local_checkpoint_path(uri: str) -> str:
+    """getCheckpointDir returns a 'file:'-scheme URI (ADVICE r11):
+    rmtree on the raw URI raises FileNotFoundError (swallowed by
+    ignore_errors) and the per-app UUID dir — with any un-released
+    reliable-checkpoint files — leaks RAM-backed tmpfs across runs.
+    Strip the scheme the same way tests/test_lineage.py does."""
+    import urllib.parse
+
+    return urllib.parse.urlparse(uri).path or uri
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

@@ -81,18 +81,12 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-#: r11 prefix policy: new this round, or code/oracle changed this round
+#: r12 prefix policy: new this round, or code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
 R8_PREFIX_REQUIRED = [
-    "text_bpe_roundtrip",        # new (r11: train->apply BPE composition)
-    "doc_perplexity_trigram",    # new (r11: trigram stupid-backoff LM)
-    "doc_perplexity_bins",       # new (r11: CCNet tertile binning)
-    "text_bpe_train",            # canonical double-space merging (r11)
-    "doc_perplexity_bigram",     # <2-token docs now emitted (r11)
-    "cdc_pgoutput_decode",       # JVM first-byte DML prefilter (r11)
-    "cdc_pgoutput_stream_decode",
-    "cdc_pgoutput_changefeed",
-    "cdc_pgoutput_two_phase",
+    "doc_perplexity_kn",         # new (r12: interpolated Kneser-Ney LM)
+    "doc_perplexity_bins",       # distributed-rank NTILE swap (r12)
+    "text_bpe_roundtrip",        # chunked bpe_apply_merges (r12)
 ]
 
 

@@ -32,6 +32,52 @@ def _checkpoint_file(df) -> str | None:
     return opt.get() if opt.isDefined() else None
 
 
+def test_atexit_cleanup_path_strips_uri_scheme(spark):
+    """ADVICE r11 (medium): ensure_checkpoint_dir registers an atexit
+    rmtree on getCheckpointDir(), which is a 'file:'-scheme URI —
+    rmtree on the raw URI silently no-ops (FileNotFoundError swallowed
+    by ignore_errors) and the per-app UUID dir leaks tmpfs across
+    runs. The cleanup must target the LOCAL path."""
+    import os
+
+    from deltaforge_spark.session import _local_checkpoint_path
+
+    created = spark.sparkContext.getCheckpointDir()
+    assert created is not None
+    local = _local_checkpoint_path(created)
+    assert not local.startswith("file:")
+    assert os.path.isdir(local), f"cleanup path {local!r} is not a real dir"
+    # scheme-less inputs pass through untouched
+    assert _local_checkpoint_path("/tmp/x") == "/tmp/x"
+
+
+def test_pin_does_not_evict_caller_cache(spark):
+    """ADVICE r11 (low): pin()'s eager reliable branch wraps the
+    checkpoint in a transient persist/unpersist — but unpersist is
+    keyed by logical plan, so if the CALLER had already persisted the
+    same frame, pin() would silently evict the caller's cache. The
+    already-cached fast path must leave it cached."""
+    df = spark.range(5_000).withColumn("v", F.col("id") % 13)
+    df.persist()
+    try:
+        df.count()  # materialize the caller's cache
+        before = _stored_rdd_ids(spark)
+        pinned = pin(df)
+        try:
+            assert pinned.count() == 5_000
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk, (
+                "pin() evicted the caller's cache entry"
+            )
+            # the caller's cached blocks must still be stored
+            assert before & _stored_rdd_ids(spark), (
+                "caller's cached RDD blocks were dropped by pin()"
+            )
+        finally:
+            release_pinned(pinned)
+    finally:
+        df.unpersist(True)
+
+
 def test_default_session_takes_reliable_branch(spark):
     # the archive-replay durability fix: a session built by get_spark /
     # apply_runtime_conf has a checkpoint dir, so pin() == reliable

@@ -388,6 +388,127 @@ class TestTrigramBackoff:
         assert "ArrowEvalPython" not in plan
 
 
+class TestKneserNey:
+    """doc_surprisal_kneser_ney — interpolated Kneser-Ney (D=3/4,
+    add-one-smoothed continuation): p(w2|w1) = max(c12-D,0)/ctx1 +
+    D*n1p(w1.)/ctx1 * (N1+(.w2)+1)/(N1+(..)+V+1), backing off to the
+    smoothed continuation alone for unseen contexts."""
+
+    def test_hand_computed_all_three_branches(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney
+
+        lm_corpus = spark.createDataFrame([(0, "a b a b")], ["doc_id", "text"])
+        # bigrams: c(a,b)=2 c(b,a)=1; ctx: a->(2,1) b->(1,1);
+        # cont: a->1 b->1; n1pp=2, V=2, M=5
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b q"), (3, "q a")], ["doc_id", "text"]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in doc_surprisal_kneser_ney(docs, lm_corpus).collect()
+        }
+        # seen bigram: num = (4*2-3)*5 + 3*1*2 = 31, den = 4*2*5 = 40
+        assert abs(rows[1]["avg_surprisal"] - round(math.log(40 / 31), 6)) < 2e-6
+        # seen ctx, unseen continuation: num = 0*5 + 3*1*1 = 3, den = 20
+        assert abs(rows[2]["avg_surprisal"] - round(math.log(20 / 3), 6)) < 2e-6
+        # unseen ctx: sup = ln(M=5) - ln(n1p2(a)+1 = 2)
+        assert abs(rows[3]["avg_surprisal"] - round(math.log(5 / 2), 6)) < 2e-6
+        for r in rows.values():
+            assert r["ppl"] == round(math.exp(r["avg_surprisal"]), 4)
+
+    def test_short_docs_emitted_with_keep_false(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney
+
+        lm_corpus = spark.createDataFrame([(0, "x y x y")], ["doc_id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "x y"), (3, "")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in doc_surprisal_kneser_ney(docs, lm_corpus, max_ppl=3.0).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[2]["keep"] is True
+        for short in (1, 3):
+            assert out[short]["n_bigrams"] == 0
+            assert out[short]["avg_surprisal"] is None
+            assert out[short]["ppl"] is None
+            assert out[short]["keep"] is False
+
+    def test_discount_reserves_mass_for_novel_continuations(self, spark):
+        """The KN property stupid backoff lacks: a w2 that continues
+        MANY distinct contexts (high N1+(.w2)) scores better after an
+        unseen context than one that only ever follows a single
+        context, even at equal unigram frequency."""
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney
+
+        lm_corpus = spark.createDataFrame(
+            # 'b' follows a, c, d (3 distinct contexts, 3 occurrences);
+            # 'z' follows only e, 3 times (1 context, 3 occurrences)
+            [(0, "a b c b d b"), (1, "e z e z e z")],
+            ["doc_id", "text"],
+        )
+        docs = spark.createDataFrame(
+            [(1, "qq b"), (2, "qq z")], ["doc_id", "text"]
+        )
+        rows = {
+            r["doc_id"]: r["ppl"]
+            for r in doc_surprisal_kneser_ney(docs, lm_corpus).collect()
+        }
+        assert rows[1] < rows[2]
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from deltaforge_spark.operators.lm import (
+            doc_surprisal_kneser_ney,
+            doc_surprisal_kneser_ney_oracle_sql,
+        )
+
+        texts = [
+            "the cat sat on the mat", "a b c d e", "the the the",
+            "zz qq unknown words", "mixed the content here", "x",
+            "the quick brown fox", "rare tokens appear once", "",
+            "the cat ran off the mat again",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        lm_corpus = df.filter("doc_id % 2 = 0")
+        srows = sorted(
+            map(tuple, doc_surprisal_kneser_ney(df, lm_corpus, max_ppl=40.0).collect())
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        drows = sorted(
+            map(
+                tuple,
+                con.execute(
+                    doc_surprisal_kneser_ney_oracle_sql(max_ppl=40.0)
+                ).fetchall(),
+            )
+        )
+        assert srows == drows
+
+    def test_no_python_in_plan(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney
+
+        lm_corpus = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+        docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        plan = (
+            doc_surprisal_kneser_ney(docs, lm_corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
 class TestBpeTrain:
     """textanalysis.bpe_train — distributed Sennrich BPE training."""
 
@@ -647,3 +768,81 @@ class TestBpeTrain:
         bpe_train(docs, num_merges=4).collect()
         leaked = stored(spark) - before
         assert not leaked, f"training rounds leaked checkpoints: {leaked}"
+
+    def test_apply_thousand_merge_table_bounded_depth(self, spark):
+        """A REAL-vocab-sized learned table (>=1,000 merges) must apply
+        in bounded time with bounded plan depth (VERDICT r11 #2: one
+        projection per merge table meant a 32k-deep expression tree at
+        production vocab). The chunked path pins the word-TYPE table
+        every _BPE_MERGE_CHUNK merges, so (a) the job finishes in
+        seconds, (b) token counts still match the pure-python reference
+        tokenizer applying the SAME 1,000 merges in rank order."""
+        import re
+        import time
+
+        from deltaforge_spark.operators.textanalysis import (
+            _BPE_MERGE_CHUNK,
+            bpe_apply_merges,
+            bpe_train,
+        )
+
+        texts = [
+            "aaaaaa banana mississippi the the lower",
+            "low lower lowest aaab abab the quick brown fox",
+            "overlapping aaaa pairs aaa test",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        # a few REAL merges (so application actually rewrites words),
+        # padded to >=1,000 rows with never-matching synthetic symbols
+        # (digits can't appear in the [a-z] symbol alphabet) — the
+        # no-ops exercise plan depth exactly like real merges do
+        real = [
+            (r["left_sym"], r["right_sym"], r["merge_rank"])
+            for r in bpe_train(df, num_merges=6).orderBy("merge_rank").collect()
+        ]
+        learned = [(a, b) for a, b, _ in real] + [
+            (f"x{i}", f"y{i}") for i in range(1000 - len(real))
+        ]
+        merges_df = spark.createDataFrame(
+            [(i + 1, a, b, 0) for i, (a, b) in enumerate(learned)],
+            ["merge_rank", "left_sym", "right_sym", "pair_freq"],
+        )
+        assert merges_df.count() >= 1000
+
+        t0 = time.monotonic()
+        out = bpe_apply_merges(df, merges_df)
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in out.collect()}
+        elapsed = time.monotonic() - t0
+        # chunked application = ~4 shallow vocab-sized map jobs; the
+        # unchunked plan never finishes Catalyst analysis in this budget
+        assert elapsed < 120, f"1k-merge apply took {elapsed:.0f}s"
+
+        def merge_word(word, a, b):
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            return out
+
+        def tokenize(text):
+            n = 0
+            for w in re.findall("[a-z]+", text.lower()):
+                syms = list(w) + ["</w>"]
+                for a, b in learned:
+                    syms = merge_word(syms, a, b)
+                n += len(syms)
+            return n
+
+        assert got == {i: tokenize(t) for i, t in enumerate(texts)}
+
+        # the returned plan must carry at most ONE chunk of replace()
+        # nesting — everything earlier sits behind a checkpoint scan
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("replace(") <= _BPE_MERGE_CHUNK + 8

@@ -16,6 +16,12 @@ tier="${1:-fast}"
 
 python tools/guard_names.py
 python -m pytest tests/test_oracle_sql_valid.py -q
+# plan-shape sweep in EVERY tier (VERDICT r11 #2: r11 shipped a query
+# that failed the repo's own scale-killer gate because the builder only
+# ran targeted tests — the cross-cutting plan sweeps must run before
+# any snapshot). The end-of-round snapshot commit message must record
+# this script's exit code for the tier it ran.
+python -m pytest tests/test_plan_shape.py -q
 
 if [ "$tier" = "all" ]; then
     python -m pytest tests/ -x -q

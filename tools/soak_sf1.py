@@ -57,9 +57,11 @@ KERNELS = [
     # r11 operators
     "doc_perplexity_trigram",
     "text_bpe_roundtrip",
-    # global-NTILE shape — the documented deciles adjudication applies;
-    # soak it so the single-partition window's 10x cost is a number
+    # r12: distributed-rank NTILE (no global window since r12 — soak
+    # verifies the swap's ratio holds at 10x)
     "doc_perplexity_bins",
+    # r12: interpolated Kneser-Ney LM
+    "doc_perplexity_kn",
 ]
 
 

@@ -258,6 +258,17 @@ TREND_KERNELS = [
 ]
 
 
+#: ambient 1-min loadavg sampled at process start, BEFORE any Spark
+#: work — the end-of-run sample on the trend line mostly measures the
+#: suite's own 32 threads (r11's "quiet" runs recorded 6.6-8.9 for this
+#: reason), so quiet-window adjudication needs the pre-run ambient.
+_LOADAVG_START = None
+try:
+    _LOADAVG_START = round(os.getloadavg()[0], 2)
+except OSError:  # pragma: no cover
+    pass
+
+
 def main():
     sf_src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_src.rstrip("/").rsplit("sf", 1)[-1]
@@ -817,6 +828,7 @@ def _append_trend(result: dict) -> None:
         "git": git,
         "ts": int(time.time()),
         "loadavg": loadavg,
+        "loadavg_start": _LOADAVG_START,
         "sf": result["sf"],
         "events_per_sec": result["events_per_sec"],
         "events_per_sec_steady": result["events_per_sec_steady"],

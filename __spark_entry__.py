@@ -352,6 +352,23 @@ def q_doc_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_bins(docs, lm)
 
 
+def q_doc_perplexity_quadgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram LM with STUPID BACKOFF chaining down through the trigram,
+    bigram, then add-one unigram rule (Brants et al. 2007; one order
+    below production CCNet's 5-gram KenLM; operators/lm.py
+    doc_surprisal_backoff_fourgram): LM trained on the even-doc half,
+    every document scored, so held-out docs exercise all four backoff
+    cases. FOUR counts-only LM shuffles + n-gram-keyed count joins;
+    integer micro-nat surprisal, half-up integer average — the proven
+    cross-engine conventions."""
+    _prep(spark)
+    from deltaforge_spark.operators.lm import doc_surprisal_backoff_fourgram
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm_corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return doc_surprisal_backoff_fourgram(docs, lm_corpus, max_ppl=40.0)
+
+
 def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999, D=3/4;
     the smoothing family KenLM — and therefore production CCNet
@@ -4917,6 +4934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows. Displaced queries keep their r10/r11 green rows;
     # tools/check.py --all still value-checks the FULL set locally.
     "doc_perplexity_kn": q_doc_perplexity_kn,
+    "doc_perplexity_quadgram": q_doc_perplexity_quadgram,
     "doc_perplexity_bins": q_doc_perplexity_bins,
     "text_bpe_roundtrip": q_text_bpe_roundtrip,
     "q8_market_share": q8_market_share,
@@ -6157,6 +6175,14 @@ def _doc_perplexity_kn_oracle() -> str:
     )
 
 
+def _doc_perplexity_quadgram_oracle() -> str:
+    from deltaforge_spark.operators.lm import doc_surprisal_backoff_fourgram_oracle_sql
+
+    return doc_surprisal_backoff_fourgram_oracle_sql(
+        table_expr="documents", lm_filter="doc_id % 2 = 0", max_ppl=40.0
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # composed dataset-card report: each branch is an existing oracle
@@ -6546,6 +6572,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_perplexity_bigram": _doc_perplexity_bigram_oracle(),
         "doc_perplexity_trigram": _doc_perplexity_trigram_oracle(),
         "doc_perplexity_kn": _doc_perplexity_kn_oracle(),
+        "doc_perplexity_quadgram": _doc_perplexity_quadgram_oracle(),
         "doc_perplexity_bins": _doc_perplexity_bins_oracle(),
         "mixture_by_temperature": """
             WITH stats AS (
@@ -8180,6 +8207,7 @@ def _oracle_sql_base() -> dict[str, str]:
 #: FULL set locally.
 R12_PREFIX = [
     "doc_perplexity_kn",
+    "doc_perplexity_quadgram",
     "doc_perplexity_bins",
     "text_bpe_roundtrip",
     "q8_market_share",
@@ -8228,7 +8256,6 @@ R12_PREFIX = [
     "cdc_schema_heavy_hitters",
     "customer_value_deciles_sampled",
     "dataset_split",
-    "dedup_apply",
 ]
 
 

@@ -189,8 +189,10 @@ HEADLINE = [
     # r11: trigram LM + the train->apply BPE composition
     "doc_perplexity_trigram",
     "text_bpe_roundtrip",
-    # r12: interpolated Kneser-Ney LM + the distributed CCNet binning
+    # r12: interpolated Kneser-Ney LM, 4-gram backoff LM, and the
+    # distributed CCNet binning
     "doc_perplexity_kn",
+    "doc_perplexity_quadgram",
     "doc_perplexity_bins",
 ]
 

@@ -816,6 +816,287 @@ def doc_surprisal_kneser_ney(
     return out
 
 
+# ---------------------------------------------------- 4-gram + backoff
+#
+# One order below production CCNet's 5-gram KenLM (VERDICT r11 #7's
+# higher-order half; the interpolated-KN half is below). Stupid
+# backoff chains down one rule per order, alpha = 0.4 per hop:
+#
+#   score(w4 | w1 w2 w3) = c1234/c123          if the 4-gram is seen
+#                        = 0.4 * score(w4|w2 w3)  else
+#   score(w4 | w2 w3)    = c234/c23            if that trigram is seen
+#   score(w4 | w3)       = c34/c3              if that bigram is seen
+#   else                   0.4^3 * p_add1(w4)
+#
+# A corpus 4-gram implies its prefix trigram, a corpus trigram its
+# prefix bigram, a corpus bigram its prefix unigram — so the case
+# tests need only c1234/c234/c34 null checks and the denominators are
+# never null inside their branch. Scale shape: FOUR counts-only LM
+# shuffles (quad/tri/bi/uni — no row data moves), doc 4-grams explode
+# map-side (triple zip-against-tail), scoring is n-gram-keyed count
+# joins + the 1-row normalizer broadcast. Integer micro-nats, half-up
+# average — the proven conventions.
+
+
+def _doc_fourgrams(df: DataFrame, *, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., w1, w2, w3, w4): adjacent token 4-tuples, map-side."""
+    a = tokens(F.col(text_col))
+    n = F.greatest(F.size(a) - F.lit(3), F.lit(0))  # <4 tokens -> none
+    pairs = F.zip_with(
+        F.slice(a, 1, n),
+        F.slice(a, 2, n),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    trips = F.zip_with(
+        pairs,
+        F.slice(a, 3, n),
+        lambda p, z: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")),
+    )
+    quads = F.zip_with(
+        trips,
+        F.slice(a, 4, n),
+        lambda t, z: F.struct(
+            t["w1"].alias("w1"),
+            t["w2"].alias("w2"),
+            t["w3"].alias("w3"),
+            z.alias("w4"),
+        ),
+    )
+    return (
+        df.select(*id_cols, F.explode(quads).alias("_q"))
+        .select(
+            *id_cols,
+            F.col("_q.w1").alias("w1"),
+            F.col("_q.w2").alias("w2"),
+            F.col("_q.w3").alias("w3"),
+            F.col("_q.w4").alias("w4"),
+        )
+        .filter(
+            (F.col("w1") != "")
+            & (F.col("w2") != "")
+            & (F.col("w3") != "")
+            & (F.col("w4") != "")
+        )
+    )
+
+
+def fourgram_lm(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w1, w2, w3, w4) -> c1234 over the LM corpus. One counts-only
+    shuffle."""
+    return (
+        _doc_fourgrams(df, text_col=text_col, id_cols=[])
+        .groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1234"))
+    )
+
+
+def doc_surprisal_backoff_fourgram(
+    df: DataFrame,
+    lm_corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Score every document of ``df`` under a stupid-backoff 4-GRAM LM
+    trained on ``lm_corpus``: (doc_id, n_fourgrams, avg_surprisal, ppl
+    [, keep]). Documents with <4 tokens are emitted with n_fourgrams=0,
+    null scores and keep=false — the full-input filter surface."""
+    uni = unigram_lm(lm_corpus, text_col=text_col)
+    big = bigram_lm(lm_corpus, text_col=text_col)
+    tri = trigram_lm(lm_corpus, text_col=text_col)
+    quad = fourgram_lm(lm_corpus, text_col=text_col)
+    norm = lm_normalizer(uni)
+    toks = _doc_fourgrams(df, text_col=text_col, id_cols=[id_col])
+    t123 = tri.select("w1", "w2", "w3", F.col("c123"))
+    t234 = tri.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("w3").alias("w4"),
+        F.col("c123").alias("c234"),
+    )
+    b23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("c23")
+    )
+    b34 = big.select(
+        F.col("w1").alias("w3"), F.col("w2").alias("w4"), F.col("c12").alias("c34")
+    )
+    u3 = uni.select(F.col("token").alias("w3"), F.col("cnt").alias("c3"))
+    u4 = uni.select(F.col("token").alias("w4"), F.col("cnt").alias("c4"))
+    quad_seen = (
+        F.log(F.col("c123").cast("double")) - F.log(F.col("c1234").cast("double"))
+    ) * F.lit(1000000.0)
+    tri_back = (
+        F.log(F.lit(2.5))
+        + F.log(F.col("c23").cast("double"))
+        - F.log(F.col("c234").cast("double"))
+    ) * F.lit(1000000.0)
+    big_back = (
+        F.lit(2.0) * F.log(F.lit(2.5))
+        + F.log(F.col("c3").cast("double"))
+        - F.log(F.col("c34").cast("double"))
+    ) * F.lit(1000000.0)
+    uni_back = (
+        F.lit(3.0) * F.log(F.lit(2.5))
+        + F.log((F.col("n_total") + F.col("vocab") + F.lit(1)).cast("double"))
+        - F.log((F.coalesce(F.col("c4"), F.lit(0)) + F.lit(1)).cast("double"))
+    ) * F.lit(1000000.0)
+    scored = (
+        toks.join(quad, ["w1", "w2", "w3", "w4"], "left")
+        .join(t123, ["w1", "w2", "w3"], "left")
+        .join(t234, ["w2", "w3", "w4"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(b34, ["w3", "w4"], "left")
+        .join(u3, "w3", "left")
+        .join(u4, "w4", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            id_col,
+            F.round(
+                F.when(F.col("c1234").isNotNull(), quad_seen)
+                .when(F.col("c234").isNotNull(), tri_back)
+                .when(F.col("c34").isNotNull(), big_back)
+                .otherwise(uni_back),
+                0,
+            )
+            .cast("long")
+            .alias("sup_micro"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fourgrams"),
+        F.sum("sup_micro").cast("long").alias("sum_micro"),
+    )
+    avg_micro = F.expr(
+        "CAST((2 * sum_micro + n_fourgrams) DIV (2 * n_fourgrams) AS BIGINT)"
+    )
+    avg = avg_micro.cast("double") / F.lit(1000000.0)
+    scored_docs = agg.select(
+        id_col,
+        "n_fourgrams",
+        F.round(avg, 6).alias("avg_surprisal"),
+        F.round(F.exp(F.round(avg, 6)), 4).alias("ppl"),
+    )
+    base = df.select(id_col).distinct()
+    out = base.join(scored_docs, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_fourgrams"), F.lit(0)).cast("long").alias("n_fourgrams"),
+        "avg_surprisal",
+        "ppl",
+    )
+    if max_ppl is not None:
+        out = out.withColumn(
+            "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
+        )
+    return out
+
+
+def doc_surprisal_backoff_fourgram_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    lm_filter: str = "doc_id % 2 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> str:
+    """DuckDB twin of doc_surprisal_backoff_fourgram: identical
+    tokenization, identical case order (4-gram seen → trigram backoff
+    → bigram backoff → add-one unigram), identical micro-nat rounding
+    and half-up integer average."""
+    keep = (
+        f", coalesce(ppl <= {float(max_ppl)}, false) AS keep"
+        if max_ppl is not None
+        else ""
+    )
+    return f"""
+        WITH lmdocs AS MATERIALIZED (
+            SELECT {id_col}, {text_col} FROM {table_expr} WHERE {lm_filter}),
+        uni AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim({text_col}), ' +')) AS w
+                FROM lmdocs
+            ) WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        big AS MATERIALIZED (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                SELECT z[1] AS w1, z[2] AS w2 FROM (
+                    SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        tri AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+                    SELECT unnest(list_zip(a[1:-3], a[2:-2], a[3:-1])) AS z FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' GROUP BY w1, w2, w3),
+        quad AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, CAST(count(*) AS BIGINT) AS c1234 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3, z[4] AS w4 FROM (
+                    SELECT unnest(list_zip(a[1:-4], a[2:-3], a[3:-2], a[4:-1])) AS z
+                    FROM (
+                        SELECT string_split_regex(trim({text_col}), ' +') AS a
+                        FROM lmdocs))
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' AND w4 <> ''
+            GROUP BY w1, w2, w3, w4),
+        db AS (
+            SELECT {id_col}, z[1] AS w1, z[2] AS w2, z[3] AS w3, z[4] AS w4 FROM (
+                SELECT {id_col},
+                       unnest(list_zip(a[1:-4], a[2:-3], a[3:-2], a[4:-1])) AS z
+                FROM (
+                    SELECT {id_col}, string_split_regex(trim({text_col}), ' +') AS a
+                    FROM {table_expr})
+            ) WHERE z[1] <> '' AND z[2] <> '' AND z[3] <> '' AND z[4] <> ''),
+        scored AS (
+            SELECT {id_col},
+                   CAST(round(CASE
+                       WHEN q.c1234 IS NOT NULL
+                       THEN (ln(CAST(t123.c123 AS DOUBLE))
+                             - ln(CAST(q.c1234 AS DOUBLE))) * 1000000.0
+                       WHEN t234.c234 IS NOT NULL
+                       THEN (ln(2.5) + ln(CAST(b23.c23 AS DOUBLE))
+                             - ln(CAST(t234.c234 AS DOUBLE))) * 1000000.0
+                       WHEN b34.c34 IS NOT NULL
+                       THEN (2.0 * ln(2.5) + ln(CAST(u3.c3 AS DOUBLE))
+                             - ln(CAST(b34.c34 AS DOUBLE))) * 1000000.0
+                       ELSE (3.0 * ln(2.5)
+                             + ln(CAST(tot.n_total + tot.vocab + 1 AS DOUBLE))
+                             - ln(CAST(coalesce(u4.c4, 0) + 1 AS DOUBLE)))
+                            * 1000000.0
+                   END) AS BIGINT) AS sup
+            FROM db
+            LEFT JOIN quad q USING (w1, w2, w3, w4)
+            LEFT JOIN tri t123 USING (w1, w2, w3)
+            LEFT JOIN (SELECT w1 AS w2, w2 AS w3, w3 AS w4, c123 AS c234
+                       FROM tri) t234 USING (w2, w3, w4)
+            LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big) b23
+                   USING (w2, w3)
+            LEFT JOIN (SELECT w1 AS w3, w2 AS w4, c12 AS c34 FROM big) b34
+                   USING (w3, w4)
+            LEFT JOIN (SELECT w AS w3, c AS c3 FROM uni) u3 USING (w3)
+            LEFT JOIN (SELECT w AS w4, c AS c4 FROM uni) u4 USING (w4)
+            CROSS JOIN tot),
+        agg AS (
+            SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_fourgrams,
+                   CAST(sum(sup) AS BIGINT) AS sum_micro
+            FROM scored GROUP BY {id_col}),
+        avg AS (
+            SELECT {id_col}, n_fourgrams,
+                   CAST((2 * sum_micro + n_fourgrams) // (2 * n_fourgrams) AS BIGINT)
+                       AS avg_micro
+            FROM agg)
+        SELECT d.{id_col},
+               coalesce(n_fourgrams, 0) AS n_fourgrams,
+               round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6) AS avg_surprisal,
+               round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4) AS ppl
+               {keep}
+        FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
+        LEFT JOIN avg USING ({id_col})
+    """
+
+
 def doc_surprisal_kneser_ney_oracle_sql(
     *,
     table_expr: str = "documents",

@@ -85,6 +85,7 @@ class TestBenchContract:
 #: (their old driver rows no longer describe the current code)
 R8_PREFIX_REQUIRED = [
     "doc_perplexity_kn",         # new (r12: interpolated Kneser-Ney LM)
+    "doc_perplexity_quadgram",   # new (r12: 4-gram stupid-backoff LM)
     "doc_perplexity_bins",       # distributed-rank NTILE swap (r12)
     "text_bpe_roundtrip",        # chunked bpe_apply_merges (r12)
 ]

@@ -388,6 +388,127 @@ class TestTrigramBackoff:
         assert "ArrowEvalPython" not in plan
 
 
+class TestFourgramBackoff:
+    """doc_surprisal_backoff_fourgram — stupid backoff chaining
+    4-gram → trigram → bigram → add-one unigram (VERDICT r11 #7,
+    the higher-order half; one order below CCNet's 5-gram KenLM)."""
+
+    def test_hand_computed_four_cases(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_backoff_fourgram
+
+        lm_corpus = spark.createDataFrame(
+            [(0, "a b c d a b c d")], ["doc_id", "text"]
+        )
+        # unigrams: a,b,c,d x2 each; N=8 V=4
+        # 4-grams: (a,b,c,d)x2, (b,c,d,a), (c,d,a,b), (d,a,b,c)
+        # trigrams: (a,b,c)x2, (b,c,d)x2, (c,d,a), (d,a,b)
+        # bigrams: (a,b)x2, (b,c)x2, (c,d)x2, (d,a)
+        docs = spark.createDataFrame(
+            [
+                # quad seen: sup = ln(c123(a,b,c)=2) - ln(c1234=2) = 0
+                (1, "a b c d"),
+                # quad (b,c,d,q) unseen; tri (c,d,q) unseen; bigram
+                # (d,q) unseen -> unigram: 3ln2.5 + ln(N+V+1=13) - ln(1)
+                (2, "b c d q"),
+                # quad (q,a,b,c) unseen; tri (a,b,c) SEEN:
+                # ln2.5 + ln(c23=c(a,b)=2) - ln(c234=c(a,b,c)=2)
+                (3, "q a b c"),
+                # quad (q,q,c,d) unseen; tri (q,c,d) unseen; bigram
+                # (c,d) SEEN: 2ln2.5 + ln(c3=c(c)=2) - ln(c34=2)
+                (4, "q q c d"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in doc_surprisal_backoff_fourgram(docs, lm_corpus).collect()
+        }
+        assert out[1]["n_fourgrams"] == 1 and out[1]["avg_surprisal"] == 0.0
+        e2 = round(round((3 * math.log(2.5) + math.log(13.0)) * 1e6) / 1e6, 6)
+        assert abs(out[2]["avg_surprisal"] - e2) < 2e-6
+        e3 = round(round(math.log(2.5) * 1e6) / 1e6, 6)
+        assert abs(out[3]["avg_surprisal"] - e3) < 2e-6
+        e4 = round(round(2 * math.log(2.5) * 1e6) / 1e6, 6)
+        assert abs(out[4]["avg_surprisal"] - e4) < 2e-6
+        for r in out.values():
+            assert r["ppl"] == round(math.exp(r["avg_surprisal"]), 4)
+
+    def test_short_docs_emitted_with_keep_false(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_backoff_fourgram
+
+        lm_corpus = spark.createDataFrame([(0, "w x y z")], ["doc_id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "one two three"), (2, "w x y z"), (3, "")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in doc_surprisal_backoff_fourgram(
+                docs, lm_corpus, max_ppl=1.5
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[2]["keep"] is True  # seen 4-gram, ppl == 1.0
+        for short in (1, 3):
+            assert out[short]["n_fourgrams"] == 0
+            assert out[short]["avg_surprisal"] is None
+            assert out[short]["ppl"] is None
+            assert out[short]["keep"] is False
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from deltaforge_spark.operators.lm import (
+            doc_surprisal_backoff_fourgram,
+            doc_surprisal_backoff_fourgram_oracle_sql,
+        )
+
+        texts = [
+            "the cat sat on the mat today", "a b c d e f", "the the the the",
+            "zz qq unknown words here now", "mixed the content here too", "x y",
+            "the quick brown fox jumps over", "rare tokens appear once only", "",
+            "the cat sat on the mat again and again",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        lm_corpus = df.filter("doc_id % 2 = 0")
+        srows = sorted(
+            map(
+                tuple,
+                doc_surprisal_backoff_fourgram(df, lm_corpus, max_ppl=40.0).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        drows = sorted(
+            map(
+                tuple,
+                con.execute(
+                    doc_surprisal_backoff_fourgram_oracle_sql(max_ppl=40.0)
+                ).fetchall(),
+            )
+        )
+        assert srows == drows
+
+    def test_no_python_in_plan(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_backoff_fourgram
+
+        lm_corpus = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        plan = (
+            doc_surprisal_backoff_fourgram(docs, lm_corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
 class TestKneserNey:
     """doc_surprisal_kneser_ney — interpolated Kneser-Ney (D=3/4,
     add-one-smoothed continuation): p(w2|w1) = max(c12-D,0)/ctx1 +

@@ -60,8 +60,9 @@ KERNELS = [
     # r12: distributed-rank NTILE (no global window since r12 — soak
     # verifies the swap's ratio holds at 10x)
     "doc_perplexity_bins",
-    # r12: interpolated Kneser-Ney LM
+    # r12: interpolated Kneser-Ney LM + 4-gram stupid backoff
     "doc_perplexity_kn",
+    "doc_perplexity_quadgram",
 ]
 
 

@@ -641,14 +641,26 @@ def perplexity_bins(
     Exact NTILE semantics without a global window: with N scored docs
     and q = N // n_bins, r = N % n_bins, SQL NTILE gives the first r
     buckets q+1 rows and the rest q — reproduced here from the global
-    rank (distributed zipWithIndex) with two integer expressions. The
-    ranked layout is pinned (reliable checkpoint when configured) so
-    the counts job and the rank job cannot see different range
-    shuffles; the pin is superseded by the eagerly-pinned result and
-    released before returning."""
+    rank (distributed zipWithIndex) with two INTEGER-division
+    expressions (``DIV``, not double ``/``+floor — ADVICE r12: double
+    division is exact only below ~2^52 rows per bucket; integer DIV
+    has no boundary). The ranked layout is pinned (reliable checkpoint
+    when configured) so the counts job and the rank job cannot see
+    different range shuffles; the pin is superseded by the
+    eagerly-pinned result and released before returning.
+
+    EAGER contract (ADVICE r12): this operator executes at BUILD time,
+    not first action — two checkpoint jobs plus an O(#partitions)
+    driver collect run inside this call, and the bucket boundaries are
+    frozen against the input as of the call. Callers composing lazily
+    get a materialized frame, not a deferred plan.
+
+    Retained storage: the returned frame IS its eager pin — call
+    ``plans.lineage.release_retained(result)`` once it is fully
+    consumed, or the checkpoint lives until process exit."""
     from pyspark.sql import Window
 
-    from ..plans.lineage import pin, release_pinned
+    from ..plans.lineage import pin, release_pinned, retain
 
     scored = doc_surprisal(df, lm, text_col=text_col, id_col=id_col)
     sess = scored.sparkSession
@@ -675,19 +687,18 @@ def perplexity_bins(
     off_df = sess.createDataFrame(offsets, "_pid INT, _off BIGINT")
     w = Window.partitionBy("_pid").orderBy(F.col("ppl").asc(), F.col(id_col).asc())
     rank = (F.row_number().over(w) + F.col("_off")).alias("_rank")
-    # SQL NTILE bucket arithmetic on the 1-based rank
+    # SQL NTILE bucket arithmetic on the 1-based rank — integer DIV
+    # throughout (q, rem, big_span are driver ints, safe to inline)
     q, rem = divmod(total, n_bins)
     big_span = rem * (q + 1)  # rows covered by the q+1-sized buckets
-    r = F.col("_rank")
     if q == 0:  # fewer rows than bins: bucket i holds exactly row i
-        bin_col = r.cast("long")
+        bin_col = F.col("_rank").cast("long")
     else:
-        bin_col = (
-            F.when(r <= F.lit(big_span), F.floor((r - 1) / F.lit(q + 1)) + 1)
-            .otherwise(
-                F.lit(rem) + F.floor((r - F.lit(big_span) - 1) / F.lit(q)) + 1
-            )
-            .cast("long")
+        bin_col = F.expr(
+            f"CAST(CASE WHEN _rank <= {big_span}"
+            f" THEN (_rank - 1) DIV {q + 1} + 1"
+            f" ELSE {rem} + (_rank - {big_span} - 1) DIV {q} + 1"
+            f" END AS BIGINT)"
         )
     out = pin(
         d.join(F.broadcast(off_df), "_pid")
@@ -695,7 +706,7 @@ def perplexity_bins(
         .select(id_col, "n_tokens", "ppl", bin_col.alias("bin"))
     )
     release_pinned(d)
-    return out
+    return retain(out, out)
 
 
 # ------------------------------------------- interpolated Kneser-Ney

@@ -529,6 +529,7 @@ def bpe_apply_merges(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk: int | None = None,
 ) -> DataFrame:
     """Tokenize ``df[text_col]`` under a LEARNED merge table (the
     bpe_train output schema): (id_col, n_bpe_tokens). Merges apply in
@@ -541,8 +542,14 @@ def bpe_apply_merges(
     apply chunk-by-chunk to the word-TYPE table with a pin() barrier
     between chunks (superseded pins released immediately) — the
     vocab-sized intermediate materializes ~merges/256 times instead of
-    nesting 32k replace() calls in one Catalyst expression."""
-    from ..plans.lineage import pin, release_pinned
+    nesting 32k replace() calls in one Catalyst expression.
+
+    Retained storage (ADVICE r12): the LAST inter-chunk pin backs the
+    final unpinned chunk, so it cannot be released here; it rides on
+    the result via ``plans.lineage.retain`` — call
+    ``release_retained(result)`` once the frame is fully consumed, or
+    the checkpoint lives until process exit."""
+    from ..plans.lineage import pin, release_pinned, retain
 
     ordered = [
         (r["left_sym"], r["right_sym"])
@@ -557,12 +564,13 @@ def bpe_apply_merges(
     types = words.select("w").distinct()
     cur = types.select("w", _render_word_symbols(F.col("w")).alias("_s"))
     prev_pin = None
-    for i in range(0, len(ordered), _BPE_MERGE_CHUNK):
+    chunk = _BPE_MERGE_CHUNK if chunk is None else int(chunk)
+    for i in range(0, len(ordered), chunk):
         s = F.col("_s")
-        for a, b in ordered[i : i + _BPE_MERGE_CHUNK]:
+        for a, b in ordered[i : i + chunk]:
             s = _apply_merge(s, a, b)
         cur = cur.select("w", s.alias("_s"))
-        if i + _BPE_MERGE_CHUNK < len(ordered):
+        if i + chunk < len(ordered):
             cur = pin(cur)
             if prev_pin is not None:
                 release_pinned(prev_pin)
@@ -576,12 +584,15 @@ def bpe_apply_merges(
         .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
     )
     base = df.select(id_col).distinct()
-    return base.join(agg, id_col, "left").select(
+    out = base.join(agg, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
         .cast("long")
         .alias("n_bpe_tokens"),
     )
+    if prev_pin is not None:
+        out = retain(out, prev_pin)
+    return out
 
 
 def bpe_roundtrip_oracle_sql(

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "release_pinned", "release_local_checkpoint"]
+__all__ = [
+    "pin",
+    "release_pinned",
+    "release_local_checkpoint",
+    "retain",
+    "release_retained",
+]
 
 
 def pin(df: DataFrame, *, eager: bool = True, reliable: bool | None = None) -> DataFrame:
@@ -114,3 +120,46 @@ def release_pinned(df: DataFrame) -> None:
 
 # compatibility alias: callers predating the reliable-release extension
 release_local_checkpoint = release_pinned
+
+
+#: attribute carrying the pins a returned frame still depends on
+_RETAINED_ATTR = "_deltaforge_retained_pins"
+
+
+def retain(df: DataFrame, *pins: DataFrame) -> DataFrame:
+    """Record that ``df`` depends on ``pins`` whose storage the
+    producing operator could NOT release before returning (ADVICE r12:
+    ``bpe_apply_merges``'s last inter-chunk pin backs the final unpinned
+    chunk, and ``perplexity_bins``'s eagerly-pinned result IS its only
+    materialization — releasing either inside the operator would break
+    the frame it returns). The retained-pin convention:
+
+    - an operator that must leave pinned storage alive behind its
+      result tags the result with ``retain(out, *pins)`` (a pin may be
+      ``out`` itself);
+    - the CALLER releases with :func:`release_retained` once the frame
+      is fully consumed (collected, written, or persisted elsewhere) —
+      after release the frame is no longer computable;
+    - a caller that never releases leaks exactly one checkpoint per
+      invocation until process exit (the pre-r13 behavior), so
+      long-lived sessions invoking these operators repeatedly should
+      release superseded results.
+    """
+    lst = list(getattr(df, _RETAINED_ATTR, ()))
+    lst.extend(pins)
+    setattr(df, _RETAINED_ATTR, lst)
+    return df
+
+
+def retained_pins(df: DataFrame) -> list[DataFrame]:
+    """The pins still backing ``df`` (empty for ordinary frames)."""
+    return list(getattr(df, _RETAINED_ATTR, ()))
+
+
+def release_retained(df: DataFrame) -> None:
+    """Free every pin recorded by :func:`retain` on ``df``. Call only
+    once the frame is fully consumed: the pins are its backing
+    storage, so the frame cannot be recomputed afterwards."""
+    for p in getattr(df, _RETAINED_ATTR, ()):
+        release_pinned(p)
+    setattr(df, _RETAINED_ATTR, [])

@@ -69,7 +69,7 @@ class TestBenchContract:
         rows; r8 leads with the two_phase query and the three queries
         whose output/synth changed this round)."""
         names = list(_entry().queries())
-        for name in R8_PREFIX_REQUIRED:
+        for name in PREFIX_REQUIRED:
             assert name in names[:50], name
 
     def test_queries_md_in_sync(self):
@@ -81,9 +81,10 @@ class TestBenchContract:
         assert f"{len(qs)} queries" in head
 
 
-#: r12 prefix policy: new this round, or code/oracle changed this round
+#: prefix policy (round-agnostic name — ADVICE r12): new this round, or
+#: code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
-R8_PREFIX_REQUIRED = [
+PREFIX_REQUIRED = [
     "doc_perplexity_kn",         # new (r12: interpolated Kneser-Ney LM)
     "doc_perplexity_quadgram",   # new (r12: 4-gram stupid-backoff LM)
     "doc_perplexity_bins",       # distributed-rank NTILE swap (r12)
@@ -100,7 +101,7 @@ def test_every_new_or_changed_query_is_in_driver_prefix():
     import os
 
     names = list(_entry().queries())
-    for n in R8_PREFIX_REQUIRED:
+    for n in PREFIX_REQUIRED:
         assert names.index(n) < 50, f"{n} at {names.index(n)} — not driver-visible"
     import glob
 
@@ -114,3 +115,51 @@ def test_every_new_or_changed_query_is_in_driver_prefix():
             }
     for n in names[50:]:
         assert n in prior_green, f"{n} displaced past 50 with no prior driver row"
+
+
+class TestQuietWindowGate:
+    """VERDICT r12 #1: official bench rows must carry quiet-window
+    provenance — a loaded-window run is flagged non_canonical, never
+    silently recorded as the round's capability."""
+
+    def test_threshold_pinned(self):
+        assert _bench().QUIET_LOADAVG_MAX == 2.0
+
+    def test_quiet_predicate(self):
+        b = _bench()
+        assert b._quiet(0.28) and b._quiet(2.0)
+        assert not b._quiet(2.01)
+        assert not b._quiet(20.14)  # the r12 snapshot window
+        assert not b._quiet(None)   # unknown = not verified-quiet
+
+    def test_trend_line_carries_non_canonical_flag(self, monkeypatch, tmp_path):
+        import json
+        import os
+
+        b = _bench()
+        target = str(tmp_path / "BENCH_TREND.jsonl")
+        orig_join = os.path.join
+        monkeypatch.setattr(
+            b.os.path,
+            "join",
+            lambda *a: target if a[-1] == "BENCH_TREND.jsonl" else orig_join(*a),
+        )
+        monkeypatch.setattr(b, "_LOADAVG_START", 20.14)
+        b._append_trend({"sf": "0.1", "events_per_sec": 1,
+                         "events_per_sec_steady": 1, "queries": {}, "passes": {}})
+        monkeypatch.setattr(b, "_LOADAVG_START", 0.28)
+        b._append_trend({"sf": "0.1", "events_per_sec": 1,
+                         "events_per_sec_steady": 1, "queries": {}, "passes": {}})
+        rows = [json.loads(l) for l in open(target)]
+        assert rows[0]["non_canonical"] is True
+        assert rows[1]["non_canonical"] is False
+
+    def test_merge_counts_quiet_runs(self):
+        """_merge_round_best returns (merged, quiet) so the closing
+        line can assert at least one verified-quiet run backs the
+        minima."""
+        import inspect
+
+        b = _bench()
+        sig = inspect.signature(b._merge_round_best)
+        assert sig.return_annotation == "tuple[int, int]"

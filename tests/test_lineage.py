@@ -199,3 +199,70 @@ def test_archive_path_pins_reliably_on_default_session(spark, monkeypatch):
     finally:
         release_pinned(pinned)
     assert reliable_taken and all(reliable_taken)
+
+
+def test_retain_release_frees_checkpoint_files(spark):
+    """ADVICE r12: operators that must leave pinned storage alive
+    behind their result (bpe_apply_merges's last inter-chunk pin,
+    perplexity_bins's eager result pin) tag it via retain(); the
+    caller-side release_retained() must actually delete the checkpoint
+    files and clear the tag."""
+    from deltaforge_spark.plans.lineage import release_retained, retain, retained_pins
+
+    base = spark.range(2_000).withColumn("v", F.col("id") % 7)
+    pinned = pin(base)
+    f = _checkpoint_file(pinned)
+    assert f is not None and os.path.exists(f.replace("file:", ""))
+    out = retain(pinned.groupBy("v").count(), pinned)
+    assert len(retained_pins(out)) == 1
+    release_retained(out)
+    assert not os.path.exists(f.replace("file:", ""))
+    assert retained_pins(out) == []
+    # idempotent: a second release is a no-op
+    release_retained(out)
+
+
+def test_bpe_apply_retains_last_chunk_pin(spark):
+    """The >1-chunk bpe_apply_merges path must ship its final
+    inter-chunk pin on the result (not leak it anonymously), and
+    release_retained must free it after the result is consumed."""
+    from deltaforge_spark.operators.textanalysis import bpe_apply_merges
+    from deltaforge_spark.plans.lineage import release_retained, retained_pins
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab bba"), (2, "abab baba")], "doc_id INT, text STRING"
+    )
+    merges = spark.createDataFrame(
+        [(1, "a", "a"), (2, "b", "b"), (3, "aa", "b")],
+        "merge_rank INT, left_sym STRING, right_sym STRING",
+    )
+    out = bpe_apply_merges(docs, merges, chunk=2)
+    rows = {r["doc_id"]: r["n_bpe_tokens"] for r in out.collect()}
+    assert rows and all(v > 0 for v in rows.values())
+    pins = retained_pins(out)
+    assert len(pins) == 1, "last inter-chunk pin must ride on the result"
+    f = _checkpoint_file(pins[0])
+    assert f is not None and os.path.exists(f.replace("file:", ""))
+    release_retained(out)
+    assert not os.path.exists(f.replace("file:", ""))
+
+
+def test_perplexity_bins_result_is_releasable(spark):
+    """perplexity_bins returns its own eager pin tagged for release —
+    after release_retained the checkpoint files are gone."""
+    from deltaforge_spark.operators.lm import perplexity_bins, unigram_lm
+    from deltaforge_spark.plans.lineage import release_retained, retained_pins
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common") for i in range(30)],
+        "doc_id INT, text STRING",
+    )
+    lm = unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    out = perplexity_bins(docs, lm, n_bins=3)
+    assert out.count() == 30
+    pins = retained_pins(out)
+    assert pins, "bins result must be tagged with its own pin"
+    f = _checkpoint_file(pins[0])
+    assert f is not None and os.path.exists(f.replace("file:", ""))
+    release_retained(out)
+    assert not os.path.exists(f.replace("file:", ""))

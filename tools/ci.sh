@@ -20,8 +20,12 @@ python -m pytest tests/test_oracle_sql_valid.py -q
 # that failed the repo's own scale-killer gate because the builder only
 # ran targeted tests — the cross-cutting plan sweeps must run before
 # any snapshot). The end-of-round snapshot commit message must record
-# this script's exit code for the tier it ran.
-python -m pytest tests/test_plan_shape.py -q
+# this script's exit code for the tier it ran. Skipped when tier=all:
+# the full pytest run below already includes the same file (ADVICE r12
+# — the explicit invocation ran the sweep twice in that tier).
+if [ "$tier" != "all" ]; then
+    python -m pytest tests/test_plan_shape.py -q
+fi
 
 if [ "$tier" = "all" ]; then
     python -m pytest tests/ -x -q

@@ -194,6 +194,8 @@ HEADLINE = [
     "doc_perplexity_kn",
     "doc_perplexity_quadgram",
     "doc_perplexity_bins",
+    # r13: order-5 modified Kneser-Ney (the full KenLM configuration)
+    "doc_perplexity_kn5",
 ]
 
 

@@ -1242,3 +1242,512 @@ def perplexity_bins_oracle_sql(
                    AS bin
         FROM ppl
     """
+
+
+# ------------------------------------ 5-gram modified Kneser-Ney (KenLM)
+#
+# The full production-CCNet configuration (VERDICT r12 #2, completing
+# the KenLM parity arc): order-5 INTERPOLATED MODIFIED Kneser-Ney —
+# Chen & Goodman 1999's estimator, the one KenLM (Heafield 2011)
+# implements. Reference scope note: the reference engine has no LM at
+# all (docs/src/guarantees.md:380 disclaims aggregation/windowing);
+# this is beyond-reference capability for LLM-training-data curation.
+#
+# Model. Highest order uses raw 5-gram counts; every lower order uses
+# CONTINUATION counts a_k(u) = N1+(·u) (distinct predecessors), per KN.
+# Each order k has three discounts from its table's counts-of-counts
+# (n_j = #entries with count j):
+#     Y = n1/(n1+2*n2),  D1 = 1-2*Y*n2/n1,  D2 = 2-3*Y*n3/n2,
+#     D3+ = 3-4*Y*n4/n3        (clamped at 0; documented fallbacks
+#                               0.5/1.0/1.5 when a class is empty)
+# and interpolates: with t_k(ctx) = total count of the context and
+# N1/N2/N3+(ctx·) the per-context count-class sizes,
+#     p_k = max(c_k - D(c_k), 0)/t_k + gamma_k(ctx) * p_{k-1}
+#     gamma_k = (D1*N1 + D2*N2 + D3+*N3+) / t_k
+# an UNSEEN context backs off entirely (p_k = p_{k-1}); the base is
+# the uniform 1/(V+1) (V = unigram vocab, +1 OOV mass), so every
+# score is finite.
+#
+# Cross-engine determinism. Unlike the bigram KN (rational D=3/4 →
+# exact integer num/den), data-derived discounts make an integer
+# common denominator explode across five interpolation levels — so
+# this operator relies on a different exactness argument: every
+# arithmetic step is IEEE-754 +,-,*,/ (each EXACTLY rounded, hence
+# bit-identical across engines given the same expression tree) over
+# doubles cast from exact integers (counts < 2^53), with a SINGLE
+# ln() at the end. The Spark and DuckDB expressions are structured
+# token-for-token identically (same parenthesization, same CASE
+# order), so the only cross-engine freedom is the final ln's last
+# ulp — absorbed by micro-nat rounding except within ~1e-10 of a
+# rounding midpoint, the same risk class the stupid-backoff family
+# (two lns per score) has proven at sf1.
+#
+# Scale shape (100 TB): FIVE counts-only corpus shuffles (the raw
+# 1..5-gram tables — no row data moves), four suffix re-aggregations
+# of vocab-sized count tables (the continuation counts), five
+# context-stat re-aggs, five 1-row counts-of-counts aggregates, then
+# scoring = map-side 5-gram explode + nine n-gram-keyed count joins
+# (broadcast while they fit, shuffle-join beyond) + ONE 1-row
+# broadcast of the global/discount row. Zero Python.
+
+
+def _doc_fivegrams(df: DataFrame, *, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., w1..w5): adjacent token 5-tuples, map-side."""
+    a = tokens(F.col(text_col))
+    n = F.greatest(F.size(a) - F.lit(4), F.lit(0))  # <5 tokens -> none
+    pairs = F.zip_with(
+        F.slice(a, 1, n),
+        F.slice(a, 2, n),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    trips = F.zip_with(
+        pairs,
+        F.slice(a, 3, n),
+        lambda p, z: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")),
+    )
+    quads = F.zip_with(
+        trips,
+        F.slice(a, 4, n),
+        lambda t, z: F.struct(
+            t["w1"].alias("w1"), t["w2"].alias("w2"), t["w3"].alias("w3"),
+            z.alias("w4"),
+        ),
+    )
+    fives = F.zip_with(
+        quads,
+        F.slice(a, 5, n),
+        lambda q, z: F.struct(
+            q["w1"].alias("w1"), q["w2"].alias("w2"), q["w3"].alias("w3"),
+            q["w4"].alias("w4"), z.alias("w5"),
+        ),
+    )
+    return (
+        df.select(*id_cols, F.explode(fives).alias("_f"))
+        .select(
+            *id_cols,
+            F.col("_f.w1").alias("w1"),
+            F.col("_f.w2").alias("w2"),
+            F.col("_f.w3").alias("w3"),
+            F.col("_f.w4").alias("w4"),
+            F.col("_f.w5").alias("w5"),
+        )
+        .filter(
+            (F.col("w1") != "")
+            & (F.col("w2") != "")
+            & (F.col("w3") != "")
+            & (F.col("w4") != "")
+            & (F.col("w5") != "")
+        )
+    )
+
+
+def fivegram_lm(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w1..w5) -> c12345 over the LM corpus. One counts-only shuffle."""
+    return (
+        _doc_fivegrams(df, text_col=text_col, id_cols=[])
+        .groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12345"))
+    )
+
+
+def _mkn_ctx_stats(tbl: DataFrame, cnt: str, keys: list[str], k: int) -> DataFrame:
+    """Per-context totals + count-class sizes for gamma: t_k, and
+    N1/N2/N3+ of the count column within the context."""
+    return tbl.groupBy(*keys).agg(
+        F.sum(cnt).cast("long").alias(f"t{k}"),
+        F.sum((F.col(cnt) == 1).cast("long")).cast("long").alias(f"h1_{k}"),
+        F.sum((F.col(cnt) == 2).cast("long")).cast("long").alias(f"h2_{k}"),
+        F.sum((F.col(cnt) >= 3).cast("long")).cast("long").alias(f"h3_{k}"),
+    )
+
+
+def _mkn_count_classes(tbl: DataFrame, cnt: str, k: int) -> DataFrame:
+    """1-row counts-of-counts (n1..n4) of one order's count table —
+    the inputs to the Chen & Goodman discount formulas."""
+    return tbl.agg(
+        *[
+            F.sum((F.col(cnt) == j).cast("long")).cast("long").alias(f"n{j}_{k}")
+            for j in (1, 2, 3, 4)
+        ]
+    )
+
+
+def _mkn_discount_cols(k: int) -> list:
+    """D1/D2/D3+ column expressions for order ``k`` from its n1..n4.
+    Each discount falls back to its default (0.5 / 1.0 / 1.5) when the
+    Chen & Goodman formula is undefined (empty count class) OR
+    non-positive (skewed counts-of-counts can push D2/D3+ below 0 —
+    KenLM refuses to train on such distributions; the positive
+    fallback keeps every gamma > 0, so every seen context passes
+    interpolation mass down and p is never 0). D1 = 1 - 2Y*n2/n1 =
+    n1/(n1+2n2) is positive by construction, but gets the same guard
+    shape for expression symmetry. Mirrored token-for-token by the
+    DuckDB oracle."""
+    n1, n2, n3, n4 = (F.col(f"n{j}_{k}") for j in (1, 2, 3, 4))
+    y = (
+        F.when(
+            n1 + F.lit(2) * n2 > 0,
+            n1.cast("double") / (n1 + F.lit(2) * n2).cast("double"),
+        ).otherwise(F.lit(0.5))
+    )
+    d1raw = F.lit(1.0) - F.lit(2.0) * y * n2.cast("double") / n1.cast("double")
+    d2raw = F.lit(2.0) - F.lit(3.0) * y * n3.cast("double") / n2.cast("double")
+    d3raw = F.lit(3.0) - F.lit(4.0) * y * n4.cast("double") / n3.cast("double")
+    d1 = F.when((n1 > 0) & (d1raw > 0), d1raw).otherwise(F.lit(0.5))
+    d2 = F.when((n2 > 0) & (d2raw > 0), d2raw).otherwise(F.lit(1.0))
+    d3 = F.when((n3 > 0) & (d3raw > 0), d3raw).otherwise(F.lit(1.5))
+    return [d1.alias(f"d1_{k}"), d2.alias(f"d2_{k}"), d3.alias(f"d3_{k}")]
+
+
+def doc_surprisal_kneser_ney5(
+    df: DataFrame,
+    lm_corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Score every document of ``df`` under an order-5 interpolated
+    MODIFIED Kneser-Ney LM (KenLM's estimator) trained on
+    ``lm_corpus``: (doc_id, n_fivegrams, avg_surprisal, ppl [, keep]).
+    Documents with <5 tokens emit n_fivegrams=0, null scores and
+    keep=false — the full-input filter surface."""
+    uni = unigram_lm(lm_corpus, text_col=text_col)
+    big = bigram_lm(lm_corpus, text_col=text_col)
+    tri = trigram_lm(lm_corpus, text_col=text_col)
+    quad = fourgram_lm(lm_corpus, text_col=text_col)
+    five = fivegram_lm(lm_corpus, text_col=text_col)
+    norm = lm_normalizer(uni)
+    cnt = F.count(F.lit(1)).cast("long")
+    # continuation-count tables, renamed to doc 5-gram positions
+    a4 = five.groupBy("w2", "w3", "w4", "w5").agg(cnt.alias("a4"))
+    a3 = (
+        quad.groupBy("w2", "w3", "w4")
+        .agg(cnt.alias("a3"))
+        .select(
+            F.col("w2").alias("w3"), F.col("w3").alias("w4"),
+            F.col("w4").alias("w5"), "a3",
+        )
+    )
+    a2 = (
+        tri.groupBy("w2", "w3")
+        .agg(cnt.alias("a2"))
+        .select(F.col("w2").alias("w4"), F.col("w3").alias("w5"), "a2")
+    )
+    a1 = (
+        big.groupBy("w2")
+        .agg(cnt.alias("a1"))
+        .select(F.col("w2").alias("w5"), "a1")
+    )
+    ctx5 = _mkn_ctx_stats(five, "c12345", ["w1", "w2", "w3", "w4"], 5)
+    ctx4 = _mkn_ctx_stats(a4, "a4", ["w2", "w3", "w4"], 4)
+    ctx3 = _mkn_ctx_stats(a3, "a3", ["w3", "w4"], 3)
+    ctx2 = _mkn_ctx_stats(a2, "a2", ["w4"], 2)
+    g1 = a1.agg(
+        F.sum("a1").cast("long").alias("t1g"),
+        F.sum((F.col("a1") == 1).cast("long")).cast("long").alias("h1_1"),
+        F.sum((F.col("a1") == 2).cast("long")).cast("long").alias("h2_1"),
+        F.sum((F.col("a1") >= 3).cast("long")).cast("long").alias("h3_1"),
+    )
+    glob = (
+        g1.crossJoin(_mkn_count_classes(five, "c12345", 5))
+        .crossJoin(_mkn_count_classes(a4, "a4", 4))
+        .crossJoin(_mkn_count_classes(a3, "a3", 3))
+        .crossJoin(_mkn_count_classes(a2, "a2", 2))
+        .crossJoin(_mkn_count_classes(a1, "a1", 1))
+        .crossJoin(norm.select("vocab"))
+    )
+    glob = glob.select(
+        "*", *[c for k in (1, 2, 3, 4, 5) for c in _mkn_discount_cols(k)]
+    )
+
+    toks = _doc_fivegrams(df, text_col=text_col, id_cols=[id_col])
+    j = (
+        toks.join(five, ["w1", "w2", "w3", "w4", "w5"], "left")
+        .join(ctx5, ["w1", "w2", "w3", "w4"], "left")
+        .join(a4, ["w2", "w3", "w4", "w5"], "left")
+        .join(ctx4, ["w2", "w3", "w4"], "left")
+        .join(a3, ["w3", "w4", "w5"], "left")
+        .join(ctx3, ["w3", "w4"], "left")
+        .join(a2, ["w4", "w5"], "left")
+        .join(ctx2, ["w4"], "left")
+        .join(a1, ["w5"], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+
+    def dcase(c, k):
+        return (
+            F.when(c.isNull(), F.lit(0.0))
+            .when(c == 1, F.col(f"d1_{k}"))
+            .when(c == 2, F.col(f"d2_{k}"))
+            .otherwise(F.col(f"d3_{k}"))
+        )
+
+    def term(c, t, k):
+        return (
+            F.greatest(
+                F.coalesce(c, F.lit(0)).cast("double") - dcase(c, k), F.lit(0.0)
+            )
+            / t.cast("double")
+        )
+
+    def gam(t, k):
+        return (
+            F.col(f"d1_{k}") * F.col(f"h1_{k}").cast("double")
+            + F.col(f"d2_{k}") * F.col(f"h2_{k}").cast("double")
+            + F.col(f"d3_{k}") * F.col(f"h3_{k}").cast("double")
+        ) / t.cast("double")
+
+    unif = F.lit(1.0) / (F.col("vocab") + F.lit(1)).cast("double")
+    p1 = F.when(
+        F.col("t1g") > 0,
+        term(F.col("a1"), F.col("t1g"), 1) + gam(F.col("t1g"), 1) * unif,
+    ).otherwise(unif)
+    p2 = F.when(F.col("t2").isNull(), p1).otherwise(
+        term(F.col("a2"), F.col("t2"), 2) + gam(F.col("t2"), 2) * p1
+    )
+    p3 = F.when(F.col("t3").isNull(), p2).otherwise(
+        term(F.col("a3"), F.col("t3"), 3) + gam(F.col("t3"), 3) * p2
+    )
+    p4 = F.when(F.col("t4").isNull(), p3).otherwise(
+        term(F.col("a4"), F.col("t4"), 4) + gam(F.col("t4"), 4) * p3
+    )
+    p5 = F.when(F.col("t5").isNull(), p4).otherwise(
+        term(F.col("c12345"), F.col("t5"), 5) + gam(F.col("t5"), 5) * p4
+    )
+    scored = j.select(
+        id_col,
+        F.round((-F.log(p5)) * F.lit(1000000.0), 0).cast("long").alias("sup_micro"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fivegrams"),
+        F.sum("sup_micro").cast("long").alias("sum_micro"),
+    )
+    avg_micro = F.expr(
+        "CAST((2 * sum_micro + n_fivegrams) DIV (2 * n_fivegrams) AS BIGINT)"
+    )
+    avg = avg_micro.cast("double") / F.lit(1000000.0)
+    scored_docs = agg.select(
+        id_col,
+        "n_fivegrams",
+        F.round(avg, 6).alias("avg_surprisal"),
+        F.round(F.exp(F.round(avg, 6)), 4).alias("ppl"),
+    )
+    base = df.select(id_col).distinct()
+    out = base.join(scored_docs, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_fivegrams"), F.lit(0)).cast("long").alias("n_fivegrams"),
+        "avg_surprisal",
+        "ppl",
+    )
+    if max_ppl is not None:
+        out = out.withColumn(
+            "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
+        )
+    return out
+
+
+def doc_surprisal_kneser_ney5_oracle_sql(
+    *,
+    table_expr: str = "documents",
+    lm_filter: str = "doc_id % 2 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+) -> str:
+    """DuckDB twin of doc_surprisal_kneser_ney5: identical tokenization
+    and token-for-token identical arithmetic (same casts, same CASE
+    order, same parenthesization — every +,-,*,/ is IEEE exactly
+    rounded so the doubles match bit-for-bit; the single final ln's
+    cross-engine ulp is absorbed by micro-nat rounding). The p-chain is
+    computed through chained selects, which is value-identical to the
+    Spark side's inlined expression tree."""
+    keep = (
+        f", coalesce(ppl <= {float(max_ppl)}, false) AS keep"
+        if max_ppl is not None
+        else ""
+    )
+
+    def dcase(c, k):
+        return (
+            f"CASE WHEN {c} IS NULL THEN 0.0 WHEN {c} = 1 THEN d1_{k}"
+            f" WHEN {c} = 2 THEN d2_{k} ELSE d3_{k} END"
+        )
+
+    def term(c, t, k):
+        return (
+            f"greatest(CAST(coalesce({c}, 0) AS DOUBLE) - ({dcase(c, k)}), 0.0)"
+            f" / CAST({t} AS DOUBLE)"
+        )
+
+    def gam(t, k):
+        return (
+            f"(d1_{k} * CAST(h1_{k} AS DOUBLE) + d2_{k} * CAST(h2_{k} AS DOUBLE)"
+            f" + d3_{k} * CAST(h3_{k} AS DOUBLE)) / CAST({t} AS DOUBLE)"
+        )
+
+    def ctx_stats(cnt, keys, src, k):
+        return (
+            f"SELECT {keys}, CAST(sum({cnt}) AS BIGINT) AS t{k},"
+            f" CAST(sum(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1_{k},"
+            f" CAST(sum(CASE WHEN {cnt} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2_{k},"
+            f" CAST(sum(CASE WHEN {cnt} >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3_{k}"
+            f" FROM {src} GROUP BY {keys}"
+        )
+
+    def count_classes(cnt, src, k):
+        cols = ", ".join(
+            f"CAST(sum(CASE WHEN {cnt} = {j} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{j}_{k}"
+            for j in (1, 2, 3, 4)
+        )
+        return f"SELECT {cols} FROM {src}"
+
+    y_cols = ", ".join(
+        f"CASE WHEN n1_{k} + 2 * n2_{k} > 0 THEN CAST(n1_{k} AS DOUBLE)"
+        f" / CAST(n1_{k} + 2 * n2_{k} AS DOUBLE) ELSE 0.5 END AS y_{k}"
+        for k in (1, 2, 3, 4, 5)
+    )
+    def draw(k, j, mult, nnum, nden):
+        return (
+            f"({float(j)} - {float(mult)} * y_{k}"
+            f" * CAST({nnum} AS DOUBLE) / CAST({nden} AS DOUBLE))"
+        )
+
+    d_cols = ", ".join(
+        f"CASE WHEN n1_{k} > 0 AND {draw(k, 1, 2, f'n2_{k}', f'n1_{k}')} > 0"
+        f" THEN {draw(k, 1, 2, f'n2_{k}', f'n1_{k}')} ELSE 0.5 END AS d1_{k},"
+        f" CASE WHEN n2_{k} > 0 AND {draw(k, 2, 3, f'n3_{k}', f'n2_{k}')} > 0"
+        f" THEN {draw(k, 2, 3, f'n3_{k}', f'n2_{k}')} ELSE 1.0 END AS d2_{k},"
+        f" CASE WHEN n3_{k} > 0 AND {draw(k, 3, 4, f'n4_{k}', f'n3_{k}')} > 0"
+        f" THEN {draw(k, 3, 4, f'n4_{k}', f'n3_{k}')} ELSE 1.5 END AS d3_{k}"
+        for k in (1, 2, 3, 4, 5)
+    )
+    unif = "1.0 / CAST(vocab + 1 AS DOUBLE)"
+    return f"""
+        WITH lmdocs AS MATERIALIZED (
+            SELECT {id_col}, {text_col} FROM {table_expr} WHERE {lm_filter}),
+        toks AS MATERIALIZED (
+            SELECT string_split_regex(trim({text_col}), ' +') AS a FROM lmdocs),
+        uni AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(a) AS w FROM toks) WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        big AS MATERIALIZED (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                SELECT z[1] AS w1, z[2] AS w2 FROM (
+                    SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z FROM toks)
+            ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        tri AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+                    SELECT unnest(list_zip(a[1:-3], a[2:-2], a[3:-1])) AS z
+                    FROM toks)
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' GROUP BY w1, w2, w3),
+        quad AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, CAST(count(*) AS BIGINT) AS c1234 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3, z[4] AS w4 FROM (
+                    SELECT unnest(list_zip(a[1:-4], a[2:-3], a[3:-2], a[4:-1])) AS z
+                    FROM toks)
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' AND w4 <> ''
+            GROUP BY w1, w2, w3, w4),
+        five AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS c12345 FROM (
+                SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3, z[4] AS w4, z[5] AS w5
+                FROM (
+                    SELECT unnest(list_zip(a[1:-5], a[2:-4], a[3:-3], a[4:-2],
+                                           a[5:-1])) AS z
+                    FROM toks)
+            ) WHERE w1 <> '' AND w2 <> '' AND w3 <> '' AND w4 <> '' AND w5 <> ''
+            GROUP BY w1, w2, w3, w4, w5),
+        a4 AS MATERIALIZED (
+            SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS a4
+            FROM five GROUP BY w2, w3, w4, w5),
+        a3 AS MATERIALIZED (
+            SELECT w2 AS w3, w3 AS w4, w4 AS w5, a3 FROM (
+                SELECT w2, w3, w4, CAST(count(*) AS BIGINT) AS a3
+                FROM quad GROUP BY w2, w3, w4)),
+        a2 AS MATERIALIZED (
+            SELECT w2 AS w4, w3 AS w5, a2 FROM (
+                SELECT w2, w3, CAST(count(*) AS BIGINT) AS a2
+                FROM tri GROUP BY w2, w3)),
+        a1 AS MATERIALIZED (
+            SELECT w2 AS w5, a1 FROM (
+                SELECT w2, CAST(count(*) AS BIGINT) AS a1 FROM big GROUP BY w2)),
+        ctx5 AS MATERIALIZED ({ctx_stats("c12345", "w1, w2, w3, w4", "five", 5)}),
+        ctx4 AS MATERIALIZED ({ctx_stats("a4", "w2, w3, w4", "a4", 4)}),
+        ctx3 AS MATERIALIZED ({ctx_stats("a3", "w3, w4", "a3", 3)}),
+        ctx2 AS MATERIALIZED ({ctx_stats("a2", "w4", "a2", 2)}),
+        g1 AS (
+            SELECT CAST(sum(a1) AS BIGINT) AS t1g,
+                   CAST(sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1_1,
+                   CAST(sum(CASE WHEN a1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2_1,
+                   CAST(sum(CASE WHEN a1 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3_1
+            FROM a1),
+        cc5 AS ({count_classes("c12345", "five", 5)}),
+        cc4 AS ({count_classes("a4", "a4", 4)}),
+        cc3 AS ({count_classes("a3", "a3", 3)}),
+        cc2 AS ({count_classes("a2", "a2", 2)}),
+        cc1 AS ({count_classes("a1", "a1", 1)}),
+        disc0 AS (SELECT *, {y_cols} FROM cc5, cc4, cc3, cc2, cc1),
+        disc AS (SELECT *, {d_cols} FROM disc0),
+        db AS (
+            SELECT {id_col}, z[1] AS w1, z[2] AS w2, z[3] AS w3, z[4] AS w4,
+                   z[5] AS w5 FROM (
+                SELECT {id_col},
+                       unnest(list_zip(a[1:-5], a[2:-4], a[3:-3], a[4:-2],
+                                       a[5:-1])) AS z
+                FROM (
+                    SELECT {id_col}, string_split_regex(trim({text_col}), ' +') AS a
+                    FROM {table_expr})
+            ) WHERE z[1] <> '' AND z[2] <> '' AND z[3] <> '' AND z[4] <> ''
+              AND z[5] <> ''),
+        joined AS (
+            SELECT * FROM db
+            LEFT JOIN five USING (w1, w2, w3, w4, w5)
+            LEFT JOIN ctx5 USING (w1, w2, w3, w4)
+            LEFT JOIN a4 USING (w2, w3, w4, w5)
+            LEFT JOIN ctx4 USING (w2, w3, w4)
+            LEFT JOIN a3 USING (w3, w4, w5)
+            LEFT JOIN ctx3 USING (w3, w4)
+            LEFT JOIN a2 USING (w4, w5)
+            LEFT JOIN ctx2 USING (w4)
+            LEFT JOIN a1 USING (w5)
+            CROSS JOIN g1 CROSS JOIN disc CROSS JOIN tot),
+        s1 AS (SELECT *, CASE WHEN t1g > 0
+                   THEN {term("a1", "t1g", 1)} + {gam("t1g", 1)} * ({unif})
+                   ELSE {unif} END AS p1
+               FROM joined),
+        s2 AS (SELECT *, CASE WHEN t2 IS NULL THEN p1
+                   ELSE {term("a2", "t2", 2)} + {gam("t2", 2)} * p1 END AS p2
+               FROM s1),
+        s3 AS (SELECT *, CASE WHEN t3 IS NULL THEN p2
+                   ELSE {term("a3", "t3", 3)} + {gam("t3", 3)} * p2 END AS p3
+               FROM s2),
+        s4 AS (SELECT *, CASE WHEN t4 IS NULL THEN p3
+                   ELSE {term("a4", "t4", 4)} + {gam("t4", 4)} * p3 END AS p4
+               FROM s3),
+        s5 AS (SELECT *, CASE WHEN t5 IS NULL THEN p4
+                   ELSE {term("c12345", "t5", 5)} + {gam("t5", 5)} * p4 END AS p5
+               FROM s4),
+        scored AS (
+            SELECT {id_col},
+                   CAST(round((- ln(p5)) * 1000000.0) AS BIGINT) AS sup
+            FROM s5),
+        agg AS (
+            SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_fivegrams,
+                   CAST(sum(sup) AS BIGINT) AS sum_micro
+            FROM scored GROUP BY {id_col}),
+        avg AS (
+            SELECT {id_col}, n_fivegrams,
+                   CAST((2 * sum_micro + n_fivegrams) // (2 * n_fivegrams) AS BIGINT)
+                       AS avg_micro
+            FROM agg)
+        SELECT d.{id_col},
+               coalesce(n_fivegrams, 0) AS n_fivegrams,
+               round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6) AS avg_surprisal,
+               round(exp(round(CAST(avg_micro AS DOUBLE) / 1000000.0, 6)), 4) AS ppl
+               {keep}
+        FROM (SELECT DISTINCT {id_col} FROM {table_expr}) d
+        LEFT JOIN avg USING ({id_col})
+    """

@@ -85,10 +85,9 @@ class TestBenchContract:
 #: code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
 PREFIX_REQUIRED = [
-    "doc_perplexity_kn",         # new (r12: interpolated Kneser-Ney LM)
-    "doc_perplexity_quadgram",   # new (r12: 4-gram stupid-backoff LM)
-    "doc_perplexity_bins",       # distributed-rank NTILE swap (r12)
-    "text_bpe_roundtrip",        # chunked bpe_apply_merges (r12)
+    "doc_perplexity_kn5",        # new (r13: 5-gram modified Kneser-Ney)
+    "doc_perplexity_bins",       # integer-DIV bucket arithmetic (r13)
+    "text_bpe_roundtrip",        # retain-hooked chunked apply (r13)
 ]
 
 

@@ -967,3 +967,162 @@ class TestBpeTrain:
         # nesting — everything earlier sits behind a checkpoint scan
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("replace(") <= _BPE_MERGE_CHUNK + 8
+
+
+class TestModifiedKneserNey5:
+    """doc_surprisal_kneser_ney5 — order-5 interpolated MODIFIED
+    Kneser-Ney (KenLM's estimator): data-derived D1/D2/D3+ per order
+    from counts-of-counts, continuation counts at every lower order,
+    full interpolation down to uniform 1/(V+1). The reference test is
+    an INDEPENDENT pure-Python implementation of the same estimator
+    run over a small random corpus — every p-chain branch (seen
+    5-gram, each backoff depth, OOV word) is exercised and compared
+    at full micro-nat precision."""
+
+    @staticmethod
+    def _py_reference(lm_texts, doc_texts):
+        """Straight-line Python modified-KN, mirroring the operator's
+        documented formulas (same fallbacks, same rounding)."""
+        from collections import Counter
+
+        def toks(t):
+            return [w for w in t.strip().split() if w]
+
+        def ngrams(ws, n):
+            return [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+        counts = {n: Counter() for n in range(1, 6)}
+        for t in lm_texts:
+            ws = toks(t)
+            for n in range(1, 6):
+                counts[n].update(ngrams(ws, n))
+        vocab = len(counts[1])
+        # continuation tables: a_k(u) = distinct predecessors of u
+        a = {4: Counter(g[1:] for g in counts[5]),
+             3: Counter(g[1:] for g in counts[4]),
+             2: Counter(g[1:] for g in counts[3]),
+             1: Counter(g[1:] for g in counts[2])}
+        tables = {5: counts[5], 4: a[4], 3: a[3], 2: a[2], 1: a[1]}
+
+        def discounts(tbl):
+            cc = Counter(tbl.values())
+            n1, n2, n3, n4 = cc[1], cc[2], cc[3], cc[4]
+            y = n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+            ds = []
+            for j, mult, num, den, fb in ((1, 2.0, n2, n1, 0.5),
+                                          (2, 3.0, n3, n2, 1.0),
+                                          (3, 4.0, n4, n3, 1.5)):
+                raw = float(j) - mult * y * num / den if den > 0 else None
+                ds.append(raw if (den > 0 and raw > 0) else fb)
+            return ds
+
+        D = {k: discounts(tables[k]) for k in range(1, 6)}
+        # context stats: t_k, h1/h2/h3+ per context
+        ctx = {}
+        for k in range(1, 6):
+            st = {}
+            for g, c in tables[k].items():
+                key = g[:-1]
+                t, h1, h2, h3 = st.get(key, (0, 0, 0, 0))
+                st[key] = (t + c, h1 + (c == 1), h2 + (c == 2), h3 + (c >= 3))
+            ctx[k] = st
+
+        def p5(g):
+            unif = 1.0 / (vocab + 1)
+            p = unif
+            t1, h11, h21, h31 = ctx[1].get((), (0, 0, 0, 0))
+            if t1 > 0:
+                c = tables[1].get(g[4:], 0)
+                d = 0.0 if c == 0 else D[1][min(c, 3) - 1]
+                gam = (D[1][0] * h11 + D[1][1] * h21 + D[1][2] * h31) / t1
+                p = max(c - d, 0.0) / t1 + gam * p
+            for k in (2, 3, 4, 5):
+                key = g[5 - k:-1]
+                if key not in ctx[k]:
+                    continue
+                t, h1, h2, h3 = ctx[k][key]
+                c = tables[k].get(g[5 - k:], 0)
+                d = 0.0 if c == 0 else D[k][min(c, 3) - 1]
+                gam = (D[k][0] * h1 + D[k][1] * h2 + D[k][2] * h3) / t
+                p = max(c - d, 0.0) / t + gam * p
+            return p
+
+        out = {}
+        for doc_id, t in doc_texts:
+            ws = toks(t)
+            gs = ngrams(ws, 5)
+            if not gs:
+                out[doc_id] = (0, None, None)
+                continue
+            sups = [int(round(-math.log(p5(g)) * 1e6)) for g in gs]
+            s, n = sum(sups), len(sups)
+            avg_micro = (2 * s + n) // (2 * n)
+            avg = round(avg_micro / 1e6, 6)
+            out[doc_id] = (n, avg, round(math.exp(avg), 4))
+        return out
+
+    def test_matches_independent_python_reference(self, spark):
+        import random
+
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney5
+
+        rng = random.Random(13)
+        words = [f"w{i}" for i in range(30)]
+        mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+        lm_texts = [mk(rng.randint(5, 40)) for _ in range(40)]
+        doc_rows = (
+            [(i, lm_texts[i]) for i in range(0, 40, 4)]        # in-corpus
+            + [(100 + i, mk(rng.randint(5, 30))) for i in range(15)]  # held-out
+            + [(200, "zz qq " + mk(8)), (201, "w1 w2 w3"), (202, "")]
+        )
+        lm_df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(lm_texts)], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_fivegrams"], r["avg_surprisal"], r["ppl"])
+            for r in doc_surprisal_kneser_ney5(docs, lm_df).collect()
+        }
+        want = self._py_reference(lm_texts, doc_rows)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == want[k], f"doc {k}: {got[k]} != {want[k]}"
+
+    def test_short_docs_full_surface_and_keep(self, spark):
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney5
+
+        lm = spark.createDataFrame(
+            [(0, "a b c d e a b c d e a b c d f")], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d e"), (3, "")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in doc_surprisal_kneser_ney5(docs, lm, max_ppl=1e9).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[2]["n_fivegrams"] == 1 and out[2]["keep"] is True
+        for short in (1, 3):
+            assert out[short]["n_fivegrams"] == 0
+            assert out[short]["avg_surprisal"] is None
+            assert out[short]["keep"] is False
+
+    def test_probabilities_positive_under_skewed_counts(self, spark):
+        """The clamp-to-zero defect the first cut had: a context whose
+        counts-of-counts push D3+ <= 0 must fall back to the default
+        discount, keeping gamma > 0 and every score finite."""
+        from deltaforge_spark.operators.lm import doc_surprisal_kneser_ney5
+
+        # every 5-gram appears >= 4 times -> n1..n3 sparse/empty at
+        # high orders, the degenerate class the fallback guards
+        lm = spark.createDataFrame(
+            [(i, "p q r s t u p q r s t u") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        docs = spark.createDataFrame(
+            [(1, "p q r s t novel"), (2, "p q r s t u")], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in doc_surprisal_kneser_ney5(docs, lm).collect()}
+        for r in rows.values():
+            assert r["ppl"] is not None and r["ppl"] > 0

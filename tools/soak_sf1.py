@@ -63,6 +63,8 @@ KERNELS = [
     # r12: interpolated Kneser-Ney LM + 4-gram stupid backoff
     "doc_perplexity_kn",
     "doc_perplexity_quadgram",
+    # r13: order-5 modified Kneser-Ney
+    "doc_perplexity_kn5",
 ]
 
 

@@ -84,6 +84,37 @@ def _lsh_escape(spark, sf_dir):
     return embedding_neardup_lsh(emb, verify="post_join", broadcast_vectors=False)
 
 
+def _lsh_lowdup(spark, sf_dir):
+    """LOW-DUP fixture (VERDICT r12 #3): gen_sf makes every sf1
+    replica a near-dup, so the plain dedup_embedding_lsh soak ratio is
+    OUTPUT-dominated (27.7x at sf1) and can't detect a plan
+    regression. This variant deterministically sign-flips each
+    embedding per (vec_id, dim) — norm-preserving, but decorrelates
+    every pair, so output pairs ~ 0 and the wall clock isolates the
+    candidate-generation machinery (banding, bucket census, guard,
+    verify-join setup): the plan-cost regression detector the default
+    row no longer is."""
+    from pyspark.sql import functions as F
+
+    from deltaforge_spark.operators.dedup import embedding_neardup_lsh
+    from deltaforge_spark.sources.snapshot import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    flipped = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (F.lit(1.0) - F.lit(2.0) * (F.abs(F.hash(F.col("vec_id"), i)) % 2)),
+        ).alias("embedding"),
+    )
+    # 0.90 verify threshold: decorrelated 64-dim cosines are ~N(0, 1/8),
+    # so chance survivors (~7 sigma) are effectively impossible at any
+    # SF — the default 0.40 still passes ~3-sigma tails, which GROW
+    # with bucket density and would re-couple output to input size
+    return embedding_neardup_lsh(flipped, threshold=0.90)
+
+
 def _lsh_uncapped(spark, sf_dir):
     """max_bucket=None beside the now-default capped path (r10 flipped
     the guard on at 4096): the census + broadcast anti-join overhead on
@@ -152,9 +183,19 @@ def _pgoutput_two_phase_decode_staged(spark, sf_dir):
     return decode_pgoutput_two_phase(spark.read.parquet(path))
 
 
+#: pair-emitting kernels whose raw wall ratio is output-dominated on
+#: the replica-heavy sf1 fixture — these also record output-pair counts
+#: and a seconds-per-pair ratio (VERDICT r12 #3)
+OUTPUT_NORMALIZED = {
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_escape",
+    "dedup_embedding_lsh_uncapped",
+}
+
 EXTRA_KERNELS = {
     "dedup_embedding_lsh_escape": _lsh_escape,
     "dedup_embedding_lsh_uncapped": _lsh_uncapped,
+    "dedup_embedding_lsh_lowdup": _lsh_lowdup,
     "cdc_pgoutput_v2_decode_staged": _pgoutput_v2_decode_fast,
     "cdc_pgoutput_v2_decode_staged_dist": _pgoutput_v2_decode_dist,
     "cdc_pgoutput_two_phase_decode_staged": _pgoutput_two_phase_decode_staged,
@@ -197,7 +238,20 @@ def main() -> None:
                 sec = time.perf_counter() - t0
                 best = sec if best is None else min(best, sec)
             row[label] = round(best, 3)
+            if name in OUTPUT_NORMALIZED:
+                row[f"pairs_{label}"] = fn(spark, d).count()
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        # output-normalized ratio (VERDICT r12 #3): gen_sf makes every
+        # sf1 replica a near-dup, so the raw wall ratio on pair-emitting
+        # kernels tracks OUTPUT size, not plan health; seconds-per-pair
+        # scaling is the regression detector (1.0 = per-pair cost flat
+        # across the 10x)
+        if row.get("pairs_sf0.1") and row.get("pairs_sf1"):
+            row["ratio_per_pair"] = round(
+                (row["sf1"] / row["pairs_sf1"])
+                / (row["sf0.1"] / row["pairs_sf0.1"]),
+                3,
+            )
         out[name] = row
         print(f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s ratio={row['ratio']}x",
               file=sys.stderr, flush=True)

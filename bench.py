@@ -194,8 +194,12 @@ HEADLINE = [
     "doc_perplexity_kn",
     "doc_perplexity_quadgram",
     "doc_perplexity_bins",
-    # r13: order-5 modified Kneser-Ney (the full KenLM configuration)
+    # r13: order-5 modified Kneser-Ney (the full KenLM configuration),
+    # DSIR importance resampling, and Broder containment pairs
     "doc_perplexity_kn5",
+    "doc_dsir_weights",
+    "doc_dsir_select",
+    "dedup_containment",
 ]
 
 

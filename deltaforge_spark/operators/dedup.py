@@ -442,6 +442,66 @@ def shingle_jaccard_pairs(
     return out
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs via the same inverted-index join
+    as :func:`shingle_jaccard_pairs` — Broder's asymmetric resemblance
+    measure (Broder 1997, "On the resemblance and containment of
+    documents"): C(A in B) = |S(A) ∩ S(B)| / |S(A)|.
+
+    Jaccard misses subset relations: a short document quoted wholesale
+    inside a long one has low Jaccard (the union is big) but containment
+    ~1.0 — exactly the quote/boilerplate-inclusion duplicates a
+    training-data pass wants to catch. Output keeps BOTH directions plus
+    their max; pairs survive when max(c_a_in_b, c_b_in_a) >= threshold.
+
+    Scale shape is identical to the Jaccard op (one shingle-keyed
+    self-join, never all-pairs; optional doc-frequency pruning bounds
+    hot boilerplate keys at max_doc_freq²) — containment is one extra
+    column off the same intersection counts."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if max_doc_freq is not None:
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        base = base.withColumn("_df", dfreq).filter(
+            F.col("_df") <= max_doc_freq
+        ).drop("_df")
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            c_ab.alias("c_a_in_b"),
+            c_ba.alias("c_b_in_a"),
+            F.greatest(c_ab, c_ba).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

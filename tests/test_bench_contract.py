@@ -85,6 +85,9 @@ class TestBenchContract:
 #: code/oracle changed this round
 #: (their old driver rows no longer describe the current code)
 PREFIX_REQUIRED = [
+    "doc_dsir_weights",          # new (r13: DSIR importance weights)
+    "doc_dsir_select",           # new (r13: DSIR Gumbel top-k resample)
+    "dedup_containment",         # new (r13: Broder containment pairs)
     "doc_perplexity_kn5",        # new (r13: 5-gram modified Kneser-Ney)
     "doc_perplexity_bins",       # integer-DIV bucket arithmetic (r13)
     "text_bpe_roundtrip",        # retain-hooked chunked apply (r13)

@@ -63,8 +63,12 @@ KERNELS = [
     # r12: interpolated Kneser-Ney LM + 4-gram stupid backoff
     "doc_perplexity_kn",
     "doc_perplexity_quadgram",
-    # r13: order-5 modified Kneser-Ney
+    # r13: order-5 modified Kneser-Ney, DSIR importance resampling,
+    # Broder containment pairs
     "doc_perplexity_kn5",
+    "doc_dsir_weights",
+    "doc_dsir_select",
+    "dedup_containment",
 ]
 
 

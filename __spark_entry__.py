@@ -4974,6 +4974,23 @@ def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(w, k=100).select("doc_id", "n_grams", "log_weight")
 
 
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (operators/classifier.py,
+    arXiv:1607.01759 — the GPT-3/LLaMA/CCNet data-filtering tool):
+    logistic regression over the hashed uni+bigram buckets, positives =
+    every 7th doc (the curated proxy), 6 rounds of full-batch GD with
+    integer micro-unit weights. Features are extracted once into a pin;
+    each round is one bounded job ending in an O(B) gradient collect;
+    the update runs driver-side in exact int64 (trunc division matching
+    DuckDB's //). Output: per-doc probability + keep flag, hash-exact
+    vs an oracle that re-trains all 6 rounds in chained SQL CTEs."""
+    _prep(spark)
+    from deltaforge_spark.operators.classifier import doc_quality_classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_quality_classifier(docs, label=F.col("doc_id") % 7 == 0)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram containment pairs (operators/dedup.py, Broder 1997):
     C(A in B) = |S(A)∩S(B)| / |S(A)| over distinct word trigrams —
@@ -4996,6 +5013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # historical grouping, not the verification prefix ---
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_dsir_select": q_doc_dsir_select,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "dedup_containment": q_dedup_containment,
     "doc_perplexity_kn": q_doc_perplexity_kn,
     "doc_perplexity_kn5": q_doc_perplexity_kn5,
@@ -5346,12 +5364,12 @@ _SHINGLES_SQL = """
 
 _H48 = "CAST(('0x' || substr(md5('s{seed}:' || {col}), 1, 12)) AS BIGINT)"
 
-# DSIR weights CTE chain (operators/dsir.py parity): word uni+bigram
-# features with multiplicity → 4096 md5 buckets → add-one log-ratio
-# scores in integer micro-nats → per-doc exact integer dot product.
-# Target = doc_id % 7 = 0, raw = full corpus, mirroring the Spark query.
-_DSIR_WEIGHTS_SQL = """
-    WITH t AS (
+# Hashed uni+bigram feature CTE chain shared by the DSIR and trained-
+# classifier oracles (operators/dsir.py doc_gram_buckets parity):
+# word uni+bigrams with multiplicity → 4096 md5 buckets → per-doc
+# bucket counts. db is MATERIALIZED — the classifier oracle references
+# it once per training round.
+_DSIR_GRAMS_SQL = """t AS (
       SELECT doc_id, string_split_regex(trim(text), ' +') AS a FROM documents
     ), uni AS (
       SELECT doc_id, unnest(a) AS g FROM t
@@ -5364,13 +5382,93 @@ _DSIR_WEIGHTS_SQL = """
     ), grams AS (
       SELECT doc_id, g FROM uni WHERE g <> ''
       UNION ALL SELECT doc_id, g FROM bi
-    ), db AS (
+    ), db AS MATERIALIZED (
       SELECT doc_id,
              CAST(('0x' || substr(md5('dsir:' || g), 1, 12)) AS BIGINT) % 4096
                AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
       FROM grams GROUP BY 1, 2
-    ), rawb AS (
+    )"""
+
+def _classifier_oracle(iters: int = 6, lr_num: int = 4) -> str:
+    """Re-train the hashed-feature logistic classifier
+    (operators/classifier.py) entirely in SQL: one MATERIALIZED CTE
+    stage per GD round (the bpe_train oracle pattern — the oracle
+    RE-LEARNS, it does not read the engine's weights). Every double
+    expression is token-identical to the Spark side (same
+    associativity), all rounded quantities are exact integers, and the
+    weight update uses DuckDB's truncating // — the same semantics the
+    driver-side Python update implements explicitly."""
+    parts = [
+        f"WITH {_DSIR_GRAMS_SQL}",
+        """nd AS MATERIALIZED (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM db GROUP BY 1
+        )""",
+        """y AS MATERIALIZED (
+          SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+          FROM nd
+        )""",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nd)",
+        "allb AS MATERIALIZED (SELECT DISTINCT bucket FROM db)",
+        "w1 AS MATERIALIZED (SELECT bucket, CAST(0 AS BIGINT) AS w FROM allb)",
+        "b1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS b)",
+    ]
+    for k in range(1, iters + 2):
+        # margin/probability under w{k}; round iters+1 is scoring-only
+        parts.append(f"""m{k} AS MATERIALIZED (
+          SELECT d.doc_id, nd.n, y.y,
+                 round(1.0e0 / (1.0e0 + exp(-(
+                     CAST(sum(d.cnt * coalesce(w.w, 0)) AS DOUBLE)
+                       / (nd.n * 1000000.0e0)
+                     + CAST((SELECT b FROM b{k}) AS DOUBLE) / 1000000.0e0
+                 ))), 6) AS p
+          FROM db d
+          JOIN nd ON nd.doc_id = d.doc_id
+          JOIN y ON y.doc_id = d.doc_id
+          LEFT JOIN w{k} w ON w.bucket = d.bucket
+          GROUP BY d.doc_id, nd.n, y.y
+        )""")
+        if k == iters + 1:
+            break
+        parts.append(f"""g{k} AS MATERIALIZED (
+          SELECT d.bucket,
+                 CAST(sum(CAST(round((m.p - m.y) * d.cnt * 1000000.0e0 / m.n,
+                                     0) AS BIGINT)) AS BIGINT) AS g
+          FROM db d JOIN m{k} m ON m.doc_id = d.doc_id
+          GROUP BY 1
+        )""")
+        parts.append(f"""gb{k} AS MATERIALIZED (
+          SELECT CAST(sum(CAST(round((p - y) * 1000000.0e0, 0) AS BIGINT))
+                      AS BIGINT) AS g
+          FROM m{k}
+        )""")
+        parts.append(f"""w{k + 1} AS MATERIALIZED (
+          SELECT a.bucket,
+                 coalesce(w.w, 0)
+                   - (({lr_num} * coalesce(g.g, 0)) // (SELECT n FROM nn)) AS w
+          FROM allb a
+          LEFT JOIN w{k} w ON w.bucket = a.bucket
+          LEFT JOIN g{k} g ON g.bucket = a.bucket
+        )""")
+        parts.append(f"""b{k + 1} AS MATERIALIZED (
+          SELECT (SELECT b FROM b{k})
+                   - (({lr_num} * coalesce((SELECT g FROM gb{k}), 0))
+                      // (SELECT n FROM nn)) AS b
+        )""")
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT doc_id, n AS n_grams, p AS prob, (p >= 0.5e0) AS keep
+        FROM m{iters + 1}
+        """
+    )
+
+
+# DSIR weights CTE chain: add-one log-ratio scores in integer
+# micro-nats → per-doc exact integer dot product. Target =
+# doc_id % 7 = 0, raw = full corpus, mirroring the Spark query.
+_DSIR_WEIGHTS_SQL = f"""
+    WITH {_DSIR_GRAMS_SQL}, rawb AS (
       SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_raw FROM db GROUP BY 1
     ), tgtb AS (
       SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_tgt
@@ -7676,6 +7774,7 @@ def _oracle_sql_base() -> dict[str, str]:
             {_DSIR_WEIGHTS_SQL}
             SELECT doc_id, n_grams, log_weight FROM w
         """,
+        "doc_quality_classifier": _classifier_oracle(),
         "doc_dsir_select": f"""
             {_DSIR_WEIGHTS_SQL}
             SELECT doc_id, n_grams, log_weight
@@ -8366,6 +8465,7 @@ def _oracle_sql_base() -> dict[str, str]:
 R13_PREFIX = [
     "doc_dsir_weights",
     "doc_dsir_select",
+    "doc_quality_classifier",
     "dedup_containment",
     "doc_perplexity_kn5",
     "doc_perplexity_bins",

@@ -199,6 +199,7 @@ HEADLINE = [
     "doc_perplexity_kn5",
     "doc_dsir_weights",
     "doc_dsir_select",
+    "doc_quality_classifier",
     "dedup_containment",
 ]
 

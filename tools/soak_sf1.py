@@ -68,6 +68,7 @@ KERNELS = [
     "doc_perplexity_kn5",
     "doc_dsir_weights",
     "doc_dsir_select",
+    "doc_quality_classifier",
     "dedup_containment",
 ]
 
@@ -194,6 +195,9 @@ OUTPUT_NORMALIZED = {
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_escape",
     "dedup_embedding_lsh_uncapped",
+    # gen_sf makes every replica a near-dup of its original, so
+    # pair-emitting text-dedup kernels are output-dominated at sf1 too
+    "dedup_containment",
 }
 
 EXTRA_KERNELS = {

@@ -4974,6 +4974,31 @@ def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(w, k=100).select("doc_id", "n_grams", "log_weight")
 
 
+def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse,
+    Cormack 2009): fuse the embedding-cosine top-50 for probe vector 0
+    (brute_force_topk — broadcast queries, corpus never shuffles) with
+    the BM25 lexical top-50 for the fixed term set (bm25_search) into a
+    fused top-20. The merge runs on at most 100 rows regardless of
+    corpus size; the final rank window sits above a
+    TakeOrderedAndProject (the reviewed bm25 pattern)."""
+    _prep(spark)
+    from deltaforge_spark.operators.keywords import bm25_search
+    from deltaforge_spark.operators.similarity import rrf_fuse
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(emb, qvec, k=50).select(
+        F.col("match_id").alias("doc_id"), "rank"
+    )
+    sparse = bm25_search(
+        read_table(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=50
+    ).select("doc_id", "rank")
+    return rrf_fuse(dense, sparse, k=20)
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (operators/classifier.py,
     arXiv:1607.01759 — the GPT-3/LLaMA/CCNet data-filtering tool):
@@ -5014,6 +5039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_dsir_select": q_doc_dsir_select,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
     "dedup_containment": q_dedup_containment,
     "doc_perplexity_kn": q_doc_perplexity_kn,
     "doc_perplexity_kn5": q_doc_perplexity_kn5,
@@ -7775,6 +7801,79 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, n_grams, log_weight FROM w
         """,
         "doc_quality_classifier": _classifier_oracle(),
+        "similarity_hybrid_rrf": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+            dscored AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_dot_product(qv, v) /
+                             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                             6) AS cosine_sim
+                FROM e, q WHERE e.vec_id != q.query_id
+            ),
+            dense AS (
+                SELECT doc_id, rank_dense FROM (
+                    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id)
+                                        AS INT) AS rank_dense
+                    FROM dscored
+                ) WHERE rank_dense <= 50
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+            idf AS (
+                SELECT term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+                FROM qtf, n GROUP BY term, n.n_docs
+            ),
+            avgl AS (SELECT avg(dl) AS avgdl FROM dl),
+            bscored AS (
+                SELECT q.doc_id, q.term,
+                       idf.idf * (q.tf * (1.2e0 + 1))
+                           / (q.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / avgl.avgdl))
+                           AS s
+                FROM qtf q JOIN idf USING (term) JOIN dl USING (doc_id), avgl
+            ),
+            bagg AS (
+                SELECT doc_id,
+                       coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+                     + coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+                     + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+                         AS total
+                FROM bscored GROUP BY doc_id
+            ),
+            sparse AS (
+                SELECT doc_id, rank_sparse FROM (
+                    SELECT doc_id, CAST(row_number() OVER (ORDER BY round(total, 6) DESC, doc_id)
+                                        AS INT) AS rank_sparse
+                    FROM bagg
+                ) WHERE rank_sparse <= 50
+            ),
+            fused AS (
+                SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+                       d.rank_dense, s.rank_sparse,
+                       round(coalesce(1.0e0 / (60.0e0 + d.rank_dense), 0.0e0)
+                           + coalesce(1.0e0 / (60.0e0 + s.rank_sparse), 0.0e0),
+                             6) AS rrf_score
+                FROM dense d FULL JOIN sparse s ON d.doc_id = s.doc_id
+            ),
+            r AS (
+                SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                               AS INT) AS rank
+                FROM fused
+            )
+            SELECT doc_id, rank_dense, rank_sparse, rrf_score, rank
+            FROM r WHERE rank <= 20
+        """,
         "doc_dsir_select": f"""
             {_DSIR_WEIGHTS_SQL}
             SELECT doc_id, n_grams, log_weight
@@ -8466,6 +8565,7 @@ R13_PREFIX = [
     "doc_dsir_weights",
     "doc_dsir_select",
     "doc_quality_classifier",
+    "similarity_hybrid_rrf",
     "dedup_containment",
     "doc_perplexity_kn5",
     "doc_perplexity_bins",

@@ -200,6 +200,7 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_dsir_select",
     "doc_quality_classifier",
+    "similarity_hybrid_rrf",
     "dedup_containment",
 ]
 

@@ -413,6 +413,63 @@ def lsh_topk(
     )
 
 
+def rrf_fuse(
+    dense: DataFrame,
+    sparse: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009) — the standard hybrid-search merge
+    of an embedding-ANN list with a BM25 lexical list:
+
+        rrf(d) = 1/(k_rrf + rank_dense(d)) + 1/(k_rrf + rank_sparse(d))
+
+    with a missing list contributing 0. Rank-based (not score-based)
+    fusion needs no cross-list score calibration, which is why it wins
+    in production hybrid retrieval.
+
+    Output: (doc_id, rank_dense, rank_sparse, rrf_score, rank) — the
+    top-``k`` fused docs; absent-side ranks stay NULL.
+
+    Scale shape: both inputs are ALREADY top-k lists (bounded by their
+    retrieval k), so the full-outer merge and final ranking run on at
+    most |dense|+|sparse| rows — the fuse costs nothing at any corpus
+    size; all the heavy lifting stays in the upstream retrieval
+    operators. The final row_number window follows the bm25_search
+    pattern: rank assignment ABOVE an orderBy().limit(k)
+    (TakeOrderedAndProject), so the window input is k rows by
+    construction. Fixed two-term sum — no float-order ambiguity."""
+    d = dense.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_dense")
+    )
+    s = sparse.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_sparse")
+    )
+    fused = d.join(s, "doc_id", "full").select(
+        "doc_id",
+        "rank_dense",
+        "rank_sparse",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank_dense")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank_sparse")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

@@ -771,6 +771,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "basket_brand_lift": "row_number above .limit(20)",
     "corpus_report": "row_number above vocab_topk's TakeOrderedAndProject(20)",
     "doc_bm25_search": "row_number above bm25_search's TakeOrderedAndProject(k)",
+    # fused list is <= |dense|+|sparse| = 100 rows by construction; both
+    # rank windows sit above orderBy().limit(k) TakeOrdered heads
+    "similarity_hybrid_rrf": "rrf + bm25 rank windows above TakeOrderedAndProject(k)",
     "q10_returned_items": "row_number above TakeOrderedAndProject(20)",
     # the documented exact-audit twin: NTILE over the per-customer
     # aggregate, paired with the sampled at-scale twin

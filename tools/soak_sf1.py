@@ -69,6 +69,7 @@ KERNELS = [
     "doc_dsir_weights",
     "doc_dsir_select",
     "doc_quality_classifier",
+    "similarity_hybrid_rrf",
     "dedup_containment",
 ]
 

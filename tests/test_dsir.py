@@ -102,6 +102,22 @@ def test_gram_buckets_empty_doc_absent(spark):
     assert ids == {1}
 
 
+def test_dsir_weights_reshard_deterministic(spark):
+    df = spark.createDataFrame(DOCS)
+    target = df.filter(F.col("doc_id") <= 2)
+    a = sorted(
+        (r["doc_id"], r["log_weight"])
+        for r in doc_dsir_weights(df, df, target).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["log_weight"])
+        for r in doc_dsir_weights(
+            df.repartition(11), df.repartition(5), target.repartition(3)
+        ).collect()
+    )
+    assert a == b
+
+
 def test_dsir_select_deterministic_and_bounded(spark):
     df = spark.createDataFrame(DOCS)
     target = df.filter(F.col("doc_id") <= 2)

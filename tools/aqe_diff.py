@@ -52,6 +52,13 @@ KERNELS = [
     "dedup_lsh_recall",
     "dataset_split_leakage_safe",
     "customer_value_deciles_sampled",
+    # r13 additions: the DSIR broadcast score join, the classifier's
+    # per-round feature joins, the containment inverted-index self-join,
+    # and the hybrid fuse's bounded full-outer merge
+    "doc_dsir_weights",
+    "doc_quality_classifier",
+    "dedup_containment",
+    "similarity_hybrid_rrf",
 ]
 
 MARKERS = {

@@ -4999,6 +4999,21 @@ def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(dense, sparse, k=20)
 
 
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-estimated containment (dedup.containment_lsh_pairs): banded
+    MinHash candidates + the signature-agreement Jaccard estimator +
+    Broder's J→containment identity off exact distinct-shingle sizes —
+    the scale path whose exact twin is dedup_containment. Candidates
+    shuffle on (band, bucket); nothing is quadratic in the corpus."""
+    _prep(spark)
+    from deltaforge_spark.operators.dedup import containment_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5
+    )
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (operators/classifier.py,
     arXiv:1607.01759 — the GPT-3/LLaMA/CCNet data-filtering tool):
@@ -5041,6 +5056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
     "dedup_containment": q_dedup_containment,
+    "dedup_containment_lsh": q_dedup_containment_lsh,
     "doc_perplexity_kn": q_doc_perplexity_kn,
     "doc_perplexity_kn5": q_doc_perplexity_kn5,
     "doc_perplexity_quadgram": q_doc_perplexity_quadgram,
@@ -5697,6 +5713,54 @@ def _minhash_lsh_oracle() -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _containment_lsh_oracle() -> str:
+    """LSH-estimated containment (dedup.containment_lsh_pairs parity):
+    the minhash candidate CTE + signature-agreement Jaccard estimate +
+    Broder's J→containment identity over exact distinct-shingle
+    sizes, every double expression token-identical to the Spark side."""
+    bands = []
+    for b in range(4):
+        m0, m1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(CAST({m0} AS VARCHAR) || ':' || CAST({m1} AS VARCHAR)) AS bucket FROM sig"
+        )
+    union = " UNION ALL ".join(bands)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    cap = (
+        "round(least(jaccard_est * (na.n + nb.n) / ((1.0e0 + jaccard_est) * {d}.n),"
+        " 1.0e0), 6)"
+    )
+    c_a, c_b = cap.format(d="na"), cap.format(d="nb")
+    return f"""
+        WITH sig AS ({_minhash_oracle()}),
+        buckets AS ({union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b, round(({agree}) / 8, 6) AS jaccard_est
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.jaccard_est,
+               {c_a} AS c_a_in_b_est,
+               {c_b} AS c_b_in_a_est,
+               greatest({c_a}, {c_b}) AS containment_est
+        FROM est e
+        JOIN sizes na ON na.doc_id = e.doc_a
+        JOIN sizes nb ON nb.doc_id = e.doc_b
+        WHERE greatest({c_a}, {c_b}) >= 0.5
     """
 
 
@@ -7407,6 +7471,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT op, count(*) AS n FROM d WHERE rn = 1 GROUP BY op
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_containment_lsh": _containment_lsh_oracle(),
         "type_rules": """
             SELECT event_id,
                    CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value_wire,
@@ -8567,6 +8632,7 @@ R13_PREFIX = [
     "doc_quality_classifier",
     "similarity_hybrid_rrf",
     "dedup_containment",
+    "dedup_containment_lsh",
     "doc_perplexity_kn5",
     "doc_perplexity_bins",
     "text_bpe_roundtrip",

@@ -202,6 +202,7 @@ HEADLINE = [
     "doc_quality_classifier",
     "similarity_hybrid_rrf",
     "dedup_containment",
+    "dedup_containment_lsh",
 ]
 
 

@@ -502,6 +502,94 @@ def shingle_containment_pairs(
     )
 
 
+def containment_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH-ESTIMATED containment pairs — the 100-TB scale path for
+    :func:`shingle_containment_pairs` (whose exact inverted-index join
+    stays the verification twin): banded-MinHash candidates, the
+    signature-agreement Jaccard estimator, and Broder's identity
+    converting Jaccard + set sizes into containment:
+
+        I = J·(|A|+|B|)/(1+J)   ⇒   C(A in B) = I/|A|   (capped at 1)
+
+    Output: (doc_a, doc_b, jaccard_est, c_a_in_b_est, c_b_in_a_est,
+    containment_est) for candidate pairs at/above ``threshold``.
+
+    Scale shape: signatures are one explode + one groupBy (k longs per
+    doc); candidates shuffle on (band, bucket), never all-pairs; sizes
+    are a map-only distinct-shingle count; the estimator join touches
+    only candidate pairs. Nothing is quadratic in the corpus — the
+    exact op's shingle self-join (bounded only by doc-frequency
+    pruning) never runs."""
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    cands = minhash_lsh_pairs(sig, num_hashes=num_hashes, bands=bands)
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
+    ).filter(F.col("n_sh") > 0)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(num_hashes)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(num_hashes), 6).alias("jaccard_est"),
+        )
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("jaccard_est")
+    c_a = F.round(
+        F.least(
+            j * (F.col("n_a") + F.col("n_b")) / ((F.lit(1.0) + j) * F.col("n_a")),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    c_b = F.round(
+        F.least(
+            j * (F.col("n_a") + F.col("n_b")) / ((F.lit(1.0) + j) * F.col("n_b")),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return (
+        est.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            c_a.alias("c_a_in_b_est"),
+            c_b.alias("c_b_in_a_est"),
+            F.greatest(c_a, c_b).alias("containment_est"),
+        )
+        .filter(F.col("containment_est") >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

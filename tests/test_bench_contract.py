@@ -89,6 +89,7 @@ PREFIX_REQUIRED = [
     "doc_dsir_select",           # new (r13: DSIR Gumbel top-k resample)
     "doc_quality_classifier",    # new (r13: trained quality classifier)
     "similarity_hybrid_rrf",     # new (r13: hybrid retrieval RRF fusion)
+    "dedup_containment_lsh",     # new (r13: LSH-estimated containment)
     "dedup_containment",         # new (r13: Broder containment pairs)
     "doc_perplexity_kn5",        # new (r13: 5-gram modified Kneser-Ney)
     "doc_perplexity_bins",       # integer-DIV bucket arithmetic (r13)

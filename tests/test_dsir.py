@@ -8,7 +8,10 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Row
 
-from deltaforge_spark.operators.dedup import shingle_containment_pairs
+from deltaforge_spark.operators.dedup import (
+    containment_lsh_pairs,
+    shingle_containment_pairs,
+)
 from deltaforge_spark.operators.dsir import (
     doc_dsir_weights,
     doc_gram_buckets,
@@ -153,6 +156,28 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (1, 3) not in out and (2, 3) not in out
     # jaccard on the same pair is diluted far below the threshold
     assert pair["n_inter"] / (3 + 44 - pair["n_inter"]) < 0.1
+
+
+def test_containment_lsh_estimates_track_exact_on_subset(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        Row(doc_id=1, text=base),                       # subset
+        Row(doc_id=2, text=base + " x1 x2 x3"),         # superset of doc 1
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs)
+    est = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_lsh_pairs(
+            df, text_col="text", id_col="doc_id", threshold=0.5
+        ).collect()
+    }
+    pair = est[(1, 2)]
+    # identical signatures on near-identical shingle sets -> J_est near
+    # 1 -> derived containment near/at the cap; disjoint doc 3 absent
+    assert pair["containment_est"] >= 0.9
+    assert pair["c_a_in_b_est"] >= pair["c_b_in_a_est"]  # subset side saturates
+    assert not any(3 in p for p in est)
 
 
 def test_containment_hot_shingle_pruning_bounds_join(spark):

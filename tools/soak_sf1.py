@@ -71,6 +71,7 @@ KERNELS = [
     "doc_quality_classifier",
     "similarity_hybrid_rrf",
     "dedup_containment",
+    "dedup_containment_lsh",
 ]
 
 
@@ -199,6 +200,7 @@ OUTPUT_NORMALIZED = {
     # gen_sf makes every replica a near-dup of its original, so
     # pair-emitting text-dedup kernels are output-dominated at sf1 too
     "dedup_containment",
+    "dedup_containment_lsh",
 }
 
 EXTRA_KERNELS = {

@@ -3544,9 +3544,14 @@ def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import types as T
 
+    from deltaforge_spark.plans.lineage import pin, retain
     from deltaforge_spark.sources.pgoutput import decode_pgoutput, synth_pgoutput_orders
 
-    stream = synth_pgoutput_orders(spark, sf_dir)
+    # pin the synth stream: decode references it three times (relation
+    # catalog, DML parse, tx table) and each reference re-ran the whole
+    # applyInPandas encode — r13 optimization (guide §2.4/§5), the
+    # caller releases via the retained-pin convention
+    stream = pin(synth_pgoutput_orders(spark, sf_dir))
     dec = decode_pgoutput(stream)
     img_schema = T.StructType(
         [
@@ -3561,7 +3566,7 @@ def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = F.from_json(F.col("after"), img_schema)
     before = F.from_json(F.col("before"), img_schema)
     img = F.coalesce(after, before)
-    return dec.select(
+    out = dec.select(
         F.col("op"),
         F.col("xid"),
         F.col("commit_ts_ms"),
@@ -3573,6 +3578,7 @@ def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_orderpriority"].alias("o_orderpriority"),
         before["o_totalprice"].alias("before_totalprice"),
     )
+    return retain(out, stream)
 
 
 def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3591,12 +3597,15 @@ def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import types as T
 
+    from deltaforge_spark.plans.lineage import pin, retain
     from deltaforge_spark.sources.pgoutput import (
         decode_pgoutput_v2,
         synth_pgoutput_streamed,
     )
 
-    stream = synth_pgoutput_streamed(spark, sf_dir)
+    # pinned: the v2 decode references the stream several times (block
+    # attribution, commit gating, abort anti-join) — r13 optimization
+    stream = pin(synth_pgoutput_streamed(spark, sf_dir))
     dec = decode_pgoutput_v2(stream)
     img_schema = T.StructType(
         [
@@ -3611,7 +3620,7 @@ def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = F.from_json(F.col("after"), img_schema)
     before = F.from_json(F.col("before"), img_schema)
     img = F.coalesce(after, before)
-    return dec.select(
+    out = dec.select(
         F.col("op"),
         F.col("xid"),
         F.col("commit_ts_ms"),
@@ -3620,6 +3629,7 @@ def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_totalprice"].alias("o_totalprice"),
         before["o_totalprice"].alias("before_totalprice"),
     ).withColumn("was_streamed", F.expr("(o_orderkey DIV 64) % 3 = 0"))
+    return retain(out, stream)
 
 
 def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3637,12 +3647,15 @@ def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import types as T
 
+    from deltaforge_spark.plans.lineage import pin, retain
     from deltaforge_spark.sources.pgoutput import (
         decode_pgoutput_two_phase,
         synth_pgoutput_two_phase,
     )
 
-    stream = synth_pgoutput_two_phase(spark, sf_dir)
+    # pinned: the 2PC decode references the stream for DML, prepare
+    # framing AND the gid decision join — r13 optimization
+    stream = pin(synth_pgoutput_two_phase(spark, sf_dir))
     dec = decode_pgoutput_two_phase(stream)
     img_schema = T.StructType(
         [
@@ -3657,7 +3670,7 @@ def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = F.from_json(F.col("after"), img_schema)
     before = F.from_json(F.col("before"), img_schema)
     img = F.coalesce(after, before)
-    return dec.select(
+    out = dec.select(
         F.col("op"),
         F.col("xid"),
         F.col("gid"),
@@ -3667,6 +3680,7 @@ def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_totalprice"].alias("o_totalprice"),
         before["o_totalprice"].alias("before_totalprice"),
     )
+    return retain(out, stream)
 
 
 def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3894,9 +3908,14 @@ def q_cdc_pgoutput_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderpriority", T.StringType()),
         ]
     )
-    env = pgoutput_change_feed(synth_pgoutput_orders(spark, sf_dir), image_schema)
+    from deltaforge_spark.plans.lineage import pin, retain
+
+    # pinned synth stream (r13 optimization): the composed decode
+    # references it three times, see q_cdc_pgoutput_decode
+    stream = pin(synth_pgoutput_orders(spark, sf_dir))
+    env = pgoutput_change_feed(stream, image_schema)
     img = F.coalesce(F.col("after"), F.col("before"))
-    return env.select(
+    out = env.select(
         F.col("op"),
         F.col("ts_ms"),
         F.col("source.connector").alias("connector"),
@@ -3908,6 +3927,7 @@ def q_cdc_pgoutput_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before")["o_totalprice"].alias("before_totalprice"),
         F.col("transaction.id").cast("long").alias("xid"),
     )
+    return retain(out, stream)
 
 
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,13 @@ def materialize(df) -> None:
     if df is None:
         return  # action-style kernel: the factory already executed
     df.write.format("noop").mode("overwrite").save()
+    # retained-pin convention (ADVICE r12 / r13 optimization): queries
+    # that pin an intermediate ride its storage on the result; release
+    # once consumed so repeated bench passes don't accumulate one
+    # checkpoint per invocation in the long-lived session
+    from deltaforge_spark.plans.lineage import release_retained
+
+    release_retained(df)
 
 
 def cdc_pipeline(spark, sf_dir):

@@ -379,6 +379,18 @@ def _adjacent_pairs(sy: Column) -> Column:
     )
 
 
+#: trainer rounds folded into one plan before a lineage pin resets the
+#: expression tree. Smaller than the tokenizer's 256: within a chunk,
+#: round r's argmax job re-applies the (up to chunk-1) pending replaces
+#: to the pinned word table, so per-round extra work is O(chunk x vocab)
+#: character scanning — 32 keeps that far below the argmax shuffle cost
+#: while still eliminating 31 of every 32 per-round checkpoint jobs
+#: (r13 optimization: the per-round pin made each merge round pay a
+#: materialize + checkpoint-write job on top of the argmax job; at
+#: bench scale the rounds are job-latency-bound, measured ~2x).
+_BPE_TRAIN_CHUNK = 32
+
+
 def bpe_train(
     df: DataFrame,
     *,
@@ -388,16 +400,32 @@ def bpe_train(
     """Learn ``num_merges`` BPE merges over ``df[text_col]``; returns
     (merge_rank, left_sym, right_sym, pair_freq) — the merge table a
     tokenizer (bpe_merge_tokens) would then apply. Stops early if the
-    vocabulary runs out of pairs."""
+    vocabulary runs out of pairs.
+
+    Round shape: ONE job per merge round (the argmax collect). The
+    word-type table is pinned once up front and re-pinned only every
+    ``_BPE_TRAIN_CHUNK`` rounds; rounds in between fold their pending
+    replaces into the argmax plan itself — identical merge sequence
+    (the argmax sees exactly the same word table either way), bounded
+    plan depth, and no per-round materialization job."""
     from ..plans.lineage import pin, release_local_checkpoint
 
     spark = df.sparkSession
     cur = pin(bpe_word_table(df, text_col=text_col))
+    pending: list[tuple[str, str]] = []  # merges applied since last pin
     learned: list[tuple[int, str, str, int]] = []
+
+    def with_pending():
+        s = F.col("s")
+        for a, b in pending:
+            s = _apply_merge(s, a, b)
+        return cur.select(s.alias("s"), "freq")
+
     try:
         for r in range(1, num_merges + 1):
             best = (
-                cur.select(
+                with_pending()
+                .select(
                     F.explode(_adjacent_pairs(_split_symbols(F.col("s")))).alias(
                         "pair"
                     ),
@@ -415,12 +443,14 @@ def bpe_train(
             a, b = pair.split(" ", 1)
             learned.append((r, a, b, cnt))
             # one canonical, invariant-preserving replace per round
-            # (see block comment)
-            nxt = pin(
-                cur.select(_apply_merge(F.col("s"), a, b).alias("s"), "freq")
-            )
-            release_local_checkpoint(cur)
-            cur = nxt
+            # (see block comment), folded lazily into the next round's
+            # argmax plan; pinned only at chunk boundaries
+            pending.append((a, b))
+            if len(pending) >= _BPE_TRAIN_CHUNK:
+                nxt = pin(with_pending())
+                pending.clear()
+                release_local_checkpoint(cur)
+                cur = nxt
     finally:
         release_local_checkpoint(cur)
     from pyspark.sql import types as T

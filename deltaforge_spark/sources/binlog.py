@@ -1438,10 +1438,20 @@ def synth_binlog_events(
                 return "d"
             return "u"
 
+        # column-wise extraction (r13 optimization, guide §4.2): the
+        # per-row pdf.iloc path built a fresh Series per event and
+        # dominated synth wall; values are pulled once per column here
+        _eids = pdf["event_id"].astype("int64").tolist()
+        _uids = pdf["user_id"].astype("int64").tolist()
+        _ts = pdf["_ts_us"].astype("int64").tolist()
+        _ets = [str(e) for e in pdf["event_type"].tolist()]
+        _vals = pdf["value"].tolist()
+        _props = pdf["props"].tolist()
+
         # split into runs of equal op, then chunks of rows_per_event
         runs: list[tuple[str, list[int]]] = []
         for idx in range(len(pdf)):
-            op = op_of(pdf.event_type.iloc[idx])
+            op = op_of(_ets[idx])
             if runs and runs[-1][0] == op and len(runs[-1][1]) < rows_per_event:
                 runs[-1][1].append(idx)
             else:
@@ -1457,20 +1467,20 @@ def synth_binlog_events(
             )
             images: list[list[Any]] = []
             for idx in idxs:
-                r = pdf.iloc[idx]
-                props = r["props"]
+                props = _props[idx]
                 if props is None or (isinstance(props, float) and pd.isna(props)):
                     props_obj = None
                 else:
                     props_obj = json.loads(str(props))
-                eid, uid = int(r["event_id"]), int(r["user_id"])
+                eid, uid = _eids[idx], _uids[idx]
                 # integer-derived decimal: exact on both engines, odd
                 # ids negative so the complement encoding is exercised
                 amount = f"{'-' if eid % 2 else ''}{eid}.{uid % 100:02d}"
+                v = _vals[idx]
                 row = [
-                    eid, int(r["_ts_us"]), uid,
-                    str(r["event_type"]),
-                    None if pd.isna(r["value"]) else float(r["value"]),
+                    eid, _ts[idx], uid,
+                    _ets[idx],
+                    None if pd.isna(v) else float(v),
                     props_obj,
                     amount,
                 ]

@@ -2341,6 +2341,53 @@ def _float_text(v: float) -> str:
     return repr(float(v))
 
 
+def _order_row_texts(
+    pdf: pd.DataFrame,
+) -> tuple[list[list[str]], list[str], list[float]]:
+    """Column-wise extraction of the per-order pgoutput text tuples:
+    (vals rows, statuses, totalprices) for an ALREADY-SORTED pdf.
+
+    r13 optimization (guide §4.2): the synth gens built each row via
+    ``pdf.iloc[i]`` — a fresh pandas Series per row — which dominated
+    synth wall at bench scale (~3x the whole encode). Values are pulled
+    once per column here; the timestamp text is the vectorized twin of
+    :func:`_pg_ts_text` (strftime on the datetime series + explicit
+    fractional-µs suffix), byte-identical output."""
+    us = pdf["o_orderdate_us"].astype("int64")
+    base = pd.to_datetime(us, unit="us").dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+    frac = (us % 1_000_000).tolist()
+    ts_text = [b + f".{f:06d}" if f else b for b, f in zip(base, frac)]
+    statuses = [str(s) for s in pdf["o_orderstatus"].tolist()]
+    prices = [float(p) for p in pdf["o_totalprice"].tolist()]
+    vals = [
+        [str(k), str(c), s, _float_text(p), t, str(pr)]
+        for k, c, s, p, t, pr in zip(
+            pdf["o_orderkey"].astype("int64").tolist(),
+            pdf["o_custkey"].astype("int64").tolist(),
+            statuses,
+            prices,
+            ts_text,
+            pdf["o_orderpriority"].tolist(),
+        )
+    ]
+    return vals, statuses, prices
+
+
+def _order_msg(
+    vals: list[str], status: str, price: float, *, stream_xid=None
+) -> bytes:
+    """One DML message from a precomputed text tuple — op by
+    o_orderstatus exactly as the per-row ``dml`` closures did
+    ('F'→delete, 'P'→update with before image, else insert)."""
+    if status == "F":
+        return encode_delete(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
+    if status == "P":
+        old = list(vals)
+        old[3] = _float_text(price - 1.0)
+        return encode_update(ORDERS_RELATION_ID, vals, old, stream_xid=stream_xid)
+    return encode_insert(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
+
+
 def synth_pgoutput_orders(
     spark: SparkSession, sf_dir: str, *, rows_per_tx: int = 64
 ) -> DataFrame:
@@ -2379,25 +2426,9 @@ def synth_pgoutput_orders(
             (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
             (base + 1, encode_begin(commit_seq, commit_ts_us, xid)),
         ]
+        vals, statuses, prices = _order_row_texts(pdf)
         for i in range(n):
-            r = pdf.iloc[i]
-            vals = [
-                str(int(r.o_orderkey)),
-                str(int(r.o_custkey)),
-                str(r.o_orderstatus),
-                _float_text(r.o_totalprice),
-                _pg_ts_text(r.o_orderdate_us),
-                str(r.o_orderpriority),
-            ]
-            if r.o_orderstatus == "F":
-                msg = encode_delete(ORDERS_RELATION_ID, vals)
-            elif r.o_orderstatus == "P":
-                old = list(vals)
-                old[3] = _float_text(r.o_totalprice - 1.0)
-                msg = encode_update(ORDERS_RELATION_ID, vals, old)
-            else:
-                msg = encode_insert(ORDERS_RELATION_ID, vals)
-            out.append((base + 2 + i, msg))
+            out.append((base + 2 + i, _order_msg(vals[i], statuses[i], prices[i])))
         out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
         return pd.DataFrame(out, columns=["seq", "data"])
 
@@ -2455,24 +2486,12 @@ def synth_pgoutput_streamed(
         split = streamed and tx % 9 == 0
         aborted = streamed and tx % 9 == 6
 
-        def dml(r, *, stream_xid=None) -> bytes:
-            vals = [
-                str(int(r.o_orderkey)),
-                str(int(r.o_custkey)),
-                str(r.o_orderstatus),
-                _float_text(r.o_totalprice),
-                _pg_ts_text(r.o_orderdate_us),
-                str(r.o_orderpriority),
-            ]
-            if r.o_orderstatus == "F":
-                return encode_delete(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
-            if r.o_orderstatus == "P":
-                old = list(vals)
-                old[3] = _float_text(r.o_totalprice - 1.0)
-                return encode_update(
-                    ORDERS_RELATION_ID, vals, old, stream_xid=stream_xid
-                )
-            return encode_insert(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
+        _vals, _statuses, _prices = _order_row_texts(pdf)
+
+        def dml(i: int, *, stream_xid=None) -> bytes:
+            return _order_msg(
+                _vals[i], _statuses[i], _prices[i], stream_xid=stream_xid
+            )
 
         out: list[tuple[int, bytes]] = []
         seq = base
@@ -2485,7 +2504,7 @@ def synth_pgoutput_streamed(
             out.append((seq, encode_begin(commit_seq, commit_ts_us, xid)))
             seq += 1
             for i in range(n):
-                out.append((seq, dml(pdf.iloc[i])))
+                out.append((seq, dml(i)))
                 seq += 1
             out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
         else:
@@ -2505,7 +2524,7 @@ def synth_pgoutput_streamed(
             )
             seq += 1
             for i in range(half):
-                out.append((seq, dml(pdf.iloc[i], stream_xid=xid)))
+                out.append((seq, dml(i, stream_xid=xid)))
                 seq += 1
             out.append((seq, encode_stream_stop()))
             seq += 1
@@ -2513,7 +2532,7 @@ def synth_pgoutput_streamed(
                 out.append((seq, encode_stream_start(xid, first_segment=False)))
                 seq += 1
                 for i in range(half, n):
-                    out.append((seq, dml(pdf.iloc[i], stream_xid=xid)))
+                    out.append((seq, dml(i, stream_xid=xid)))
                     seq += 1
                 out.append((seq, encode_stream_stop()))
                 seq += 1
@@ -2574,22 +2593,10 @@ def synth_pgoutput_two_phase(
         rolled = prepared and tx % 9 == 6
         pending = prepared and tx % 9 == 3
 
-        def dml(r) -> bytes:
-            vals = [
-                str(int(r.o_orderkey)),
-                str(int(r.o_custkey)),
-                str(r.o_orderstatus),
-                _float_text(r.o_totalprice),
-                _pg_ts_text(r.o_orderdate_us),
-                str(r.o_orderpriority),
-            ]
-            if r.o_orderstatus == "F":
-                return encode_delete(ORDERS_RELATION_ID, vals)
-            if r.o_orderstatus == "P":
-                old = list(vals)
-                old[3] = _float_text(r.o_totalprice - 1.0)
-                return encode_update(ORDERS_RELATION_ID, vals, old)
-            return encode_insert(ORDERS_RELATION_ID, vals)
+        _vals, _statuses, _prices = _order_row_texts(pdf)
+
+        def dml(i: int) -> bytes:
+            return _order_msg(_vals[i], _statuses[i], _prices[i])
 
         out: list[tuple[int, bytes]] = [
             (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
@@ -2600,7 +2607,7 @@ def synth_pgoutput_two_phase(
             out.append((seq, encode_begin(commit_seq, ts_us, xid)))
             seq += 1
             for i in range(n):
-                out.append((seq, dml(pdf.iloc[i])))
+                out.append((seq, dml(i)))
                 seq += 1
             out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, ts_us)))
         else:
@@ -2608,7 +2615,7 @@ def synth_pgoutput_two_phase(
             out.append((seq, encode_begin_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
             seq += 1
             for i in range(n):
-                out.append((seq, dml(pdf.iloc[i])))
+                out.append((seq, dml(i)))
                 seq += 1
             out.append((prep_seq, encode_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
             if rolled:

@@ -749,6 +749,27 @@ class TestBpeTrain:
         rows = bpe_train(docs, num_merges=8).collect()
         assert 0 < len(rows) < 8
 
+    def test_chunked_pinning_is_inert(self, spark, monkeypatch):
+        """r13 optimization: the trainer pins the word table only every
+        _BPE_TRAIN_CHUNK rounds (rounds in between fold their pending
+        replaces into the argmax plan). A chunk boundary mid-training
+        must not change the learned merge sequence — train 6 merges with
+        chunk=2 (3 boundary crossings) and chunk=100 (no crossing) and
+        compare row-for-row."""
+        from deltaforge_spark.operators import textanalysis as ta
+
+        docs = spark.createDataFrame(
+            [(0, "aaaaaa bbbb abab low lower aaab"),
+             (1, "mississippi banana aaaaaaa abba")],
+            ["doc_id", "text"],
+        )
+        monkeypatch.setattr(ta, "_BPE_TRAIN_CHUNK", 100)
+        unchunked = sorted(map(tuple, ta.bpe_train(docs, num_merges=6).collect()))
+        monkeypatch.setattr(ta, "_BPE_TRAIN_CHUNK", 2)
+        chunked = sorted(map(tuple, ta.bpe_train(docs, num_merges=6).collect()))
+        assert chunked == unchunked
+        assert len(chunked) == 6
+
     def test_matches_duckdb_oracle(self, spark):
         import duckdb
         import pandas as pd

@@ -47,6 +47,9 @@ def compare(name, spark_df, sql, con, duck=None) -> list[str]:
     sdf = spark_df
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    from deltaforge_spark.plans.lineage import release_retained
+
+    release_retained(sdf)  # retained-pin convention: consumed above
     if duck is not None:  # precomputed fast-oracle result (cols, rows)
         dcols, drows = duck
     else:

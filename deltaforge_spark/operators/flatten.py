@@ -182,6 +182,22 @@ _M = "map<string,string>"
 _A = "array<string>"
 
 
+def _let(col: Column, fn) -> Column:
+    """Bind ``col`` to a higher-order-function lambda variable and hand
+    it to the continuation ``fn``: the value is EVALUATED ONCE (when
+    the one-element array is built) no matter how many times the
+    continuation references it.
+
+    r13 optimization (guide §1.2 per-task work): ``flatten_json``
+    previously inlined each depth level's expression into the next —
+    every level references its predecessor at least twice (leaves +
+    recursion set) and the collision filter references the full leaf
+    array twice more, so both the Catalyst tree and its per-row
+    runtime evaluation grew ~4^depth. A let-binding per level makes
+    evaluation linear in depth; output is expression-identical."""
+    return F.transform(F.array(col), fn)[0]
+
+
 def flatten_json(
     json_col: Column,
     *,
@@ -265,35 +281,55 @@ def flatten_json(
         nxt = F.flatten(F.transform(F.filter(entries, recursable), children))
         return leaves, nxt
 
-    level = F.transform(
+    level0 = F.transform(
         F.coalesce(F.map_entries(F.from_json(json_col, _M)), F.array()),
         lambda x: entry(x["key"], x["value"]),
     )
-    all_leaves = None
-    for d in range(max_depth + 1):
-        leaves, level = step(level, at_boundary=(d == max_depth))
-        all_leaves = leaves if all_leaves is None else F.concat(all_leaves, leaves)
 
-    # drop policy produced NULL structs; remove them
-    all_leaves = F.filter(all_leaves, lambda e: e.isNotNull())
+    def finalize(all_leaves_raw: Column) -> Column:
+        # drop policy produced NULL structs; remove them, then bind the
+        # final leaf array once — the collision filters below reference
+        # it twice per element
+        def with_bound(al: Column) -> Column:
+            if collision == "last":
+                deduped = F.filter(
+                    al,
+                    lambda e, i: ~F.exists(
+                        F.slice(al, i + 2, F.size(al)),
+                        lambda y: y["path"] == e["path"],
+                    ),
+                )
+            elif collision == "first":
+                deduped = F.filter(
+                    al,
+                    lambda e, i: ~F.exists(
+                        F.slice(al, F.lit(1), i),
+                        lambda y: y["path"] == e["path"],
+                    ),
+                )
+            else:
+                # "error": duplicate keys make map_from_entries raise
+                # DUPLICATED_MAP_KEY (Spark's default EXCEPTION dedup
+                # policy) — the batch fails, as the reference's
+                # CollisionPolicy::Error does.
+                deduped = al
+            return F.map_from_entries(deduped)
 
-    if collision == "last":
-        all_leaves = F.filter(
-            all_leaves,
-            lambda e, i: ~F.exists(
-                F.slice(all_leaves, i + 2, F.size(all_leaves)),
-                lambda y: y["path"] == e["path"],
-            ),
-        )
-    elif collision == "first":
-        all_leaves = F.filter(
-            all_leaves,
-            lambda e, i: ~F.exists(
-                F.slice(all_leaves, F.lit(1), i),
-                lambda y: y["path"] == e["path"],
-            ),
-        )
-    # "error": duplicate keys make map_from_entries raise DUPLICATED_MAP_KEY
-    # (Spark's default EXCEPTION dedup policy) — the batch fails, as the
-    # reference's CollisionPolicy::Error does.
-    return F.map_from_entries(all_leaves)
+        return _let(F.filter(all_leaves_raw, lambda e: e.isNotNull()), with_bound)
+
+    def build(d: int, entries: Column, acc: Column | None) -> Column:
+        # one _let per level: leaves and the next-level entry set are
+        # computed from the SAME evaluated array, not from two inlined
+        # copies of the whole prefix
+        leaves, nxt = step(entries, at_boundary=(d == max_depth))
+        packed = F.struct(leaves.alias("leaves"), nxt.alias("nxt"))
+
+        def cont(p: Column) -> Column:
+            new_acc = p["leaves"] if acc is None else F.concat(acc, p["leaves"])
+            if d == max_depth:
+                return finalize(new_acc)
+            return build(d + 1, p["nxt"], new_acc)
+
+        return _let(packed, cont)
+
+    return build(0, level0, None)

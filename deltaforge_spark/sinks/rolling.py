@@ -205,7 +205,20 @@ class RollingLakeSink:
         # roll. Overwriting a dir that still exists is harmless (same
         # deterministic batch).
         if not (replay and os.path.isdir(stage_dir)):
-            df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(stage_dir)
+            # repartition by the routing columns before the partitioned
+            # write (r13 optimization, guide §6 small-files): without it
+            # every scan task writes a piece of every partition —
+            # tasks x partitions tiny staged files per batch, all
+            # re-listed and re-read by every later compaction. One
+            # shuffle of the batch buys one staged file per partition
+            # per batch (the same per-partition writer layout the
+            # reference pool keeps in memory).
+            (
+                df.repartition(*[F.col(c) for c in self.partition_cols])
+                .write.mode("overwrite")
+                .partitionBy(*self.partition_cols)
+                .parquet(stage_dir)
+            )
 
         # per-partition arrival accounting: O(active partitions) rows to
         # the driver — the same control-plane state the reference pool
@@ -251,21 +264,76 @@ class RollingLakeSink:
         # sweep: writer_pool.rs steps 3-4 — roll every partition that
         # crossed a threshold, including idle partitions this batch
         # brought no rows for
+        targets = []
         for pkey in list(self._state):
             st = self._state[pkey]
             reason = should_roll(
                 self.cfg, st["bytes"], st["events"], st["opened_at"], st["last_event_at"], now_ms
             )
             if reason:
-                self._roll(pkey, reason, batch_id)
+                targets.append((pkey, reason))
+        self._roll_many(targets, batch_id)
         self._persist()
 
     def close(self) -> None:
         """Shutdown flush: every open partition rolls with ``final``."""
-        for pkey in list(self._state):
-            if self._state[pkey]["events"] > 0:
-                self._roll(pkey, ROLL_FINAL, batch_id=-1)
+        self._roll_many(
+            [
+                (pkey, ROLL_FINAL)
+                for pkey in list(self._state)
+                if self._state[pkey]["events"] > 0
+            ],
+            batch_id=-1,
+        )
         self._persist()
+
+    def _roll_many(self, targets: list[tuple[str, str]], batch_id: int) -> None:
+        """Roll several partitions: compactions run CONCURRENTLY (each
+        is an independent Spark job over one partition's staged pieces
+        — guide §2.6 overlapping independent jobs; a sweep's rolls
+        previously serialized driver-side at one job each), commits
+        apply sequentially in sweep order, so manifest order, state
+        transitions and failure semantics are identical to the
+        sequential loop: if a compaction failed, every roll ordered
+        before it has committed, the failed one's counters and staged
+        files are intact, and the micro-batch retry re-attempts it."""
+        if not targets:
+            return
+        if len(targets) == 1:
+            self._roll(*targets[0], batch_id)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        staged_map = {pkey: self._staged_glob(pkey) for pkey, _ in targets}
+        tmp_map = {
+            pkey: f"{self.path}/_tmp/{uuid.uuid4().hex}"
+            for pkey, _ in targets
+            if staged_map[pkey]
+        }
+        with ThreadPoolExecutor(max_workers=min(8, len(tmp_map) or 1)) as pool:
+            futs = [
+                (pkey, reason, pool.submit(self._compact, staged_map[pkey], tmp_map[pkey]))
+                for pkey, reason in targets
+                if staged_map[pkey]
+            ]
+            err = None
+            for pkey, reason, fut in futs:
+                if err is None:
+                    exc = fut.exception()
+                    if exc is not None:
+                        err = exc
+                        continue
+                    self._commit_roll(
+                        pkey, reason, batch_id, staged_map[pkey], tmp_map[pkey]
+                    )
+                else:  # drain: uncommitted compactions are discarded
+                    fut.exception()
+                    shutil.rmtree(tmp_map[pkey], ignore_errors=True)
+        for pkey, _reason in targets:
+            if not staged_map[pkey]:
+                self._state.pop(pkey, None)
+        if err is not None:
+            raise err
 
     # ------------------------------------------------------------- roll
 
@@ -274,15 +342,6 @@ class RollingLakeSink:
         if not staged:
             self._state.pop(pkey)
             return
-        seq = self._seqs.get(pkey, 0) + 1
-        # DETERMINISTIC name per (pkey, seq): a replayed roll that crashed
-        # after the rename re-renames onto the SAME target (os.replace
-        # overwrites) — the file cannot appear twice under two names
-        import hashlib
-
-        suffix = hashlib.sha1(f"{pkey}:{seq}".encode()).hexdigest()[:12]
-        fname = f"f{seq:05d}-{suffix}.parquet"
-        final_dir = f"{self.path}/data/{pkey}"
         tmp_dir = f"{self.path}/_tmp/{uuid.uuid4().hex}"
 
         # compact the staged pieces into ONE file: written complete to a
@@ -294,6 +353,23 @@ class RollingLakeSink:
         # so the replayed micro-batch re-attempts the same roll — the
         # reference's at-least-once-at-file-granularity stance
         self._compact(staged, tmp_dir)
+        self._commit_roll(pkey, reason, batch_id, staged, tmp_dir)
+
+    def _commit_roll(
+        self, pkey: str, reason: str, batch_id: int, staged: list[str], tmp_dir: str
+    ) -> None:
+        """Publish one compacted roll: rename into place, then the
+        commit point (manifest + state persist), then staged cleanup —
+        the sequenced second half of the original ``_roll``."""
+        seq = self._seqs.get(pkey, 0) + 1
+        # DETERMINISTIC name per (pkey, seq): a replayed roll that crashed
+        # after the rename re-renames onto the SAME target (os.replace
+        # overwrites) — the file cannot appear twice under two names
+        import hashlib
+
+        suffix = hashlib.sha1(f"{pkey}:{seq}".encode()).hexdigest()[:12]
+        fname = f"f{seq:05d}-{suffix}.parquet"
+        final_dir = f"{self.path}/data/{pkey}"
         part = glob.glob(f"{tmp_dir}/part-*.parquet")
         assert len(part) == 1, part
         if self.object_store is not None:

@@ -139,18 +139,31 @@ def doc_quality_classifier(
             .cast("long")
             .alias("gc"),
         )
-        grad_rows = contrib.groupBy("bucket").agg(
-            F.sum("gc").cast("long").alias("g")
-        ).collect()  # <= n_buckets rows by construction
-        gb = doc_p.agg(
-            F.sum(
-                F.round((F.col("p") - F.col("y")) * F.lit(_MICRO), 0).cast("long")
-            ).cast("long")
-        ).collect()[0][0]
+        # bias gradient rides the same collect as bucket -1 (buckets are
+        # md5 % B, never negative) — r13 optimization: one bounded job
+        # per round instead of two, and the doc_p exchange is shared
+        # between the two branches by ReuseExchange instead of being
+        # recomputed by a second job
+        bias = doc_p.select(
+            F.lit(-1).cast("long").alias("bucket"),
+            F.round((F.col("p") - F.col("y")) * F.lit(_MICRO), 0)
+            .cast("long")
+            .alias("gc"),
+        )
+        grad_rows = (
+            contrib.unionByName(bias)
+            .groupBy("bucket")
+            .agg(F.sum("gc").cast("long").alias("g"))
+            .collect()  # <= n_buckets + 1 rows by construction
+        )
+        gb = 0
         for r in grad_rows:
-            weights[r["bucket"]] = weights.get(r["bucket"], 0) - _tdiv(
-                lr_num * r["g"], n_docs
-            )
+            if r["bucket"] == -1:
+                gb = r["g"]
+            else:
+                weights[r["bucket"]] = weights.get(r["bucket"], 0) - _tdiv(
+                    lr_num * r["g"], n_docs
+                )
         b_micro -= _tdiv(lr_num * (gb or 0), n_docs)
 
     w_df = F.broadcast(

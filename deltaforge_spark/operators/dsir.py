@@ -64,7 +64,7 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(text), " +")
 
 
-def doc_gram_buckets(
+def _bucketed_grams(
     df: DataFrame,
     *,
     text_col: str = "text",
@@ -72,11 +72,11 @@ def doc_gram_buckets(
     n_buckets: int = 4096,
     seed: str = "dsir",
 ) -> DataFrame:
-    """Per-document hashed n-gram bucket counts WITH multiplicity:
-    (doc_id, bucket, cnt). Features are word unigrams + bigrams (the
-    paper's feature space), each hashed into ``n_buckets`` via the
-    engine-portable 48-bit md5 — a map-side explode + one doc-keyed
-    counts-only aggregate; no raw text survives past this projection."""
+    """Map-side (doc_id, bucket) rows WITH multiplicity — the shared
+    explode behind both the per-doc features and the corpus model
+    counts. Features are word unigrams + bigrams (the paper's feature
+    space), each hashed into ``n_buckets`` via the engine-portable
+    48-bit md5; no raw text survives past this projection."""
     toks = _words(F.col(text_col))
     # guard: Spark's sequence(1, 0) counts DOWN instead of being empty
     # (same pitfall dedup.word_shingles documents)
@@ -102,9 +102,49 @@ def doc_gram_buckets(
         ).cast("long")
         % F.lit(n_buckets)
     )
+    return exploded.select("doc_id", bucket.alias("bucket"))
+
+
+def doc_gram_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document hashed n-gram bucket counts WITH multiplicity:
+    (doc_id, bucket, cnt) — one doc-keyed counts-only aggregate over
+    the map-side explode."""
     return (
-        exploded.select("doc_id", bucket.alias("bucket"))
+        _bucketed_grams(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
+        )
         .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def corpus_bucket_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Corpus-total bucket counts (bucket, cnt): the model-fit
+    aggregate, keyed directly on bucket. r13 optimization (guide §2.4):
+    the fit previously went through the per-doc aggregate and
+    re-aggregated — a corpus-cardinality (doc_id, bucket) shuffle
+    whose output was immediately collapsed to B rows; aggregating on
+    bucket alone lets map-side partial aggregation bound the shuffle
+    at B rows per task. Same totals by associativity of count."""
+    return (
+        _bucketed_grams(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
+        )
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
@@ -141,20 +181,12 @@ def dsir_bucket_scores(
     partition-offset collects (test_plan_shape). ln() still evaluates
     JVM-side on the local table, preserving cross-engine micro-nat
     parity."""
-    raw_b = (
-        doc_gram_buckets(
-            raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
-        )
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("c_raw"))
-    )
-    tgt_b = (
-        doc_gram_buckets(
-            target, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
-        )
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("c_tgt"))
-    )
+    raw_b = corpus_bucket_counts(
+        raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
+    ).withColumnRenamed("cnt", "c_raw")
+    tgt_b = corpus_bucket_counts(
+        target, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
+    ).withColumnRenamed("cnt", "c_tgt")
     joined_rows = (
         raw_b.join(tgt_b, "bucket", "full")
         .select(

@@ -23,6 +23,7 @@ are exposed natively: ``withWatermark`` + windowed aggs, and
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -139,7 +140,14 @@ def run_stream_to_memory(
     import tempfile
 
     spark = stream_df.sparkSession
-    checkpoint = tempfile.mkdtemp(prefix=f"dfspark-{name}-ckpt-")
+    # checkpoint on tmpfs when available (r13 optimization): the state
+    # store writes one delta + commit file per partition per micro-batch
+    # — on the container's shared disk those tiny writes land in the
+    # noisy-tenant stall path the session already routes shuffle/scratch
+    # around (session.py _scratch_dir rationale); a real cluster uses
+    # shared storage via checkpointLocation as before
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint = tempfile.mkdtemp(prefix=f"dfspark-{name}-ckpt-", dir=base)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -160,4 +168,9 @@ def run_stream_to_memory(
         raise TimeoutError(
             f"stream {name!r} did not drain within {timeout}s"
         )
+    # the memory sink holds the drained result; the finished query's
+    # checkpoint is dead state (and RAM when tmpfs-backed) — drop it
+    import shutil
+
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)

@@ -11,17 +11,20 @@ gram count (the fastText mean-of-features input), trained by K rounds
 of full-batch gradient descent.
 
 Scale shape (100 TB):
-- Features are extracted ONCE into a pinned (doc_id, bucket, cnt, n, y)
-  frame — one corpus scan + one (doc,bucket) counts-only shuffle; every
-  training round reads the pin, never the raw corpus.
-- One Spark job per round: per-doc margin (doc-keyed aggregate over the
-  pin), probabilities joined back (doc-keyed, 2-column payload), then a
-  B-BOUNDED per-bucket gradient aggregate collected O(B) to the driver
-  (B = n_buckets, the feature-hashing dimension — same bounded-collect
-  class as the DSIR score table and BPE merge table).
+- Features are extracted ONCE into a persisted (doc_id, bucket, cnt,
+  n, y) frame — one corpus scan + one (doc,bucket) counts-only
+  shuffle; every training round reads the cache, never the raw corpus.
+  The cached plan keeps its doc_id hash partitioning (a checkpoint
+  would report UnknownPartitioning), so the per-round doc-keyed
+  aggregate and join are exchange-free.
+- One Spark job per round: per-doc margin (doc-keyed aggregate over
+  the cache), probabilities joined back (doc-keyed, 2-column payload),
+  then a B-BOUNDED per-bucket gradient aggregate collected O(B) to the
+  driver (B = n_buckets, the feature-hashing dimension — same
+  bounded-collect class as the DSIR score table and BPE merge table).
 - The weight update runs driver-side in exact int64 arithmetic; the
   next round broadcasts the B-row weight table back. K rounds = K
-  bounded jobs over the pin; no corpus-sized state ever leaves
+  bounded jobs over the cache; no corpus-sized state ever leaves
   executors.
 
 Determinism (oracle hash-match): weights and bias live in integer
@@ -37,7 +40,7 @@ Python's // floors.
 
 EAGER at build: training (K bounded jobs + O(B) collects) runs when the
 operator is constructed. The returned frame is backed by the feature
-pin and tagged with ``retain`` — callers release via
+cache and tagged with ``retain`` — callers release via
 ``plans.lineage.release_retained`` once consumed.
 """
 
@@ -46,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.lineage import pin, retain
+from ..plans.lineage import retain
 from .dsir import doc_gram_buckets
 
 _MICRO = 1000000.0
@@ -99,11 +102,23 @@ def doc_quality_classifier(
         F.col(id_col).alias("doc_id"), label.cast("int").alias("y")
     )
     per_doc = feats_raw.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n"))
-    feat = pin(
+    # r13 optimization (guide §2.4): persist() instead of a reliable
+    # checkpoint — a checkpoint scan reports UnknownPartitioning, so
+    # every round paid TWO corpus-sized doc_id exchanges (margin
+    # aggregate + probability join). The cached plan keeps the join's
+    # hashpartitioning(doc_id), so each round's groupBy("doc_id") and
+    # doc_id join are exchange-free: the only per-round shuffle is the
+    # B-bounded bucket gradient. Lineage on executor loss recomputes
+    # one scan + one shuffle (same durability class as the dedup-CC /
+    # graph round persists).
+    # the explicit repartition pins the cache's layout to doc_id even
+    # when AQE broadcast-converts the two build joins (which would
+    # otherwise leave the (doc_id, bucket) layout of the feature agg)
+    feat = (
         feats_raw.join(per_doc, "doc_id").join(labels, "doc_id").select(
             "doc_id", "bucket", "cnt", "n", "y"
         )
-    )
+    ).repartition("doc_id").persist()
     n_docs = feat.select("doc_id").distinct().count()
 
     weights: dict[int, int] = {}

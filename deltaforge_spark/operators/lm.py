@@ -1506,22 +1506,47 @@ def doc_surprisal_kneser_ney5(
     Slices are row-identical to unigram_lm/bigram_lm/.../fivegram_lm,
     so every downstream expression (and the oracle hash) is unchanged.
 
-    Eager contract: the pin materializes the count table when the
-    DataFrame is BUILT (same convention as ``perplexity_bins``).
-    Retained storage: the result depends on the pin — call
-    ``plans.lineage.release_retained(result)`` once fully consumed."""
-    from ..plans.lineage import pin, retain
+    Each per-order slice is persisted separately (columnar caches, not
+    checkpoints: a checkpoint scan reports no usable statistics AND
+    deserializes rows off disk on each of the ~32 references). A single
+    cache of the combined table is not enough either — a filter over it
+    carries the WHOLE table's sizeInBytes, so the planner sort-merge-
+    joined every count table against the doc-gram side (10 SMJs, ~2x
+    slower at bench SF). Materialized per-slice InMemoryRelations give
+    the planner the slice's REAL size, so it broadcasts exactly the
+    tables that fit — at any scale — and sort-merges the rest.
 
-    allc = pin(_ngram_counts_all_orders(lm_corpus, text_col=text_col))
+    Eager contract: the count tables materialize when the DataFrame is
+    BUILT (same convention as ``perplexity_bins``). Retained storage:
+    the result depends on the five slice caches — call
+    ``plans.lineage.release_retained(result)`` once fully consumed."""
+    from ..plans.lineage import retain
+
+    allc = _ngram_counts_all_orders(lm_corpus, text_col=text_col).persist()
     k = F.col("k")
     cnt_l = F.col("cnt")
-    uni = allc.filter(k == 1).select(F.col("w1").alias("token"), cnt_l.alias("cnt"))
-    big = allc.filter(k == 2).select("w1", "w2", cnt_l.alias("c12"))
-    tri = allc.filter(k == 3).select("w1", "w2", "w3", cnt_l.alias("c123"))
-    quad = allc.filter(k == 4).select("w1", "w2", "w3", "w4", cnt_l.alias("c1234"))
-    five = allc.filter(k == 5).select(
-        "w1", "w2", "w3", "w4", "w5", cnt_l.alias("c12345")
+    uni = (
+        allc.filter(k == 1)
+        .select(F.col("w1").alias("token"), cnt_l.alias("cnt"))
+        .persist()
     )
+    big = allc.filter(k == 2).select("w1", "w2", cnt_l.alias("c12")).persist()
+    tri = allc.filter(k == 3).select("w1", "w2", "w3", cnt_l.alias("c123")).persist()
+    quad = (
+        allc.filter(k == 4)
+        .select("w1", "w2", "w3", "w4", cnt_l.alias("c1234"))
+        .persist()
+    )
+    five = (
+        allc.filter(k == 5)
+        .select("w1", "w2", "w3", "w4", "w5", cnt_l.alias("c12345"))
+        .persist()
+    )
+    # one pass fills the combined cache, five cheap slice fills follow;
+    # the combined cache is then superseded by the slices and dropped
+    for t in (uni, big, tri, quad, five):
+        t.count()
+    allc.unpersist()
     norm = lm_normalizer(uni)
     cnt = F.count(F.lit(1)).cast("long")
     # continuation-count tables, renamed to doc 5-gram positions
@@ -1649,7 +1674,7 @@ def doc_surprisal_kneser_ney5(
         out = out.withColumn(
             "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
         )
-    return retain(out, allc)
+    return retain(out, uni, big, tri, quad, five)
 
 
 def doc_surprisal_kneser_ney5_oracle_sql(

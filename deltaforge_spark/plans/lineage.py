@@ -96,8 +96,18 @@ def release_pinned(df: DataFrame) -> None:
     call once the frame is genuinely superseded — the files are its
     ONLY materialization.
 
-    Best-effort: a plan that isn't a checkpoint scan is a silent
-    no-op."""
+    Persisted (cached) frame: ``DataFrame.unpersist`` drops its blocks
+    — so operators that retain a *cache* instead of a checkpoint (the
+    classifier's feature frame keeps its hash partitioning that way)
+    release through the same hook.
+
+    Best-effort: a plan that isn't a checkpoint scan or a cached frame
+    is a silent no-op."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            df.unpersist(False)
+    except Exception:  # pragma: no cover
+        pass
     try:
         jrdd = df._jdf.queryExecution().logical().rdd()
     except Exception:  # pragma: no cover - non-checkpoint plans

@@ -1350,88 +1350,6 @@ def fivegram_lm(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
-def _ngram_counts_all_orders(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """Adjacent k-tuple counts for EVERY order 1..5 in one table:
-    (k, w1..w5, cnt) with unused slots as ''.
-
-    r13 optimization (guide §2.3/§2.4): ``doc_surprisal_kneser_ney5``
-    built its five per-order count tables with five separate corpus
-    tokenize+explode passes and five corpus-sized shuffles; tagging
-    each gram with its order and counting once does the same work in
-    ONE corpus scan and ONE counts-only shuffle. Per-order slices come
-    out as filters over this table and are row-identical to
-    unigram_lm/bigram_lm/.../fivegram_lm (the per-order empty-token
-    filters are reproduced exactly: an order-k gram requires its first
-    k slots non-empty)."""
-    a = tokens(F.col(text_col))
-    n = F.size(a)
-    e = F.lit("")
-
-    def pad(k: int, arr: Column, *fields) -> Column:
-        return F.transform(
-            arr,
-            lambda s: F.struct(
-                F.lit(k).alias("k"),
-                *[f(s).alias(f"w{j + 1}") for j, f in enumerate(fields)],
-                *[e.alias(f"w{j + 1}") for j in range(len(fields), 5)],
-            ),
-        )
-
-    # the same incremental zip_with chain _doc_fivegrams uses, but with
-    # per-order lengths so every order's full position set is emitted
-    def ln(k: int) -> Column:
-        return F.greatest(n - F.lit(k - 1), F.lit(0))
-
-    pairs = F.zip_with(
-        F.slice(a, 1, ln(2)), F.slice(a, 2, ln(2)),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
-    trips = F.zip_with(
-        F.slice(pairs, 1, ln(3)), F.slice(a, 3, ln(3)),
-        lambda p, z: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")),
-    )
-    quads = F.zip_with(
-        F.slice(trips, 1, ln(4)), F.slice(a, 4, ln(4)),
-        lambda t, z: F.struct(
-            t["w1"].alias("w1"), t["w2"].alias("w2"), t["w3"].alias("w3"),
-            z.alias("w4"),
-        ),
-    )
-    fives = F.zip_with(
-        F.slice(quads, 1, ln(5)), F.slice(a, 5, ln(5)),
-        lambda q, z: F.struct(
-            q["w1"].alias("w1"), q["w2"].alias("w2"), q["w3"].alias("w3"),
-            q["w4"].alias("w4"), z.alias("w5"),
-        ),
-    )
-    all_grams = F.concat(
-        pad(1, a, lambda s: s),
-        pad(2, pairs, lambda s: s["w1"], lambda s: s["w2"]),
-        pad(3, trips, lambda s: s["w1"], lambda s: s["w2"], lambda s: s["w3"]),
-        pad(4, quads, lambda s: s["w1"], lambda s: s["w2"], lambda s: s["w3"],
-            lambda s: s["w4"]),
-        pad(5, fives, lambda s: s["w1"], lambda s: s["w2"], lambda s: s["w3"],
-            lambda s: s["w4"], lambda s: s["w5"]),
-    )
-    g = df.select(F.explode(all_grams).alias("_g")).select(
-        F.col("_g.k").alias("k"),
-        *[F.col(f"_g.w{j}").alias(f"w{j}") for j in range(1, 6)],
-    )
-    k = F.col("k")
-    valid = (
-        (F.col("w1") != "")
-        & ((k < 2) | (F.col("w2") != ""))
-        & ((k < 3) | (F.col("w3") != ""))
-        & ((k < 4) | (F.col("w4") != ""))
-        & ((k < 5) | (F.col("w5") != ""))
-    )
-    return (
-        g.filter(valid)
-        .groupBy("k", "w1", "w2", "w3", "w4", "w5")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-
-
 def _mkn_ctx_stats(tbl: DataFrame, cnt: str, keys: list[str], k: int) -> DataFrame:
     """Per-context totals + count-class sizes for gamma: t_k, and
     N1/N2/N3+ of the count column within the context."""
@@ -1495,58 +1413,24 @@ def doc_surprisal_kneser_ney5(
     Documents with <5 tokens emit n_fivegrams=0, null scores and
     keep=false — the full-input filter surface.
 
-    r13 optimization (guide §2.3/§2.4): the five per-order count
-    tables used to be five separate corpus tokenize+explode+shuffle
-    jobs, and — because each table is referenced several times below
-    (join side, context stats, counts-of-counts) with no exchange
-    reuse across those references — the physical plan recomputed the
-    corpus explode ~36×. Now ONE corpus scan + ONE counts-only shuffle
-    builds every order (``_ngram_counts_all_orders``), the result is
-    pinned, and every reference slices the pinned vocab-sized table.
-    Slices are row-identical to unigram_lm/bigram_lm/.../fivegram_lm,
-    so every downstream expression (and the oracle hash) is unchanged.
-
-    Each per-order slice is persisted separately (columnar caches, not
-    checkpoints: a checkpoint scan reports no usable statistics AND
-    deserializes rows off disk on each of the ~32 references). A single
-    cache of the combined table is not enough either — a filter over it
-    carries the WHOLE table's sizeInBytes, so the planner sort-merge-
-    joined every count table against the doc-gram side (10 SMJs, ~2x
-    slower at bench SF). Materialized per-slice InMemoryRelations give
-    the planner the slice's REAL size, so it broadcasts exactly the
-    tables that fit — at any scale — and sort-merges the rest.
-
-    Eager contract: the count tables materialize when the DataFrame is
-    BUILT (same convention as ``perplexity_bins``). Retained storage:
-    the result depends on the five slice caches — call
-    ``plans.lineage.release_retained(result)`` once fully consumed."""
-    from ..plans.lineage import retain
-
-    allc = _ngram_counts_all_orders(lm_corpus, text_col=text_col).persist()
-    k = F.col("k")
-    cnt_l = F.col("cnt")
-    uni = (
-        allc.filter(k == 1)
-        .select(F.col("w1").alias("token"), cnt_l.alias("cnt"))
-        .persist()
-    )
-    big = allc.filter(k == 2).select("w1", "w2", cnt_l.alias("c12")).persist()
-    tri = allc.filter(k == 3).select("w1", "w2", "w3", cnt_l.alias("c123")).persist()
-    quad = (
-        allc.filter(k == 4)
-        .select("w1", "w2", "w3", "w4", cnt_l.alias("c1234"))
-        .persist()
-    )
-    five = (
-        allc.filter(k == 5)
-        .select("w1", "w2", "w3", "w4", "w5", cnt_l.alias("c12345"))
-        .persist()
-    )
-    # one pass fills the combined cache, five cheap slice fills follow;
-    # the combined cache is then superseded by the slices and dropped
-    for t in (uni, big, tri, quad, five):
-        t.count()
-    allc.unpersist()
+    Plan shape (measured, r13): fully LAZY — five per-order count
+    tables, each its own tokenize+explode+counts-only shuffle, all
+    fused into ONE job where ReuseExchange dedupes every repeated
+    reference. Two eager-cache variants were built and benchmarked
+    against this (a combined all-orders count pass sliced per order,
+    first reliable-pinned, then per-slice persist()ed): both LOST at
+    bench SF — 6.8s lazy vs 9.7-13s cached, min-of-3 noop-sink —
+    because six serialized materialization jobs plus double cache
+    writes cost more than the five in-job corpus explodes they
+    avoid, and the giant combined-gram expression added seconds of
+    driver-side analysis per reference. At 100-TB the five explodes
+    are five corpus scans; a cluster would materialize the TOKENIZED
+    corpus once upstream instead of caching count tables here."""
+    uni = unigram_lm(lm_corpus, text_col=text_col)
+    big = bigram_lm(lm_corpus, text_col=text_col)
+    tri = trigram_lm(lm_corpus, text_col=text_col)
+    quad = fourgram_lm(lm_corpus, text_col=text_col)
+    five = fivegram_lm(lm_corpus, text_col=text_col)
     norm = lm_normalizer(uni)
     cnt = F.count(F.lit(1)).cast("long")
     # continuation-count tables, renamed to doc 5-gram positions
@@ -1674,7 +1558,7 @@ def doc_surprisal_kneser_ney5(
         out = out.withColumn(
             "keep", F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(False))
         )
-    return retain(out, uni, big, tri, quad, five)
+    return out
 
 
 def doc_surprisal_kneser_ney5_oracle_sql(

@@ -70,23 +70,27 @@ def _make_bucket_gate(ttl_ms: int = 0):
             return
         occupied = state.exists
         founder = state.get[0] if occupied else None
-        out_rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # deterministic admission order within the batch
+        # deterministic admission order within the batch; same (band,
+        # bucket) key ⇒ candidate pair: the key already encodes
+        # band-signature equality, so occupancy decides — an occupied
+        # bucket flags every arrival, an empty one admits exactly the
+        # lowest doc_id and flags the rest (vectorized, no row loop)
         batch = batch.sort_values("doc_id")
-        for _, row in batch.iterrows():
-            # same (band, bucket) key ⇒ candidate pair: the key already
-            # encodes band-signature equality, so occupancy decides
-            out_rows.append(
-                {"doc_id": int(row["doc_id"]), "band": int(row["band"]), "dup_of_state": occupied}
-            )
-            if not occupied:
-                founder = int(row["doc_id"])
-                occupied = True
+        dup = pd.Series(True, index=batch.index, dtype=bool)
+        if not occupied:
+            dup.iloc[0] = False
+            founder = int(batch["doc_id"].iloc[0])
         state.update((founder,))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(out_rows, columns=["doc_id", "band", "dup_of_state"])
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "band": batch["band"].astype("int32"),
+                "dup_of_state": dup,
+            }
+        )
 
     return gate
 

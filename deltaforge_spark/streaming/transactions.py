@@ -10,11 +10,35 @@ change events per transaction id and emits exactly one assembled row
 per transaction when its ``tx_end`` marker arrives — regardless of how
 many micro-batches the transaction's events were spread across.
 
-Scale shape: state is keyed by ``tx_id`` and holds only counters +
-boundary timestamps (not the buffered rows), so state size is
-O(open transactions), not O(events); a ProcessingTimeTimeout evicts
-transactions whose tail never arrives (source crash mid-tx), emitting
-them with ``complete = false`` instead of leaking state forever.
+Scale shape: state holds only counters + boundary timestamps per open
+transaction (not the buffered rows), so state size is
+O(open transactions); a ProcessingTimeTimeout evicts transactions
+whose tail never arrives (source crash mid-tx), emitting them with
+``complete = false`` instead of leaking state forever.
+
+r13 optimization (guide §4 — the Python boundary): the operator used
+to key the state on ``tx_id`` itself, which made every transaction its
+own ``applyInPandasWithState`` group. The per-GROUP machinery of that
+API (Arrow slice + per-column pandas conversion + GroupState
+construct/serialize round-trip, all per group) costs ~1-2 ms
+regardless of the group's size, and CDC transactions are small (the
+bench feed averages ~1 event/tx) — measured 10.8 s for a 100k-tx drain
+with a **no-op** gate body, i.e. >80% pure harness. The state is now
+keyed on ``pmod(xxhash64(tx_id), buckets)`` and each bucket's state
+holds the counters of ALL its open transactions as parallel arrays, so
+the Python boundary is crossed ``buckets`` times per batch instead of
+once per transaction, and the per-bucket body is vectorized numpy.
+Semantics are unchanged: same emit-on-tx_end rule, same per-tx
+timeout eviction (see ``_sweep_expired``), same restart recovery (the
+arrays live in the same Spark-managed state store).
+
+``buckets`` trades per-group overhead against state-blob granularity:
+every open tx in a bucket is rewritten when any of them changes. Size
+it so buckets ≫ shuffle partitions (even spread) while keeping
+open-tx-per-bucket small; the default (1024) suits both the local
+bench and a cluster running tens of state partitions — at larger
+scale raise it via the ``buckets=`` argument roughly in proportion to
+expected concurrent open transactions / 100.
 
 The batch twin (same output schema, same semantics over a bounded
 input) is ``assembled_transactions_batch`` — used by the DuckDB oracle
@@ -32,6 +56,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,64 +75,140 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
-# running counters per open transaction: n, c, u, d, min_ts, max_ts
+# per-bucket state: parallel arrays over the bucket's OPEN transactions
+# (counters + boundary timestamps + last-activity processing time)
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("n", T.LongType()),
-        T.StructField("c", T.LongType()),
-        T.StructField("u", T.LongType()),
-        T.StructField("d", T.LongType()),
-        T.StructField("min_ts", T.LongType()),
-        T.StructField("max_ts", T.LongType()),
-        T.StructField("seen_end", T.BooleanType()),
+        T.StructField("tx_ids", T.ArrayType(T.StringType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("c", T.ArrayType(T.LongType())),
+        T.StructField("u", T.ArrayType(T.LongType())),
+        T.StructField("d", T.ArrayType(T.LongType())),
+        T.StructField("min_ts", T.ArrayType(T.LongType())),
+        T.StructField("max_ts", T.ArrayType(T.LongType())),
+        T.StructField("last_ms", T.ArrayType(T.LongType())),
     ]
 )
+
+_OUT_COLS = [f.name for f in OUT_SCHEMA]
+
+
+def _load_open(state) -> dict:
+    """State arrays → {tx_id: [n, c, u, d, mn, mx, last_ms]}."""
+    if not state.exists:
+        return {}
+    tx_ids, ns, cs, us, ds, mns, mxs, lasts = state.get
+    return {
+        t: [ns[i], cs[i], us[i], ds[i], mns[i], mxs[i], lasts[i]]
+        for i, t in enumerate(tx_ids)
+    }
+
+
+def _save_open(state, open_tx: dict, timeout_ms: int) -> None:
+    if not open_tx:
+        if state.exists:
+            state.remove()
+        return
+    cols = list(zip(*open_tx.values()))
+    state.update((list(open_tx.keys()),) + tuple(list(c) for c in cols))
+    if timeout_ms > 0:
+        state.setTimeoutDuration(timeout_ms)
+
+
+def _emit(rows: list) -> pd.DataFrame:
+    """rows of (tx_id, n, c, u, d, mn, mx, complete) → output frame."""
+    cols = list(zip(*rows))
+    return pd.DataFrame(
+        {name: list(vals) for name, vals in zip(_OUT_COLS, cols)}
+    )
+
+
+def _sweep_expired(open_tx: dict, now: int, timeout_ms: int) -> list:
+    """Per-tx timeout eviction (same contract as the old per-tx-keyed
+    timer): any open tx idle ≥ timeout_ms leaves state and emits with
+    complete=false. Runs on the bucket's ProcessingTimeTimeout (where
+    every tx is expired by construction — the timer re-arms on each
+    bucket activity, so firing means timeout_ms with no events at all)
+    AND lazily on data invocations, so an abandoned tx inside a busy
+    bucket still evicts ~on time instead of waiting for bucket idle."""
+    rows = []
+    for t in [t for t, e in open_tx.items() if now - e[6] >= timeout_ms]:
+        e = open_tx.pop(t)
+        rows.append((t, e[0], e[1], e[2], e[3], e[4], e[5], False))
+    return rows
 
 
 def _make_assemble(timeout_ms: int):
     def _assemble(key, pdfs: Iterable[pd.DataFrame], state):
-        """Fold incoming event batches into the per-tx counters; emit
-        when the tx_end marker has been seen (or on state timeout)."""
-        (tx_id,) = key
+        """Fold the bucket's event chunks into per-tx counters; emit
+        each tx whose tx_end marker has been seen (or timed out)."""
+        open_tx = _load_open(state)
+
         if state.hasTimedOut:
-            n, c, u, d, mn, mx, _ = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [[tx_id, n, c, u, d, mn, mx, False]], columns=[f.name for f in OUT_SCHEMA]
-            )
+            now = state.getCurrentProcessingTimeMs()
+            rows = _sweep_expired(open_tx, now, timeout_ms)
+            _save_open(state, open_tx, timeout_ms)
+            if rows:
+                yield _emit(rows)
             return
 
-        n, c, u, d, mn, mx, seen_end = (
-            state.get if state.exists else (0, 0, 0, 0, None, None, False)
-        )
+        now = state.getCurrentProcessingTimeMs() if timeout_ms > 0 else 0
+        ended: set = set()
         for pdf in pdfs:
-            n += len(pdf)
-            ops = pdf["op"].value_counts()
-            c += int(ops.get("c", 0))
-            u += int(ops.get("u", 0))
-            d += int(ops.get("d", 0))
-            lo, hi = int(pdf["ts_ms"].min()), int(pdf["ts_ms"].max())
-            mn = lo if mn is None else min(mn, lo)
-            mx = hi if mx is None else max(mx, hi)
-            seen_end = bool(seen_end or pdf["tx_end"].any())
+            tx = pdf["tx_id"].to_numpy()
+            op = pdf["op"].to_numpy()
+            ts = pdf["ts_ms"].to_numpy()
+            end = pdf["tx_end"].to_numpy()
+            keys, inv = np.unique(tx, return_inverse=True)
+            k = keys.shape[0]
+            n_ = np.bincount(inv, minlength=k)
+            c_ = np.bincount(inv, weights=(op == "c"), minlength=k)
+            u_ = np.bincount(inv, weights=(op == "u"), minlength=k)
+            d_ = np.bincount(inv, weights=(op == "d"), minlength=k)
+            mn_ = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+            mx_ = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn_, inv, ts)
+            np.maximum.at(mx_, inv, ts)
+            end_ = np.bincount(inv, weights=end.astype(np.float64), minlength=k) > 0
+            for i in range(k):
+                t = keys[i]
+                e = open_tx.get(t)
+                if e is None:
+                    open_tx[t] = [
+                        int(n_[i]), int(c_[i]), int(u_[i]), int(d_[i]),
+                        int(mn_[i]), int(mx_[i]), now,
+                    ]
+                else:
+                    e[0] += int(n_[i])
+                    e[1] += int(c_[i])
+                    e[2] += int(u_[i])
+                    e[3] += int(d_[i])
+                    e[4] = min(e[4], int(mn_[i]))
+                    e[5] = max(e[5], int(mx_[i]))
+                    e[6] = now
+                if end_[i]:
+                    ended.add(t)
 
-        if seen_end:
-            if state.exists:
-                state.remove()
-            yield pd.DataFrame(
-                [[tx_id, n, c, u, d, mn, mx, True]], columns=[f.name for f in OUT_SCHEMA]
-            )
-        else:
-            state.update((n, c, u, d, mn, mx, seen_end))
-            if timeout_ms > 0:
-                state.setTimeoutDuration(timeout_ms)
+        rows = []
+        for t in ended:
+            e = open_tx.pop(t)
+            rows.append((t, e[0], e[1], e[2], e[3], e[4], e[5], True))
+        if timeout_ms > 0:
+            rows.extend(_sweep_expired(open_tx, now, timeout_ms))
+        _save_open(state, open_tx, timeout_ms)
+        if rows:
+            yield _emit(rows)
 
     return _assemble
 
 
-def assemble_transactions(events: DataFrame, *, timeout_ms: int = 60_000) -> DataFrame:
+def assemble_transactions(
+    events: DataFrame, *, timeout_ms: int = 60_000, buckets: int = 1024
+) -> DataFrame:
     """Streaming: change-event stream → one row per completed source
-    transaction (``applyInPandasWithState`` keyed on transaction.id).
+    transaction (``applyInPandasWithState`` keyed on a hash bucket of
+    transaction.id — see the module docstring for why buckets, and how
+    to size ``buckets`` at scale).
 
     ``timeout_ms`` bounds how long an abandoned (never-terminated)
     transaction holds state before being evicted as ``complete=false``;
@@ -119,8 +220,9 @@ def assemble_transactions(events: DataFrame, *, timeout_ms: int = 60_000) -> Dat
         F.col("op"),
         F.col("ts_ms"),
         F.col("tx_end"),
+        F.pmod(F.xxhash64(F.col("transaction.id")), F.lit(buckets)).alias("_bucket"),
     )
-    return flat.groupBy("tx_id").applyInPandasWithState(
+    return flat.groupBy("_bucket").applyInPandasWithState(
         _make_assemble(timeout_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

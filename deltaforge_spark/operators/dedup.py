@@ -82,7 +82,13 @@ _MOD48 = 1 << 48
 
 
 def minhash_signatures(
-    df: DataFrame, *, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of k independent
     hash functions, via one explode + one groupBy with k ``min`` aggs.
@@ -113,12 +119,17 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select("doc_id", a.alias("_a"), b.alias("_b"))
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("_a") + F.lit(j) * F.col("_b")) % F.lit(_MOD48)).alias(f"mh{j}")
-            for j in range(num_hashes)
-        ]
-    )
+    aggs = [
+        F.min((F.col("_a") + F.lit(j) * F.col("_b")) % F.lit(_MOD48)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    if with_size:
+        # |S(doc)| rides the same partial aggregation: the exploded rows
+        # ARE the distinct shingles (word_shingles array_distincts), so
+        # count(*) == size(word_shingles(text)) — callers needing sizes
+        # (containment) skip a second corpus tokenize+shingle pass
+        aggs.append(F.count(F.lit(1)).cast("int").alias("n_sh"))
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_rowwise(
@@ -133,21 +144,42 @@ def minhash_signatures_rowwise(
     demand watermarks and append-mode state the signature step doesn't
     want — streaming/dedup_stream.py) and row-preserving enrichment.
     Docs with fewer than ``shingle_n`` tokens get NULL signatures
-    (no shingles to hash)."""
+    (no shingles to hash).
+
+    r13 optimization (guide §1.2 step 2 — per-task work): the original
+    form evaluated ``md5`` inside EVERY ``array_min(transform(...))``
+    lambda — interpreted lambdas get no common-subexpression
+    elimination, so each shingle was digested 2k times (a and b per
+    hash function). The digest is now staged once per shingle through
+    intermediate array columns (hex → (a, b) struct → k cheap
+    arithmetic passes): 1 md5 per shingle instead of 16 for k=8, same
+    values bit-for-bit (pinned against the groupBy form by
+    test_rowwise_signatures_match_groupby_form)."""
     sh = word_shingles(F.col(text_col), shingle_n)
-    full = lambda s: F.md5(F.concat(F.lit("mh:"), s))  # noqa: E731
-    a = lambda s: F.conv(F.substring(full(s), 1, 12), 16, 10).cast("long")  # noqa: E731
-    b = lambda s: F.conv(F.substring(full(s), 13, 12), 16, 10).cast("long")  # noqa: E731
+    # single-arg lambdas REQUIRED below: a second parameter (even a
+    # bound default) makes pyspark treat it as the (element, index)
+    # form and feeds the array index where j belongs
+    hexes = F.transform(sh, lambda s: F.md5(F.concat(F.lit("mh:"), s)))
+    ab = F.transform(
+        F.col("_hex"),
+        lambda x: F.struct(
+            F.conv(F.substring(x, 1, 12), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(x, 13, 12), 16, 10).cast("long").alias("b"),
+        ),
+    )
+
     def h(j: int):
-        # single-arg lambda REQUIRED: a second parameter (even a bound
-        # default) makes pyspark treat it as the (element, index) form
-        # and feeds the array index where j belongs
-        return lambda s: (a(s) + F.lit(j) * b(s)) % F.lit(_MOD48)
+        return lambda p: (p["a"] + F.lit(j) * p["b"]) % F.lit(_MOD48)
 
     cols = [
-        F.array_min(F.transform(sh, h(j))).alias(f"mh{j}") for j in range(num_hashes)
+        F.array_min(F.transform(F.col("_ab"), h(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
     ]
-    return df.select(F.col(id_col).alias("doc_id"), *cols)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), hexes.alias("_hex"))
+        .select("doc_id", ab.alias("_ab"))
+        .select("doc_id", *cols)
+    )
 
 
 def minhash_lsh_pairs(
@@ -524,26 +556,26 @@ def containment_lsh_pairs(
     containment_est) for candidate pairs at/above ``threshold``.
 
     Scale shape: signatures are one explode + one groupBy (k longs per
-    doc); candidates shuffle on (band, bucket), never all-pairs; sizes
-    are a map-only distinct-shingle count; the estimator join touches
-    only candidate pairs. Nothing is quadratic in the corpus — the
-    exact op's shingle self-join (bounded only by doc-frequency
-    pruning) never runs."""
+    doc, with the distinct-shingle size riding the same aggregation —
+    r13: the sizes used to be a second full tokenize+shingle pass over
+    the corpus, and the estimator paid two extra joins to attach them);
+    candidates shuffle on (band, bucket), never all-pairs; the
+    estimator join touches only candidate pairs. Nothing is quadratic
+    in the corpus — the exact op's shingle self-join (bounded only by
+    doc-frequency pruning) never runs."""
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
+        num_hashes=num_hashes, shingle_n=shingle_n, with_size=True,
     )
     cands = minhash_lsh_pairs(sig, num_hashes=num_hashes, bands=bands)
-    sizes = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
-    ).filter(F.col("n_sh") > 0)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
     )
     matches = sum(
@@ -555,11 +587,11 @@ def containment_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
+            "n_a",
+            "n_b",
             F.round(matches / F.lit(num_hashes), 6).alias("jaccard_est"),
         )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = F.col("jaccard_est")
     c_a = F.round(
         F.least(
@@ -576,9 +608,7 @@ def containment_lsh_pairs(
         6,
     )
     return (
-        est.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        est.select(
             "doc_a",
             "doc_b",
             "jaccard_est",

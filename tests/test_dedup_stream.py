@@ -103,11 +103,15 @@ def test_rowwise_signatures_match_groupby_form(spark, sf_dir):
 
 
 class _FakeState:
-    def __init__(self, value=None, timed_out=False):
+    def __init__(self, value=None, timed_out=False, now=0):
         self._v = value
         self.hasTimedOut = timed_out
         self.removed = False
         self.timeout_set = None
+        self.now = now
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now
 
     @property
     def exists(self):
@@ -129,29 +133,56 @@ class _FakeState:
 
 
 def test_bucket_gate_ttl_eviction_unit():
-    """TTL semantics of the gate function itself: an idle bucket's
-    state is removed on timeout (bounded state); active buckets re-arm
-    their timeout each batch."""
+    """TTL semantics of the gate function itself (bucketed state: one
+    group holds many (band, bucket) entries as parallel arrays): an
+    idle entry expires on the group timeout (bounded state), entries
+    touched by a batch re-arm, and a busy group lazily evicts its own
+    stale entries."""
     import pandas as pd
 
     from deltaforge_spark.streaming.dedup_stream import _make_bucket_gate
 
     gate = _make_bucket_gate(ttl_ms=5000)
 
-    # timed-out invocation: state dropped, nothing emitted
-    st = _FakeState(value=(1,), timed_out=True)
-    out = list(gate(("b", "k"), iter([]), st))
-    assert st.removed and sum(len(p) for p in out) == 0
+    # timed-out invocation: every entry idle >= ttl is dropped, nothing
+    # emitted; the still-fresh entry survives
+    st = _FakeState(
+        value=(["0:old", "0:fresh"], [1, 2], [0, 9_000]), timed_out=True, now=10_000
+    )
+    out = list(gate((7,), iter([]), st))
+    assert sum(len(p) for p in out) == 0
+    assert st._v == (["0:fresh"], [2], [9_000])
 
-    # normal batch: founder admitted, timeout re-armed
-    st2 = _FakeState()
-    batch = pd.DataFrame({"doc_id": [5, 7], "band": [0, 0]})
-    out2 = pd.concat(list(gate(("b", "k"), iter([batch]), st2)))
+    # normal batch: founder admitted per (band, bucket), dup flagged,
+    # timeout re-armed, state holds the composite keys
+    st2 = _FakeState(now=1_000)
+    batch = pd.DataFrame({"doc_id": [5, 7], "band": [0, 0], "bucket": ["k", "k"]})
+    out2 = pd.concat(list(gate((7,), iter([batch]), st2)))
     assert list(out2["dup_of_state"]) == [False, True]
-    assert st2._v == (5,) and st2.timeout_set == 5000
+    assert st2._v == (["0:k"], [5], [1_000]) and st2.timeout_set == 5000
+
+    # an occupied bucket flags a later arrival even across invocations
+    st2.hasTimedOut = False
+    st2.now = 2_000
+    out2b = pd.concat(
+        list(gate((7,), iter([pd.DataFrame({"doc_id": [9], "band": [0], "bucket": ["k"]})]), st2))
+    )
+    assert list(out2b["dup_of_state"]) == [True]
+    assert st2._v == (["0:k"], [5], [2_000])  # founder kept, activity re-armed
+
+    # lazy sweep on a DATA invocation: a stale entry in a busy group
+    # evicts without waiting for the whole group to go idle
+    st4 = _FakeState(value=(["0:stale"], [3], [0]), now=60_000)
+    out4 = pd.concat(
+        list(gate((7,), iter([pd.DataFrame({"doc_id": [8], "band": [1], "bucket": ["z"]})]), st4))
+    )
+    assert list(out4["dup_of_state"]) == [False]
+    assert st4._v == (["1:z"], [8], [60_000])  # stale gone, new founder kept
 
     # post-eviction: a former duplicate is re-admitted (the documented
     # bounded-state trade)
-    st3 = _FakeState()  # state gone after eviction
-    out3 = pd.concat(list(gate(("b", "k"), iter([pd.DataFrame({"doc_id": [5], "band": [0]})]), st3)))
+    st3 = _FakeState(now=70_000)  # state gone after eviction
+    out3 = pd.concat(
+        list(gate((7,), iter([pd.DataFrame({"doc_id": [5], "band": [0], "bucket": ["k"]})]), st3))
+    )
     assert list(out3["dup_of_state"]) == [False]

@@ -1726,6 +1726,11 @@ def q_cdc_tx_assemble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         name=f"cdc_tx_assemble_stream_{int(_time.time() * 1000)}",
         output_mode="append",
+        # state volume = the 1024 assembler buckets (one array-blob row
+        # each), so 8 partitions hold ~128 state rows apiece; see
+        # run_stream_to_memory on why stateful partitions size to state
+        # volume, not the batch-shuffle width
+        state_partitions=8,
     )
 
 
@@ -1770,6 +1775,9 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         name=f"dedup_stream_gate_{int(_time.time() * 1000)}",
         output_mode="append",
         timeout=300,
+        # state volume = the 1024 gate buckets (array-blob rows); 8
+        # partitions ≈ 128 state rows each (run_stream_to_memory doc)
+        state_partitions=8,
     )
     return admitted_docs(mem)
 
@@ -2667,7 +2675,11 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(
-        agg, name=f"events_windowed_stream_{int(_time.time() * 1000)}"
+        agg,
+        name=f"events_windowed_stream_{int(_time.time() * 1000)}",
+        # state volume = (hour_bucket, event_type) groups — hundreds of
+        # rows at any bench SF (run_stream_to_memory doc)
+        state_partitions=8,
     )
 
 
@@ -4414,6 +4426,9 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged,
         name=f"events_sessionize_stream_{int(_time.time() * 1000)}",
         output_mode="append",
+        # state volume = two longs per distinct user — thousands of
+        # rows at bench SF (run_stream_to_memory doc)
+        state_partitions=8,
     )
     return drained.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -4636,6 +4651,11 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         name=f"events_stream_stream_join_{int(_time.time() * 1000)}",
         output_mode="append",
+        # the symmetric hash join holds FOUR state stores per partition
+        # and ~40k buffered rows at bench SF — 8 partitions ≈ 5k state
+        # rows each; measured ~linear in partition count (25s @ 32 ->
+        # 8s @ 8, identical 371-row output; run_stream_to_memory doc)
+        state_partitions=8,
     )
 
 

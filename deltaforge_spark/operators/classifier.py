@@ -11,21 +11,28 @@ gram count (the fastText mean-of-features input), trained by K rounds
 of full-batch gradient descent.
 
 Scale shape (100 TB):
-- Features are extracted ONCE into a persisted (doc_id, bucket, cnt,
-  n, y) frame — one corpus scan + one (doc,bucket) counts-only
-  shuffle; every training round reads the cache, never the raw corpus.
-  The cached plan keeps its doc_id hash partitioning (a checkpoint
-  would report UnknownPartitioning), so the per-round doc-keyed
-  aggregate and join are exchange-free.
-- One Spark job per round: per-doc margin (doc-keyed aggregate over
-  the cache), probabilities joined back (doc-keyed, 2-column payload),
-  then a B-BOUNDED per-bucket gradient aggregate collected O(B) to the
-  driver (B = n_buckets, the feature-hashing dimension — same
-  bounded-collect class as the DSIR score table and BPE merge table).
+- Features are extracted ONCE into a persisted ONE-ROW-PER-DOC frame
+  (doc_id, pairs array<struct<bucket,cnt>>, n, y) — one corpus scan +
+  one doc-keyed counts-only shuffle; every training round reads the
+  cache, never the raw corpus. (r13 optimization, guide §2.4/§1.2:
+  the cache used to be (doc_id, bucket, cnt, n, y) PAIR rows, and
+  every round paid a doc-keyed aggregate for the margin plus a
+  doc-keyed join to attach probabilities back to the pairs — at bench
+  SF each 3-stage round cost ~2.5 s on 370k pair rows. With the pairs
+  IN the doc row, the margin is map-only and the gradient explode
+  happens in the same task, so a round is ONE scan + one B-bounded
+  shuffle: no joins, no doc-keyed exchange, ever.)
+- One Spark job per round: map-only per-doc margin (the weight vector
+  is compiled into the plan as a dense B-entry literal array — O(1)
+  ``element_at`` lookups), gradient pairs exploded in-task, then a
+  B-BOUNDED per-bucket aggregate (map-side partial agg) collected
+  O(B) to the driver (B = n_buckets, the feature-hashing dimension —
+  same bounded-collect class as the DSIR score table and BPE merge
+  table).
 - The weight update runs driver-side in exact int64 arithmetic; the
-  next round broadcasts the B-row weight table back. K rounds = K
-  bounded jobs over the cache; no corpus-sized state ever leaves
-  executors.
+  next round compiles the B-entry weight array back into the plan.
+  K rounds = K bounded jobs over the cache; no corpus-sized state
+  ever leaves executors.
 
 Determinism (oracle hash-match): weights and bias live in integer
 MICRO-units. Per round, both engines compute
@@ -94,71 +101,75 @@ def doc_quality_classifier(
     step is scale-free and the same constants work at any corpus size.
     Whitespace-only documents have no features and are excluded (same
     contract as the DSIR weights)."""
-    spark = df.sparkSession
     feats_raw = doc_gram_buckets(
         df, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
     )
     labels = df.select(
         F.col(id_col).alias("doc_id"), label.cast("int").alias("y")
     )
-    per_doc = feats_raw.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n"))
-    # r13 optimization (guide §2.4): persist() instead of a reliable
-    # checkpoint — a checkpoint scan reports UnknownPartitioning, so
-    # every round paid TWO corpus-sized doc_id exchanges (margin
-    # aggregate + probability join). The cached plan keeps the join's
-    # hashpartitioning(doc_id), so each round's groupBy("doc_id") and
-    # doc_id join are exchange-free: the only per-round shuffle is the
-    # B-bounded bucket gradient. Lineage on executor loss recomputes
-    # one scan + one shuffle (same durability class as the dedup-CC /
-    # graph round persists).
-    # the explicit repartition pins the cache's layout to doc_id even
-    # when AQE broadcast-converts the two build joins (which would
-    # otherwise leave the (doc_id, bucket) layout of the feature agg)
+    # one row per doc: the (bucket, cnt) pairs live IN the row, the
+    # gram total n rides the same aggregate (collect_list order is
+    # engine-dependent, which is safe: every consumer below is an
+    # order-independent exact-int64 sum over the pairs). persist()
+    # rather than a reliable checkpoint so lineage on executor loss
+    # recomputes one scan + one shuffle.
     feat = (
-        feats_raw.join(per_doc, "doc_id").join(labels, "doc_id").select(
-            "doc_id", "bucket", "cnt", "n", "y"
+        feats_raw.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("bucket", "cnt")).alias("pairs"),
+            F.sum("cnt").cast("long").alias("n"),
         )
-    ).repartition("doc_id").persist()
-    n_docs = feat.select("doc_id").distinct().count()
+        .join(labels, "doc_id")
+        .select("doc_id", "pairs", "n", "y")
+    ).persist()
+    n_docs = feat.count()
+
+    def dot_col(weights: dict[int, int]):
+        """Exact int64 dot product sum(cnt * w[bucket]) as a map-only
+        fold over the in-row pairs; the weight vector compiles into the
+        plan as a dense B-entry literal array (O(1) element_at)."""
+        if not weights:  # round 1: w = 0 everywhere
+            return F.lit(0).cast("long")
+        dense = [0] * n_buckets
+        for b, w in weights.items():
+            dense[b] = int(w)
+        # ONE parsed expression, not F.array(*[F.lit(v) for ...]):
+        # per-literal Column construction costs two py4j round-trips
+        # per bucket (~13 s per round for B=4096 on the driver!);
+        # parsing a single array(...) SQL string is milliseconds and
+        # constant-folds to the identical literal array
+        w_arr = F.expr("array(" + ",".join(f"{v}L" for v in dense) + ")")
+        return F.aggregate(
+            F.col("pairs"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + p["cnt"] * F.element_at(w_arr, (p["bucket"] + F.lit(1)).cast("int")),
+        )
 
     weights: dict[int, int] = {}
     b_micro = 0
     for _ in range(iters):
-        if weights:
-            w_df = F.broadcast(
-                spark.createDataFrame(
-                    list(weights.items()), schema="bucket long, w long"
-                )
-            )
-            joined = feat.join(w_df, "bucket", "left")
-            wcol = F.coalesce(F.col("w"), F.lit(0))
-        else:  # round 1: w = 0 everywhere
-            joined = feat
-            wcol = F.lit(0)
-        doc_p = (
-            joined.groupBy("doc_id")
-            .agg(
-                F.sum(F.col("cnt") * wcol).cast("long").alias("dot"),
-                F.first("n").alias("n"),
-                F.first("y").alias("y"),
-            )
-            .select("doc_id", _margin_prob(b_micro).alias("p"), "y")
-        )
-        contrib = feat.join(doc_p.select("doc_id", "p"), "doc_id").select(
-            "bucket",
+        doc_p = feat.select(
+            "pairs",
+            "n",
+            "y",
+            dot_col(weights).alias("dot"),
+        ).select("pairs", "n", "y", _margin_prob(b_micro).alias("p"))
+        # gradient pairs explode in the SAME task as the margin (no
+        # join); bias rides the same B-bounded aggregate as bucket -1
+        # (buckets are md5 % B, never negative)
+        contrib = doc_p.select(
+            "p", "y", "n", F.explode("pairs").alias("pr")
+        ).select(
+            F.col("pr.bucket").alias("bucket"),
             F.round(
-                (F.col("p") - F.col("y")) * F.col("cnt") * F.lit(_MICRO)
+                (F.col("p") - F.col("y")) * F.col("pr.cnt") * F.lit(_MICRO)
                 / F.col("n"),
                 0,
             )
             .cast("long")
             .alias("gc"),
         )
-        # bias gradient rides the same collect as bucket -1 (buckets are
-        # md5 % B, never negative) — r13 optimization: one bounded job
-        # per round instead of two, and the doc_p exchange is shared
-        # between the two branches by ReuseExchange instead of being
-        # recomputed by a second job
         bias = doc_p.select(
             F.lit(-1).cast("long").alias("bucket"),
             F.round((F.col("p") - F.col("y")) * F.lit(_MICRO), 0)
@@ -181,25 +192,14 @@ def doc_quality_classifier(
                 )
         b_micro -= _tdiv(lr_num * (gb or 0), n_docs)
 
-    w_df = F.broadcast(
-        spark.createDataFrame(
-            list(weights.items()) or [(0, 0)], schema="bucket long, w long"
-        )
-    )
     out = (
-        feat.join(w_df, "bucket", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0)))
-            .cast("long")
-            .alias("dot"),
-            F.first("n").alias("n"),
-        )
-        .select(
+        feat.select(
             "doc_id",
             F.col("n").alias("n_grams"),
-            _margin_prob(b_micro).alias("prob"),
+            dot_col(weights).alias("dot"),
+            "n",
         )
+        .select("doc_id", "n_grams", _margin_prob(b_micro).alias("prob"))
         .withColumn("keep", F.col("prob") >= F.lit(threshold))
     )
     return retain(out, feat)

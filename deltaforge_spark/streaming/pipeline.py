@@ -125,6 +125,7 @@ def run_stream_to_memory(
     name: str,
     output_mode: str = "complete",
     timeout: int = 120,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded streaming frame into a memory sink with an
     availableNow trigger and return the result as a batch DataFrame.
@@ -136,10 +137,32 @@ def run_stream_to_memory(
     output mode keeps full aggregation state — correct for a bounded
     drain, NOT the unbounded-production mode (that's watermark+append/
     update, exercised in test_streaming_semantics).
+
+    ``state_partitions`` (r13 optimization, guide §2.2/§1.2): stateful
+    operators pin their partition count from ``shuffle.partitions`` at
+    FIRST-batch planning, and every state partition carries fixed
+    per-micro-batch overhead — one store instance per operator (a
+    stream-stream join holds FOUR) with open + commit + delta-file
+    write each batch, and AQE cannot coalesce stateful exchanges. A
+    drain whose total state is thousands of rows pays that overhead 32x
+    for nothing (measured: the stream-stream join drain is ~linear in
+    the partition count, 25s @ 32 -> 8s @ 8 -> 2.7s @ 2, identical
+    output). Callers therefore size this to the STATE VOLUME (target
+    ~5-50k state rows per partition), not the session's batch-shuffle
+    width; production at 100 TB computes the same quotient and lands
+    ABOVE the session default, in which case this raises it. Values
+    are per-key-group decisions, so results are partitioning-invariant.
+    ``DELTAFORGE_STREAM_STATE_PARTITIONS`` overrides globally (cluster
+    knob); None inherits the session conf unchanged. The session conf
+    is restored after the drain — the setting is scoped to the one
+    streaming query, whose checkpoint pins it for its whole life.
     """
     import tempfile
 
     spark = stream_df.sparkSession
+    env_parts = os.environ.get("DELTAFORGE_STREAM_STATE_PARTITIONS")
+    if env_parts:
+        state_partitions = int(env_parts)
     # checkpoint on tmpfs when available (r13 optimization): the state
     # store writes one delta + commit file per partition per micro-batch
     # — on the container's shared disk those tiny writes land in the
@@ -148,6 +171,9 @@ def run_stream_to_memory(
     # shared storage via checkpointLocation as before
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     checkpoint = tempfile.mkdtemp(prefix=f"dfspark-{name}-ckpt-", dir=base)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -159,6 +185,8 @@ def run_stream_to_memory(
     try:
         finished = q.awaitTermination(timeout)
     finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         if q.isActive:
             q.stop()
     if q.exception() is not None:

@@ -46,6 +46,21 @@ def _prep(spark: SparkSession) -> SparkSession:
     return apply_runtime_conf(spark)
 
 
+def _carry_pins(out: DataFrame, *srcs: DataFrame) -> DataFrame:
+    """Propagate retained pins from intermediate frames onto the frame a
+    query returns (retained-pin convention, plans/lineage.py): operators
+    that must leave a cache/checkpoint alive behind their result tag it
+    with ``retain``; a query that composes FURTHER on such a result must
+    carry the tag to its own returned frame, or the harness-side
+    ``release_retained`` never sees it and the storage leaks one
+    CacheManager entry per invocation — accumulated entries tax every
+    later query's analysis in the same session."""
+    from deltaforge_spark.plans.lineage import retain, retained_pins
+
+    pins = [p for s in srcs for p in retained_pins(s)]
+    return retain(out, *pins) if pins else out
+
+
 # ---------------------------------------------------------------- queries
 def q_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot source: orders table → op='r' events (flattened view)."""
@@ -654,7 +669,8 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("unit"),
     )
-    return dataset_split(units, key_col="unit").select("doc_id", "unit", "split")
+    out = dataset_split(units, key_col="unit").select("doc_id", "unit", "split")
+    return _carry_pins(out, labels)
 
 
 def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,7 +785,8 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltaforge_spark.operators.clustering import kmeans_fit_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, k=8, n_iter=2).orderBy("vec_id")
+    a = kmeans_fit_assign(emb, k=8, n_iter=2)
+    return _carry_pins(a.orderBy("vec_id"), a)
 
 
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,7 +912,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
     cc = connected_components(minhash_lsh_pairs(sig, num_hashes=8, bands=4))
     sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    out = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    return _carry_pins(out, cc)
 
 
 def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,7 +1265,8 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
     cc = connected_components(minhash_lsh_pairs(sig, num_hashes=8, bands=4))
     drop = cc.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+    out = docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+    return _carry_pins(out, cc)
 
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4022,15 +4041,15 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac_n = shingle_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
     ).agg(F.count(F.lit(1)).alias("n"))
-    sem_n = (
-        semantic_dedup(emb).filter(F.col("is_dup")).agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
+    sem = semantic_dedup(emb)
+    sem_n = sem.filter(F.col("is_dup")).agg(F.count(F.lit(1)).alias("n"))
+    out = (
         one("exact_dup_groups", exact_n)
         .unionByName(one("minhash_lsh_pairs", lsh_n))
         .unionByName(one("ngram_jaccard_pairs", jac_n))
         .unionByName(one("semantic_dup_docs", sem_n))
     )
+    return _carry_pins(out, sem)
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4065,7 +4084,8 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 17 + 3) % 101).alias("dst"),
         )
     )
-    return pagerank(weighted_edges(pairs), n_iter=2).orderBy("node")
+    ranks = pagerank(weighted_edges(pairs), n_iter=2)
+    return _carry_pins(ranks.orderBy("node"), ranks)
 
 
 def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4090,7 +4110,8 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     pairs = legs[0].unionAll(legs[1]).unionAll(legs[2]).unionAll(legs[3])
-    return triangle_counts(pairs).orderBy("node")
+    counts = triangle_counts(pairs)
+    return _carry_pins(counts.orderBy("node"), counts)
 
 
 def q_web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4123,7 +4144,8 @@ def q_web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(c2)
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
     )
-    return kcore(pairs, 3).orderBy("node")
+    core = kcore(pairs, 3)
+    return _carry_pins(core.orderBy("node"), core)
 
 
 def _kcore_oracle_sql(k: int = 3, rounds: int = 12) -> str:
@@ -4550,7 +4572,8 @@ def q_web_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 17 + 3) % 101).alias("dst"),
         )
     )
-    return label_propagation(weighted_edges(pairs), n_iter=2).orderBy("node")
+    labels = label_propagation(weighted_edges(pairs), n_iter=2)
+    return _carry_pins(labels.orderBy("node"), labels)
 
 
 def q_lake_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4690,12 +4713,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("canonical_id").orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
-    return lab.select(
+    out = lab.select(
         "doc_id",
         "canonical_id",
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+    return _carry_pins(out, cc)
 
 
 def q_sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,14 +46,17 @@ def quantize_micro(col: Column) -> Column:
     )
 
 
-def _sqdist_to_literal(qvec: Column, centroid: list[int]) -> Column:
+def _sqdist_sql(qvec_col: str, centroid: list[int]) -> str:
     """Exact integer squared L2 distance from a quantized vector column
-    to one driver-side centroid (compiled as literal array)."""
-    lit_vec = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(qvec, lit_vec, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    to one driver-side centroid, as a SQL fragment. One parsed string
+    instead of ``F.array(*[F.lit(v) ...])``: the Column-by-Column form
+    costs two py4j round-trips per dimension — k x d x 2 driver calls
+    per assignment pass (the classifier hit the same trap; one parsed
+    expression folds to the identical literal in microseconds)."""
+    lit_vec = "array(" + ",".join(f"{int(v)}L" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({qvec_col}, {lit_vec}, (a, b) -> (a - b) * (a - b)), "
+        f"0L, (acc, x) -> acc + x)"
     )
 
 
@@ -63,17 +66,11 @@ def assign_clusters(
     """Map-only nearest-centroid assignment: adds ``cluster`` (int) and
     ``sq_dist`` (exact long, micro-unit^2). Ties break on lowest
     cluster id via the (dist, cluster) struct ordering."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_to_literal(F.col(qvec_col), c).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
+    structs = ", ".join(
+        f"named_struct('d', {_sqdist_sql(qvec_col, c)}, 'c', {i})"
+        for i, c in enumerate(centroids)
     )
+    best = F.expr(f"array_min(array({structs}))")
     return df.withColumn("_best", best).select(
         "*",
         F.col("_best.c").alias("cluster"),
@@ -97,9 +94,14 @@ def kmeans_fit_assign(
     members keeps its previous centroid. Returns the final assignment:
     (vec_id, cluster, sq_dist).
     """
+    # the quantized corpus is re-read by the seed collect, by every
+    # Lloyd round's partial-sum job, and by the final assignment —
+    # persist it once (standard iterative-kmeans discipline; the cache
+    # spills to disk gracefully at scale). Tagged with the retained-pin
+    # convention: the caller releases once the assignment is consumed.
     q = df.select(
         F.col(id_col).alias("vec_id"), quantize_micro(F.col(vec_col)).alias("_qvec")
-    )
+    ).persist()
     seed_rows = (
         q.orderBy(F.col("vec_id").asc()).limit(k).select("vec_id", "_qvec").collect()
     )
@@ -130,7 +132,11 @@ def kmeans_fit_assign(
             for i in range(k)
         ]
 
-    return assign_clusters(q, centroids).select("vec_id", "cluster", "sq_dist")
+    from ..plans.lineage import retain
+
+    return retain(
+        assign_clusters(q, centroids).select("vec_id", "cluster", "sq_dist"), q
+    )
 
 
 def kmeans_cluster_profile(
@@ -145,9 +151,15 @@ def kmeans_cluster_profile(
     (cluster, n_members, min_id, mean_sq_dist) — the shape a
     cluster-budget sampler consumes. mean_sq_dist is the exact integer
     sum divided once in double, rounded to 6dp."""
+    from ..plans.lineage import retain, retained_pins
+
     a = kmeans_fit_assign(
         df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter
     )
+    return retain(_profile(a), *retained_pins(a))
+
+
+def _profile(a: DataFrame) -> DataFrame:
     return a.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").alias("min_id"),

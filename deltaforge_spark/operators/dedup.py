@@ -280,8 +280,17 @@ def connected_components(
             break
     sym.unpersist()
     # the final round's cache stays live — it backs the returned frame
-    # (unpersisting here would force a full-history recompute downstream)
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
+    # (unpersisting here would force a full-history recompute downstream).
+    # retained-pin convention: the caller releases it once the frame is
+    # consumed; otherwise each invocation leaks one CacheManager entry,
+    # and accumulated entries tax BOTH storage memory and the analysis
+    # of every later query in the session (CacheManager plan matching).
+    from ..plans.lineage import retain
+
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+    return retain(out, prev_cached) if prev_cached is not None else out
 
 
 def connected_components_logstar(
@@ -382,7 +391,15 @@ def connected_components_logstar(
             F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).collect()[0]
         sig = (sig["n"], sig["h"])
-        prev = small
+        # the probe materialized this round's checkpoint, so the
+        # PREVIOUS round's blocks are superseded — release them now
+        # instead of waiting for the ContextCleaner (bounded footprint:
+        # one live round, same discipline as kcore)
+        superseded, prev = (prev if prev is not e else None), small
+        if superseded is not None:
+            from ..plans.lineage import release_pinned
+
+            release_pinned(superseded)
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -405,7 +422,11 @@ def connected_components_logstar(
         "doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id")
     )
     e.unpersist()
-    return out
+    # the final round's checkpoint backs the returned frame: tag it so
+    # the caller's release_retained frees the blocks deterministically
+    from ..plans.lineage import retain
+
+    return retain(out, prev) if prev is not e else out
 
 
 def shingle_jaccard_pairs(

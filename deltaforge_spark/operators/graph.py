@@ -117,9 +117,14 @@ def pagerank(
     # release the per-call inputs; the RETURNED frame stays persisted
     # (it is materialized — callers may unpersist after consuming).
     # Eviction only costs a recompute through lineage, never wrongness.
+    # retained-pin convention: tag the live cache so release_retained
+    # frees it once consumed (an untagged cache leaks a CacheManager
+    # entry per call, taxing every later query's analysis).
     e.unpersist()
     nodes.unpersist()
-    return ranks
+    from ..plans.lineage import retain
+
+    return retain(ranks, ranks)
 
 
 def pagerank_top_hosts(
@@ -130,7 +135,9 @@ def pagerank_top_hosts(
     ranks = pagerank(edges, n_iter=n_iter)
     top = ranks.orderBy(F.desc("rank_micro"), "node").limit(top_n)
     w = F.row_number().over(Window.orderBy(F.desc("rank_micro"), "node"))
-    return top.withColumn("position", w)
+    from ..plans.lineage import retain, retained_pins
+
+    return retain(top.withColumn("position", w), *retained_pins(ranks))
 
 
 def label_propagation(
@@ -191,7 +198,11 @@ def label_propagation(
         prev, labels = new_labels, new_labels
     sym.unpersist()
     nodes.unpersist()
-    return labels
+    # retained-pin convention (same as pagerank): the final round's
+    # cache backs the returned frame; the caller releases it.
+    from ..plans.lineage import retain
+
+    return retain(labels, labels)
 
 
 def triangle_counts(
@@ -265,10 +276,13 @@ def triangle_counts(
         # oriented checkpoint's lifetime
         return counts
     # node-grain result, materialized so the (much larger) oriented
-    # edge pass can be released before returning
+    # edge pass can be released before returning; the result's own
+    # checkpoint blocks are tagged for the caller to release.
     counts = counts.localCheckpoint()
     _release_local_checkpoint(oriented)
-    return counts
+    from ..plans.lineage import retain
+
+    return retain(counts, counts)
 
 
 def kcore(
@@ -336,7 +350,9 @@ def kcore(
             out = keep.localCheckpoint()
             _release_local_checkpoint(nxt)
             _release_local_checkpoint(edges)
-            return out
+            from ..plans.lineage import retain
+
+            return retain(out, out)
         _release_local_checkpoint(edges)  # superseded round
         edges, n_edges = nxt, n_nxt
     # empty core (or max_rounds hit on a pathological chain): the
@@ -350,4 +366,6 @@ def kcore(
         .localCheckpoint()
     )
     _release_local_checkpoint(edges)
-    return out
+    from ..plans.lineage import retain
+
+    return retain(out, out)

@@ -502,7 +502,12 @@ def semantic_dedup(
         .limit(n_cells)
         .select(F.col("__id").alias("cell_id"), F.col("_v").alias("_centroid"))
     )
-    a = ivf_assign(base, cents, vec_col="_v", id_col="__id", nprobe=1)
+    # the assignment pass is read THREE times (both sides of the pair
+    # join + the final label join); persist it so the broadcast-assign
+    # subtree (centroid TakeOrdered + BroadcastNestedLoopJoin + window
+    # argmin) runs once per call instead of three times. Tagged with
+    # the retained-pin convention — the caller releases after consuming.
+    a = ivf_assign(base, cents, vec_col="_v", id_col="__id", nprobe=1).persist()
     right = a.select(
         F.col("__id").alias("_nid"), F.col("_v").alias("_nv"), "cell_id"
     )
@@ -513,12 +518,15 @@ def semantic_dedup(
         .filter(F.col("_cos") >= F.lit(threshold))
     )
     dups = pairs.groupBy("__id").agg(F.min("_nid").alias("dup_of"))
-    return (
+    from ..plans.lineage import retain
+
+    return retain(
         a.join(dups, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.col("cell_id"),
             F.col("dup_of").isNotNull().alias("is_dup"),
             F.col("dup_of"),
-        )
+        ),
+        a,
     )

@@ -266,3 +266,54 @@ def test_perplexity_bins_result_is_releasable(spark):
     assert f is not None and os.path.exists(f.replace("file:", ""))
     release_retained(out)
     assert not os.path.exists(f.replace("file:", ""))
+
+
+def test_iterative_operators_release_all_storage(spark):
+    """r13 optimization: every operator that leaves a cache/checkpoint
+    alive behind its result must tag it via the retained-pin convention
+    so release_retained frees it. Untagged caches accumulate one
+    CacheManager entry per invocation; measured in-session, dozens of
+    stale entries inflated unrelated queries ~6x (storage pressure +
+    per-query cache-plan matching)."""
+    from deltaforge_spark.operators.clustering import kmeans_fit_assign
+    from deltaforge_spark.operators.dedup import (
+        connected_components,
+        connected_components_logstar,
+    )
+    from deltaforge_spark.operators.graph import (
+        kcore,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+        weighted_edges,
+    )
+    from deltaforge_spark.operators.similarity import semantic_dedup
+    from deltaforge_spark.plans.lineage import release_retained, retained_pins
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "doc_a LONG, doc_b LONG"
+    )
+    pairs = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    cases = [
+        connected_components(edges),
+        connected_components_logstar(edges),
+        pagerank(weighted_edges(pairs), n_iter=2),
+        label_propagation(weighted_edges(pairs), n_iter=2),
+        kcore(pairs, 1),
+        triangle_counts(pairs),
+        semantic_dedup(emb, n_cells=2),
+        kmeans_fit_assign(emb, k=2, n_iter=1),
+    ]
+    before = _stored_rdd_ids(spark)
+    for out in cases:
+        assert retained_pins(out), f"operator result must carry its pins: {out}"
+        out.collect()
+        release_retained(out)
+    leaked = _stored_rdd_ids(spark) - before
+    assert not leaked, f"cached RDDs left behind after release: {leaked}"

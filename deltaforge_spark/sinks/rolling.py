@@ -189,6 +189,65 @@ class RollingLakeSink:
     def _staged_glob(self, pkey: str) -> list[str]:
         return sorted(glob.glob(f"{self.path}/_staging/batch-*/{pkey}"))
 
+    def _staged_arrivals(self, stage_dir: str) -> list[tuple[dict, int, int | None]]:
+        """Per-partition (parts, n_rows, max_event_ts) for one batch,
+        read from the staged parquet FOOTERS this batch just wrote —
+        exact row counts plus exact int64 column statistics, so the
+        values are identical to the groupBy/agg they replace, without a
+        second Spark job per batch. Driver-side cost is O(active
+        partitions) metadata reads of files the driver-local staging
+        already owns (same locality class as ``_dir_bytes`` below).
+        Partition values decode from the hive dir names (Spark's URL
+        escaping reversed); a null partition value keeps the writer's
+        ``__HIVE_DEFAULT_PARTITION__`` key (the dir name itself), so its
+        staged pieces glob and roll consistently — no declared query
+        routes on a nullable column."""
+        from urllib.parse import unquote
+
+        out: list[tuple[dict, int, int | None]] = []
+        depth = "/".join("*" for _ in self.partition_cols)
+        for d in sorted(glob.glob(f"{stage_dir}/{depth}")):
+            rel = os.path.relpath(d, stage_dir)
+            parts: dict[str, str] = {}
+            for seg in rel.split(os.sep):
+                k, _, v = seg.partition("=")
+                parts[k] = unquote(v)
+            n_rows = 0
+            max_ts: int | None = None
+            stats_ok = True
+            files = sorted(glob.glob(f"{d}/*.parquet"))
+            import pyarrow.parquet as pq
+
+            for f in files:
+                md = pq.read_metadata(f)
+                n_rows += md.num_rows
+                if self.clock == "event":
+                    try:
+                        idx = list(md.schema.names).index(self.ts_col)
+                    except ValueError:
+                        stats_ok = False
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            stats_ok = False
+                            break
+                        mx = int(st.max)
+                        max_ts = mx if max_ts is None else max(max_ts, mx)
+            if self.clock == "event" and n_rows and (not stats_ok or max_ts is None):
+                # defensive fallback (a writer configured without column
+                # statistics): one bounded agg over this partition's
+                # staged pieces only
+                row = (
+                    self.spark.read.parquet(d)
+                    .agg(F.max(F.col(self.ts_col)).alias("_max_ts"))
+                    .collect()[0]
+                )
+                max_ts = int(row["_max_ts"])
+            if n_rows:
+                out.append((parts, n_rows, max_ts))
+        return out
+
     # ------------------------------------------------------------ batch
 
     def process_batch(self, df: DataFrame, batch_id: int, now_ms: int | None = None) -> None:
@@ -220,31 +279,33 @@ class RollingLakeSink:
                 .parquet(stage_dir)
             )
 
-        # per-partition arrival accounting: O(active partitions) rows to
-        # the driver — the same control-plane state the reference pool
-        # keeps in its HashMap. Counted AT MOST ONCE per batch id: the
-        # fence advances in memory immediately, so a sweep failure +
+        # per-partition arrival accounting: O(active partitions) values
+        # to the driver — the same control-plane state the reference
+        # pool keeps in its HashMap. Counted AT MOST ONCE per batch id:
+        # the fence advances in memory immediately, so a sweep failure +
         # foreachBatch retry re-attempts the roll without re-counting.
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        if self.clock == "event":
-            aggs.append(F.max(F.col(self.ts_col)).alias("_max_ts"))
-        arrivals = [] if replay else df.groupBy(*self.partition_cols).agg(*aggs).collect()
+        # r13 optimization (guide §1.2 — don't recompute): counts and
+        # the per-partition max event-ts come from the staged parquet
+        # FOOTERS (exact int64 row counts + column statistics of the
+        # files just written from this very batch), not from a second
+        # Spark aggregation job over the batch — one job per batch
+        # instead of two, identical values by construction.
+        arrivals = [] if replay else self._staged_arrivals(stage_dir)
         self._last_batch = batch_id if self._last_batch is None else max(
             self._last_batch, batch_id
         )
 
         if now_ms is None:
             if self.clock == "event":
-                now_ms = max((int(r["_max_ts"]) for r in arrivals), default=0)
+                now_ms = max((int(ts) for _, _, ts in arrivals if ts is not None), default=0)
                 for st in self._state.values():
                     now_ms = max(now_ms, st["last_event_at"])
             else:
                 now_ms = int(time.time() * 1000)
 
-        for r in arrivals:
-            parts = {c: str(r[c]) for c in self.partition_cols}
+        for parts, n_rows, max_ts in arrivals:
             pkey = self._pkey(parts)
-            ts = int(r["_max_ts"]) if self.clock == "event" else now_ms
+            ts = int(max_ts) if self.clock == "event" else now_ms
             st = self._state.get(pkey)
             if st is None:
                 # a fresh writer opens at the first event after the
@@ -257,7 +318,7 @@ class RollingLakeSink:
                     "bytes": 0,
                 }
                 self._state[pkey] = st
-            st["events"] += int(r["_n"])
+            st["events"] += int(n_rows)
             st["last_event_at"] = max(st["last_event_at"], ts)
             st["bytes"] += _dir_bytes(f"{stage_dir}/{pkey}")
 
@@ -412,7 +473,35 @@ class RollingLakeSink:
 
     def _compact(self, staged: list[str], tmp_dir: str) -> None:
         """One-file compaction of the staged pieces (seam for outage
-        injection in chaos tests)."""
+        injection in chaos tests).
+
+        Size-adaptive (guide §1.2 per-task work): a roll's staged bytes
+        are bounded by the roll thresholds themselves, so most
+        compactions are a small-file merge — a single-process stream
+        copy, which is how production lake writers compact (the
+        reference pool writes each file from ONE writer). Below
+        ``DELTAFORGE_COMPACT_LOCAL_MAX_BYTES`` (default 256 MB) the
+        merge runs driver-local via pyarrow (no Spark job, no task
+        scheduling); above it — or when the staging path is not
+        driver-local — it stays a Spark job. Either path produces one
+        parquet file with the same rows."""
+        limit = int(os.environ.get("DELTAFORGE_COMPACT_LOCAL_MAX_BYTES", 256 << 20))
+        total = sum(_dir_bytes(d) for d in staged)
+        if 0 < total <= limit and all(os.path.isdir(d) for d in staged):
+            try:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                tables = []
+                for d in staged:
+                    for f in sorted(glob.glob(f"{d}/*.parquet")):
+                        tables.append(pq.read_table(f))
+                merged = pa.concat_tables(tables)
+                os.makedirs(tmp_dir, exist_ok=True)
+                pq.write_table(merged, f"{tmp_dir}/part-00000.parquet")
+                return
+            except Exception:
+                shutil.rmtree(tmp_dir, ignore_errors=True)  # fall through
         self.spark.read.parquet(*staged).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
 
     def manifest_df(self, spark: SparkSession) -> DataFrame:

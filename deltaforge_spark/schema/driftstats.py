@@ -44,9 +44,15 @@ def variant_type_class(payload: Column, field: str) -> Column:
     """Per-row observed-type class of ``$.field`` inside a JSON string
     column. ``missing`` = key absent; ``null`` = key present with JSON
     null."""
-    s = F.schema_of_variant(
-        F.variant_get(F.try_parse_json(payload), f"$.{field}", "variant")
-    )
+    return variant_type_class_of(F.try_parse_json(payload), field)
+
+
+def variant_type_class_of(v: Column, field: str) -> Column:
+    """Like :func:`variant_type_class` but over an ALREADY-PARSED
+    variant column — profiling W columns classifies against one parse
+    per row instead of W (try_parse_json is the dominant per-row cost
+    of the drift profile)."""
+    s = F.schema_of_variant(F.variant_get(v, f"$.{field}", "variant"))
     return (
         F.when(s.isNull(), F.lit("missing"))
         .when(s == "VOID", F.lit("null"))
@@ -115,8 +121,53 @@ def drift_events(
       rows; expected = the declared class, observed = "null")
     - ``undeclared_column``: key present in data but not declared
       (count = rows where present; expected "-", observed "-")
+
+    One profiling pass means ONE: the payload parses to a variant once
+    per row (not once per declared column), the type tags and the
+    observed keys explode out of the same scan, and the resulting
+    (kind, column, observed, n) table — bounded by schema width x type
+    classes, never row count — is persisted so the three event branches
+    derive from it without recomputing the scan. The cache rides the
+    retained-pin convention (plans/lineage.py): callers release after
+    consuming. Values are identical to the separate
+    ``observed_type_counts`` + ``observed_key_counts`` passes those
+    branches previously re-ran (3 scans x W parses each).
     """
-    counts = observed_type_counts(df, payload_col, sorted(declared))
+    fields = sorted(declared)
+    staged = df.select(
+        F.col(payload_col).alias("_p"),
+        F.try_parse_json(F.col(payload_col)).alias("_v"),
+    )
+    tags = F.array(
+        *[
+            F.struct(
+                F.lit("t").alias("kind"),
+                F.lit(f).alias("column"),
+                variant_type_class_of(F.col("_v"), f).alias("observed"),
+            )
+            for f in fields
+        ]
+    )
+    keys = F.transform(
+        F.coalesce(F.json_object_keys(F.col("_p")), F.array().cast("array<string>")),
+        lambda k: F.struct(
+            F.lit("k").alias("kind"), k.alias("column"), F.lit("").alias("observed")
+        ),
+    )
+    prof = (
+        staged.select(F.explode(F.concat(tags, keys)).alias("t"))
+        .groupBy(
+            F.col("t.kind").alias("kind"),
+            F.col("t.column").alias("column"),
+            F.col("t.observed").alias("observed"),
+        )
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    counts = prof.filter(F.col("kind") == "t").select("column", "observed", "n")
+    key_counts = prof.filter(F.col("kind") == "k").select(
+        F.col("column").alias("key"), F.col("n").alias("n_present")
+    )
     decl = F.create_map(
         *[x for k, v in sorted(declared.items()) for x in (F.lit(k), F.lit(v))]
     )
@@ -152,7 +203,7 @@ def drift_events(
     ) if non_null else None
 
     undeclared = (
-        observed_key_counts(df, payload_col)
+        key_counts
         .filter(~F.col("key").isin(*sorted(declared)))
         .select(
             F.col("key").alias("column"),
@@ -166,7 +217,9 @@ def drift_events(
     out = mismatches.unionByName(undeclared)
     if nulls is not None:
         out = out.unionByName(nulls)
-    return out
+    from ..plans.lineage import retain
+
+    return retain(out, prof)
 
 
 def drift_report(

@@ -230,13 +230,18 @@ def connected_components(
 
     Scale shape per round: one join on node id + one groupBy min — both
     shuffle on the id key and reuse the same partitioning. Each round's
-    labels are ``persist``ed and materialized by the convergence probe:
-    the cache is the lineage barrier (the next round plans against the
-    InMemoryRelation, not the compounded join history), and one probe
-    job per round is the whole driver-side cost — the earlier
-    ``localCheckpoint(eager)`` variant paid a second materialization
-    job every round for the same barrier. The probe is O(1) per round
-    (limit-1 count), not a per-row collect.
+    labels are LAZY-``localCheckpoint``ed and materialized by the
+    convergence probe (one job per round — the eager variant paid a
+    second materialization job per round). The checkpoint — not a bare
+    ``persist`` — is load-bearing as the LINEAGE barrier: a persist is
+    only an execution barrier, the LOGICAL plan still embeds the
+    previous round twice (neighbor_min + the label join), so plans grew
+    2^rounds and every consumer paid analysis of a ~3,600-node tree
+    (measured: dedup_keep_best's explain was 3,640 lines; with the
+    checkpoint it plans against a constant-size LogicalRDD scan).
+    Superseded rounds release their blocks immediately; the final
+    round rides the retained-pin convention. Same discipline as
+    ``connected_components_logstar`` and ``graph.kcore``.
 
     Returns (doc_id, canonical_id) for every node in the edge set;
     singletons (no edges) are their own canonical doc by definition and
@@ -267,24 +272,24 @@ def connected_components(
                 F.least(F.col("old"), F.coalesce(F.col("ncomp"), F.col("old"))).alias("comp"),
                 F.col("old"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         # full count (no limit-1 short circuit): the probe doubles as the
-        # cache materializer, and a partial scan would leave uncached
-        # partitions that recompute through the unpersisted history
+        # checkpoint materializer, and a partial scan would leave
+        # unmaterialized partitions that recompute through the history
         changed = new_labels.filter(F.col("comp") != F.col("old")).count()
         if prev_cached is not None:
-            prev_cached.unpersist()
+            from ..plans.lineage import release_pinned
+
+            release_pinned(prev_cached)
         prev_cached = new_labels
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()
-    # the final round's cache stays live — it backs the returned frame
-    # (unpersisting here would force a full-history recompute downstream).
-    # retained-pin convention: the caller releases it once the frame is
-    # consumed; otherwise each invocation leaks one CacheManager entry,
-    # and accumulated entries tax BOTH storage memory and the analysis
-    # of every later query in the session (CacheManager plan matching).
+    # the final round's checkpoint stays live — it backs the returned
+    # frame. retained-pin convention: the caller releases it once the
+    # frame is consumed; otherwise each invocation leaks storage, and
+    # accumulated entries tax every later query in the session.
     from ..plans.lineage import retain
 
     out = labels.select(

@@ -143,35 +143,57 @@ def audio_energy_windows(
     stays embarrassingly parallel; cross-window continuity would need
     one boundary sample carried per window, not a shuffle).
 
-    Scale: map-only mapInPandas; NumPy-vectorized per batch; the window
-    fan-out happens inside the UDF iterator.
+    Scale: map-only mapInPandas, NumPy-vectorized ACROSS the whole
+    batch (r13, guide §4.2): payloads concatenate into one u8 array,
+    window sums come from one ``np.add.reduceat`` over the contiguous
+    window starts, and zero-crossings from a second reduceat over the
+    sign-change array with window-boundary positions zeroed (a
+    boundary compares samples of different windows/docs — not a
+    crossing). The previous per-doc per-window Python loop built one
+    tuple per window; values are bit-identical (integer arithmetic,
+    same window order).
     """
     import numpy as np
 
+    cols = ["doc_id", "window_idx", "n_samples", "sum_energy", "zero_crossings"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                # REAL AUDIO: samples = decode(payload) here (libav /
-                # soundfile, absent in this container); u8 PCM passthrough:
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
-                for w in range(0, len(samples), window_bytes):
-                    win = samples[w : w + window_bytes]
-                    below = win < 128
-                    out.append(
-                        (
-                            doc_id,
-                            w // window_bytes,
-                            len(win),
-                            int(win.sum(dtype=np.int64)),
-                            int((below[:-1] != below[1:]).sum()),
-                        )
-                    )
+            ids = pdf[id_col].to_numpy()
+            # REAL AUDIO: samples = decode(payload) here (libav /
+            # soundfile, absent in this container); u8 PCM passthrough:
+            blobs = [bytes(p) for p in pdf[payload_col]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+            n_win = (lens + window_bytes - 1) // window_bytes
+            total_w = int(n_win.sum())
+            if total_w == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            wdoc = np.repeat(np.arange(len(ids)), n_win)
+            first_w = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+            in_doc = (np.arange(total_w) - np.repeat(first_w, n_win)) * window_bytes
+            starts = doc_starts[wdoc] + in_doc
+            ends = np.minimum(starts + window_bytes, doc_starts[wdoc] + lens[wdoc])
+            sums = np.add.reduceat(data.astype(np.int64), starts)
+            below = data < 128
+            # sign changes between ADJACENT samples, sentinel-padded to
+            # len(data) so every window's slice is index-safe; zeroing
+            # position e-1 of every window removes the cross-boundary
+            # comparison from its slice
+            d = np.zeros(len(data), dtype=np.int64)
+            d[: len(data) - 1] = below[:-1] != below[1:]
+            d[ends - 1] = 0
+            zc = np.add.reduceat(d, starts)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "window_idx", "n_samples", "sum_energy", "zero_crossings",
-                ],
+                {
+                    "doc_id": ids[wdoc],
+                    "window_idx": in_doc // window_bytes,
+                    "n_samples": ends - starts,
+                    "sum_energy": sums,
+                    "zero_crossings": zc,
+                }
             )
 
     return df.select(
@@ -273,15 +295,39 @@ def synth_pcm_bytes(doc_id: int) -> bytes:
     return s.tobytes()
 
 
+def _synth_pcm_batch(ids: pd.Series) -> pd.Series:
+    """Vectorized batch form of :func:`synth_pcm_bytes` (r13, guide
+    §4.2): one formula evaluation over the concatenated sample stream,
+    then zero-copy byte slices per doc — byte-identical to the per-doc
+    numpy path it replaces."""
+    import numpy as np
+
+    iv = ids.to_numpy().astype(np.int64)
+    if len(iv) == 0:
+        return pd.Series([], dtype=object)
+    n = 64 + iv % 128
+    total = int(n.sum())
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    rep = np.repeat(iv, n)
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+    big = ((rep * 7 + j * 13) % 256).astype(np.uint8).tobytes()
+    ends = starts + n
+    return pd.Series([big[s:e] for s, e in zip(starts, ends)])
+
+
 def with_synth_payload(
     df: DataFrame, *, kind: str, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:
     """Attach a seeded synthetic media column (kind: 'ppm' | 'pcm') —
-    an Arrow-batched pandas_udf, map-only."""
+    an Arrow-batched pandas_udf, map-only. The pcm branch synthesizes
+    the whole batch in one vectorized pass; ppm stays per-row (its
+    ASCII header is per-doc and the pixel planes are tiny)."""
     gen = {"ppm": synth_ppm_bytes, "pcm": synth_pcm_bytes}[kind]
 
     @F.pandas_udf(T.BinaryType())
     def _gen(ids: pd.Series) -> pd.Series:
+        if kind == "pcm":
+            return _synth_pcm_batch(ids)
         return ids.map(lambda i: gen(int(i)))
 
     return df.withColumn(out_col, _gen(F.col(id_col)))

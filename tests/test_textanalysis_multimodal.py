@@ -241,3 +241,64 @@ def test_pcm_windows_cross_midline(spark):
             assert r["zero_crossings"] == zc
             any_crossings += zc
     assert any_crossings > 0
+
+
+@pytest.mark.spark
+def test_audio_windows_vectorized_matches_reference(spark):
+    """r13: the batch-vectorized reduceat window kernel must be
+    bit-identical to the straightforward per-window reference on edge
+    shapes — empty payload (no rows), 1-byte payload, exact multiple of
+    the window, one-byte tail, and values crossing the u8 midline."""
+    import numpy as np
+
+    from deltaforge_spark.operators.multimodal import audio_energy_windows
+
+    window = 4
+    payloads = {
+        1: b"",
+        2: bytes([200]),
+        3: bytes([1, 200, 3, 250]),              # exactly one window
+        4: bytes([1, 200, 3, 250, 9]),           # 1-byte tail window
+        5: bytes(range(100, 116)),               # crosses midline mid-window
+        6: bytes([127, 128] * 5),                # crossing at every step
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id LONG, payload BINARY",
+    )
+    got = {
+        (r["doc_id"], r["window_idx"]): (
+            r["n_samples"], r["sum_energy"], r["zero_crossings"]
+        )
+        for r in audio_energy_windows(df, window_bytes=window).collect()
+    }
+    want = {}
+    for doc_id, payload in payloads.items():
+        samples = np.frombuffer(payload, dtype=np.uint8)
+        for w in range(0, len(samples), window):
+            win = samples[w : w + window]
+            below = win < 128
+            want[(doc_id, w // window)] = (
+                len(win),
+                int(win.sum(dtype=np.int64)),
+                int((below[:-1] != below[1:]).sum()),
+            )
+    assert got == want
+
+
+@pytest.mark.spark
+def test_synth_pcm_batch_matches_scalar(spark):
+    """r13: the vectorized batch PCM synthesizer must be byte-identical
+    to the per-doc formula."""
+    import pandas as pd
+
+    from deltaforge_spark.operators.multimodal import (
+        _synth_pcm_batch,
+        synth_pcm_bytes,
+    )
+
+    ids = [0, 1, 63, 64, 127, 128, 12345]
+    batch = _synth_pcm_batch(pd.Series(ids))
+    for i, doc_id in enumerate(ids):
+        assert bytes(batch.iloc[i]) == synth_pcm_bytes(doc_id)
+    assert len(_synth_pcm_batch(pd.Series([], dtype="int64"))) == 0

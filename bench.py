@@ -734,12 +734,36 @@ def main():
     # {"metric","value","unit","queries","sf"} shape with a compact
     # trend-kernel queries subset.
     print(json.dumps(result))
+    print(_gate_line(gate, timings))
+
+
+def _gate_line(gate: dict, timings: dict) -> str:
+    """The FINAL stdout line — the one JSON object the driver parses
+    (it keeps only the last ~2,000 chars of stdout).
+
+    Final-line diet (VERDICT r13 #1): the sf1 ``check_all`` prose and
+    the per-gate agreement detail pushed this line past the 1,800-char
+    guard for two rounds straight, so the guard stripped ``queries``
+    and the driver's per-query regression comparison went blind
+    (PERF r12/r13 ``per_query: {}``). Both blocks live in full on the
+    penultimate line (and in BENCH_TREND.jsonl); here they compress to
+    scalars so the ~20-kernel ``queries`` dict always fits."""
+    gate = dict(gate)
+    if "sf1" in gate:
+        gate["sf1"] = {
+            k: v
+            for k, v in gate["sf1"].items()
+            if k != "check_all"  # the prose block — detail on the line above
+        }
+    agreed = gate.pop("gates_agreed", {})
+    gate["gates_agreed_ok"] = all(v[0] for v in agreed.values())
+    gate["gates_agreed_n"] = [sum(1 for v in agreed.values() if v[0]), len(agreed)]
     gate["queries"] = {k: timings[k] for k in TREND_KERNELS if k in timings}
     line = json.dumps(gate)
     if len(line) > 1800:  # hard guard: never outgrow the driver tail again
         gate["queries"] = {}
         line = json.dumps(gate)
-    print(line)
+    return line
 
 
 def _sf1_soak_summary() -> dict | None:
@@ -822,6 +846,16 @@ def _code_equivalent_heads(limit: int = 8) -> set[str]:
         return set()
 
 
+def _bench_cpus() -> int:
+    """The core count this process benches at (mirrors
+    session.get_spark's master sizing): the driver contract's
+    $SPARK_GRAFT_CPUS, falling back to the machine."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    except ValueError:
+        return os.cpu_count() or 8
+
+
 def _merge_round_best(
     timings: dict[str, float], passes: dict[str, int]
 ) -> tuple[int, int]:
@@ -831,6 +865,15 @@ def _merge_round_best(
     only artifact files (_code_equivalent_heads) — identical kernel
     code, so the minimum across runs is the round's measured
     capability; pass counts sum for the audit trail.
+
+    cpus-aware (VERDICT r13 #2): only rows measured at THIS run's core
+    count merge — r13's 8-core scaling probe reported byte-identical
+    kernel rates to the 32-core run because the merge filtered on
+    git+sf only. Rows predating the `cpus` field were all canonical
+    32-core runs except the r13 c8 probe; a missing field is treated
+    as 32 (merging a mislabeled slower row into a 32-core run can only
+    understate via pass counts, never overstate minima — and a low-core
+    run never sees them).
     Returns (merged runs, how many of them were verified-quiet) — the
     quiet count feeds the closing line's non_canonical flag."""
     heads = _code_equivalent_heads()
@@ -838,6 +881,7 @@ def _merge_round_best(
         return 0, 0
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TREND.jsonl")
     merged = quiet = 0
+    cpus_now = _bench_cpus()
     try:
         with open(path) as f:
             lines = f.readlines()
@@ -849,6 +893,8 @@ def _merge_round_best(
         except ValueError:
             continue
         if row.get("git") not in heads or str(row.get("sf")) != "0.1":
+            continue
+        if int(row.get("cpus", 32)) != cpus_now:
             continue
         merged += 1
         if _quiet(row.get("loadavg_start")):
@@ -881,6 +927,10 @@ def _append_trend(result: dict) -> None:
     line = {
         "git": git,
         "ts": int(time.time()),
+        # core count the kernels ran at (VERDICT r13 #2): the round-best
+        # merge conditions on it so low-core scaling probes never report
+        # 32-core minima (and vice versa)
+        "cpus": _bench_cpus(),
         "loadavg": loadavg,
         "loadavg_start": _LOADAVG_START,
         # quiet-window gate (VERDICT r12 #1): a loaded-window run is

@@ -168,3 +168,126 @@ class TestQuietWindowGate:
         b = _bench()
         sig = inspect.signature(b._merge_round_best)
         assert sig.return_annotation == "tuple[int, int]"
+
+
+class TestGateLineContract:
+    """VERDICT r13 #1: the driver parses ONLY the final stdout line and
+    keeps only the last ~2,000 chars — the per-query ``queries`` dict
+    must survive on that line even with every optional block (sf1 soak
+    summary, 8 agreement gates) at its realistic size."""
+
+    def _realistic_gate(self):
+        # shaped like the r13 closing line that overflowed (check_all
+        # prose + per-gate lists), with every TREND kernel timed
+        return {
+            "metric": "headline_suite_seconds", "value": 134.759,
+            "unit": "sec", "sf": "0.1",
+            "events_per_sec": 176991, "events_per_sec_steady": 3280840,
+            "binlog_decode_events_per_sec": 144928,
+            "binlog_decode_events_per_sec_steady": 186359,
+            "pgoutput_decode_events_per_sec": 77160,
+            "kafka_wire_events_per_sec": 92593,
+            "kafka_wire_drain_events_per_sec": 190840,
+            "eos_overhead_pct": 3.8, "eos_overhead_iqr_pct": 25.2,
+            "eos_overhead_upper_pct": 17.7, "eos_noise_limited": True,
+            "eos_pairs": 12, "n_events": 100000, "n_queries": 80,
+            "gates_agreed": {
+                f"cdc_gate_kernel_name_{i}": [True, 9 + i] for i in range(8)
+            },
+            "round_runs_merged": 2, "loadavg_start": 4.66,
+            "quiet_runs": 2, "non_canonical": False,
+            "sf1": {
+                "check_all": "170/170 at sf1 " + "x" * 500,
+                "events_per_sec": 1071811,
+                "binlog_decode_events_per_sec": 315159,
+                "kafka_wire_events_per_sec": 488998,
+                "kernels_measured": 42,
+                "worst_ratio": ["dedup_embedding_lsh", 27.71],
+            },
+        }
+
+    def test_queries_survive_on_final_line(self):
+        import json
+
+        b = _bench()
+        timings = {k: 12.345 for k in b.TREND_KERNELS}
+        line = b._gate_line(self._realistic_gate(), timings)
+        assert len(line) <= 1800
+        parsed = json.loads(line)
+        assert parsed["queries"] == timings, "per-query dict stripped"
+        assert parsed["gates_agreed_ok"] is True
+        assert parsed["gates_agreed_n"] == [8, 8]
+        assert "check_all" not in parsed.get("sf1", {})
+
+    def test_original_gate_not_mutated(self):
+        b = _bench()
+        gate = self._realistic_gate()
+        b._gate_line(gate, {k: 1.0 for k in b.TREND_KERNELS})
+        assert "gates_agreed" in gate and "check_all" in gate["sf1"]
+
+
+class TestCpusAwareMerge:
+    """VERDICT r13 #2: the round-best merge must condition on the core
+    count — the r13 8-core probe reported 32-core minima because trend
+    rows carried no cpus field."""
+
+    def _with_trend(self, monkeypatch, tmp_path, rows):
+        import json
+        import os
+
+        b = _bench()
+        target = str(tmp_path / "BENCH_TREND.jsonl")
+        with open(target, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        orig_join = os.path.join
+        monkeypatch.setattr(
+            b.os.path,
+            "join",
+            lambda *a: target if a[-1] == "BENCH_TREND.jsonl" else orig_join(*a),
+        )
+        monkeypatch.setattr(b, "_code_equivalent_heads", lambda: {"abc1234"})
+        return b
+
+    def test_trend_line_records_cpus(self, monkeypatch, tmp_path):
+        import json
+        import os
+
+        b = _bench()
+        target = str(tmp_path / "BENCH_TREND.jsonl")
+        orig_join = os.path.join
+        monkeypatch.setattr(
+            b.os.path,
+            "join",
+            lambda *a: target if a[-1] == "BENCH_TREND.jsonl" else orig_join(*a),
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        b._append_trend({"sf": "0.1", "events_per_sec": 1,
+                         "events_per_sec_steady": 1, "queries": {}, "passes": {}})
+        row = json.loads(open(target).readline())
+        assert row["cpus"] == 8
+
+    def test_low_core_run_ignores_32core_minima(self, monkeypatch, tmp_path):
+        b = self._with_trend(
+            monkeypatch, tmp_path,
+            [{"git": "abc1234", "sf": "0.1", "loadavg_start": 0.1,
+              "kernels": {"cdc_pipeline": 0.1}, "passes": {"cdc_pipeline": 4}}],
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        timings = {"cdc_pipeline": 2.0}
+        merged, _ = b._merge_round_best(timings, {"cdc_pipeline": 1})
+        assert merged == 0 and timings["cdc_pipeline"] == 2.0
+
+    def test_same_core_rows_still_merge(self, monkeypatch, tmp_path):
+        b = self._with_trend(
+            monkeypatch, tmp_path,
+            [{"git": "abc1234", "sf": "0.1", "cpus": 32, "loadavg_start": 0.1,
+              "kernels": {"cdc_pipeline": 0.1}, "passes": {"cdc_pipeline": 4}},
+             # legacy row without cpus = canonical 32-core by convention
+             {"git": "abc1234", "sf": "0.1", "loadavg_start": 0.2,
+              "kernels": {"cdc_pipeline": 0.09}, "passes": {"cdc_pipeline": 2}}],
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+        timings = {"cdc_pipeline": 2.0}
+        merged, quiet = b._merge_round_best(timings, {"cdc_pipeline": 1})
+        assert merged == 2 and timings["cdc_pipeline"] == 0.09 and quiet == 2

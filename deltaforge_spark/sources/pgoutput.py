@@ -953,6 +953,25 @@ def _block_intervals(
     )
 
 
+def _tag_prefilter(stream: DataFrame, data_col: str, tags: bytes) -> DataFrame:
+    """JVM-side first-byte prefilter for a control-plane scan — the r10
+    DML-prefilter discipline (VERDICT r10 #2) extended to every
+    tag-selective pass (VERDICT r13 #7: each pass re-shipped the WHOLE
+    byte stream across Arrow to keep a sliver).
+
+    A control pass (relation catalog, B/C transaction table, S/E
+    stream bounds, two-phase control rows, …) keeps only messages with
+    specific first-byte tags, but without this filter every row —
+    including every multi-KB DML payload — crosses the JVM→Python
+    Arrow boundary just to die on the Python-side tag test. The
+    ``substring`` comparison runs inside whole-stage codegen, so the
+    transfer shrinks to the control rows themselves (a replication
+    stream is ~2 control rows per transaction). The Python-side tag
+    check stays as the invariant guard, exactly like the DML pass."""
+    hexes = ", ".join(f"X'{t:02X}'" for t in tags)
+    return stream.where(F.expr(f"substring(`{data_col}`, 1, 1) IN ({hexes})"))
+
+
 def pgoutput_relation_catalog(
     stream: DataFrame,
     *,
@@ -1040,7 +1059,11 @@ def pgoutput_relation_catalog(
             )
 
     in_cols = [seq_col, data_col] + ([attr_col] if use_attr else [])
-    rel = stream.select(*in_cols).mapInPandas(scan, RELATION_SCHEMA)
+    rel = (
+        _tag_prefilter(stream, data_col, b"R")
+        .select(*in_cols)
+        .mapInPandas(scan, RELATION_SCHEMA)
+    )
     # the driver must see O(#schema versions), never O(#announcements):
     # PG's maybe_send_schema re-announces a relation per streamed
     # transaction (reorder-buffer behavior), so an archive capture's
@@ -1306,7 +1329,11 @@ def pgoutput_tx_table(stream: DataFrame, *, data_col: str = "data", seq_col: str
                 rows, columns=["kind", "seq", "lsn_key", "xid", "commit_ts_us"]
             )
 
-    parts = stream.select(seq_col, data_col).mapInPandas(scan, TX_PART_SCHEMA)
+    parts = (
+        _tag_prefilter(stream, data_col, b"BC")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, TX_PART_SCHEMA)
+    )
     begins = (
         parts.filter(F.col("kind") == "B")
         .select(
@@ -1370,7 +1397,11 @@ def pgoutput_stream_bounds(
                 rows, columns=["seq", "kind", "xid", "first_segment"]
             )
 
-    return stream.select(seq_col, data_col).mapInPandas(scan, STREAM_BLOCK_SCHEMA)
+    return (
+        _tag_prefilter(stream, data_col, b"SE")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, STREAM_BLOCK_SCHEMA)
+    )
 
 
 def _pair_bound_rows(bounds: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -1679,7 +1710,11 @@ def _pgoutput_stream_ctrl(
                 rows, columns=["kind", "xid", "subxid", "commit_seq", "commit_ts_us"]
             )
 
-    return stream.select(seq_col, data_col).mapInPandas(scan, STREAM_TX_SCHEMA)
+    return (
+        _tag_prefilter(stream, data_col, b"cA")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, STREAM_TX_SCHEMA)
+    )
 
 
 def pgoutput_stream_tx_table(
@@ -1740,7 +1775,11 @@ def pgoutput_stream_prepared_commits(
                 )
             yield pd.DataFrame(rows, columns=["kind", "seq", "xid", "gid", "ts_us"])
 
-    parts = stream.select(seq_col, data_col).mapInPandas(scan, PREPARED_PART_SCHEMA)
+    parts = (
+        _tag_prefilter(stream, data_col, b"pK")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, PREPARED_PART_SCHEMA)
+    )
     preps = parts.filter(F.col("kind") == "p").select("xid", "gid")
     commits = parts.filter(F.col("kind") == "K").select(
         F.col("gid").alias("_kg"),
@@ -1784,7 +1823,11 @@ def _prepared_parts(
                 rows.append((tag.decode(), int(seq), m["xid"], m["gid"], ts))
             yield pd.DataFrame(rows, columns=["kind", "seq", "xid", "gid", "ts_us"])
 
-    return stream.select(seq_col, data_col).mapInPandas(scan, PREPARED_PART_SCHEMA)
+    return (
+        _tag_prefilter(stream, data_col, b"".join(tags))
+        .select(seq_col, data_col)
+        .mapInPandas(scan, PREPARED_PART_SCHEMA)
+    )
 
 
 PREPARED_PART_SCHEMA = T.StructType(
@@ -2146,7 +2189,11 @@ def decode_pgoutput_messages(
                 rows, columns=["seq", "lsn", "prefix", "schema", "after", "transactional"]
             )
 
-    return stream.select(seq_col, data_col).mapInPandas(scan, MESSAGE_SCHEMA)
+    return (
+        _tag_prefilter(stream, data_col, b"M")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, MESSAGE_SCHEMA)
+    )
 
 
 TRUNCATE_SCHEMA = T.StructType(
@@ -2201,7 +2248,11 @@ def decode_pgoutput_truncates(
                 rows, columns=["seq", "schema", "table", "cascade", "restart_identity"]
             )
 
-    return stream.select(seq_col, data_col).mapInPandas(scan, TRUNCATE_SCHEMA)
+    return (
+        _tag_prefilter(stream, data_col, b"T")
+        .select(seq_col, data_col)
+        .mapInPandas(scan, TRUNCATE_SCHEMA)
+    )
 
 
 def stamp_transactions(
@@ -2388,6 +2439,64 @@ def _order_msg(
     return encode_insert(ORDERS_RELATION_ID, vals, stream_xid=stream_xid)
 
 
+def _orders_with_date_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``orders`` with the timestamp normalized to an epoch-µs LONG up
+    front: testdata vintages differ (TIMESTAMP(NANOS) reads as long
+    under nanosAsLong, MICROS as timestamp) and the codec wants one
+    representation."""
+    from .snapshot import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    dt = dict(orders.dtypes)["o_orderdate"]
+    if dt in ("bigint", "long"):
+        # integer DIV: epoch nanos exceed double's exact range
+        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
+    else:
+        # NTZ→TS cast is session-tz-based; read_table pins UTC
+        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return orders.withColumn("o_orderdate_us", date_us)
+
+
+#: transactions per applyInPandas group in the synth generators — the
+#: per-GROUP harness cost (Arrow slice + pandas build + worker
+#: round-trip, ~0.5-1 ms) dominated synth wall when every transaction
+#: was its own group (~2,350 groups at sf0.1 ⇒ >1 s pure harness; the
+#: same diagnosis as the r13 bucketed tx-assembler). 32 txs/group keeps
+#: groups plentiful at every SF while amortizing the harness 32x.
+_SYNTH_TX_BUCKET = 32
+
+
+def _tx_bucketed_synth(orders: DataFrame, emit_tx, *, rows_per_tx: int) -> DataFrame:
+    """Shared fixture-generator frame (guide §4 — cross the Python
+    boundary per BUCKET of transactions, not per transaction):
+    bucket = ``_tx DIV _SYNTH_TX_BUCKET``; inside a bucket the rows
+    sort by (_tx, o_orderkey) — identical per-tx order to the old
+    one-group-per-tx shape — the text tuples extract ONCE for the
+    whole bucket (vectorized ``_order_row_texts``), and
+    ``emit_tx(tx, lo, hi, vals, statuses, prices, out)`` appends each
+    transaction's (seq, bytes) rows from its [lo, hi) slice. Output
+    rows are byte-identical to the per-tx form (seqs encode absolute
+    positions, so row order is irrelevant)."""
+    import numpy as np
+
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:  # defensive: applyInPandas never sends empties
+            return pd.DataFrame({"seq": [], "data": []})
+        pdf = pdf.sort_values(["_tx", "o_orderkey"]).reset_index(drop=True)
+        vals, statuses, prices = _order_row_texts(pdf)
+        txs = pdf["_tx"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, txs[1:] != txs[:-1], True])
+        out: list[tuple[int, bytes]] = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            emit_tx(int(txs[a]), int(a), int(b), vals, statuses, prices, out)
+        return pd.DataFrame(out, columns=["seq", "data"])
+
+    keyed = orders.withColumn(
+        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
+    ).withColumn("_bkt", F.expr(f"_tx DIV {_SYNTH_TX_BUCKET}"))
+    return keyed.groupBy("_bkt").applyInPandas(gen, STREAM_SCHEMA)
+
+
 def synth_pgoutput_orders(
     spark: SparkSession, sf_dir: str, *, rows_per_tx: int = 64
 ) -> DataFrame:
@@ -2398,46 +2507,24 @@ def synth_pgoutput_orders(
     ``decode_pgoutput`` over this stream must reproduce the source
     table bit-for-bit — which the DuckDB oracle checks from the
     original parquet, independent of any of this code."""
-    from .snapshot import read_table
-
-    orders = read_table(spark, sf_dir, "orders")
-    # normalize the timestamp to epoch-µs LONG up front: testdata vintages
-    # differ (TIMESTAMP(NANOS) reads as long under nanosAsLong, MICROS as
-    # timestamp) and the codec wants one representation
-    dt = dict(orders.dtypes)["o_orderdate"]
-    if dt in ("bigint", "long"):
-        # integer DIV: epoch nanos exceed double's exact range
-        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
-    else:
-        # NTZ→TS cast is session-tz-based; read_table pins UTC
-        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    orders = orders.withColumn("o_orderdate_us", date_us)
+    orders = _orders_with_date_us(spark, sf_dir)
     slot = rows_per_tx + 3  # R, B, rows..., C
 
-    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx = int(key[0])
+    def emit(tx, lo, hi, vals, statuses, prices, out):
         base = tx * slot
         xid = tx & 0xFFFFFFFF
         commit_ts_us = xid * 1_000_000
-        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
-        n = len(pdf)
+        n = hi - lo
         commit_seq = base + n + 2
-        out: list[tuple[int, bytes]] = [
-            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
-            (base + 1, encode_begin(commit_seq, commit_ts_us, xid)),
-        ]
-        vals, statuses, prices = _order_row_texts(pdf)
-        for i in range(n):
-            out.append((base + 2 + i, _order_msg(vals[i], statuses[i], prices[i])))
+        out.append(
+            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS))
+        )
+        out.append((base + 1, encode_begin(commit_seq, commit_ts_us, xid)))
+        for i in range(lo, hi):
+            out.append((base + 2 + i - lo, _order_msg(vals[i], statuses[i], prices[i])))
         out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
-        return pd.DataFrame(out, columns=["seq", "data"])
 
-    keyed = orders.withColumn(
-        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
-    )
-    return keyed.groupBy("_tx").applyInPandas(
-        lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
-    )
+    return _tx_bucketed_synth(orders, emit, rows_per_tx=rows_per_tx)
 
 
 def synth_pgoutput_streamed(
@@ -2464,36 +2551,23 @@ def synth_pgoutput_streamed(
       split:    S Rˣ dml₁… E S dml₂… E c   (two segments, same xid)
       aborted:  S Rˣ dml… E A              (whole-tx rollback)
     """
-    from .snapshot import read_table
-
-    orders = read_table(spark, sf_dir, "orders")
-    dt = dict(orders.dtypes)["o_orderdate"]
-    if dt in ("bigint", "long"):
-        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
-    else:
-        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    orders = orders.withColumn("o_orderdate_us", date_us)
+    orders = _orders_with_date_us(spark, sf_dir)
     slot = rows_per_tx + 8  # R + worst case S…E S…E + commit/abort
 
-    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx = int(key[0])
+    def emit(tx, lo, hi, vals, statuses, prices, out):
         base = tx * slot
         xid = tx & 0xFFFFFFFF
         commit_ts_us = xid * 1_000_000
-        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
-        n = len(pdf)
+        n = hi - lo
         streamed = tx % 3 == 0
         split = streamed and tx % 9 == 0
         aborted = streamed and tx % 9 == 6
 
-        _vals, _statuses, _prices = _order_row_texts(pdf)
-
         def dml(i: int, *, stream_xid=None) -> bytes:
             return _order_msg(
-                _vals[i], _statuses[i], _prices[i], stream_xid=stream_xid
+                vals[i], statuses[i], prices[i], stream_xid=stream_xid
             )
 
-        out: list[tuple[int, bytes]] = []
         seq = base
         if not streamed:
             out.append(
@@ -2503,7 +2577,7 @@ def synth_pgoutput_streamed(
             commit_seq = base + n + 2
             out.append((seq, encode_begin(commit_seq, commit_ts_us, xid)))
             seq += 1
-            for i in range(n):
+            for i in range(lo, hi):
                 out.append((seq, dml(i)))
                 seq += 1
             out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, commit_ts_us)))
@@ -2523,7 +2597,7 @@ def synth_pgoutput_streamed(
                 )
             )
             seq += 1
-            for i in range(half):
+            for i in range(lo, lo + half):
                 out.append((seq, dml(i, stream_xid=xid)))
                 seq += 1
             out.append((seq, encode_stream_stop()))
@@ -2531,7 +2605,7 @@ def synth_pgoutput_streamed(
             if split:
                 out.append((seq, encode_stream_start(xid, first_segment=False)))
                 seq += 1
-                for i in range(half, n):
+                for i in range(lo + half, hi):
                     out.append((seq, dml(i, stream_xid=xid)))
                     seq += 1
                 out.append((seq, encode_stream_stop()))
@@ -2542,14 +2616,8 @@ def synth_pgoutput_streamed(
                 out.append(
                     (seq, encode_stream_commit(xid, seq, seq + 1, commit_ts_us))
                 )
-        return pd.DataFrame(out, columns=["seq", "data"])
 
-    keyed = orders.withColumn(
-        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
-    )
-    return keyed.groupBy("_tx").applyInPandas(
-        lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
-    )
+    return _tx_bucketed_synth(orders, emit, rows_per_tx=rows_per_tx)
 
 
 def synth_pgoutput_two_phase(
@@ -2570,43 +2638,31 @@ def synth_pgoutput_two_phase(
       rolled:     R b dml… P r
       pending:    R b dml… P        (decision outside the capture)
     """
-    from .snapshot import read_table
-
-    orders = read_table(spark, sf_dir, "orders")
-    dt = dict(orders.dtypes)["o_orderdate"]
-    if dt in ("bigint", "long"):
-        date_us = F.expr("CAST(o_orderdate DIV 1000 AS BIGINT)")
-    else:
-        date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    orders = orders.withColumn("o_orderdate_us", date_us)
+    orders = _orders_with_date_us(spark, sf_dir)
     slot = rows_per_tx + 8
 
-    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx = int(key[0])
+    def emit(tx, lo, hi, vals, statuses, prices, out):
         base = tx * slot
         xid = tx & 0xFFFFFFFF
         gid = f"tx{xid}"
         ts_us = xid * 1_000_000
-        pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
-        n = len(pdf)
+        n = hi - lo
         prepared = tx % 3 == 0
         rolled = prepared and tx % 9 == 6
         pending = prepared and tx % 9 == 3
 
-        _vals, _statuses, _prices = _order_row_texts(pdf)
-
         def dml(i: int) -> bytes:
-            return _order_msg(_vals[i], _statuses[i], _prices[i])
+            return _order_msg(vals[i], statuses[i], prices[i])
 
-        out: list[tuple[int, bytes]] = [
-            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS)),
-        ]
+        out.append(
+            (base, encode_relation(ORDERS_RELATION_ID, "public", "orders", ORDERS_COLUMNS))
+        )
         seq = base + 1
         if not prepared:
             commit_seq = base + n + 2
             out.append((seq, encode_begin(commit_seq, ts_us, xid)))
             seq += 1
-            for i in range(n):
+            for i in range(lo, hi):
                 out.append((seq, dml(i)))
                 seq += 1
             out.append((commit_seq, encode_commit(commit_seq, commit_seq + 1, ts_us)))
@@ -2614,7 +2670,7 @@ def synth_pgoutput_two_phase(
             prep_seq = base + n + 2
             out.append((seq, encode_begin_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
             seq += 1
-            for i in range(n):
+            for i in range(lo, hi):
                 out.append((seq, dml(i)))
                 seq += 1
             out.append((prep_seq, encode_prepare(prep_seq, prep_seq + 1, ts_us, xid, gid)))
@@ -2634,14 +2690,8 @@ def synth_pgoutput_two_phase(
                         encode_commit_prepared(prep_seq, prep_seq + 2, ts_us, xid, gid),
                     )
                 )
-        return pd.DataFrame(out, columns=["seq", "data"])
 
-    keyed = orders.withColumn(
-        "_tx", F.floor(F.col("o_orderkey") / F.lit(rows_per_tx)).cast("long")
-    )
-    return keyed.groupBy("_tx").applyInPandas(
-        lambda key, pdf: gen(key, pdf), STREAM_SCHEMA
-    )
+    return _tx_bucketed_synth(orders, emit, rows_per_tx=rows_per_tx)
 
 
 RELATION_VERSION_SCHEMA = T.StructType(
@@ -2729,7 +2779,11 @@ def relation_drift(
             )
 
     in_cols = [seq_col, data_col] + ([attr_col] if use_attr else [])
-    rels = stream.select(*in_cols).mapInPandas(scan, RELATION_VERSION_SCHEMA)
+    rels = (
+        _tag_prefilter(stream, data_col, b"R")
+        .select(*in_cols)
+        .mapInPandas(scan, RELATION_VERSION_SCHEMA)
+    )
     w = Window.partitionBy("relation_id").orderBy("seq")
     prev = F.lag("columns_json").over(w)
     return (

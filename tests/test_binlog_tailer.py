@@ -150,3 +150,69 @@ def test_tailer_matches_parse_segment_on_random_boundaries():
             out.extend(t.feed(data[i:j]))
             i = j
         assert out == whole
+
+
+class TestCompiledDecoders:
+    """r14: per-column decoders compile once per TABLE_MAP schema
+    (dispatch/metadata/length-mode hoisted out of the per-value loop).
+    They must be byte-for-byte decode_value, for every supported type."""
+
+    # (col_type, meta, value) matrix — one representative per dispatch
+    # branch of decode_value, including both varchar length modes and
+    # the STRING/ENUM/SET packing
+    MATRIX = [
+        (bl.MYSQL_TYPE_LONGLONG, 0, -(2**62) + 7),
+        (bl.MYSQL_TYPE_DOUBLE, 0, -1234.5),
+        (bl.MYSQL_TYPE_LONG, 0, -2**31 + 1),
+        (bl.MYSQL_TYPE_TINY, 0, -5),
+        (bl.MYSQL_TYPE_SHORT, 0, -12345),
+        (bl.MYSQL_TYPE_INT24, 0, -(2**23) + 9),
+        (bl.MYSQL_TYPE_FLOAT, 0, 2.5),
+        (bl.MYSQL_TYPE_YEAR, 0, 2031),
+        (bl.MYSQL_TYPE_DATE, 0, "2031-03-04"),
+        (bl.MYSQL_TYPE_DATETIME2, 6, 1_900_000_000_123_456),
+        (bl.MYSQL_TYPE_TIMESTAMP2, 0, 1_900_000_000_000_000),
+        (bl.MYSQL_TYPE_TIME2, 0, "13:14:15"),
+        (bl.MYSQL_TYPE_VARCHAR, 32, "héllo"),
+        (bl.MYSQL_TYPE_VARCHAR, 300, "x" * 280),
+        (bl.MYSQL_TYPE_NEWDECIMAL, (12 << 8) | 4, "-12345678.9012"),
+        (bl.MYSQL_TYPE_BLOB, 2, "blob-text"),
+        (bl.MYSQL_TYPE_STRING, (bl.MYSQL_TYPE_STRING << 16) | 10, "char"),
+        (bl.MYSQL_TYPE_STRING, (bl.MYSQL_TYPE_ENUM << 16) | 1, 3),
+    ]
+
+    def test_matches_decode_value_for_every_type(self):
+        for t, m, v in self.MATRIX:
+            buf = bl.encode_value(t, m, v) + b"\xff\xff"  # trailing noise
+            want = bl.decode_value(t, m, buf, 0)
+            got = bl._compile_decoder(t, m)(buf, 0)
+            assert got == want, (t, m, v)
+
+    def test_decoder_cache_reuses_compiled_lists(self):
+        types = [bl.MYSQL_TYPE_LONG, bl.MYSQL_TYPE_VARCHAR]
+        metas = [0, 32]
+        d1 = bl._decoders_for(types, metas)
+        d2 = bl._decoders_for(list(types), list(metas))
+        assert d1 is d2
+
+    def test_repeated_table_maps_parse_once_and_decode_identically(self):
+        """Two transactions re-announce the same TABLE_MAP (as the
+        server does); the cached parse must yield identical events to
+        a fresh module state."""
+        types = [bl.MYSQL_TYPE_LONG, bl.MYSQL_TYPE_VARCHAR]
+        metas = [0, 32]
+        w = bl.SegmentWriter(server_id=3)
+        w.append(bl.FORMAT_DESCRIPTION_EVENT, bl.fde_payload())
+        for xid, rows in ((1, [[1, "a"]]), (2, [[2, None]])):
+            w.append(bl.TABLE_MAP_EVENT,
+                     bl.table_map_payload(42, "db1", "t1", types, metas, [False, True]))
+            w.append(bl.WRITE_ROWS_EVENT,
+                     bl.rows_payload(42, 2, rows, types, metas))
+            w.append(bl.XID_EVENT, bl.xid_payload(xid))
+        data = w.bytes()
+        first = bl.parse_segment(data, {("db1", "t1"): ["id", "name"]})
+        bl._TM_PAYLOAD_CACHE.clear()
+        bl._DECODER_CACHE.clear()
+        fresh = bl.parse_segment(data, {("db1", "t1"): ["id", "name"]})
+        assert first == fresh
+        assert len(bl._TM_PAYLOAD_CACHE) == 1  # one distinct payload

@@ -3995,20 +3995,21 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN -> APPLY BPE composed end-to-end (VERDICT r10 #5): the
-    merge table bpe_train learns over the corpus feeds
-    textanalysis.bpe_apply_merges, which compiles it into a JVM
-    replace chain over the word-TYPE table and joins documents' words
-    back to the tokenized types — the merge-table join path a real
-    tokenizer build exercises. Output: (doc_id, n_bpe_tokens) under
-    the LEARNED tokenizer; the oracle re-learns AND re-applies the
-    chain in SQL, so the composition is value-checked end-to-end."""
+    """TRAIN -> APPLY BPE composed end-to-end (VERDICT r10 #5):
+    textanalysis.bpe_train_and_apply learns the merge table over the
+    corpus and derives each word type's subword count straight from
+    the trainer's final segmentation (identical to re-applying the
+    learned chain — same canonical replaces in the same order), then
+    joins documents' words back to the tokenized types — the
+    merge-table join path a real tokenizer build exercises. Output:
+    (doc_id, n_bpe_tokens) under the LEARNED tokenizer; the oracle
+    re-learns AND re-applies the chain in SQL, so the composition is
+    value-checked end-to-end."""
     _prep(spark)
-    from deltaforge_spark.operators.textanalysis import bpe_apply_merges, bpe_train
+    from deltaforge_spark.operators.textanalysis import bpe_train_and_apply
 
     docs = read_table(spark, sf_dir, "documents")
-    merges = bpe_train(docs, num_merges=8)
-    return bpe_apply_merges(docs, merges)
+    return bpe_train_and_apply(docs, num_merges=8)
 
 
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -352,10 +352,15 @@ def _apply_merge(s: Column, a: str, b: str) -> Column:
     return F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
 
 
-def bpe_word_table(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+def bpe_word_table(
+    df: DataFrame, *, text_col: str = "text", keep_word: bool = False
+) -> DataFrame:
     """(s, freq): lowercase [a-z]+ word types in the double-space
     symbol rendering with the '</w>' end-of-word marker, weighted by
-    corpus frequency. The one corpus-proportional pass of training."""
+    corpus frequency. The one corpus-proportional pass of training.
+    ``keep_word`` carries the raw word alongside (w, s, freq) so a
+    train+apply composition can map the final segmentation back to
+    corpus words without a second type-table pass."""
     words = (
         df.select(
             F.explode(
@@ -365,7 +370,11 @@ def bpe_word_table(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    return words.select(_render_word_symbols(F.col("w")).alias("s"), "freq")
+    cols = (["w"] if keep_word else []) + [
+        _render_word_symbols(F.col("w")).alias("s"),
+        "freq",
+    ]
+    return words.select(*cols)
 
 
 def _adjacent_pairs(sy: Column) -> Column:
@@ -391,16 +400,21 @@ def _adjacent_pairs(sy: Column) -> Column:
 _BPE_TRAIN_CHUNK = 32
 
 
-def bpe_train(
+def _bpe_train_rounds(
     df: DataFrame,
     *,
     text_col: str = "text",
     num_merges: int = 8,
-) -> DataFrame:
-    """Learn ``num_merges`` BPE merges over ``df[text_col]``; returns
-    (merge_rank, left_sym, right_sym, pair_freq) — the merge table a
-    tokenizer (bpe_merge_tokens) would then apply. Stops early if the
-    vocabulary runs out of pairs.
+    keep_word: bool = False,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """The shared training loop: learn up to ``num_merges`` merges and
+    return ``(learned, final_table, live_pin)`` where ``final_table``
+    is the word-type table with EVERY learned merge applied (lazy on
+    top of ``live_pin``, the checkpoint backing it — the caller owns
+    its release). ``keep_word`` threads the raw word through so the
+    final segmentation can be consumed directly (bpe_train_and_apply);
+    the per-round argmax projects it away, so training cost is
+    unchanged either way.
 
     Round shape: ONE job per merge round (the argmax collect). The
     word-type table is pinned once up front and re-pinned only every
@@ -410,8 +424,8 @@ def bpe_train(
     plan depth, and no per-round materialization job."""
     from ..plans.lineage import pin, release_local_checkpoint
 
-    spark = df.sparkSession
-    cur = pin(bpe_word_table(df, text_col=text_col))
+    cur = pin(bpe_word_table(df, text_col=text_col, keep_word=keep_word))
+    keep_cols = ["w"] if keep_word else []
     pending: list[tuple[str, str]] = []  # merges applied since last pin
     learned: list[tuple[int, str, str, int]] = []
 
@@ -419,7 +433,7 @@ def bpe_train(
         s = F.col("s")
         for a, b in pending:
             s = _apply_merge(s, a, b)
-        return cur.select(s.alias("s"), "freq")
+        return cur.select(*keep_cols, s.alias("s"), "freq")
 
     try:
         for r in range(1, num_merges + 1):
@@ -451,8 +465,13 @@ def bpe_train(
                 pending.clear()
                 release_local_checkpoint(cur)
                 cur = nxt
-    finally:
+    except BaseException:
         release_local_checkpoint(cur)
+        raise
+    return learned, with_pending(), cur
+
+
+def _bpe_merge_table(spark, learned: list[tuple[int, str, str, int]]) -> DataFrame:
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -464,6 +483,86 @@ def bpe_train(
         ]
     )
     return spark.createDataFrame(learned, schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges over ``df[text_col]``; returns
+    (merge_rank, left_sym, right_sym, pair_freq) — the merge table a
+    tokenizer (bpe_merge_tokens) would then apply. Stops early if the
+    vocabulary runs out of pairs. See :func:`_bpe_train_rounds` for
+    the round shape."""
+    from ..plans.lineage import release_local_checkpoint
+
+    learned, _, cur = _bpe_train_rounds(
+        df, text_col=text_col, num_merges=num_merges
+    )
+    release_local_checkpoint(cur)
+    return _bpe_merge_table(df.sparkSession, learned)
+
+
+def bpe_train_and_apply(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> DataFrame:
+    """TRAIN → APPLY fused (the text_bpe_roundtrip shape): per-doc
+    token counts under the tokenizer just learned from the same
+    corpus — ``(id_col, n_bpe_tokens)``, identical rows to
+    ``bpe_apply_merges(df, bpe_train(df))``.
+
+    Why fused (guide §1.2 — don't recompute): applying a merge table
+    to its own training corpus reproduces the trainer's FINAL word
+    segmentation exactly (same canonical replace chain in the same
+    rank order), so the tokenized type table the apply path rebuilt —
+    a second corpus explode + a distinct shuffle + the full merge
+    chain over the types — already exists as the trainer's final word
+    table. This derives the per-word subword counts from that table
+    (one lazy projection over the training pin) and goes straight to
+    the doc join.
+
+    The type table is vocab-bounded (word TYPES, sublinear in corpus
+    size — the same object the trainer already localCheckpoints and
+    re-scans every round), so it broadcast-joins to the exploded words
+    and the only corpus-sized shuffle left is the partial-aggregated
+    per-doc sum (guide §3.1 / §2.3).
+
+    Retained storage: the training pin backs the result; it rides via
+    ``plans.lineage.retain`` — call ``release_retained(result)`` once
+    the frame is fully consumed."""
+    from ..plans.lineage import retain
+
+    learned, final_types, cur = _bpe_train_rounds(
+        df, text_col=text_col, num_merges=num_merges, keep_word=True
+    )
+    tok = final_types.select(
+        "w", F.size(_split_symbols(F.col("s"))).cast("long").alias("n_sub")
+    )
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    agg = (
+        words.join(F.broadcast(tok), "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+    )
+    base = df.select(id_col).distinct()
+    out = base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+    return retain(out, cur)
 
 
 def bpe_train_oracle_sql(

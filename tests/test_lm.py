@@ -846,6 +846,43 @@ class TestBpeTrain:
         }
         assert got == {i: tokenize(t) for i, t in enumerate(texts)}
 
+    def test_train_and_apply_matches_composed_path(self, spark):
+        """The fused roundtrip (bpe_train_and_apply, r14: per-word
+        counts ride the trainer's final segmentation instead of a
+        second type-table pass) must be row-identical to the composed
+        bpe_apply_merges(df, bpe_train(df)) it replaces, and must
+        leave no storage behind after release."""
+        from deltaforge_spark.operators.textanalysis import (
+            bpe_apply_merges,
+            bpe_train,
+            bpe_train_and_apply,
+        )
+        from deltaforge_spark.plans.lineage import release_retained
+
+        texts = [
+            "aaaaaa banana mississippi the the lower",
+            "low lower lowest aaab abab",
+            "",
+            "123 !!",
+            "the quick brown fox the lazy dog",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        composed = sorted(
+            map(tuple, bpe_apply_merges(df, bpe_train(df, num_merges=5)).collect())
+        )
+        fused_df = bpe_train_and_apply(df, num_merges=5)
+        fused = sorted(map(tuple, fused_df.collect()))
+        assert fused == composed
+        from deltaforge_spark.plans.lineage import retained_pins
+
+        assert len(retained_pins(fused_df)) == 1, (
+            "training pin must ride on the result"
+        )
+        release_retained(fused_df)
+        assert retained_pins(fused_df) == []
+
     def test_apply_reproduces_training_pair_statistics(self, spark):
         """Applying the n learned merges to the training corpus must
         reproduce the trainer's internal word state: the best pair of

@@ -3609,7 +3609,7 @@ def q_cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_orderpriority"].alias("o_orderpriority"),
         before["o_totalprice"].alias("before_totalprice"),
     )
-    return retain(out, stream)
+    return retain(_carry_pins(out, dec), stream)
 
 
 def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3660,7 +3660,7 @@ def q_cdc_pgoutput_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_totalprice"].alias("o_totalprice"),
         before["o_totalprice"].alias("before_totalprice"),
     ).withColumn("was_streamed", F.expr("(o_orderkey DIV 64) % 3 = 0"))
-    return retain(out, stream)
+    return retain(_carry_pins(out, dec), stream)
 
 
 def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3711,7 +3711,7 @@ def q_cdc_pgoutput_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         img["o_totalprice"].alias("o_totalprice"),
         before["o_totalprice"].alias("before_totalprice"),
     )
-    return retain(out, stream)
+    return retain(_carry_pins(out, dec), stream)
 
 
 def q_cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3958,7 +3958,7 @@ def q_cdc_pgoutput_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before")["o_totalprice"].alias("before_totalprice"),
         F.col("transaction.id").cast("long").alias("xid"),
     )
-    return retain(out, stream)
+    return retain(_carry_pins(out, env), stream)
 
 
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

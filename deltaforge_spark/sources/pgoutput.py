@@ -972,6 +972,26 @@ def _tag_prefilter(stream: DataFrame, data_col: str, tags: bytes) -> DataFrame:
     return stream.where(F.expr(f"substring(`{data_col}`, 1, 1) IN ({hexes})"))
 
 
+def _control_plane_pin(
+    stream: DataFrame, data_col: str, seq_col: str, tags: bytes
+) -> DataFrame:
+    """Materialize the control rows ONCE and feed every control-plane
+    pass from the pinned subset (guide §1.2 — don't recompute: the
+    v2 decode ran up to SIX tag-selective passes, each re-scanning the
+    ENTIRE capture to keep ~2 control rows per transaction; at archive
+    scale that multiplies the dominant I/O term by the pass count).
+    The pin is control-plane-sized (#control rows, never #events), and
+    it is a PERSIST, not a checkpoint: it materializes inside the
+    first job that already scans it (no extra materialization job —
+    the eager-checkpoint form measured ~0.5 s/query of pure job
+    latency at sf0.1), and every later pass reads the cache. Caller
+    owns release (``release_pinned`` handles cached frames) — decode
+    entry points retain it on their result."""
+    ctrl = _tag_prefilter(stream, data_col, tags).select(seq_col, data_col)
+    ctrl.persist()
+    return ctrl
+
+
 def pgoutput_relation_catalog(
     stream: DataFrame,
     *,
@@ -1906,27 +1926,46 @@ def decode_pgoutput_two_phase(
     :func:`decode_pgoutput_v2` (which handles streamed AND
     non-streamed two-phase shapes in one pass). The check rides the
     same single control-row scan that builds the prepared table — no
-    extra pass over the data plane."""
-    from ..operators.rangejoin import interval_join
-    from ..plans.lineage import pin
+    extra pass over the data plane.
 
-    parts = pin(
-        _prepared_parts(stream, data_col=data_col, seq_col=seq_col, mark_stream=True)
-    )
+    Retained storage: the DML decode feeds BOTH stamping branches
+    (plain B…C and committed prepared) — without a barrier each branch
+    re-ran the full Python message parse (two identical MapInPandas
+    subtrees in the plan). It is pinned once and, with the shared
+    control-plane pin (replacing the prepared-parts pin that
+    previously leaked one checkpoint per call), rides the result via
+    ``retain`` — callers release with ``release_retained`` once the
+    frame is consumed."""
+    from ..operators.rangejoin import interval_join
+    from ..plans.lineage import retain
+
+    # one pinned control-row subset feeds the prepared-parts scan, the
+    # relation catalog AND the B/C transaction table (was 3 more
+    # full-capture scans); parts derive lazily from the tiny pin, so
+    # their own pin is no longer needed
+    ctrl = _control_plane_pin(stream, data_col, seq_col, b"RBCbPKrS")
+    parts = _prepared_parts(ctrl, data_col=data_col, seq_col=seq_col, mark_stream=True)
     kind_counts = {
         r["kind"]: r["cnt"]
         for r in parts.groupBy("kind").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     if kind_counts.get("S"):
+        from ..plans.lineage import release_pinned
+
+        release_pinned(ctrl)
         raise PgoutputError(
             "capture contains protocol-v2 stream blocks; "
             "decode_pgoutput_two_phase would mis-parse xid-prefixed DML — "
             "use decode_pgoutput_v2 (it handles streamed and non-streamed "
             "two-phase transactions together)"
         )
-    relations = pgoutput_relation_catalog(stream, data_col=data_col, seq_col=seq_col)
-    dml = decode_pgoutput_dml(stream, relations, data_col=data_col, seq_col=seq_col)
-    tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    relations = pgoutput_relation_catalog(ctrl, data_col=data_col, seq_col=seq_col)
+    # persist, not checkpoint: both stamping branches resolve to one
+    # InMemoryRelation computed inside the final job (no extra job)
+    dml = decode_pgoutput_dml(
+        stream, relations, data_col=data_col, seq_col=seq_col
+    ).persist()
+    tx = pgoutput_tx_table(ctrl, data_col=data_col, seq_col=seq_col)
     v1 = stamp_transactions(dml, tx, bucket_width=tx_bucket_width).withColumn(
         "gid", F.lit(None).cast("string")
     )
@@ -1945,7 +1984,7 @@ def decode_pgoutput_two_phase(
         bucket_width=tx_bucket_width,
         how="inner",
     ).drop("_k", "begin_seq", "prepare_seq")
-    return v1.unionByName(stamped)
+    return retain(v1.unionByName(stamped), ctrl, dml)
 
 
 def decode_pgoutput_v2(
@@ -1994,8 +2033,19 @@ def decode_pgoutput_v2(
       bucketized interval-join attribution
       (:func:`pgoutput_attribute_stream`). Costs one data-plane
       shuffle; never builds a driver-side block list."""
-    bounds = pgoutput_stream_bounds(stream, data_col=data_col, seq_col=seq_col)
+    from ..plans.lineage import release_pinned as _release_pinned
+    from ..plans.lineage import retain as _retain
+
+    # one pinned control-row subset feeds EVERY control-plane pass
+    # below (bounds, catalog, B/C table, prepared parts, stream
+    # commit/abort/prepared gates) — previously each pass re-scanned
+    # the full capture (guide §1.2: at archive scale the re-reads are
+    # the dominant I/O term). Rides the result via retain; released on
+    # the torn-capture raise paths.
+    ctrl = _control_plane_pin(stream, data_col, seq_col, b"RBCSEcAbPKrp")
+    bounds = pgoutput_stream_bounds(ctrl, data_col=data_col, seq_col=seq_col)
     bounds.persist()
+    block_table = None
     try:
         n_bounds = bounds.count()
         if n_bounds <= stream_block_collect_max:
@@ -2008,7 +2058,7 @@ def decode_pgoutput_v2(
             # without the intervals the xid bytes would be misread as
             # the relation_id and the entry silently poisoned
             relations = pgoutput_relation_catalog(
-                stream, data_col=data_col, seq_col=seq_col, stream_blocks=blocks
+                ctrl, data_col=data_col, seq_col=seq_col, stream_blocks=blocks
             )
             dml = decode_pgoutput_dml(
                 stream,
@@ -2036,13 +2086,24 @@ def decode_pgoutput_v2(
                 seq_col=seq_col,
                 attr_col="_blk_xid",
             )
+    except BaseException:
+        _release_pinned(ctrl)
+        raise
     finally:
         bounds.unpersist()
+    # the DML decode (the one expensive Python parse of the capture)
+    # feeds BOTH the plain and the streamed branch below — persist it
+    # or each branch re-runs the full MapInPandas parse (two identical
+    # DML subtrees in the pre-r14 plan). A persist (not a checkpoint):
+    # both branches resolve to ONE InMemoryRelation computed inside
+    # the final job itself — no separate materialization job. Rides
+    # the result via retain, released by the caller.
+    dml = dml.persist()
     plain = dml.filter(F.col("stream_xid").isNull()).drop("stream_xid", "msg_xid")
-    tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    tx = pgoutput_tx_table(ctrl, data_col=data_col, seq_col=seq_col)
     # non-streamed prepared txs: committed b…P intervals join exactly
     # like B…C ones; rollback/pending intervals never enter the table
-    prepared = pgoutput_prepared_tx_table(stream, data_col=data_col, seq_col=seq_col)
+    prepared = pgoutput_prepared_tx_table(ctrl, data_col=data_col, seq_col=seq_col)
     committed_2p = prepared.filter(F.col("outcome") == "commit").select(
         "xid",
         F.col("begin_seq"),
@@ -2061,11 +2122,11 @@ def decode_pgoutput_v2(
     # two_phase on, via Stream Prepare ('p') + COMMIT PREPARED ('K') —
     # both shapes land in the same (xid, commit_ts) gate table
     commits = pgoutput_stream_tx_table(
-        stream, data_col=data_col, seq_col=seq_col
+        ctrl, data_col=data_col, seq_col=seq_col
     ).unionByName(
-        pgoutput_stream_prepared_commits(stream, data_col=data_col, seq_col=seq_col)
+        pgoutput_stream_prepared_commits(ctrl, data_col=data_col, seq_col=seq_col)
     )
-    aborts = pgoutput_stream_aborts(stream, data_col=data_col, seq_col=seq_col)
+    aborts = pgoutput_stream_aborts(ctrl, data_col=data_col, seq_col=seq_col)
     streamed = (
         sv.join(
             commits.select(F.col("xid").alias("_cxid"), "commit_ts_ms"),
@@ -2084,7 +2145,12 @@ def decode_pgoutput_v2(
             "commit_ts_ms",
         )
     )
-    return v1.unionByName(streamed)
+    out = v1.unionByName(streamed)
+    # distributed path: the pinned block table still backs the lazy
+    # DML persist — it rides the result too (previously it leaked one
+    # checkpoint per archive slice, tagged on nothing)
+    pins = [ctrl, dml] + ([block_table] if block_table is not None else [])
+    return _retain(out, *pins)
 
 
 def _stamp_plain(
@@ -2296,12 +2362,23 @@ def decode_pgoutput(
     tx_bucket_width: int = 256,
     keep_uncommitted: bool = False,
 ) -> DataFrame:
-    """Full pipeline: catalog collect → map-only DML decode → tx stamp."""
-    relations = pgoutput_relation_catalog(stream, data_col=data_col, seq_col=seq_col)
+    """Full pipeline: catalog collect → map-only DML decode → tx stamp.
+
+    The relation catalog and the B/C transaction table read from ONE
+    pinned control-row subset instead of two more full-capture scans
+    (guide §1.2); the pin rides the result via ``retain`` — release
+    with ``release_retained`` once consumed."""
+    from ..plans.lineage import retain
+
+    ctrl = _control_plane_pin(stream, data_col, seq_col, b"RBC")
+    relations = pgoutput_relation_catalog(ctrl, data_col=data_col, seq_col=seq_col)
     dml = decode_pgoutput_dml(stream, relations, data_col=data_col, seq_col=seq_col)
-    tx = pgoutput_tx_table(stream, data_col=data_col, seq_col=seq_col)
-    return stamp_transactions(
-        dml, tx, bucket_width=tx_bucket_width, keep_uncommitted=keep_uncommitted
+    tx = pgoutput_tx_table(ctrl, data_col=data_col, seq_col=seq_col)
+    return retain(
+        stamp_transactions(
+            dml, tx, bucket_width=tx_bucket_width, keep_uncommitted=keep_uncommitted
+        ),
+        ctrl,
     )
 
 
@@ -2321,6 +2398,7 @@ def pgoutput_change_feed(
     reference's handle_insert/update/delete → Event::new_row flow
     (postgres_event.rs:395-644)."""
     from ..envelope import finish_envelope
+    from ..plans.lineage import retain, retained_pins
 
     dec = decode_pgoutput(
         stream, data_col=data_col, seq_col=seq_col, tx_bucket_width=tx_bucket_width
@@ -2352,7 +2430,7 @@ def pgoutput_change_feed(
         ).alias("transaction"),
         F.lit(None).cast("boolean").alias("tx_end"),
     )
-    return finish_envelope(out)
+    return retain(finish_envelope(out), *retained_pins(dec))
 
 
 # ------------------------------------------------------------------
